@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_similarity_search_spark.session import get_spark  # noqa: E402
+
+SMOKE_SF = "/root/testdata/sf0.001"
+ORACLE_SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master=os.environ.get("SPARK_TEST_MASTER", "local[4]"),
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SMOKE_SF

@@ -1,0 +1,34 @@
+"""Every catalog query with an oracle twin must match DuckDB exactly —
+the local replica of the driver's CORRECTNESS gate, run at sf0.001 for
+speed (the driver runs sf0.01; run with ORACLE_SF=1 env to do that here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from vectordb_similarity_search_spark.plans import REGISTRY
+
+from .conftest import ORACLE_SF, SMOKE_SF
+from .oracle import compare
+
+SF = ORACLE_SF if os.environ.get("ORACLE_SF") else SMOKE_SF
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    spec = REGISTRY[name]
+    compare(spec.fn(spark, SF), spec.oracle, SF)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema) > 0

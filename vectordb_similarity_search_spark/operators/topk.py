@@ -1,0 +1,196 @@
+"""Top-k similarity search operators.
+
+Reference behavior being re-expressed (SURVEY.md §2.4, §3 E2):
+
+- per-hospital brute-force cosine + local top-k (similarity_search.py:300-305)
+- cross-silo gather + global re-rank top-k (similarity_search.py:330-357)
+
+In Spark the scatter-gather IS the execution model: ``orderBy(desc).limit(k)``
+plans as ``TakeOrderedAndProject`` — each partition computes a partial top-k,
+the driver merges k·P candidates.  That is exactly the reference's two-phase
+top-k, but distributed and without materializing a dense matrix in one
+process's RAM.
+
+Tie-breaks: the reference's ``np.argsort`` tie order is unspecified
+(similarity_search.py:305); we define deterministic ordering (score desc,
+then id asc) so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vector import array_lit, cosine_similarity, l2_distance
+
+
+def _score(vec_col: str, query: Column, metric: str) -> tuple[Column, bool]:
+    """Returns (score column, descending?)."""
+    if metric == "cosine":
+        return cosine_similarity(vec_col, query), True
+    if metric == "l2":
+        return l2_distance(vec_col, query), False
+    raise ValueError(f"unknown metric {metric!r} (want 'cosine' or 'l2')")
+
+
+def knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact brute-force k-nearest-neighbours of one query vector.
+
+    The 1×N similarity scan of the reference query path
+    (similarity_search.py:302-305). The query vector is a folded literal —
+    no shuffle, no broadcast table, just a projection over the (column-pruned)
+    parquet scan, then TakeOrderedAndProject (per-partition partial top-k,
+    O(k·P) driver merge).
+    """
+    score, desc = _score(vec_col, array_lit(query_vec), metric)
+    scored = corpus.withColumn(score_col, score)
+    order = F.col(score_col).desc() if desc else F.col(score_col).asc()
+    return scored.orderBy(order, F.col(id_col).asc()).limit(k)
+
+
+def similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+    pair_filter: Column | None = None,
+) -> DataFrame:
+    """N×M brute-force similarity join: top-k corpus rows per query row.
+
+    Strategy (SURVEY.md §2.3 J2): broadcast the (small) query side into a
+    BroadcastNestedLoopJoin — each corpus partition streams once, NO shuffle
+    of the corpus — score JVM-side, then per-query top-k via a rank window.
+
+    ``pair_filter`` is applied to scored (query, corpus) pairs before ranking
+    (e.g. self-exclusion ``col("vec_id") != col("query_id")``).
+
+    The window shuffles O(N·Q) scored rows on query_id; exact and fine up to
+    ~10^8 scored pairs. For the 100 TB path use
+    :func:`similarity_join_blocked`, which reduces to O(k·P·Q) rows before
+    any shuffle via vectorized block-local top-k.
+    """
+    score, desc = _score(vec_col, F.col(query_vec_col), metric)
+    order = F.col(score_col).desc() if desc else F.col(score_col).asc()
+
+    keep = [c for c in corpus.columns if c != vec_col]
+    scored = (
+        corpus.crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .withColumn(score_col, score)
+        .select(query_id_col, score_col, *keep)
+    )
+    if pair_filter is not None:
+        scored = scored.filter(pair_filter)
+    w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similarity_join_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact N×M top-k at scale: BLAS block scoring + two-phase top-k.
+
+    Phase 1 (``mapInPandas``, Arrow-vectorized): each corpus batch computes a
+    dense (batch × Q) score matrix with one numpy matmul — the same BLAS
+    kernel the reference uses in-process (similarity_search.py:302) — and
+    emits only its local top-k per query.  Result: ≤ k·Q rows per batch, so
+    the shuffle moves O(k·batches·Q) rows instead of O(N·Q).
+
+    Phase 2: global per-query rank window over the reduced candidate set.
+
+    Exactness: every batch's top-k per query is a superset contributor of the
+    global top-k per query, so phase 2 sees all true winners.
+    """
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # Q × d
+    if metric == "cosine":
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    sc = corpus.sparkSession.sparkContext
+    bc_ids = sc.broadcast(q_ids)
+    bc_q = sc.broadcast(q_mat)
+
+    id_field = corpus.schema[id_col]
+    qid_field = queries.schema[query_id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(score_col, T.DoubleType()),
+        ]
+    )
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = bc_q.value  # Q × d, rows unit-norm for cosine
+        qids = np.asarray(bc_ids.value)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)  # B × d
+            if metric == "cosine":
+                norms = np.linalg.norm(X, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                S = (X / norms) @ qm.T  # B × Q, higher = better
+                order_desc = True
+            else:  # l2
+                x2 = (X * X).sum(axis=1)[:, None]
+                q2 = (qm * qm).sum(axis=1)[None, :]
+                S = np.sqrt(np.maximum(x2 + q2 - 2.0 * (X @ qm.T), 0.0))
+                order_desc = False
+            kk = min(k, S.shape[0])
+            # argpartition: O(B) per query instead of full sort
+            if order_desc:
+                idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # k × Q
+            else:
+                idx = np.argpartition(S, kk - 1, axis=0)[:kk]
+            rows_id = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, kk),
+                    id_col: rows_id[idx.T.ravel()],
+                    score_col: np.take_along_axis(S, idx, axis=0).T.ravel(),
+                }
+            )
+            yield out
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(block_topk, out_schema)
+    order = F.col(score_col).desc() if metric == "cosine" else F.col(score_col).asc()
+    w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col).asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,40 @@
+"""Parquet table loaders for the driver fixtures (TESTDATA.md).
+
+The reference keeps everything in in-memory dicts/numpy
+(similarity_search.py:268-271) with no file I/O at all (SURVEY.md §2.1);
+our engine's storage layer is columnar Parquet read through the DataFrame
+reader, which gives predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning/filter pushdown happen at the
+    parquet scan because we return the raw declarative scan, not a cache."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all fixture tables as SQL temp views (for spark.sql plans)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
