@@ -1,1 +1,241 @@
-"""event_queries — filled incrementally."""
+"""Event-stream surface in batch form (SURVEY.md §2.9): time-windowed
+aggregation (tumbling/sliding/session), as-of join, JSON extraction.
+
+These run the exact transformations the Structured Streaming jobs in
+``streaming/`` use — in Spark the batch and streaming plans share the same
+DataFrame expressions, so the oracle checks here validate the streaming
+semantics too (minus watermarking, which is covered by stream tests).
+
+Timestamps are compared as epoch integers (seconds or microseconds) to keep
+the oracle timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import query, t
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "e_tumbling_hourly",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def e_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Uses F.window() — the same
+    operator the streaming job uses; window.start is epoch-aligned, exported
+    as epoch seconds."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e_sliding_2h",
+    oracle="""
+SELECT CAST((floor(epoch(ts) / 3600) - k) * 3600 AS BIGINT) AS win_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+GROUP BY 1
+""",
+)
+def e_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide — each event lands in two
+    windows. F.window(ts, '2 hours', '1 hour') on the Spark side; the oracle
+    replays the assignment arithmetic."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def e_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via
+    ``session_window`` — Spark's native stateful session operator (end =
+    last event + gap). Oracle replays it as gaps-and-islands."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "e_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props column (reference metadata-dict analogue,
+    SURVEY.md §2.8 array/json row): extract + aggregate."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+@query(
+    "e_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator the reference and vanilla Spark both lack;
+    DuckDB has it natively as ASOF JOIN): for each purchase, the latest click
+    at-or-before it per user.
+
+    Spark-first implementation: union the two sides tagged, sort within
+    user by (ts, side-tag), and carry the last click forward with
+    last(ignorenulls) — one shuffle on user_id, state bounded per user,
+    no range-join explosion. Clicks sort before purchases at equal ts so
+    an exactly-simultaneous click matches (mirrors ASOF's >=).
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "purchase_id",
+        "ts",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    return carried.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "e_pivot_user_activity",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS "click",
+       count(*) FILTER (WHERE event_type = 'view')     AS "view",
+       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       count(*) FILTER (WHERE event_type = 'error')    AS "error",
+       count(*) FILTER (WHERE event_type = 'signup')   AS "signup"
+FROM events
+GROUP BY user_id
+""",
+)
+def e_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reference A4 enum-breakdown): per-user event-type counts as
+    columns. Explicit value list keeps the plan single-pass (no distinct-scan
+    to discover pivot values)."""
+    e = t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    df = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot yields NULL for absent combos; the oracle's FILTER yields 0.
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )

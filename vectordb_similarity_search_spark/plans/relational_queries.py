@@ -1,1 +1,597 @@
-"""relational_queries — filled incrementally."""
+"""Relational-surface queries (SURVEY.md §2.2/§2.3/§2.5/§2.6/§2.8 and §7
+step 2): filters/projections, the full join family, aggregation incl.
+distinct/rollup/cube, set ops, scalar string/date/math functions.
+
+The reference performs none of these as SQL (it has no relational engine at
+all — SURVEY.md §2.3), but they are the oracle surface the north star
+requires, and each is a Catalyst-native plan: predicate pushdown + column
+pruning reach the parquet scans, dimension joins broadcast, aggregations get
+map-side partial combine.
+
+Float discipline: money math goes through DECIMAL (exact in both engines)
+and is cast to double at the end; see plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query, t
+
+DEC = "decimal(18,2)"
+D32 = "decimal(3,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+def _revenue() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact decimal arithmetic."""
+    return _dec("l_extendedprice") * (F.lit(1).cast(D32) - F.col("l_discount").cast(D32))
+
+
+def _charge() -> F.Column:
+    return _revenue() * (F.lit(1).cast(D32) + F.col("l_tax").cast(D32))
+
+
+# SQL fragments for the same exact arithmetic on the DuckDB side.
+SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+SQL_CHARGE = f"{SQL_REV} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+@query(
+    "r_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def r_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with decimal-exact
+    money math. The filter + 7-column projection push down to the parquet
+    scan; partial aggregation combines map-side, so the shuffle carries only
+    |groups|·P rows regardless of corpus size."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.round(F.sum(_revenue()).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(_charge()).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / cnt, 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / cnt, 6).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "r_market_revenue",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem ON o.o_orderkey = l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY sum({SQL_REV}) DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def r_market_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-N by revenue.
+    customer('BUILDING') is small → broadcast hash joins, no fact shuffle for
+    the join itself; top-10 is TakeOrdered, not a full sort."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(_revenue()).alias("_rev")
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "r_region_nation_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def r_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through two dim levels with a region
+    filter. All dims broadcast; the only shuffle is the final small groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "r_semi_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c.c_mktsegment
+""",
+)
+def r_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding a pending order.
+    Catalyst plans a semi hash join — no row multiplication, no payload
+    columns from the probe side shuffled."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "r_anti_join",
+    oracle="""
+SELECT c.c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+)
+def r_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders, per nation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "r_left_join_counts",
+    oracle="""
+SELECT p.p_brand,
+       count(*) AS n_rows,
+       count(l.l_orderkey) AS n_lineitems,
+       count(DISTINCT p.p_partkey) AS n_parts
+FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def r_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join null semantics: count(col) skips nulls from unmatched left
+    rows while count(*) keeps them — the engine's NULL model (real NULLs, not
+    the reference's 0/'N/A' sentinels, SURVEY.md §1.3)."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+@query(
+    "r_distinct_agg",
+    oracle="""
+SELECT c.c_nationkey,
+       count(DISTINCT o.o_custkey) AS n_active_customers,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def r_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) with a broadcast dim join — Catalyst expands distinct
+    aggregation into a two-phase plan automatically."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "r_rollup_revenue",
+    oracle=f"""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       CAST(grouping(r.r_name) AS INTEGER) AS g_region,
+       CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
+       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def r_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) with
+    GROUPING() markers (SURVEY.md §2.5 'absent in reference' row)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("s_suppkey", "r_name", "n_name")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "g_region",
+            "g_nation",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "r_cube_orders",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def r_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority with counts and exact totals."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@query(
+    "r_conditional_stats",
+    oracle="""
+SELECT count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       round(avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 6) AS open_rate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+             / count(*) FILTER (WHERE o_orderstatus = 'O'), 6) AS avg_open_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_price
+FROM orders
+""",
+)
+def r_conditional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's conditional-stats bundle (A1-A3/A5,
+    similarity_search.py:366-407): counts, conditional counts, rates,
+    filtered means — one pass, no self-joins."""
+    o = t(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus") == "O"
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(is_open, 1)).alias("n_open"),
+        F.round(F.avg(F.when(is_open, 1.0).otherwise(0.0)), 6).alias("open_rate"),
+        F.round(
+            F.sum(F.when(is_open, _dec("o_totalprice"))).cast("double")
+            / F.count(F.when(is_open, 1)),
+            6,
+        ).alias("avg_open_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "r_case_buckets",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM orders
+GROUP BY 1
+""",
+)
+def r_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-bucketed histogram — the masked-conditional-assignment pattern
+    (reference P3, `df.loc[mask, col] = ...`) as when/otherwise."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double") / F.count("*"), 6).alias(
+                "avg_price"
+            ),
+        )
+    )
+
+
+@query(
+    "r_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       split_part(p_name, ' ', 1) AS first_word,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+       concat(p_type, ':', p_brand) AS type_brand
+FROM part
+WHERE contains(p_name, 'red')
+""",
+)
+def r_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface (reference D4/D5 string builds): upper, length,
+    split, regexp_extract, concat, contains-filter."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").contains("red")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws(":", "p_type", "p_brand").alias("type_brand"),
+    )
+
+
+@query(
+    "r_date_funcs",
+    oracle="""
+SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+       date_trunc('month', o_orderdate) AS month_start,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def r_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (reference D1-D3): extract, date_trunc, grouping by
+    calendar month."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "r_in_subquery",
+    oracle="""
+WITH top_cust AS (
+  SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+)
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM top_cust)
+""",
+)
+def r_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (key lookup J3 generalized): orders of the top-10
+    customers by balance; the tiny key set broadcasts into a semi join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    top = c.orderBy(F.col("c_acctbal").desc(), "c_custkey").limit(10).select("c_custkey")
+    return (
+        o.join(F.broadcast(top), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "r_intersect_except",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+  (SELECT count(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     EXCEPT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_f_only
+""",
+)
+def r_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.6 'absent in reference'): customers with
+    both finished and open orders vs finished-only."""
+    o = t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    n_both = f.intersect(op).count()
+    n_f_only = f.subtract(op).count()  # subtract == EXCEPT DISTINCT
+    spark_df = spark.createDataFrame(
+        [(n_both, n_f_only)], "n_both long, n_f_only long"
+    )
+    return spark_df
+
+
+@query(
+    "r_union_parties",
+    oracle="""
+SELECT nationkey,
+       count(*) FILTER (WHERE kind = 'customer') AS n_customers,
+       count(*) FILTER (WHERE kind = 'supplier') AS n_suppliers,
+       count(*) AS n_parties
+FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+)
+GROUP BY nationkey
+""",
+)
+def r_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName (reference J1 scatter-gather concat,
+    similarity_search.py:330-350) with per-kind conditional counts."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.when(F.col("kind") == "customer", 1)).alias("n_customers"),
+            F.count(F.when(F.col("kind") == "supplier", 1)).alias("n_suppliers"),
+            F.count("*").alias("n_parties"),
+        )
+    )
+
+
+@query(
+    "r_range_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join (ships within 30 days of order). The
+    equi-key keeps it a hash join; the range residual filters post-probe —
+    no O(N·M) blowup."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "r_scalar_math",
+    oracle="""
+SELECT CAST(sum(CAST(least(greatest(l_quantity, 5), 40) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped,
+       CAST(sum(CAST(l_quantity AS BIGINT) % 7) AS BIGINT) AS sum_mod,
+       CAST(sum(abs(CAST(l_quantity AS DECIMAL(18,2)) - 25)) AS DOUBLE) AS sum_absdev,
+       CAST(sum(CAST(ceil(l_discount * 10) AS BIGINT)) AS BIGINT) AS sum_ceil,
+       CAST(sum(CAST(floor(l_tax * 10) AS BIGINT)) AS BIGINT) AS sum_floor
+FROM lineitem
+""",
+)
+def r_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface: clip via least/greatest (the reference's np.clip,
+    similarity_search.py:60-66), mod, abs, ceil/floor."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.least(F.greatest("l_quantity", F.lit(5)), F.lit(40)).cast(DEC))
+        .cast("double")
+        .alias("sum_clipped"),
+        F.sum(F.col("l_quantity").cast("long") % 7).cast("long").alias("sum_mod"),
+        F.sum(F.abs(_dec("l_quantity") - 25)).cast("double").alias("sum_absdev"),
+        F.sum(F.ceil(F.col("l_discount") * 10).cast("long")).cast("long").alias("sum_ceil"),
+        F.sum(F.floor(F.col("l_tax") * 10).cast("long")).cast("long").alias("sum_floor"),
+    )

@@ -1,1 +1,215 @@
-"""text_queries — filled incrementally."""
+"""Documents-surface queries: token stats, exact dedup, n-gram Jaccard
+near-dup (the exact baseline the MinHash-LSH operator approximates),
+quality scoring, heuristic language ID. North-star LLM-pipeline text ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    char_shingles,
+    lang_guess,
+    n_tokens,
+    quality_bucket,
+    stopword_ratio,
+)
+from .catalog import query, t
+
+# DuckDB mirrors of the expression builders in functions/text.py.
+SQL_TOKENS = r"string_split_regex(text, '\s+')"
+SQL_NTOK = f"len({SQL_TOKENS})"
+SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(text) - 4, 1) + 1), "
+    "i -> substr(text, CAST(i AS INTEGER), 5)))"
+)
+
+
+def _sql_marker_count(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({SQL_TOKENS}, t -> list_contains([{lst}], t)))"
+
+
+@query(
+    "t_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(CAST(sum({SQL_NTOK}) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       CAST(max({SQL_NTOK}) AS INTEGER) AS max_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language (north-star token-count op): whitespace
+    tokenization as a pure JVM expression, integer-exact averages."""
+    d = t(spark, sf_dir, "documents")
+    nt = n_tokens("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(nt).cast("double") / F.count("*"), 6).alias("avg_tokens"),
+        F.max(nt).cast("int").alias("max_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "t_exact_dedup",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+       (SELECT count(*) FROM (
+          SELECT md5(text) h FROM documents GROUP BY 1 HAVING count(*) > 1
+       )) AS n_dup_groups
+FROM documents
+""",
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication summary via content hash (north-star exact-dedup
+    op). At 100 TB the md5-groupBy shuffles 16-byte digests, not documents —
+    this is the standard exact-dedup plan."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    dup_groups = (
+        d.groupBy(h.alias("h")).count().filter(F.col("count") > 1).count()
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_texts"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dup_docs"),
+    ).withColumn("n_dup_groups", F.lit(dup_groups).cast("long"))
+
+
+@query(
+    "t_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, {SQL_SHINGLES} AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+FROM pairs WHERE jac >= 0.3
+""",
+)
+def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by source (north-star
+    n-gram-Jaccard dedup). This is the exact baseline; MinHash-LSH
+    (operators/dedup.py) approximates it without the quadratic
+    within-block join.
+
+    Scale: the self-join is blocked on `source`, so cost is Σ|block|²,
+    and the shuffle key is the blocking key — the classic pair-generation
+    plan. Skewed blocks would need salting or LSH; noted in dedup.py."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", char_shingles("text", 5).alias("s")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("source"), F.col("s").alias("sa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("source"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.join(b, ["source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "t_quality_buckets",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {SQL_NTOK} AS nt,
+         CAST(len(replace(text, ' ', '')) AS DOUBLE) / {SQL_NTOK} AS atl
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN nt < 20 THEN 'short'
+            WHEN atl < 2.0 OR atl > 10.0 THEN 'odd_tokens'
+            ELSE 'good' END AS bucket,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+""",
+)
+def t_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star quality op): bucket documents by token
+    count and mean token length."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", quality_bucket("text", LANG_MARKERS["en"]).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "t_lang_guess_confusion",
+    oracle=f"""
+WITH scores AS (
+  SELECT lang,
+         {_sql_marker_count(LANG_MARKERS['en'])} AS s_en,
+         {_sql_marker_count(LANG_MARKERS['de'])} AS s_de,
+         {_sql_marker_count(LANG_MARKERS['es'])} AS s_es,
+         {_sql_marker_count(LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+), guessed AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unk'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS guess
+  FROM scores
+)
+SELECT lang, guess, count(*) AS n_docs
+FROM guessed GROUP BY lang, guess
+""",
+)
+def t_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion matrix (north-star language-ID op):
+    marker-word scores with fixed tie order (en > de > es > fr)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "t_stopword_ratio",
+    oracle=f"""
+SELECT source,
+       round(avg(CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE)
+                 / {SQL_NTOK}), 6) AS avg_stopword_ratio,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+""",
+)
+def t_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal aggregated per source."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(stopword_ratio("text", LANG_MARKERS["en"])), 6).alias(
+            "avg_stopword_ratio"
+        ),
+        F.count("*").alias("n_docs"),
+    )

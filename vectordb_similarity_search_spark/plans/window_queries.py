@@ -1,1 +1,186 @@
-"""window_queries — filled incrementally."""
+"""Window-function surface (SURVEY.md §2.6: O3 + the frames/lag/lead rows
+marked 'absent in reference — cover in oracle set').
+
+All window orderings carry an explicit unique tie-break key so ranks are
+deterministic — the discipline the reference's np.argsort lacks
+(similarity_search.py:305, SURVEY.md §7 hard part b).
+
+Scale note: every window here partitions by a key (custkey/user) so state is
+bounded per group and the shuffle is a normal hash exchange; there are no
+global (unpartitioned) windows in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import query, t
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "w_rank_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(row_number() OVER w AS INTEGER) AS rn,
+         CAST(rank()       OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""",
+)
+def w_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number / rank / dense_rank over one
+    window definition (reference O3 'Rank {i+1}' rendering,
+    similarity_search.py:674-675, done declaratively)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w_lag_delta",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE)
+             - lag(CAST(o_totalprice AS DOUBLE))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+FROM orders
+""",
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): order-over-order price change per customer (NULL for each
+    customer's first order — real NULL semantics, not sentinel 0)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "price_delta"
+        ),
+    )
+
+
+@query(
+    "w_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: per-customer running revenue, decimal-exact."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "w_share_of_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE) /
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS price_share
+FROM orders
+""",
+)
+def w_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered partition window (full-partition aggregate): each order's
+    share of its customer's lifetime spend — the ratio-of-counts pattern
+    (reference A2) at row grain."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            / F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+            6,
+        ).alias("price_share"),
+    )
+
+
+@query(
+    "w_lead_gap_days",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS DATE)) AS INTEGER) AS days_to_next
+FROM orders
+""",
+)
+def w_lead_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() + date arithmetic (reference P9/D-ops): days until the
+    customer's next order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.to_date(F.lead("o_orderdate").over(w)), F.to_date("o_orderdate")
+        )
+        .cast("int")
+        .alias("days_to_next"),
+    )
+
+
+@query(
+    "w_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(CAST(o_totalprice AS DOUBLE))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM orders
+""",
+)
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (3-order moving average per customer)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg(F.col("o_totalprice").cast("double")).over(w), 6).alias(
+            "moving_avg3"
+        ),
+    )

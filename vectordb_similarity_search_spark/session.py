@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long (ns since epoch) and normalize in the
+        # loader (sources/tables.py) to TimestampType at micro precision.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MiB input splits: good parallelism at TB scale without
         # drowning the scheduler in tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -9,6 +9,8 @@ reader, which gives predicate pushdown + column pruning for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -26,8 +28,16 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning/filter pushdown happen at the
-    parquet scan because we return the raw declarative scan, not a cache."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    parquet scan because we return the raw declarative scan, not a cache.
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as long
+    (ns since epoch) under ``nanosAsLong``; normalize to TimestampType at
+    micro precision (integer DIV — no double round-trip, 2^63 ns is beyond
+    double's 53-bit mantissa)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
