@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query executes via the noop writer so the full physical plan runs
+(scan → shuffle → agg) without driver-side collection skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectordb_similarity_search_spark.plans import REGISTRY  # noqa: E402
+from vectordb_similarity_search_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-meaningful subset: one per operator family.
+# (t_ngram_jaccard_pairs is deliberately absent — it is the quadratic exact
+# baseline; its scale path d_minhash_lsh_pairs IS here.)
+HEADLINE = [
+    "v_knn_cosine",          # brute-force 1xN cosine top-k
+    "v_sim_join_topk",       # NxM similarity join
+    "v_centroids",           # vector aggregation
+    "d_embedding_neardup",   # exact pairwise cosine threshold
+    "d_minhash_lsh_pairs",   # MinHash+LSH near-dup (scale path)
+    "r_pricing_summary",     # scan-heavy grouped agg
+    "r_market_revenue",      # multi-join top-N
+    "r_range_join",          # equi+range join
+    "r_rollup_revenue",      # grouping sets
+    "w_running_sum",         # window frames
+    "e_session_windows",     # sessionization
+    "e_asof_join",           # as-of join
+    "t_token_stats",         # text tokenization agg
+    "t_exact_dedup",         # hash dedup summary
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Recall properties for the ANN operators vs the exact brute-force kNN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.ann import ivf_fit, lsh_bucket_topk
+from vectordb_similarity_search_spark.operators.topk import knn
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+
+def _query_vec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in knn(corpus, qv, 10).collect()}
+    model = ivf_fit(emb, n_cells=8)
+    approx = {r.vec_id for r in model.search(model.assign(corpus), qv, 10, nprobe=4).collect()}
+    # probing half the cells should recover most of the true top-10
+    assert len(exact & approx) >= 6
+    # full probe == exact search
+    full = {r.vec_id for r in model.search(model.assign(corpus), qv, 10, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_lsh_bucket_topk_properties(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    got = lsh_bucket_topk(corpus, qv, k=10, dim=len(qv), n_planes=4).collect()
+    # non-empty bucket, correctly ordered scores
+    assert 0 < len(got) <= 10
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # every returned hit must score identically under exact brute force
+    exact_scores = {r.vec_id: r.score for r in knn(corpus, qv, 500).collect()}
+    for r in got:
+        assert abs(exact_scores[r.vec_id] - r.score) < 1e-9
+
+
+def test_lsh_recalls_planted_near_duplicate(spark, sf_dir):
+    """A vector at cosine ~1 to the query lands in the query's bucket with
+    certainty (same side of every hyperplane up to sign noise at ~0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    planted = [x * 1.001 for x in qv]  # same direction, cosine == 1
+    corpus = emb.filter(F.col("vec_id") != 0).unionByName(
+        spark.createDataFrame(
+            [(99999, planted, 0)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    got = [r.vec_id for r in
+           lsh_bucket_topk(corpus, qv, k=5, dim=len(qv), n_planes=6).collect()]
+    assert got[0] == 99999

@@ -1,0 +1,66 @@
+"""Property tests for the hash-sketch dedup operators — these pin the
+correctness the DuckDB oracle can't (xxhash64 sketches have no SQL twin).
+Baseline: the exact n-gram Jaccard pairs (oracle-checked separately)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from vectordb_similarity_search_spark.plans import REGISTRY
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_finds_exact_high_jaccard_pairs(spark, sf_dir):
+    """Every exact pair with J >= 0.5 must be recalled by the LSH operator
+    (at 32 bands × 2 rows the miss probability at J=0.5 is ~(1-.25)^32 ≈ 1e-4)
+    and every reported pair must meet the verify threshold (no false
+    positives by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = REGISTRY["t_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    exact_high = {
+        (r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.5
+    }
+    got = minhash_lsh_pairs(docs, threshold=0.3, bands=32, n_hashes=64).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    assert exact_high <= got_pairs
+    assert all(r.jaccard >= 0.3 for r in got)
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(df).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "unrelated words entirely elsewhere totally distinct here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got
+
+
+def test_exact_dedup_drops_duplicates(spark):
+    rows = [(1, "same"), (2, "same"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert exact_dedup(df, ["text"]).count() == 2
+
+
+def test_embedding_neardup_self_similarity(spark):
+    rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}

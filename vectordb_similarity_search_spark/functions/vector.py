@@ -34,25 +34,50 @@ def array_lit(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Sequential left-to-right fold — matches DuckDB list_dot_product order."""
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential left-to-right fold — matches DuckDB list ops' order.
+
+    When ``dim`` is known statically, the fold is unrolled into a codegen-able
+    chain of element_at multiply-adds — Spark interprets HOF lambdas
+    per-element (no whole-stage codegen), which costs ~20× on hot paths like
+    pairwise scoring. The unrolled form keeps the identical left-to-right
+    association, so results are bit-equal to the HOF fold and the oracle."""
+    if dim is not None:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
+        return acc
     a, b = to_double_array(a), to_double_array(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def l2_norm(a: Column | str) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """cos(a,b) = a·b / (|a||b|) — the reference's core scoring kernel
     (similarity_search.py:302)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
-def l2_distance(a: Column | str, b: Column | str) -> Column:
+def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    if dim is not None:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+            acc = acc + d * d
+        return F.sqrt(acc)
     a, b = to_double_array(a), to_double_array(b)
     return F.sqrt(
         F.aggregate(

@@ -1,0 +1,132 @@
+"""Approximate nearest-neighbour search: the scale path past brute force.
+
+The reference searches by exact brute-force cosine over an in-memory matrix
+(similarity_search.py:300-305) — fine at 150k rows, impossible at 100 TB.
+These operators keep the brute-force kernel (operators/topk.py) as the
+within-cell scorer but prune the search space first:
+
+- IVF (inverted-file): k-means partition of the corpus; a query probes only
+  the ``nprobe`` nearest cells. Write the corpus partitioned by cell id and
+  the probe becomes a partition-pruned scan — the Spark-native analogue of
+  an IVF index.
+- SRP-LSH: random-hyperplane signatures bucket cosine-similar vectors;
+  probing a bucket is a hash-key filter.
+
+Both trade recall for cost; recall properties are pinned by
+tests/test_ann.py against the exact kNN baseline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hyperplane_signature
+from .topk import knn
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> "IvfModel":
+    """K-means the corpus into ``n_cells`` inverted-file cells (MLlib,
+    distributed). Returns a model holding the (tiny) centroid table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+    model = km.fit(feats)
+    return IvfModel(np.array(model.clusterCenters()), vec_col)
+
+
+class IvfModel:
+    def __init__(self, centers: np.ndarray, vec_col: str):
+        self.centers = centers  # n_cells × dim, driver-side (tiny)
+        self.vec_col = vec_col
+
+    def assign(self, corpus: DataFrame, cell_col: str = "cell") -> DataFrame:
+        """Attach the nearest-centroid cell id to every corpus row — the
+        'build the index' step. At scale, persist the result partitioned by
+        ``cell`` (partitionBy on write) so probes prune at the source."""
+        from ..functions.vector import to_double_array
+
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    to_double_array(self.vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in self.centers
+        ]
+        cell = F.array_position(
+            F.array(*dists), F.array_min(F.array(*dists))
+        ).cast("int") - 1
+        return corpus.withColumn(cell_col, cell)
+
+    def probe_cells(self, query_vec: Sequence[float], nprobe: int = 2) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        d = ((self.centers - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def search(
+        self,
+        indexed: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        *,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        cell_col: str = "cell",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """IVF query: filter to the nprobe nearest cells (partition-pruned
+        scan when the index is written partitioned by cell), then exact
+        brute-force top-k within them."""
+        cells = self.probe_cells(query_vec, nprobe)
+        pruned = indexed.filter(F.col(cell_col).isin(cells))
+        return knn(pruned, query_vec, k, id_col=id_col, vec_col=self.vec_col, metric=metric)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SRP-LSH probe: score only corpus rows whose hyperplane signature
+    matches the query's. One hash-key filter + within-bucket exact top-k.
+    Recall rises with fewer planes (bigger buckets); multi-probe = widen
+    the isin() list with near signatures."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q = _np.asarray(query_vec, dtype=_np.float64)
+    q_key = 0
+    for i in range(n_planes):
+        q_key = q_key * 2 + (1 if float(planes[i] @ q) >= 0 else 0)
+    keyed = corpus.withColumn("_lsh", hyperplane_signature(F.col(vec_col), dim, n_planes, seed))
+    return knn(
+        keyed.filter(F.col("_lsh") == q_key).drop("_lsh"),
+        query_vec,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -1,0 +1,190 @@
+"""Deduplication operators for the LLM-data-pipeline surface (north star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the reason these exist): exact pairwise Jaccard/cosine is
+O(N²) and only usable inside small blocks; the LSH operators reduce the
+candidate set to hash-bucket collisions so the shuffle moves (id, key)
+pairs — never documents — and the verify step touches only candidates.
+At 100 TB: shuffle keys are 16-byte hashes; skewed buckets (boilerplate
+docs) are bounded by ``max_bucket`` to keep any single join key from
+exploding, the standard guardrail in web-scale dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, tokens
+from ..functions.hashing import (
+    hamming_distance,
+    lsh_band_keys,
+    minhash_signature,
+    simhash_bits,
+    simhash_block_keys,
+)
+from ..functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup = hash-groupBy on the key columns (dropDuplicates).
+    Spark plans this as a partial+final aggregate — no document ever
+    shuffles twice."""
+    return df.dropDuplicates(cols)
+
+
+def _candidate_pairs(
+    keyed: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """(id, key) → distinct candidate id pairs (a < b) via bucket self-join.
+    Buckets larger than ``max_bucket`` are dropped (skew guardrail: a
+    degenerate bucket of B docs would emit B² pairs)."""
+    sized = keyed.groupBy("key").agg(F.collect_list(id_col).alias("ids"))
+    bounded = sized.filter(F.size("ids") <= max_bucket).filter(F.size("ids") > 1)
+    # Pair generation inside the bucket array — no second shuffle.
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(
+                        F.filter(F.col("ids"), lambda b: b > a),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded-LSH near-duplicate pairs, optionally verified with
+    exact Jaccard (north-star MinHash dedup; approximates
+    plans/text_queries.t_ngram_jaccard_pairs without the quadratic join).
+
+    bands=16 over 64 hashes → row width 4 → collision prob at J=0.3 per
+    band = 0.3⁴ ≈ 0.008, over 16 bands ≈ 12%; at J=0.8 ≈ 99.9%. Tune
+    (bands, n_hashes) to move the S-curve; verify=True removes false
+    positives entirely (exact Jaccard on candidates only).
+    """
+    rows = n_hashes // bands
+    # The shingle branch feeds three consumers (signature build + both sides
+    # of the verify join); persist it or Spark recomputes the parquet scan +
+    # shingling per branch. MEMORY_AND_DISK: shingle sets are ~doc-sized, so
+    # this is bounded by input size, spilling if executors are tight.
+    sh = df.select(
+        F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
+    ).persist()
+    # Signature via explode + n_hashes min-aggregates (codegen-able; the HOF
+    # transform-per-hash form interprets its lambdas and is ~20x slower).
+    # One base xxhash64 per shingle, then the family g_i = xxhash64(i, h) —
+    # native, seed-separated, and overflow-free under ANSI mode.
+    base = sh.select(
+        id_col, F.explode("shingles").alias("sgl")
+    ).select(id_col, F.xxhash64("sgl").alias("h"))
+    sig_df = base.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("h"))) for i in range(n_hashes)]
+        ).alias("sig")
+    )
+    keyed = sig_df.select(
+        id_col, F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select(id_col, F.col("bk.key").alias("key"))
+    cand = _candidate_pairs(keyed, id_col, max_bucket)
+    if not verify:
+        return cand
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, block-key LSH candidates,
+    exact hamming verify. Guarantee: any pair with hamming < n_blocks
+    shares ≥1 block key (pigeonhole), so recall is exact for
+    max_hamming < n_blocks; larger max_hamming trades recall for cost."""
+    sb = df.select(id_col, simhash_bits(tokens(text_col)).alias("bits"))
+    keyed = sb.select(
+        id_col, F.explode(simhash_block_keys(F.col("bits"), n_blocks)).alias("bk")
+    ).select(
+        id_col,
+        # fold block index into the key so different blocks never collide
+        (F.col("bk.key") * n_blocks + F.col("bk.block")).alias("key"),
+    )
+    cand = _candidate_pairs(keyed, id_col, max_bucket)
+    a = sb.select(F.col(id_col).alias("id_a"), F.col("bits").alias("ba"))
+    b = sb.select(F.col(id_col).alias("id_b"), F.col("bits").alias("bb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming_distance(F.col("ba"), F.col("bb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (i < j, cosine ≥ threshold).
+
+    O(N²/2) — the exact baseline; pair with ``hyperplane_signature``
+    bucketing (operators/ann.py) for the scale path.
+
+    Norms are precomputed per row (O(N)) before the pair join, so the O(N²)
+    inner loop is one unrolled dot + a multiply-divide — all codegen.  The
+    arithmetic shape stays dot/(na·nb), identical to DuckDB's
+    list_cosine_similarity, for oracle bit-parity at round-6."""
+    from ..functions.vector import dot as _dot
+    from ..functions.vector import l2_norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col, dim).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col, dim).alias("nb"),
+    )
+    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cosine = _dot("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    return (
+        joined.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -29,12 +29,14 @@ from pyspark.sql import types as T
 from ..functions.vector import array_lit, cosine_similarity, l2_distance
 
 
-def _score(vec_col: str, query: Column, metric: str) -> tuple[Column, bool]:
+def _score(
+    vec_col: str, query: Column, metric: str, dim: int | None = None
+) -> tuple[Column, bool]:
     """Returns (score column, descending?)."""
     if metric == "cosine":
-        return cosine_similarity(vec_col, query), True
+        return cosine_similarity(vec_col, query, dim), True
     if metric == "l2":
-        return l2_distance(vec_col, query), False
+        return l2_distance(vec_col, query, dim), False
     raise ValueError(f"unknown metric {metric!r} (want 'cosine' or 'l2')")
 
 
@@ -56,7 +58,7 @@ def knn(
     parquet scan, then TakeOrderedAndProject (per-partition partial top-k,
     O(k·P) driver merge).
     """
-    score, desc = _score(vec_col, array_lit(query_vec), metric)
+    score, desc = _score(vec_col, array_lit(query_vec), metric, dim=len(query_vec))
     scored = corpus.withColumn(score_col, score)
     order = F.col(score_col).desc() if desc else F.col(score_col).asc()
     return scored.orderBy(order, F.col(id_col).asc()).limit(k)
@@ -74,6 +76,7 @@ def similarity_join(
     metric: str = "cosine",
     score_col: str = "score",
     pair_filter: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """N×M brute-force similarity join: top-k corpus rows per query row.
 
@@ -89,7 +92,7 @@ def similarity_join(
     :func:`similarity_join_blocked`, which reduces to O(k·P·Q) rows before
     any shuffle via vectorized block-local top-k.
     """
-    score, desc = _score(vec_col, F.col(query_vec_col), metric)
+    score, desc = _score(vec_col, F.col(query_vec_col), metric, dim=dim)
     order = F.col(score_col).desc() if desc else F.col(score_col).asc()
 
     keep = [c for c in corpus.columns if c != vec_col]

@@ -1,1 +1,82 @@
-"""nonsql_queries — filled incrementally."""
+"""Dedup + ANN queries. Hash-sketch operators (MinHash/SimHash/SRP-LSH) are
+rows-only checked — DuckDB has no xxhash64, so no SQL twin can replay them;
+their correctness is pinned by property tests against exact baselines
+(tests/test_dedup.py, tests/test_ann.py). The exact embedding near-dup IS
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ann import ivf_fit, lsh_bucket_topk
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .catalog import query, t
+
+
+@query(
+    "d_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (north-star
+    embedding-near-dup op), threshold 0.4."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    return embedding_neardup_pairs(emb, threshold=0.4, dim=dim)
+
+
+@query("d_minhash_lsh_pairs")
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on documents at the standard web-dedup
+    operating point (J ≥ 0.8; 16 bands × 4 rows → recall ≈ 1-(1-0.41)^16 ≈
+    100% at J=0.8 while random J≈0.2 pairs collide at ~0.16% per band) —
+    the scale path for t_ngram_jaccard_pairs (rows-only: xxhash64 sketch)."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, bands=16, n_hashes=64
+    )
+
+
+@query("d_simhash_pairs")
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash,
+    4-block LSH candidates; rows-only: xxhash64 sketch)."""
+    return simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+@query("v_ivf_knn")
+def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: 16-cell k-means index, probe 4 cells, exact
+    top-10 within (rows-only: k-means is iterative/non-SQL; recall vs exact
+    kNN pinned in tests/test_ann.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = list(row[0])
+    model = ivf_fit(emb, n_cells=16)
+    indexed = model.assign(emb.filter(F.col("vec_id") != 0))
+    res = model.search(indexed, qv, k=10, nprobe=4)
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query("v_lsh_knn")
+def v_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed kNN for query vec 0 (rows-only; recall property in
+    tests/test_ann.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = list(row[0])
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, dim=len(qv), n_planes=6
+    ).select("vec_id", "label", F.round("score", 6).alias("score"))
