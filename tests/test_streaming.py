@@ -1,0 +1,120 @@
+"""Structured Streaming behavior tests: incremental windowed aggregation,
+watermark late-data drop, streaming dedup. Files are fed incrementally into
+a monitored directory (file micro-batch source) and results observed via
+the memory sink — the part of streaming semantics the batch oracle can't
+check."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vectordb_similarity_search_spark.streaming.events import (
+    stream_dedup,
+    tumbling_counts_stream,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_batch(dirpath, rows, name):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    # micro precision: nanos parquet would be read as long under the
+    # session's nanosAsLong setting (see session.py)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), f"{dirpath}/{name}.parquet"
+    )
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = tmp_path / "chk"
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    reader = lambda: spark.readStream.schema(SCHEMA).parquet(str(src))  # noqa: E731
+    return spark, src, str(chk), name, reader
+
+
+def test_tumbling_stream_matches_batch(stream_env):
+    spark, src, chk, name, reader = stream_env
+    rows1 = [(1, _t(10, 5), 1, "click", 1.0), (2, _t(10, 20), 2, "click", 2.0),
+             (3, _t(11, 5), 1, "view", 3.0)]
+    _write_batch(src, rows1, "b1")
+    q = (
+        tumbling_counts_stream(reader(), watermark="2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.win_start.hour, r.event_type): r.n_events
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got1 == {(10, "click"): 2, (11, "view"): 1}
+        # incremental: a second file updates the 11:00 window
+        _write_batch(src, [(4, _t(11, 30), 3, "view", 4.0)], "b2")
+        q.processAllAvailable()
+        got2 = {
+            (r.win_start.hour, r.event_type): r.n_events
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got2[(11, "view")] == 2
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_events(stream_env):
+    spark, src, chk, name, reader = stream_env
+    _write_batch(src, [(1, _t(10), 1, "click", 1.0), (2, _t(12), 1, "click", 1.0)], "b1")
+    q = (
+        tumbling_counts_stream(reader(), watermark="1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 11:00 (max 12:00 − 1 h); an event at 05:00 is late
+        _write_batch(src, [(3, _t(5), 1, "click", 9.0)], "b2")
+        q.processAllAvailable()
+        hours = {
+            r.win_start.hour
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert 5 not in hours  # late row dropped by the watermark
+        assert {10, 12} <= hours
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_keeps_first(stream_env):
+    spark, src, chk, name, reader = stream_env
+    _write_batch(src, [(1, _t(10), 1, "click", 1.0), (2, _t(10, 1), 1, "view", 2.0)], "b1")
+    q = (
+        stream_dedup(reader(), ["event_id"], watermark="1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        # same event_id re-arrives within the watermark → suppressed
+        _write_batch(src, [(1, _t(10, 2), 1, "click", 1.0), (3, _t(10, 3), 2, "buy", 3.0)], "b2")
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        ids = sorted(r.event_id for r in rows)
+        assert ids == [1, 2, 3]
+    finally:
+        q.stop()

@@ -1,0 +1,207 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata (north-star surface; absent from the reference, which is
+tabular-only).
+
+Spark-side design (all real and tested): media rows carry
+``(media_id, kind, data binary, meta struct)``; transforms are
+Arrow-batched ``mapInPandas`` over the binary column — bytes never pass
+through Python row-at-a-time, and the schema contract keeps the pipeline
+composable. At scale, partition by ``kind`` (decode cost is per-kind) and
+keep blobs <~100 MB/row (Arrow batch granularity).
+
+The pixel/sample DECODE itself is STUBBED: this container has no
+image/audio codecs. ``decode_media`` tries Pillow and, absent that, a
+clearly-marked deterministic fake that parses our synthetic header. The
+plumbing — schemas, batch iteration, UDF signatures — is the deliverable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRAME_BYTES = 64  # synthetic 'video': fixed-size frame records
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus. Blob layout: 16-byte header
+    (b'SYNTH' + width:2 + height:2 + frames:2 + pad) followed by
+    seeded pseudo-random payload — enough structure for the decode/
+    frame-sample paths to do real parsing work."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                kind = ["image", "audio", "video"][int(mid) % 3]
+                w, h = int(rng.integers(8, 65)), int(rng.integers(8, 65))
+                frames = int(rng.integers(4, 17)) if kind == "video" else 1
+                payload = rng.integers(
+                    0, 256, size=frames * FRAME_BYTES, dtype=np.uint8
+                ).tobytes()
+                header = (
+                    b"SYNTH"
+                    + w.to_bytes(2, "big")
+                    + h.to_bytes(2, "big")
+                    + frames.to_bytes(2, "big")
+                    + b"\x00" * 5
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "data": header + payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_frames": frames,
+                            "format": "synth",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decoder for the synthetic header format.
+    A real deployment swaps this for PIL/libav; the Spark plumbing is
+    identical."""
+    if data[:5] != b"SYNTH":
+        raise NotImplementedError(
+            "real media decoding requires an image/audio codec library "
+            "(not available in this environment); only SYNTH blobs decode"
+        )
+    w = int.from_bytes(data[5:7], "big")
+    h = int.from_bytes(data[7:9], "big")
+    payload = np.frombuffer(data[16:], dtype=np.uint8)
+    return w, h, float(payload.mean())
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode pass: PIL if importable, else the deterministic fake."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pillow"
+        except ImportError:
+            decoder = "synth-fake"
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h, mean_byte = _fake_decode(bytes(row["data"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "width": w,
+                        "height": h,
+                        "decoder": decoder,
+                        "mean_byte": mean_byte,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction over raw bytes: per-blob histogram (array<long>),
+    a stand-in for any per-blob featurizer (embedding, spectrogram…) with
+    the same batch shape."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = np.frombuffer(bytes(row["data"])[16:], dtype=np.uint8)
+                hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
+                out.append({"media_id": row["media_id"], "hist": hist.tolist()})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(featurize, schema)
+
+
+def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: slice the payload into fixed-size frames and
+    keep every k-th — explode-style output (media_id, frame_idx, frame
+    binary). Real byte-slicing work on the synthetic container."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["data"])[16:]
+                n = len(payload) // FRAME_BYTES
+                for i in range(0, n, every):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame": payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES],
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(sample, schema)
+
+
+def media_fingerprint(media: DataFrame) -> DataFrame:
+    """Exact-dup fingerprint for binary columns: sha256 over the blob —
+    JVM-side (F.sha2), no Python. Pairs with operators/dedup.exact_dedup."""
+    return media.select(
+        "media_id", "kind", F.sha2(F.col("data"), 256).alias("sha256")
+    )

@@ -56,6 +56,70 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
+@query("p_cohort_stats")
+def p_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E1 cohort statistics over the synthetic multi-hospital
+    patients table (generator §S1-S3 as pure Spark expressions; rows-only:
+    Spark's rand(seed) stream has no DuckDB twin — determinism is pinned by
+    tests/test_patients.py::test_generator_deterministic)."""
+    from ..operators.cohort import cohort_stats
+    from ..sources.synthetic import gen_hospital_patients
+
+    pts = gen_hospital_patients(
+        spark, {"Hospital_A": 500, "Hospital_B": 400, "Hospital_C": 600}
+    )
+    return cohort_stats(pts)
+
+
+@query("p_search_report")
+def p_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E2 end-to-end: z-score features with stored corpus stats,
+    scatter-gather top-10 across hospital partitions, ranked hits (rows-only;
+    self-retrieval + pruning properties in tests/test_patients.py)."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.cohort import PatientSimilaritySearch
+    from ..sources.synthetic import gen_hospital_patients
+
+    pts = gen_hospital_patients(
+        spark, {"Hospital_A": 500, "Hospital_B": 400, "Hospital_C": 600}
+    )
+    engine = PatientSimilaritySearch(pts)
+    query_patient = {
+        "age": 55, "meld_score": 25, "bmi": 28, "creatinine": 2.1,
+        "bilirubin": 8.5, "inr": 2.2, "sodium": 133, "albumin": 2.8,
+        "ascites": 1, "encephalopathy": 1, "diabetes": 1,
+        "hypertension": 1, "etiology_nash": 1, "blood_type_o": 1,
+    }
+    hits = engine.search(query_patient, top_k=10)
+    return hits.select(
+        "patient_id", "hospital", "received_transplant",
+        FF.round("score", 6).alias("score"),
+    )
+
+
+@query("m_embed_knn")
+def m_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-embedding search (reference E2 with the MLP, V3): deterministic
+    seeded model (no training here — weights from EmbeddingModel.init),
+    mapInPandas batch scoring, cosine top-10 (rows-only; scoring parity with
+    numpy pinned in tests/test_patients.py::test_spark_transform_matches_numpy)."""
+    from pyspark.sql import functions as FF
+
+    from ..ml.embed import EmbeddingModel
+    from ..operators.cohort import PatientSimilaritySearch
+    from ..sources.synthetic import gen_hospital_patients
+
+    pts = gen_hospital_patients(
+        spark, {"Hospital_A": 400, "Hospital_B": 300, "Hospital_C": 300}
+    )
+    engine = PatientSimilaritySearch(pts, embed=EmbeddingModel.init(42))
+    hits = engine.search({"age": 48, "meld_score": 31, "bilirubin": 12.0}, top_k=10)
+    return hits.select(
+        "patient_id", "hospital", FF.round("score", 6).alias("score")
+    )
+
+
 @query("v_ivf_knn")
 def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN: 16-cell k-means index, probe 4 cells, exact
