@@ -1,0 +1,59 @@
+"""Physical-plan regression tests — lock in the scale properties the
+queries are designed around (SURVEY.md §4): filter/column pushdown to the
+parquet scan, broadcast joins for dims, two-phase top-k. These fail if a
+refactor silently degrades the plan even though results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.topk import knn, similarity_join
+from vectordb_similarity_search_spark.plans import REGISTRY
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    plan = plan_of(REGISTRY["r_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: the scan must not read join keys it doesn't need
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_market_revenue_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(REGISTRY["r_market_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not trigger a fact shuffle
+
+
+def test_knn_is_two_phase_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.select("embedding").head()[0])
+    plan = plan_of(knn(emb, qv, 10))
+    assert "TakeOrderedAndProject" in plan  # partial per-partition top-k
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" in read_schema
+
+
+def test_similarity_join_broadcasts_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(similarity_join(q, emb.select("vec_id", "embedding"), k=2))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles for the join
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(REGISTRY["r_semi_join"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan

@@ -239,3 +239,27 @@ def e_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
     )
+
+
+@query(
+    "e_from_json_filter",
+    oracle="""
+SELECT event_type, count(*) AS n_high
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+GROUP BY event_type
+""",
+)
+def e_from_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct + predicate on the extracted field
+    (the reference's metadata-dict access with defaults, P6, as schema-on-
+    read)."""
+    e = t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_high"))
+    )

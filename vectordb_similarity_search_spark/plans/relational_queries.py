@@ -595,3 +595,139 @@ def r_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.ceil(F.col("l_discount") * 10).cast("long")).cast("long").alias("sum_ceil"),
         F.sum(F.floor(F.col("l_tax") * 10).cast("long")).cast("long").alias("sum_floor"),
     )
+
+
+@query(
+    "r_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def r_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per status — Spark's
+    exact ``percentile`` (sort-based within group), not approx sketches;
+    both engines use the same linear-interpolation definition."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "r_corr_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_sd,
+       round(var_samp(l_quantity), 6) AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def r_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface: corr / covar_samp / stddev / variance
+    per group, single-pass (Welford-style partial aggregation in both
+    engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@query(
+    "r_string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+           w -> upper(w[1]) || lower(w[2:])), ' ') AS name_title,
+       replace(p_name, 'red', 'blue') AS name_swapped,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       reverse(p_name) AS name_reversed,
+       CAST(strpos(p_name, 'e') AS INTEGER) AS first_e,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_vowels
+FROM part
+WHERE p_partkey < 100
+""",
+)
+def r_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: initcap/replace/lpad/reverse/instr/translate
+    (reference D4/D5 formatting surface)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_title"),
+        F.replace(F.col("p_name"), F.lit("red"), F.lit("blue")).alias("name_swapped"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.instr(F.col("p_name"), "e").cast("int").alias("first_e"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+    )
+
+
+@query(
+    "r_date_funcs2",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3mo,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def r_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: add_months (month-end clamped in both engines),
+    last_day, quarter, day-of-week (normalized to Spark's 1=Sunday), and
+    datediff from an epoch date (reference D1/D2 surface)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "plus3mo"
+        ),
+        F.date_format(F.last_day(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofweek(F.to_date("o_orderdate")).cast("int").alias("dow"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "r_array_agg",
+    oracle="""
+SELECT s_nationkey,
+       array_to_string(list_sort(list(s_suppkey)), ',') AS supplier_keys,
+       CAST(len(list(s_suppkey)) AS INTEGER) AS n_suppliers,
+       CAST(list_sort(list(s_suppkey))[1] AS BIGINT) AS min_suppkey
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def r_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list + array_sort (deterministic output
+    regardless of shuffle order) + element access; the array is exported
+    joined to a string so the value-hash is representation-stable."""
+    s = t(spark, sf_dir, "supplier")
+    keys = F.array_sort(F.collect_list("s_suppkey"))
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(keys, ",").alias("supplier_keys"),
+        F.size(F.collect_list("s_suppkey")).cast("int").alias("n_suppliers"),
+        keys.getItem(0).cast("long").alias("min_suppkey"),
+    )
