@@ -56,3 +56,29 @@ def test_lsh_recalls_planted_near_duplicate(spark, sf_dir):
     got = [r.vec_id for r in
            lsh_bucket_topk(corpus, qv, k=5, dim=len(qv), n_planes=6).collect()]
     assert got[0] == 99999
+
+
+def test_ivf_written_index_prunes_partitions(spark, sf_dir, tmp_path):
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from .test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    model = ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(model, emb.filter(F.col("vec_id") != 0), path)
+
+    res = ivf_search_index(spark, path, model, qv, k=5, nprobe=2)
+    rows = res.collect()
+    assert 0 < len(rows) <= 5
+    plan = plan_of(res)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0]
+    # full-probe search over the written index == exact brute force
+    exact = {r.vec_id for r in knn(emb.filter(F.col("vec_id") != 0), qv, 5).collect()}
+    full = {r.vec_id for r in ivf_search_index(spark, path, model, qv, 5, nprobe=8).collect()}
+    assert full == exact

@@ -118,3 +118,34 @@ def test_stream_dedup_keeps_first(stream_env):
         assert ids == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_stateful_running_totals(stream_env):
+    from vectordb_similarity_search_spark.streaming.events import (
+        running_user_totals_stream,
+    )
+
+    spark, src, chk, name, reader = stream_env
+    _write_batch(src, [(1, _t(10), 7, "click", 1.0), (2, _t(10, 1), 7, "view", 2.0),
+                       (3, _t(10, 2), 9, "click", 5.0)], "b1")
+    q = (
+        running_user_totals_stream(reader())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.user_id: (r.n_events, r.total_value)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert got[7] == (2, 3.0) and got[9] == (1, 5.0)
+        # state carries across micro-batches
+        _write_batch(src, [(4, _t(10, 5), 7, "buy", 4.0)], "b2")
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        best = {}
+        for r in rows:
+            if r.user_id not in best or r.n_events > best[r.user_id][0]:
+                best[r.user_id] = (r.n_events, r.total_value)
+        assert best[7] == (3, 7.0)
+    finally:
+        q.stop()

@@ -130,3 +130,42 @@ def lsh_bucket_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def ivf_write_index(
+    model: IvfModel,
+    corpus: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "cell",
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet store — the
+    durable form of the reference's in-memory per-hospital matrix
+    (similarity_search.py:284-286), except probes become partition-pruned
+    scans: a search with nprobe=4 of 64 cells reads 1/16th of the data and
+    the pruning shows up in the plan's PartitionFilters."""
+    model.assign(corpus, cell_col).write.partitionBy(cell_col).mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    model: IvfModel,
+    query_vec,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Query a written IVF index: the cell predicate prunes partitions at
+    the source (file listing level) — no bytes of non-probed cells are
+    read."""
+    from pyspark.sql import functions as FF
+
+    cells = model.probe_cells(query_vec, nprobe)
+    indexed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
+    return knn(indexed, query_vec, k, id_col=id_col, vec_col=model.vec_col, metric=metric)

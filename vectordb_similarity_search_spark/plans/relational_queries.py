@@ -731,3 +731,15 @@ def r_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_list("s_suppkey")).cast("int").alias("n_suppliers"),
         keys.getItem(0).cast("long").alias("min_suppkey"),
     )
+
+
+@query("r_approx_distinct")
+def r_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (rows-only: sketch values
+    are engine-specific by nature; the ±5% accuracy property vs exact
+    counts is pinned in tests/test_fingerprint.py)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )

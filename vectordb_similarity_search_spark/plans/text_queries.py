@@ -213,3 +213,46 @@ def t_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_docs"),
     )
+
+
+@query(
+    "t_bpe_tokens",
+    oracle=r"""
+SELECT lang,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_tokens
+FROM (
+  SELECT lang, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents
+)
+GROUP BY lang
+""",
+)
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (north-star token-count op): letter runs /
+    digit runs / single punctuation as separate tokens; vocabulary size per
+    language via distinct aggregation over the exploded token stream."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+    )
+
+
+@query("t_fingerprint_pairs")
+def t_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (north-star document
+    fingerprinting; rows-only: xxhash64 sketch — guarantees pinned by
+    tests/test_fingerprint.py)."""
+    from ..operators.fingerprint import fingerprint_overlap_pairs
+
+    # min_shared=20: this fixture's vocabulary is tiny, so low thresholds
+    # match nearly every within-source pair (5734/6000 at min_shared=3).
+    return fingerprint_overlap_pairs(
+        t(spark, sf_dir, "documents"), min_shared=20
+    )

@@ -81,3 +81,59 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def running_user_totals_stream(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    north-star 'custom stateful operator' slot): per-user running event
+    count + value total, one update row per user per micro-batch.
+
+    State = (count, total) per user — O(users), not O(events). Pass
+    ``timeout_minutes`` to expire idle users' state on a processing-time
+    clock; note that processing-time timeouts make the query schedule
+    micro-batches continuously to advance the clock (so
+    ``processAllAvailable`` will not settle — use a real trigger in
+    production, leave None for drain-style tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+    state_schema = "n BIGINT, total DOUBLE"
+    with_timeout = timeout_minutes is not None
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if with_timeout:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if with_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
