@@ -16,28 +16,36 @@ from vectordb_similarity_search_spark.plans import REGISTRY
 from vectordb_similarity_search_spark.sources.tables import load_table
 
 
-def test_minhash_lsh_finds_exact_high_jaccard_pairs(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_minhash_lsh_finds_exact_high_jaccard_pairs(spark, sf_dir, impl):
     """Every exact pair with J >= 0.5 must be recalled by the LSH operator
     (at 32 bands × 2 rows the miss probability at J=0.5 is ~(1-.25)^32 ≈ 1e-4)
     and every reported pair must meet the verify threshold (no false
-    positives by construction)."""
+    positives by construction). Holds for both signature implementations."""
     docs = load_table(spark, sf_dir, "documents")
     exact = REGISTRY["t_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
     exact_high = {
         (r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.5
     }
-    got = minhash_lsh_pairs(docs, threshold=0.3, bands=32, n_hashes=64).collect()
+    got = minhash_lsh_pairs(
+        docs, threshold=0.3, bands=32, n_hashes=64, impl=impl
+    ).collect()
     got_pairs = {(r.id_a, r.id_b) for r in got}
     assert exact_high <= got_pairs
     assert all(r.jaccard >= 0.3 for r in got)
 
 
-def test_minhash_identical_docs_always_pair(spark):
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_minhash_identical_docs_always_pair(spark, impl):
     rows = [(1, "the quick brown fox jumps over the lazy dog"),
             (2, "the quick brown fox jumps over the lazy dog"),
             (3, "completely different content about spark engines")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(df).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(df, impl=impl).collect()}
     assert got.get((1, 2)) == 1.0
     assert (1, 3) not in got and (2, 3) not in got
 

@@ -12,8 +12,10 @@ exploding, the standard guardrail in web-scale dedup pipelines.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import char_shingles, tokens
 from ..functions.hashing import (
@@ -58,6 +60,63 @@ def _candidate_pairs(
     return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
 
 
+def minhash_signatures_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 5,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-vectorized MinHash signatures (the throughput path): per batch,
+    shingle in C-speed string slicing, hash every shingle once with crc32,
+    then derive all ``n_hashes`` permutation hashes with one numpy
+    (n_shingles × n_hashes) broadcast multiply-add and a reduceat min per
+    doc.  ~10x the pure-expression form — interpreted HOF lambdas pay ~µs
+    per element, numpy pays ~ns. Returns (id, sig array<long>).
+
+    Hash family: g_i(s) = (a_i·crc32(s) + b_i) mod 2^61-1 with seeded odd
+    a_i — deterministic across executors (crc32 is a fixed CRC, unlike
+    Python's salted str hash)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    M = (1 << 61) - 1
+    A = (rng.integers(1, M, size=n_hashes, dtype=np.int64) | 1).astype(np.uint64)
+    B = rng.integers(0, M, size=n_hashes, dtype=np.int64).astype(np.uint64)
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n = max(len(text) - (shingle_n - 1), 1)
+                shingles = {text[i : i + shingle_n] for i in range(n)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.uint64,
+                    count=len(shingles),
+                )
+                # (n_shingles × n_hashes) universal hashes; uint64 wrap is fine
+                g = (h[:, None] * A[None, :] + B[None, :]) % M
+                ids.append(doc_id)
+                out.append(g.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({id_col: ids, "sig": out})
+
+    return df.select(id_col, text_col).mapInPandas(sigs, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -69,6 +128,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     max_bucket: int = 1000,
     verify: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs, optionally verified with
     exact Jaccard (north-star MinHash dedup; approximates
@@ -80,31 +140,90 @@ def minhash_lsh_pairs(
     positives entirely (exact Jaccard on candidates only).
     """
     rows = n_hashes // bands
-    # The shingle branch feeds three consumers (signature build + both sides
-    # of the verify join); persist it or Spark recomputes the parquet scan +
-    # shingling per branch. MEMORY_AND_DISK: shingle sets are ~doc-sized, so
-    # this is bounded by input size, spilling if executors are tight.
-    sh = df.select(
-        F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
-    ).persist()
-    # Signature via explode + n_hashes min-aggregates (codegen-able; the HOF
-    # transform-per-hash form interprets its lambdas and is ~20x slower).
-    # One base xxhash64 per shingle, then the family g_i = xxhash64(i, h) —
-    # native, seed-separated, and overflow-free under ANSI mode.
-    base = sh.select(
-        id_col, F.explode("shingles").alias("sgl")
-    ).select(id_col, F.xxhash64("sgl").alias("h"))
-    sig_df = base.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("h"))) for i in range(n_hashes)]
-        ).alias("sig")
-    )
+    sh = None
+    if impl == "arrow":
+        # Arrow/numpy signature build (fast path, see minhash_signatures_batch)
+        sig_df = minhash_signatures_batch(
+            df, id_col, text_col, shingle_n=shingle_n, n_hashes=n_hashes
+        )
+    else:
+        # Pure-JVM expression path: explode + n_hashes min-aggregates
+        # (codegen-able aggregates; the transform-per-hash HOF form is ~20x
+        # slower). One base xxhash64 per shingle, then the family
+        # g_i = xxhash64(i, h) — native and overflow-free under ANSI mode.
+        # The shingle branch feeds the signature build and both verify join
+        # sides; persist it or Spark recomputes the scan + shingling per
+        # branch.
+        sh = df.select(
+            F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
+        ).persist()
+        base = sh.select(
+            id_col, F.explode("shingles").alias("sgl")
+        ).select(id_col, F.xxhash64("sgl").alias("h"))
+        sig_df = base.groupBy(id_col).agg(
+            F.array(
+                *[F.min(F.xxhash64(F.lit(i), F.col("h"))) for i in range(n_hashes)]
+            ).alias("sig")
+        )
     keyed = sig_df.select(
         id_col, F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select(id_col, F.col("bk.key").alias("key"))
     cand = _candidate_pairs(keyed, id_col, max_bucket)
     if not verify:
         return cand
+
+    if impl == "arrow":
+        # Vectorized verify: ship candidate pairs' texts through Arrow and
+        # compute exact shingle-set Jaccard in Python sets — candidates are
+        # LSH-bounded, so this touches pairs, not the corpus.
+        from collections.abc import Iterator as _Iter
+
+        import pandas as pd
+
+        texts = df.select(F.col(id_col), F.col(text_col))
+        paired = (
+            cand.join(texts.select(F.col(id_col).alias("id_a"),
+                                   F.col(text_col).alias("ta")), "id_a")
+            .join(texts.select(F.col(id_col).alias("id_b"),
+                               F.col(text_col).alias("tb")), "id_b")
+        )
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("jaccard", T.DoubleType()),
+            ]
+        )
+
+        def verify_pairs(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+            k = shingle_n
+            cache: dict = {}  # doc id → shingle set (docs recur across pairs)
+
+            def sset(doc_id, text):
+                s = cache.get(doc_id)
+                if s is None:
+                    s = {text[i : i + k] for i in range(max(len(text) - k + 1, 1))}
+                    cache[doc_id] = s
+                return s
+
+            for pdf in batches:
+                out = []
+                for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["ta"], pdf["tb"]):
+                    sa, sb = sset(ia, ta), sset(ib, tb)
+                    inter = len(sa & sb)
+                    j = inter / (len(sa) + len(sb) - inter)
+                    if j >= threshold:
+                        out.append({"id_a": ia, "id_b": ib, "jaccard": round(j, 6)})
+                yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+        return paired.mapInPandas(verify_pairs, out_schema)
+
+    # Pure-JVM verify over the persisted shingle branch.
+    if sh is None:
+        sh = df.select(
+            F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
+        ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
