@@ -263,3 +263,64 @@ def e_from_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_high"))
     )
+
+
+@query(
+    "e_hourly_top_type",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY hour_start
+                               ORDER BY n DESC, event_type) AS rn
+  FROM hourly
+) WHERE rn = 1
+""",
+)
+def e_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event type per hour: aggregate then rank-within-group
+    (top-1-per-group, deterministic tie-break on type name)."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hourly = (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("hour_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("hour_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "e_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric bucketing histogram over the value column."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )

@@ -743,3 +743,135 @@ def r_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "r_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+""",
+)
+def r_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "r_above_customer_avg",
+    oracle="""
+WITH cust_avg AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderstatus, count(*) AS n_above
+FROM orders o JOIN cust_avg c ON o.o_custkey = c.o_custkey
+WHERE o.o_totalprice > c.avg_price
+GROUP BY o.o_orderstatus
+""",
+)
+def r_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders above their customer's own
+    average) decorrelated into an aggregate + self-join — the plan Catalyst
+    produces for the correlated form, written explicitly so both engines
+    run identical arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    cust_avg = o.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@query(
+    "r_nested_agg",
+    oracle="""
+SELECT round(avg(total_spend), 4) AS avg_customer_spend,
+       round(CAST(max(total_spend) AS DOUBLE), 2) AS max_customer_spend,
+       count(*) AS n_customers
+FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+""",
+)
+def r_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation: aggregate per customer, then aggregate the
+    aggregates (avg-of-sums ≠ avg — a classic correctness trap)."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend")
+    )
+    return per_cust.agg(
+        F.round(F.avg("total_spend"), 4).alias("avg_customer_spend"),
+        F.round(F.max("total_spend"), 2).alias("max_customer_spend"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "r_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def r_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): sort inside the array before
+    joining so shuffle order can't leak into the result."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@query(
+    "r_first_last_window",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def r_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-partition frame, deduplicated to
+    one row per customer."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count("*").over(w).alias("n_orders"),
+    ).distinct()

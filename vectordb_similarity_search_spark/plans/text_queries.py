@@ -256,3 +256,25 @@ def t_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_overlap_pairs(
         t(spark, sf_dir, "documents"), min_shared=20
     )
+
+
+@query(
+    "t_doclen_percentiles",
+    oracle="""
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+""",
+)
+def t_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source (exact percentiles)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 4).alias("p95_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -251,3 +251,32 @@ def v_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"),
     )
+
+
+@query(
+    "v_dot_topk",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, round(s, 6) AS dot_score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+""",
+)
+def v_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by raw inner product (maximum-inner-product search — the
+    third metric next to cosine/L2; same two-phase top-k plan)."""
+    from ..functions.vector import array_lit, dot
+
+    qv = _query_vec(spark, sf_dir, 0)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    scored = corpus.withColumn("s", dot(F.col("embedding"), array_lit(qv)))
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("s", 6).alias("dot_score"))
+    )
