@@ -21,7 +21,6 @@ from ..functions.text import char_shingles, tokens
 from ..functions.hashing import (
     hamming_distance,
     lsh_band_keys,
-    minhash_signature,
     simhash_bits,
     simhash_block_keys,
 )
