@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scale smoke: run the reference workload shapes at ~1000x the fixture
+size on local[32] — evidence the plans hold when data dwarfs constants.
+
+- 1M x 64 synthetic vectors: exact brute-force cosine top-10 (the
+  reference's E2 at ~7x its demo corpus), plus SRP-LSH bucketed probe.
+- 5M-row patients table: generate distributed, cohort stats single pass,
+  z-score + scatter-gather top-10 search.
+
+Writes nothing; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.cohort import (
+    PatientSimilaritySearch,
+    cohort_stats,
+)
+from vectordb_similarity_search_spark.operators.topk import knn
+from vectordb_similarity_search_spark.session import get_spark
+from vectordb_similarity_search_spark.sources.synthetic import gen_patients
+
+N_VECTORS = int(os.environ.get("SCALE_VECTORS", 1_000_000))
+N_PATIENTS = int(os.environ.get("SCALE_PATIENTS", 5_000_000))
+DIM = 64
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-smoke", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, float] = {}
+
+    # --- vectors: deterministic synthetic corpus, materialized once
+    vecs = (
+        spark.range(0, N_VECTORS, 1, 64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.sin(F.col("id") * i + i).cast("double"),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    vecs.count()  # materialize outside the timed window
+    qv = [float(v) for v in vecs.filter(F.col("vec_id") == 7).head()[1]]
+
+    t0 = time.time()
+    hits = knn(vecs, qv, 10).collect()
+    out["knn_1m_exact_sec"] = round(time.time() - t0, 2)
+    assert hits[0][0] == 7  # self-retrieval at cosine 1
+
+    t0 = time.time()
+    knn(vecs, qv, 10).collect()
+    out["knn_1m_exact_warm_sec"] = round(time.time() - t0, 2)
+
+    from vectordb_similarity_search_spark.operators.topk import knn_blocked
+
+    t0 = time.time()
+    blocked_hits = knn_blocked(vecs, qv, 10).collect()
+    out["knn_1m_blocked_sec"] = round(time.time() - t0, 2)
+    best = max(blocked_hits, key=lambda r: r["score"])
+    assert best["vec_id"] == 7  # same winner as the expression path
+
+    t0 = time.time()
+    knn_blocked(vecs, qv, 10).collect()
+    out["knn_1m_blocked_warm_sec"] = round(time.time() - t0, 2)
+
+    # --- patients: generate-at-scale + single-pass cohort stats + search
+    t0 = time.time()
+    pts = gen_patients(spark, N_PATIENTS, num_partitions=64).persist()
+    n = pts.count()
+    out["patients_gen_5m_sec"] = round(time.time() - t0, 2)
+    assert n == N_PATIENTS
+
+    t0 = time.time()
+    stats = cohort_stats(pts).head()
+    out["cohort_stats_5m_sec"] = round(time.time() - t0, 2)
+    assert stats.total_patients == N_PATIENTS
+
+    t0 = time.time()
+    engine = PatientSimilaritySearch(pts)
+    out["zscore_fit_5m_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    top = engine.search({"age": 55, "meld_score": 25, "ascites": 1}, top_k=10).collect()
+    out["search_5m_sec"] = round(time.time() - t0, 2)
+    assert len(top) == 10
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

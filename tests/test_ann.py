@@ -82,3 +82,16 @@ def test_ivf_written_index_prunes_partitions(spark, sf_dir, tmp_path):
     exact = {r.vec_id for r in knn(emb.filter(F.col("vec_id") != 0), qv, 5).collect()}
     full = {r.vec_id for r in ivf_search_index(spark, path, model, qv, 5, nprobe=8).collect()}
     assert full == exact
+
+
+def test_knn_blocked_matches_expression_path(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.topk import knn_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    a = {r.vec_id: r.score for r in knn(corpus, qv, 10).collect()}
+    b = {r.vec_id: r.score for r in knn_blocked(corpus, qv, 10).collect()}
+    assert set(a) == set(b)
+    for vid in a:
+        assert abs(a[vid] - b[vid]) < 1e-9

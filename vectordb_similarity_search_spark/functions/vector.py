@@ -67,8 +67,11 @@ def cosine_similarity(
     a: Column | str, b: Column | str, dim: int | None = None
 ) -> Column:
     """cos(a,b) = a·b / (|a||b|) — the reference's core scoring kernel
-    (similarity_search.py:302)."""
-    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+    (similarity_search.py:302). NULL when either vector is zero (cosine is
+    undefined there; ANSI mode would otherwise raise DIVIDE_BY_ZERO). The
+    non-zero path's arithmetic is unchanged, preserving oracle bit-parity."""
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(denom != 0.0, dot(a, b, dim) / denom)
 
 
 def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
