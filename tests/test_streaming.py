@@ -149,3 +149,49 @@ def test_stateful_running_totals(stream_env):
         assert best[7] == (3, 7.0)
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(stream_env):
+    """Stream-stream inner join with event-time interval condition: each
+    purchase joins clicks of the same user within the preceding hour —
+    both sides watermarked so join state expires."""
+    import pyspark.sql.functions as F
+
+    spark, src, chk, name, reader = stream_env
+    rows = [
+        (1, _t(10, 0), 1, "click", 1.0),
+        (2, _t(10, 30), 1, "purchase", 9.0),   # joins click@10:00
+        (3, _t(9, 0), 2, "click", 1.0),
+        (4, _t(11, 30), 2, "purchase", 9.0),   # click@9:00 outside 1h window
+    ]
+    _write_batch(src, rows, "b1")
+    ev = reader()
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.click_id)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert got == {(2, 1)}  # purchase 4's click is older than 1 h
+    finally:
+        q.stop()
