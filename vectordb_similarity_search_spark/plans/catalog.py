@@ -10,7 +10,7 @@ Float discipline (so value-hashes match bit-for-bit):
 - money/quantity aggregates go through DECIMAL (exact) and are cast to
   double at the end — identical in Spark and DuckDB;
 - intrinsically-float results (cosine scores, variances) are computed in
-  double on both sides and ``round(x, 6)``-ed in the output.
+  double on both sides and ``(round(x, 6) + 0)``-ed in the output.
 """
 
 from __future__ import annotations

@@ -26,7 +26,7 @@ DEC = "decimal(18,2)"
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+       (round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) + 0) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -58,7 +58,7 @@ def e_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST((floor(epoch(ts) / 3600) - k) * 3600 AS BIGINT) AS win_start,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+       (round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) + 0) AS total_value
 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
 GROUP BY 1
 """,
@@ -131,7 +131,7 @@ def e_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(*) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+       (round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) + 0) AS avg_k
 FROM events
 GROUP BY event_type
 """,
@@ -308,7 +308,7 @@ def e_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+       (round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) + 0) AS total_value
 FROM events
 GROUP BY 1
 """,

@@ -47,11 +47,11 @@ SQL_CHARGE = f"{SQL_REV} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 2) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       (round(CAST(sum({SQL_REV}) AS DOUBLE), 2) + 0) AS sum_disc_price,
+       (round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 2) + 0) AS sum_charge,
+       (round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0) AS avg_qty,
+       (round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0) AS avg_price,
+       (round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-06-01'
@@ -83,7 +83,7 @@ def r_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_market_revenue",
     oracle=f"""
 SELECT o.o_orderkey, o.o_orderdate,
-       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+       (round(CAST(sum({SQL_REV}) AS DOUBLE), 2) + 0) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem ON o.o_orderkey = l_orderkey
@@ -122,7 +122,7 @@ def r_market_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_region_nation_revenue",
     oracle=f"""
 SELECT n.n_name,
-       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue,
+       (round(CAST(sum({SQL_REV}) AS DOUBLE), 2) + 0) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier s ON l_suppkey = s.s_suppkey
@@ -256,7 +256,7 @@ SELECT coalesce(r.r_name, 'ALL') AS region,
        coalesce(n.n_name, 'ALL') AS nation,
        CAST(grouping(r.r_name) AS INTEGER) AS g_region,
        CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
-       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+       (round(CAST(sum({SQL_REV}) AS DOUBLE), 2) + 0) AS revenue
 FROM lineitem
 JOIN supplier s ON l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -332,9 +332,9 @@ def r_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(*) AS n_orders,
        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-       round(avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 6) AS open_rate,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
-             / count(*) FILTER (WHERE o_orderstatus = 'O'), 6) AS avg_open_price,
+       (round(avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 6) + 0) AS open_rate,
+       (round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+             / count(*) FILTER (WHERE o_orderstatus = 'O'), 6) + 0) AS avg_open_price,
        CAST(max(o_totalprice) AS DOUBLE) AS max_price,
        CAST(min(o_totalprice) AS DOUBLE) AS min_price
 FROM orders
@@ -367,7 +367,7 @@ SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
             WHEN o_totalprice < 300000 THEN 'medium'
             ELSE 'large' END AS bucket,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+       (round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0) AS avg_price
 FROM orders
 GROUP BY 1
 """,
@@ -542,7 +542,7 @@ def r_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderpriority,
        count(*) AS n_items,
-       round(CAST(sum({SQL_REV}) AS DOUBLE), 2) AS revenue
+       (round(CAST(sum({SQL_REV}) AS DOUBLE), 2) + 0) AS revenue
 FROM orders o JOIN lineitem l
   ON o.o_orderkey = l.l_orderkey
  AND l.l_shipdate >= o.o_orderdate
@@ -601,8 +601,8 @@ def r_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_percentiles",
     oracle="""
 SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       (round(quantile_cont(o_totalprice, 0.5), 4) + 0) AS median_price,
+       (round(quantile_cont(o_totalprice, 0.9), 4) + 0) AS p90_price,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_orderstatus
@@ -624,10 +624,10 @@ def r_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r_corr_stats",
     oracle="""
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-       round(stddev_samp(l_extendedprice), 4) AS price_sd,
-       round(var_samp(l_quantity), 6) AS qty_var
+       (round(corr(l_quantity, l_extendedprice), 6) + 0) AS qty_price_corr,
+       (round(covar_samp(l_quantity, l_extendedprice), 4) + 0) AS qty_price_covar,
+       (round(stddev_samp(l_extendedprice), 4) + 0) AS price_sd,
+       (round(var_samp(l_quantity), 6) + 0) AS qty_var
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -802,8 +802,8 @@ def r_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r_nested_agg",
     oracle="""
-SELECT round(avg(total_spend), 4) AS avg_customer_spend,
-       round(CAST(max(total_spend) AS DOUBLE), 2) AS max_customer_spend,
+SELECT (round(avg(total_spend), 4) + 0) AS avg_customer_spend,
+       (round(CAST(max(total_spend) AS DOUBLE), 2) + 0) AS max_customer_spend,
        count(*) AS n_customers
 FROM (
   SELECT o_custkey,

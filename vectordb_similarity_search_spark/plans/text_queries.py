@@ -39,7 +39,7 @@ def _sql_marker_count(words: list[str]) -> str:
     oracle=f"""
 SELECT lang,
        count(*) AS n_docs,
-       round(CAST(sum({SQL_NTOK}) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       (round(CAST(sum({SQL_NTOK}) AS DOUBLE) / count(*), 6) + 0) AS avg_tokens,
        CAST(max({SQL_NTOK}) AS INTEGER) AS max_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -98,7 +98,7 @@ WITH sh AS (
          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+SELECT doc_a, doc_b, (round(jac, 6) + 0) AS jaccard
 FROM pairs WHERE jac >= 0.3
 """,
 )
@@ -197,8 +197,8 @@ def t_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_stopword_ratio",
     oracle=f"""
 SELECT source,
-       round(avg(CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE)
-                 / {SQL_NTOK}), 6) AS avg_stopword_ratio,
+       (round(avg(CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE)
+                 / {SQL_NTOK}), 6) + 0) AS avg_stopword_ratio,
        count(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -262,8 +262,8 @@ def t_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_doclen_percentiles",
     oracle="""
 SELECT source,
-       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
-       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+       (round(quantile_cont(n_chars, 0.5), 4) + 0) AS median_chars,
+       (round(quantile_cont(n_chars, 0.95), 4) + 0) AS p95_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY source

@@ -41,7 +41,7 @@ WITH q AS (
   FROM embeddings e
   WHERE e.vec_id <> 0
 )
-SELECT vec_id, label, round(s, 6) AS score
+SELECT vec_id, label, (round(s, 6) + 0) AS score
 FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """,
 )
@@ -67,7 +67,7 @@ WITH q AS (
   FROM embeddings e
   WHERE e.vec_id <> 0
 )
-SELECT vec_id, label, round(d, 6) AS dist
+SELECT vec_id, label, (round(d, 6) + 0) AS dist
 FROM scored ORDER BY d ASC, vec_id LIMIT 10
 """,
 )
@@ -96,7 +96,7 @@ WITH q AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(s, 6) AS score, rank
+SELECT query_id, vec_id, (round(s, 6) + 0) AS score, rank
 FROM ranked WHERE rank <= 3
 """,
 )
@@ -132,9 +132,9 @@ WITH q AS (
 )
 SELECT label,
        count(*) AS n_hits,
-       round(avg(s), 6) AS avg_score,
-       round(min(s), 6) AS min_score,
-       round(max(s), 6) AS max_score
+       (round(avg(s), 6) + 0) AS avg_score,
+       (round(min(s), 6) + 0) AS min_score,
+       (round(max(s), 6) + 0) AS max_score
 FROM hits GROUP BY label
 """,
 )
@@ -156,7 +156,7 @@ def v_query_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v_centroids",
     oracle="""
-SELECT label, pos, round(avg(c), 6) AS centroid
+SELECT label, pos, (round(avg(c), 6) + 0) AS centroid
 FROM (
   SELECT label,
          CAST(unnest(embedding) AS DOUBLE) AS c,
@@ -183,8 +183,8 @@ def v_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_embedding_variance",
     oracle="""
 SELECT count(*) AS n_components,
-       round(avg(c), 6) AS mean_component,
-       round(var_samp(c), 6) AS var_component
+       (round(avg(c), 6) + 0) AS mean_component,
+       (round(var_samp(c), 6) + 0) AS var_component
 FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS c FROM embeddings)
 """,
 )
@@ -205,7 +205,7 @@ def v_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v_zscore_fit",
     oracle="""
-SELECT pos, round(avg(c), 6) AS mu, round(stddev_pop(c), 6) AS sigma
+SELECT pos, (round(avg(c), 6) + 0) AS mu, (round(stddev_pop(c), 6) + 0) AS sigma
 FROM (
   SELECT CAST(unnest(embedding) AS DOUBLE) AS c,
          CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos
@@ -236,8 +236,8 @@ def v_zscore_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        count(*) AS n_vectors,
-       round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+       (round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))), 6) + 0) AS avg_norm
 FROM embeddings GROUP BY label
 """,
 )
@@ -263,7 +263,7 @@ WITH q AS (
          list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
   FROM embeddings e WHERE e.vec_id <> 0
 )
-SELECT vec_id, label, round(s, 6) AS dot_score
+SELECT vec_id, label, (round(s, 6) + 0) AS dot_score
 FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """,
 )

@@ -59,9 +59,9 @@ def w_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_lag_delta",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(CAST(o_totalprice AS DOUBLE)
+       (round(CAST(o_totalprice AS DOUBLE)
              - lag(CAST(o_totalprice AS DOUBLE))
-               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) + 0) AS price_delta
 FROM orders
 """,
 )
@@ -110,9 +110,9 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_share_of_customer",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(CAST(o_totalprice AS DOUBLE) /
+       (round(CAST(o_totalprice AS DOUBLE) /
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                  OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS price_share
+                  OVER (PARTITION BY o_custkey) AS DOUBLE), 6) + 0) AS price_share
 FROM orders
 """,
 )
@@ -163,9 +163,9 @@ def w_lead_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_moving_avg",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(avg(CAST(o_totalprice AS DOUBLE))
+       (round(avg(CAST(o_totalprice AS DOUBLE))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) + 0) AS moving_avg3
 FROM orders
 """,
 )
