@@ -892,13 +892,15 @@ def r_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql surface — the engine's SQL front door over registered views."""
     from ..sources.tables import load_table
 
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # namespaced view: don't clobber any caller-registered view of the
+    # same name in a shared session
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("vss_orders_gs")
     return spark.sql(
         """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n_orders
-        FROM orders
+        FROM vss_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
