@@ -143,3 +143,23 @@ def v_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") != 0), qv, k=10, dim=len(qv), n_planes=6
     ).select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query("s_sample_stratified")
+def s_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sampling surface (training-data pipeline primitive):
+    5% uniform sample of lineitem plus a label-stratified sample of the
+    embeddings corpus rebalanced to equal per-label fractions. Rows-only:
+    Spark's Bernoulli sampler has no SQL twin; determinism given a seed and
+    partitioning, plus rate tolerances, are pinned in tests/test_sample.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    labels = [r[0] for r in emb.select("label").distinct().collect()]
+    strat = emb.sampleBy("label", {l: 0.5 for l in labels}, seed=42)
+    uni = t(spark, sf_dir, "lineitem").sample(fraction=0.05, seed=42)
+    return spark.createDataFrame(
+        [
+            ("uniform_lineitem_5pct", uni.count()),
+            ("stratified_embeddings_50pct", strat.count()),
+        ],
+        "sample string, n_rows long",
+    )
