@@ -249,7 +249,9 @@ def simhash_pairs(
     exact hamming verify. Guarantee: any pair with hamming < n_blocks
     shares ≥1 block key (pigeonhole), so recall is exact for
     max_hamming < n_blocks; larger max_hamming trades recall for cost."""
-    sb = df.select(id_col, simhash_bits(tokens(text_col)).alias("bits"))
+    # three consumers (band keys + both verify sides) — persist or the
+    # 64-fold simhash recomputes per branch
+    sb = df.select(id_col, simhash_bits(tokens(text_col)).alias("bits")).persist()
     keyed = sb.select(
         id_col, F.explode(simhash_block_keys(F.col("bits"), n_blocks)).alias("bk")
     ).select(
