@@ -8,11 +8,19 @@ where the semantics are SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vectordb_similarity_search_spark.plans import REGISTRY
+# Self-locate: the driver may load this file by path from any cwd, so the
+# package directory must be importable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from vectordb_similarity_search_spark.plans import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
