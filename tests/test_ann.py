@@ -95,3 +95,22 @@ def test_knn_blocked_matches_expression_path(spark, sf_dir):
     assert set(a) == set(b)
     for vid in a:
         assert abs(a[vid] - b[vid]) < 1e-9
+
+
+def test_blocked_join_zero_norm_query_no_nan(spark, sf_dir):
+    """A zero-norm query vector must score 0.0 (documented convention), not
+    NaN — the guard mirrors the corpus-side norms[norms==0]=1 fix."""
+    import math
+
+    from vectordb_similarity_search_spark.operators.topk import (
+        similarity_join_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    dim = len(emb.select("embedding").head()[0])
+    q = spark.createDataFrame(
+        [(0, [0.0] * dim)], "query_id int, query_vec array<double>"
+    )
+    got = similarity_join_blocked(q, emb, k=5).collect()
+    assert len(got) == 5
+    assert all(r.score == 0.0 and not math.isnan(r.score) for r in got)

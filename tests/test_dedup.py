@@ -72,3 +72,26 @@ def test_embedding_neardup_self_similarity(spark):
     got = {(r.id_a, r.id_b): r.cosine for r in
            embedding_neardup_pairs(df, threshold=0.9).collect()}
     assert got == {(1, 2): 1.0}
+
+
+def test_embedding_neardup_zero_vector_is_null_not_error(spark):
+    """A zero vector in the corpus must NOT raise DIVIDE_BY_ZERO under ANSI
+    mode; its cosine is NULL (undefined) and the pair is filtered out."""
+    rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_simhash_non_default_bits_roundtrip(spark):
+    """n_bits != 64 must block over the actual signature width (the block
+    keys derive from n_bits, so identical docs still collide and verify)."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "unrelated words entirely elsewhere totally distinct here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(df, n_bits=32, n_blocks=4).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got

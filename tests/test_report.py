@@ -61,6 +61,20 @@ def test_vector_kernel_properties(spark, v):
     assert row.unrolled == row.hof
 
 
+def test_l2_normalize_zero_vector_unchanged(spark):
+    """Zero vectors have no direction: l2_normalize returns them unchanged
+    instead of raising DIVIDE_BY_ZERO under ANSI mode."""
+    from vectordb_similarity_search_spark.functions.vector import l2_normalize
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0],), ([3.0, 4.0, 0.0],)], "a array<double>"
+    )
+    rows = {tuple(r.a): r.n for r in
+            df.select("a", l2_normalize("a").alias("n")).collect()}
+    assert rows[(0.0, 0.0, 0.0)] == [0.0, 0.0, 0.0]
+    assert rows[(3.0, 4.0, 0.0)] == [0.6, 0.8, 0.0]
+
+
 def test_row_zscore_matches_reference_semantics(spark):
     """Mean ~0, population std ~1 across the row's own components — the
     reference's :576 per-row normalize (documented quirk, kept only for

@@ -66,12 +66,15 @@ def simhash_bits(tokens: Column, n_bits: int = 64) -> Column:
     return F.transform(bit_sums, lambda s: F.when(s > 0, 1).otherwise(0))
 
 
-def simhash_block_keys(bits: Column, n_blocks: int = 4) -> Column:
+def simhash_block_keys(bits: Column, n_blocks: int = 4, n_bits: int = 64) -> Column:
     """Pack the simhash bit array into ``n_blocks`` integer block keys for
     LSH bucketing: docs within hamming distance < n_blocks share ≥1 block
-    (pigeonhole). Returns array<struct<block:int, key:int>>."""
-    assert 64 % n_blocks == 0
-    w = 64 // n_blocks
+    (pigeonhole). ``n_bits`` must match the signature width produced by
+    :func:`simhash_bits` — blocking over the wrong range would silently
+    break the pigeonhole recall guarantee.
+    Returns array<struct<block:int, key:int>>."""
+    assert n_bits % n_blocks == 0, f"{n_bits} bits not divisible into {n_blocks} blocks"
+    w = n_bits // n_blocks
     return F.array(
         *[
             F.struct(

@@ -111,7 +111,10 @@ def row_zscore_normalize(a: Column | str, eps: float = 1e-8) -> Column:
 def l2_normalize(a: Column | str, eps: float = 0.0) -> Column:
     """Unit-normalize a vector column. The reference z-scores per-row at query
     time (similarity_search.py:576 — a train/serve skew bug we do NOT copy;
-    see SURVEY.md §2.4 V2). Unit-norm here is the standard cosine prep."""
+    see SURVEY.md §2.4 V2). Unit-norm here is the standard cosine prep.
+
+    Zero vectors are returned unchanged (no direction to normalize to) —
+    unguarded, ANSI mode raises DIVIDE_BY_ZERO on a single zero row."""
     a = to_double_array(a)
     n = l2_norm(a) + F.lit(eps)
-    return F.transform(a, lambda x: x / n)
+    return F.when(n != 0.0, F.transform(a, lambda x: x / n)).otherwise(a)

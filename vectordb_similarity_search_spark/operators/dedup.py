@@ -244,16 +244,20 @@ def simhash_pairs(
     n_blocks: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash, block-key LSH candidates,
-    exact hamming verify. Guarantee: any pair with hamming < n_blocks
-    shares ≥1 block key (pigeonhole), so recall is exact for
-    max_hamming < n_blocks; larger max_hamming trades recall for cost."""
+    """SimHash near-dup pairs: ``n_bits``-bit simhash, block-key LSH
+    candidates, exact hamming verify. Guarantee: any pair with
+    hamming < n_blocks shares ≥1 block key (pigeonhole), so recall is exact
+    for max_hamming < n_blocks; larger max_hamming trades recall for cost."""
     # three consumers (band keys + both verify sides) — persist or the
     # 64-fold simhash recomputes per branch
-    sb = df.select(id_col, simhash_bits(tokens(text_col)).alias("bits")).persist()
+    sb = df.select(
+        id_col, simhash_bits(tokens(text_col), n_bits).alias("bits")
+    ).persist()
     keyed = sb.select(
-        id_col, F.explode(simhash_block_keys(F.col("bits"), n_blocks)).alias("bk")
+        id_col,
+        F.explode(simhash_block_keys(F.col("bits"), n_blocks, n_bits)).alias("bk"),
     ).select(
         id_col,
         # fold block index into the key so different blocks never collide
@@ -303,7 +307,11 @@ def embedding_neardup_pairs(
         l2_norm(vec_col, dim).alias("nb"),
     )
     joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cosine = _dot("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    # Zero-norm guard: cosine undefined for zero vectors → NULL (mirrors
+    # functions/vector.cosine_similarity; unguarded, ANSI mode raises
+    # DIVIDE_BY_ZERO and one degenerate row kills the whole query).
+    denom = F.col("na") * F.col("nb")
+    cosine = F.when(denom != 0.0, _dot("va", "vb", dim) / denom)
     return (
         joined.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)

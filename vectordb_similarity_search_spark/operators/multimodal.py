@@ -10,9 +10,10 @@ composable. At scale, partition by ``kind`` (decode cost is per-kind) and
 keep blobs <~100 MB/row (Arrow batch granularity).
 
 The pixel/sample DECODE itself is STUBBED: this container has no
-image/audio codecs. ``decode_media`` tries Pillow and, absent that, a
-clearly-marked deterministic fake that parses our synthetic header. The
-plumbing — schemas, batch iteration, UDF signatures — is the deliverable.
+image/audio codecs. ``decode_media`` always uses a clearly-marked
+deterministic fake that parses our synthetic header (and says so in its
+``decoder`` output column). The plumbing — schemas, batch iteration, UDF
+signatures — is the deliverable.
 """
 
 from __future__ import annotations
@@ -117,15 +118,14 @@ def _fake_decode(data: bytes) -> tuple[int, int, float]:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Decode pass: PIL if importable, else the deterministic fake."""
+    """Decode pass. Always decodes via the deterministic synthetic-header
+    parser and reports ``decoder='synth-fake'`` honestly — a real PIL/libav
+    decode path would swap in here and change the label with it (this
+    container ships no codec libraries, so claiming 'pillow' when PIL merely
+    imports would misreport rows that never went through it)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            decoder = "pillow"
-        except ImportError:
-            decoder = "synth-fake"
+        decoder = "synth-fake"
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():

@@ -170,7 +170,15 @@ def similarity_join_blocked(
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # Q × d
     if metric == "cosine":
-        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        # Zero-vector convention: zero-norm rows (query or corpus) score 0.0
+        # against everything instead of NaN/inf. This differs from knn(),
+        # where cosine vs a zero vector is NULL and orders last — for top-k
+        # with k < N the outcome is the same (never a winner); callers that
+        # need NULL semantics on degenerate vectors should use knn()/
+        # similarity_join().
+        q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_norms[q_norms == 0.0] = 1.0
+        q_mat = q_mat / q_norms
 
     sc = corpus.sparkSession.sparkContext
     bc_ids = sc.broadcast(q_ids)

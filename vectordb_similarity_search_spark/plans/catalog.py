@@ -15,11 +15,13 @@ Float discipline (so value-hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import ensure_package_on_executors
 from ..sources.tables import load_table
 
 
@@ -40,7 +42,16 @@ def query(name: str, oracle: str | None = None) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver calls queries with its own session from an arbitrary
+            # cwd; ship the package so worker-side closure unpickling can
+            # import it (see session.ensure_package_on_executors).
+            ensure_package_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco
