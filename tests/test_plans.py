@@ -57,3 +57,37 @@ def test_similarity_join_broadcasts_queries(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(REGISTRY["r_semi_join"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_intersect_except_is_lazy_composed_plan(spark, sf_dir):
+    """The set-op query must hand the driver a deferred plan with real
+    Intersect/Except nodes — not a pre-computed LocalTableScan of driver
+    scalars (the round-1 anti-pattern: two eager .count()s at build)."""
+    df = REGISTRY["r_intersect_except"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "Intersect" in logical and "Except" in logical
+    plan = plan_of(df)
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" in plan  # the orders scan is in THIS plan
+
+
+def test_sample_stratified_is_lazy_sampling_plan(spark, sf_dir):
+    """The sampling query must defer: Sample node + both source scans in the
+    returned plan, no pre-computed literals."""
+    df = REGISTRY["s_sample_stratified"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Sample" in plan  # the uniform Bernoulli sampler
+    assert "LocalTableScan" not in plan
+    assert plan.count("Scan parquet") >= 2  # lineitem + embeddings scans
+    # balanced fractions come from a broadcast-joined lazy aggregate
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_catalog_query_prunes_partitions(spark, sf_dir):
+    """v_ivf_knn must probe the WRITTEN index: the cell predicate lands in
+    the scan's PartitionFilters (non-probed cells are never read), and no
+    k-means runs on the query path (the prebuilt index is cached)."""
+    df = REGISTRY["v_ivf_knn"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0]

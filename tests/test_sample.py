@@ -16,6 +16,49 @@ def test_uniform_sample_deterministic_and_sized(spark, sf_dir):
     assert 0.05 * n < a < 0.15 * n
 
 
+def test_balanced_sample_equalizes_classes(spark, sf_dir):
+    """stratified_sample_balanced: every label's expected sample size is the
+    min class count; observed counts land within Bernoulli tolerance, and
+    the whole thing is one lazy plan (no build-time action)."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        stratified_sample_balanced,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    floor = min(base.values())
+    got = {
+        r["label"]: r["count"]
+        for r in stratified_sample_balanced(emb, "label", seed=7)
+        .groupBy("label")
+        .count()
+        .collect()
+    }
+    for lbl, n in got.items():
+        assert abs(n - floor) < max(0.5 * floor, 10), (lbl, n, floor)
+
+
+def test_stratified_sample_by_lazy_matches_rates(spark, sf_dir):
+    """stratified_sample_by: literal-map fractions, absent strata dropped."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        stratified_sample_by,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = sorted(r[0] for r in emb.select("label").distinct().collect())
+    keep = {labels[0]: 0.9, labels[1]: 0.1}
+    got = (
+        stratified_sample_by(emb, "label", keep, seed=11)
+        .groupBy("label").count().collect()
+    )
+    base = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    seen = {r["label"] for r in got}
+    assert seen <= set(keep)  # absent strata dropped
+    for r in got:
+        rate = r["count"] / base[r["label"]]
+        assert abs(rate - keep[r["label"]]) < 0.25
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     labels = [r[0] for r in emb.select("label").distinct().collect()]

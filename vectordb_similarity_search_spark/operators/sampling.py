@@ -1,0 +1,66 @@
+"""Sampling primitives for training-data pipelines.
+
+All samplers here are LAZY plans — no count/collect at build time. At
+100 TB a sampler that runs driver-side actions to size itself executes the
+full scan twice; these derive their per-stratum fractions inside the plan
+(lazy aggregate + broadcast join), so one run samples and sizes in a single
+pass over the data.
+
+Determinism: like ``DataFrame.sample``, ``F.rand(seed)`` draws a seeded
+per-partition stream — identical results for identical partitioning, which
+is the strongest guarantee any distributed Bernoulli sampler gives
+(tests/test_sample.py pins it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample_balanced(
+    df: DataFrame,
+    label_col: str = "label",
+    *,
+    seed: int = 42,
+    cap: float = 1.0,
+) -> DataFrame:
+    """Class-balanced downsampling: every stratum is Bernoulli-sampled at
+    fraction ``min_class_count / stratum_count`` (capped at ``cap``), so all
+    labels end up with ~equal expected counts — the standard rebalancing
+    step before training on skewed data.
+
+    Fully lazy: per-label counts are a lazy aggregate; the (tiny) fraction
+    table broadcast-joins back onto the rows; the filter is a seeded
+    ``rand`` draw. No driver-side action, one data pass, no shuffle of the
+    fact table (broadcast hash join on the label).
+    """
+    counts = df.groupBy(label_col).agg(F.count("*").alias("_n_l"))
+    floor = counts.agg(F.min("_n_l").alias("_t"))
+    frac = counts.crossJoin(floor).select(
+        label_col,
+        F.least(F.lit(cap), F.col("_t") / F.col("_n_l")).alias("_frac"),
+    )
+    return (
+        df.join(F.broadcast(frac), label_col)
+        .where(F.rand(seed) < F.col("_frac"))
+        .drop("_frac")
+    )
+
+
+def stratified_sample_by(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Explicit per-stratum fractions as a lazy plan (``sampleBy`` twin
+    without its eager key handling): the fractions dict folds into the plan
+    as a literal map lookup. Strata absent from ``fractions`` are dropped,
+    matching ``DataFrame.sampleBy`` semantics."""
+    m = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    frac = m[F.col(label_col)]
+    return df.where(frac.isNotNull() & (F.rand(seed) < frac))

@@ -490,16 +490,19 @@ SELECT
 )
 def r_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY.md §2.6 'absent in reference'): customers with
-    both finished and open orders vs finished-only."""
+    both finished and open orders vs finished-only.
+
+    One fully-lazy composed plan (no action at query build): each set op
+    aggregates to a single row, and the two 1-row branches cross-join —
+    Catalyst keeps Intersect/Except nodes in the plan (asserted by
+    tests/test_plans.py) and the driver receives a real deferred query."""
     o = t(spark, sf_dir, "orders")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    n_both = f.intersect(op).count()
-    n_f_only = f.subtract(op).count()  # subtract == EXCEPT DISTINCT
-    spark_df = spark.createDataFrame(
-        [(n_both, n_f_only)], "n_both long, n_f_only long"
-    )
-    return spark_df
+    n_both = f.intersect(op).agg(F.count("*").alias("n_both"))
+    # subtract == EXCEPT DISTINCT
+    n_f_only = f.subtract(op).agg(F.count("*").alias("n_f_only"))
+    return n_both.crossJoin(n_f_only)
 
 
 @query(
