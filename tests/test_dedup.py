@@ -84,6 +84,38 @@ def test_embedding_neardup_zero_vector_is_null_not_error(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_embedding_neardup_blocked_equals_exact(spark, sf_dir):
+    """The block-grid BLAS path must reproduce the exact crossJoin baseline
+    bit-for-bit (ids AND round-6 cosines), for several grid sizes —
+    including n_blocks=1 (single cell) and n_blocks > distinct hash blocks."""
+    from vectordb_similarity_search_spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    assert exact  # fixture must actually have qualifying pairs
+    for nb in (1, 4, 8):
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in embedding_neardup_blocked(
+                   emb, threshold=0.4, n_blocks=nb).collect()}
+        assert got == exact, f"n_blocks={nb}"
+
+
+def test_embedding_neardup_blocked_zero_vector(spark):
+    rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 0.0])]
+    from vectordb_similarity_search_spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_neardup_blocked(df, threshold=0.9, n_blocks=2).collect()}
+    assert got == {(1, 2): 1.0}
+
+
 def test_simhash_non_default_bits_roundtrip(spark):
     """n_bits != 64 must block over the actual signature width (the block
     keys derive from n_bits, so identical docs still collide and verify)."""

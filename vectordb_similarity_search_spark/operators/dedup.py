@@ -285,8 +285,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (i < j, cosine ≥ threshold).
 
-    O(N²/2) — the exact baseline; pair with ``hyperplane_signature``
-    bucketing (operators/ann.py) for the scale path.
+    O(N²/2) expression crossJoin — the small-fixture ORACLE BASELINE; the
+    production path is :func:`embedding_neardup_blocked` (same exact
+    results, BLAS-blocked, bounded shuffle).
 
     Norms are precomputed per row (O(N)) before the pair join, so the O(N²)
     inner loop is one dot fold + a multiply-divide (3.5x less work than the
@@ -315,5 +316,110 @@ def embedding_neardup_pairs(
     return (
         joined.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs embedding near-dup at scale: block-grid BLAS.
+
+    Why not LSH here: at the mining threshold (cosine ≥ 0.4, θ ≈ 66°)
+    random-hyperplane bits agree with p = 1 − θ/π ≈ 0.63 for a *qualifying*
+    pair vs ≈ 0.55 for the background — banded SRP either loses recall
+    (breaking exactness) or candidates ~everything (no pruning). SRP-LSH
+    is the right tool at high thresholds (see ``ann.lsh_bucket_topk``);
+    exhaustive low-threshold mining is a blocked-matmul problem.
+
+    Design (the standard distributed all-pairs scheme):
+
+    1. every row gets a stable block id ``xxhash64(id) mod n_blocks``;
+    2. each row is replicated to every grid cell (a ≤ b) its block touches
+       — shuffle volume N·n_blocks (id, vector) rows, NOT N² pairs;
+    3. per cell, one Arrow task computes a dense (|A| × |B|) score matrix
+       with a single float64 BLAS matmul (the same kernel the reference
+       uses in-process, similarity_search.py:302) and emits only pairs
+       above threshold.
+
+    At 100 TB: pick n_blocks ≈ √(2·P) so each cell's two blocks fit an
+    executor; replication grows as √P while compute parallelism grows as P.
+
+    Exactness & oracle bit-parity: the matmul only *screens* candidates (at
+    threshold − 1e-6 slack); every surviving pair is rescored as
+    dot/(na·nb) with numpy axis-sums (sequential for dim < 128 — numpy's
+    pairwise-sum block size), the same left-to-right association as the
+    JVM HOF fold and DuckDB's list_cosine_similarity, so round(·, 6)
+    matches the oracle bit-for-bit (property test pins blocked == exact).
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    grid = rows.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("_other"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_other").alias("_ga"),
+        F.greatest("_blk", "_other").alias("_gb"),
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        ga, gb = int(pdf["_ga"].iloc[0]), int(pdf["_gb"].iloc[0])
+        same = ga == gb
+        X = np.vstack(pdf["_v"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        norms = np.sqrt((X * X).sum(axis=1))  # sequential: dim < 128
+        safe = np.where(norms == 0.0, 1.0, norms)
+        U = X / safe[:, None]
+        if same:
+            A_idx = B_idx = np.arange(len(ids))
+        else:
+            A_idx = np.flatnonzero(pdf["_blk"].to_numpy() == ga)
+            B_idx = np.flatnonzero(pdf["_blk"].to_numpy() == gb)
+        S = U[A_idx] @ U[B_idx].T  # screening scores (BLAS association)
+        ii, jj = np.nonzero(S >= threshold - 1e-6)
+        gi, gj = A_idx[ii], B_idx[jj]
+        keep = (norms[gi] != 0.0) & (norms[gj] != 0.0)
+        if same:
+            keep &= ids[gi] < ids[gj]
+        gi, gj = gi[keep], gj[keep]
+        # exact rescore in oracle association: dot/(na*nb), sequential sums
+        dots = (X[gi] * X[gj]).sum(axis=1)
+        cos = dots / (norms[gi] * norms[gj])
+        ok = cos >= threshold
+        ida, idb = ids[gi[ok]], ids[gj[ok]]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ok]})
+
+    return (
+        grid.groupBy("_ga", "_gb")
+        .applyInPandas(score_cell, out_schema)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

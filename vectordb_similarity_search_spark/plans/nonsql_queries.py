@@ -23,7 +23,7 @@ from ..operators.ann import (
     lsh_bucket_topk,
 )
 from ..operators.dedup import (
-    embedding_neardup_pairs,
+    embedding_neardup_blocked,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -77,9 +77,13 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 )
 def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (north-star
-    embedding-near-dup op), threshold 0.4."""
+    embedding-near-dup op), threshold 0.4 — served by the block-grid BLAS
+    operator (one matmul per grid cell, shuffle N·√P rows not N² pairs;
+    see operators/dedup.embedding_neardup_blocked for why LSH is the wrong
+    tool at this threshold). Exact, so the same DuckDB pairwise twin
+    oracle-checks it; blocked == crossJoin baseline is property-tested."""
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4)
+    return embedding_neardup_blocked(emb, threshold=0.4)
 
 
 @query("d_minhash_lsh_pairs")
