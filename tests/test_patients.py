@@ -146,6 +146,42 @@ def test_spark_transform_matches_numpy(spark):
         assert np.allclose(got[i], want[i], atol=1e-5)
 
 
+def test_spark_transform_matches_numpy_with_batchnorm(spark):
+    """Inference-mode BatchNorm path: Spark transform == numpy forward with
+    the same running stats, stats are deterministic across partitioning,
+    and normalized activations actually have ~zero mean / unit variance."""
+    from vectordb_similarity_search_spark.ml.embed import fit_batchnorm_stats
+
+    model = EmbeddingModel.init(3)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((64, 20))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id long, features array<double>",
+    )
+    bn_model = model.with_batchnorm(df)
+    # repeatable: identical stats for the same input (fixed partitioning)
+    bn_rep = fit_batchnorm_stats(model.params, df)
+    # stable: equal to float tolerance across partitionings (reassociation)
+    bn2 = fit_batchnorm_stats(model.params, df.repartition(7))
+    for (m1, v1), (mr, vr), (m2, v2) in zip(bn_model.bn, bn_rep, bn2):
+        assert np.array_equal(m1, mr) and np.array_equal(v1, vr)
+        assert np.allclose(m1, m2, atol=1e-10) and np.allclose(v1, v2, atol=1e-10)
+    # the stats describe the corpus: layer-1 activations normalize to
+    # mean ~0 / var ~1 (population stats fit on this very corpus)
+    W1, b1 = model.params[0], model.params[1]
+    H1 = np.maximum(X @ W1 + b1, 0.0)
+    z = (H1 - bn_model.bn[0][0]) / np.sqrt(bn_model.bn[0][1] + 1e-5)
+    assert abs(z.mean()) < 1e-9
+    got = {r.id: np.array(r.embedding) for r in bn_model.transform(df).collect()}
+    want = _forward(model.params, X, bn_model.bn).astype(np.float32)
+    for i in range(64):
+        assert np.allclose(got[i], want[i], atol=1e-5)
+    # BN must actually change the output vs the plain path
+    plain = _forward(model.params, X)
+    assert not np.allclose(plain, _forward(model.params, X, bn_model.bn))
+
+
 def test_federated_train_end_to_end(spark, patients):
     engine_feats = PatientSimilaritySearch(patients).store.select("hospital", "features")
     model = federated_train(

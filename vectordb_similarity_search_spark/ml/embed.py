@@ -4,9 +4,13 @@ loop (:436-493), re-expressed for Spark:
 
 - model = plain numpy MLP (20→256→128(ReLU)→128); torch isn't in this
   environment, and the math (forward + gram-matrix-MSE backprop + Adam) is
-  ~80 lines of numpy. BatchNorm/Dropout from the reference (:29-37) are
-  dropped: they are the source of its run-to-run nondeterminism (SURVEY.md
-  §5) and contribute nothing to the similarity-preservation objective.
+  ~80 lines of numpy. TRAIN-mode BatchNorm/Dropout from the reference
+  (:29-37) are dropped — they are the source of its run-to-run
+  nondeterminism (SURVEY.md §5) — but INFERENCE-mode BatchNorm is
+  supported with deterministically-fit running statistics
+  (``fit_batchnorm_stats`` / ``EmbeddingModel.with_batchnorm``), so the
+  served model family matches the reference's eval() network (Dropout is
+  identity at eval).
 - local training runs ON EXECUTORS, one task per hospital partition
   (``applyInPandas`` grouped by hospital) — the reference's client.fit
   (:212-248) without the pretend-federation: what crosses the wire is
@@ -46,11 +50,33 @@ def _init_params(seed: int = 42, dims=None) -> list[np.ndarray]:
     return params
 
 
-def _forward(params: list[np.ndarray], X: np.ndarray) -> np.ndarray:
-    """20→256 ReLU → 128 ReLU → 128 linear (reference :40-47 minus BN/drop)."""
+def _forward(
+    params: list[np.ndarray],
+    X: np.ndarray,
+    bn: list[tuple[np.ndarray, np.ndarray]] | None = None,
+) -> np.ndarray:
+    """20→256 ReLU → 128 ReLU → 128 linear (reference :40-47).
+
+    ``bn``: optional per-hidden-layer (mean, var) running statistics for
+    INFERENCE-MODE BatchNorm — the deterministic analogue of the
+    reference's ``nn.BatchNorm1d`` in eval() (reference :29-37: each
+    hidden block is Linear→ReLU→Dropout→BatchNorm; at inference Dropout is
+    identity and BatchNorm is the running-stats affine). Our batch-stats
+    training nondeterminism objection (SURVEY.md §5) applies to TRAIN-mode
+    BN only; eval-mode BN with stats fit deterministically over the
+    training corpus (``fit_batchnorm_stats``) closes the model-family gap.
+    gamma/beta stay at their init (1, 0): we never backprop through BN.
+    """
     W1, b1, W2, b2, W3, b3 = params
+    eps = 1e-5
     H1 = np.maximum(X @ W1 + b1, 0.0)
+    if bn is not None:
+        m, v = bn[0]
+        H1 = (H1 - m) / np.sqrt(v + eps)
     H2 = np.maximum(H1 @ W2 + b2, 0.0)
+    if bn is not None:
+        m, v = bn[1]
+        H2 = (H2 - m) / np.sqrt(v + eps)
     return H2 @ W3 + b3
 
 
@@ -126,40 +152,120 @@ def fedavg(results: list[tuple[list[np.ndarray], int]]) -> list[np.ndarray]:
     return out
 
 
+def fit_batchnorm_stats(
+    params: list[np.ndarray],
+    df: DataFrame,
+    in_col: str = "features",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Fit deterministic BatchNorm running statistics over a corpus,
+    distributed: one Arrow pass emits per-batch moment partials
+    (n, Σh, Σh²) for each hidden layer — layer 2's activations computed
+    with layer 1 already normalized by its own *global* stats, which needs
+    two passes; to stay single-pass we use the torch-faithful shortcut of
+    collecting both layers' pre-BN activations in the same forward (exactly
+    what running stats see during torch training). Partials reduce
+    driver-side after a deterministic sort — a few rows of floats, not
+    data. Population stats; bit-identical for a fixed partitioning (the
+    sort pins reduce order), equal to ~1e-12 across partitionings (float
+    reassociation — the same property Spark's own float ``sum`` has)."""
+    bc = df.sparkSession.sparkContext.broadcast(params)
+    out_schema = T.StructType(
+        [
+            T.StructField("part", T.LongType()),
+            T.StructField("layer", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s1", T.ArrayType(T.DoubleType())),
+            T.StructField("s2", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W1, b1, W2, b2, _W3, _b3 = bc.value
+        for bi, pdf in enumerate(batches):
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[in_col].to_numpy()).astype(np.float64)
+            H1 = np.maximum(X @ W1 + b1, 0.0)
+            H2 = np.maximum(H1 @ W2 + b2, 0.0)
+            rows = []
+            for li, H in ((0, H1), (1, H2)):
+                rows.append(
+                    {
+                        "part": bi,
+                        "layer": li,
+                        "n": len(H),
+                        "s1": H.sum(axis=0).tolist(),
+                        "s2": (H * H).sum(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    rows = sorted(
+        df.select(in_col).mapInPandas(partials, out_schema).collect(),
+        key=lambda r: (r["layer"], r["part"], r["n"], tuple(r["s1"])),
+    )
+    stats: list[tuple[np.ndarray, np.ndarray]] = []
+    for li in (0, 1):
+        layer_rows = [r for r in rows if r["layer"] == li]
+        n = sum(r["n"] for r in layer_rows)
+        s1 = np.sum([r["s1"] for r in layer_rows], axis=0)
+        s2 = np.sum([r["s2"] for r in layer_rows], axis=0)
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        stats.append((mean, var))
+    return stats
+
+
 class EmbeddingModel:
     """Broadcast-weights batch scorer (V3) + driver-side weight container
     (T5: the reference's state_dict↔ndarray round-trip, :202-210, is just
-    'hold the list' here)."""
+    'hold the list' here). ``bn`` holds optional inference-mode BatchNorm
+    running stats (reference :29-37; see _forward)."""
 
-    def __init__(self, params: list[np.ndarray]):
+    def __init__(
+        self,
+        params: list[np.ndarray],
+        bn: list[tuple[np.ndarray, np.ndarray]] | None = None,
+    ):
         self.params = params
+        self.bn = bn
 
     @classmethod
     def init(cls, seed: int = 42) -> "EmbeddingModel":
         return cls(_init_params(seed))
 
+    def with_batchnorm(self, df: DataFrame, in_col: str = "features") -> "EmbeddingModel":
+        """Return a copy with BatchNorm running stats fit on ``df``."""
+        return EmbeddingModel(self.params, fit_batchnorm_stats(self.params, df, in_col))
+
     def transform_vector(self, vec) -> list[float]:
-        return [float(x) for x in _forward(self.params, np.asarray([vec], dtype=np.float64))[0]]
+        return [
+            float(x)
+            for x in _forward(
+                self.params, np.asarray([vec], dtype=np.float64), self.bn
+            )[0]
+        ]
 
     def transform(
         self, df: DataFrame, in_col: str = "features", out_col: str = "embedding"
     ) -> DataFrame:
-        """Arrow-batched scoring: one matmul per record batch. Weights ride
-        a broadcast variable (~180 KB once per executor), mirroring the
-        reference's batch forward at :506 but distributed."""
-        bc = df.sparkSession.sparkContext.broadcast(self.params)
+        """Arrow-batched scoring: one matmul per record batch. Weights (and
+        BatchNorm stats, when fit) ride a broadcast variable (~180 KB once
+        per executor), mirroring the reference's batch forward at :506 but
+        distributed."""
+        bc = df.sparkSession.sparkContext.broadcast((self.params, self.bn))
         schema = T.StructType(
             df.schema.fields
             + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
         )
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            params = bc.value
+            params, bn = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
                 X = np.vstack(pdf[in_col].to_numpy()).astype(np.float64)
-                E = _forward(params, X).astype(np.float32)
+                E = _forward(params, X, bn).astype(np.float32)
                 pdf = pdf.copy()
                 pdf[out_col] = list(E)
                 yield pdf

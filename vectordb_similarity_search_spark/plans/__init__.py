@@ -29,7 +29,6 @@ from . import nonsql_queries  # noqa: E402,F401
 DRIVER_WINDOW = [
     # vector search family
     "v_knn_cosine",
-    "v_knn_l2",
     "v_sim_join_topk",
     "v_query_cohort_stats",
     "v_centroids",
@@ -83,6 +82,7 @@ DRIVER_WINDOW = [
     "p_cohort_stats",
     "p_search_report",
     "m_embed_knn",
+    "m_embed_knn_bn",
     "s_sample_stratified",
 ]
 
@@ -90,6 +90,7 @@ DRIVER_WINDOW = [
 # CORRECTNESS_r01.json) and re-verified every test run by the local oracle
 # parity replica.
 TAIL = [
+    "v_knn_l2",
     "v_embedding_variance",
     "v_dot_topk",
     "r_distinct_agg",

@@ -146,26 +146,83 @@ def p_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_embed_knn")
+# Expected-output parquet twins for the learned-embedding queries: their
+# output is sf-INDEPENDENT (fixed synthetic corpus + seeded weights), so a
+# single precomputed fixture (scripts/gen_expected_fixtures.py, committed
+# under tests/fixtures/) makes scoring parity driver-visible as a full
+# rows+schema+hash oracle instead of a rows-only count.
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+def _expected_oracle(name: str) -> str:
+    return (
+        "SELECT * FROM read_parquet('"
+        + os.path.join(_FIXTURES_DIR, f"{name}_expected.parquet")
+        + "')"
+    )
+
+
+def _embed_patients(spark: SparkSession):
+    from ..sources.synthetic import gen_hospital_patients
+
+    return gen_hospital_patients(
+        spark, {"Hospital_A": 400, "Hospital_B": 300, "Hospital_C": 300}
+    )
+
+
+@query("m_embed_knn", oracle=_expected_oracle("m_embed_knn"))
 def m_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-embedding search (reference E2 with the MLP, V3): deterministic
     seeded model (no training here — weights from EmbeddingModel.init),
-    mapInPandas batch scoring, cosine top-10 (rows-only; scoring parity with
-    numpy pinned in tests/test_patients.py::test_spark_transform_matches_numpy)."""
+    mapInPandas batch scoring, cosine top-10. Oracle: precomputed
+    expected-output parquet (output is corpus- and seed-determined, fully
+    sf-independent); numpy scoring parity additionally pinned in
+    tests/test_patients.py::test_spark_transform_matches_numpy."""
     from pyspark.sql import functions as FF
 
     from ..ml.embed import EmbeddingModel
     from ..operators.cohort import PatientSimilaritySearch
-    from ..sources.synthetic import gen_hospital_patients
 
-    pts = gen_hospital_patients(
-        spark, {"Hospital_A": 400, "Hospital_B": 300, "Hospital_C": 300}
+    engine = PatientSimilaritySearch(
+        _embed_patients(spark), embed=EmbeddingModel.init(42)
     )
-    engine = PatientSimilaritySearch(pts, embed=EmbeddingModel.init(42))
     hits = engine.search({"age": 48, "meld_score": 31, "bilirubin": 12.0}, top_k=10)
     return hits.select(
         "patient_id", "hospital", FF.round("score", 6).alias("score")
     )
+
+
+@query("m_embed_knn_bn", oracle=_expected_oracle("m_embed_knn_bn"))
+def m_embed_knn_bn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-embedding search through the inference-mode BatchNorm model
+    (reference :29-37 eval() family: Linear→ReLU→[Dropout=identity]→BN with
+    running stats): BN statistics are fit once per process over the corpus
+    features (deterministic population stats, ml/embed.fit_batchnorm_stats)
+    and cached — stat fitting is model build, not query work. Oracle:
+    precomputed expected-output parquet (sf-independent)."""
+    from pyspark.sql import functions as FF
+
+    from ..ml.embed import EmbeddingModel
+    from ..operators.cohort import PatientSimilaritySearch
+
+    pts = _embed_patients(spark)
+    if "bn_model" not in _MODEL_CACHE:
+        feats_engine = PatientSimilaritySearch(pts)
+        _MODEL_CACHE["bn_model"] = EmbeddingModel.init(42).with_batchnorm(
+            feats_engine.store, "features"
+        )
+    engine = PatientSimilaritySearch(pts, embed=_MODEL_CACHE["bn_model"])
+    hits = engine.search({"age": 48, "meld_score": 31, "bilirubin": 12.0}, top_k=10)
+    return hits.select(
+        "patient_id", "hospital", FF.round("score", 6).alias("score")
+    )
+
+
+_MODEL_CACHE: dict = {}
 
 
 @query("v_ivf_knn")
