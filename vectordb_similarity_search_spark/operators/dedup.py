@@ -25,6 +25,7 @@ from ..functions.hashing import (
     simhash_block_keys,
 )
 from ..functions.vector import cosine_similarity
+from ..util import widen
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -113,7 +114,7 @@ def minhash_signatures_batch(
                 out.append(g.min(axis=0).astype(np.int64))
             yield pd.DataFrame({id_col: ids, "sig": out})
 
-    return df.select(id_col, text_col).mapInPandas(sigs, out_schema)
+    return widen(df.select(id_col, text_col)).mapInPandas(sigs, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -141,10 +142,13 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     sh = None
     if impl == "arrow":
-        # Arrow/numpy signature build (fast path, see minhash_signatures_batch)
+        # Arrow/numpy signature build (fast path, see minhash_signatures_batch).
+        # Persisted: consumed by the band keys AND both sides of the
+        # signature screen below — without persist each branch re-runs the
+        # scan + Python signature pass.
         sig_df = minhash_signatures_batch(
             df, id_col, text_col, shingle_n=shingle_n, n_hashes=n_hashes
-        )
+        ).persist()
     else:
         # Pure-JVM expression path: explode + n_hashes min-aggregates
         # (codegen-able aggregates; the transform-per-hash HOF form is ~20x
@@ -153,7 +157,7 @@ def minhash_lsh_pairs(
         # The shingle branch feeds the signature build and both verify join
         # sides; persist it or Spark recomputes the scan + shingling per
         # branch.
-        sh = df.select(
+        sh = widen(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
         ).persist()
         base = sh.select(
@@ -170,6 +174,34 @@ def minhash_lsh_pairs(
     cand = _candidate_pairs(keyed, id_col, max_bucket)
     if not verify:
         return cand
+
+    # Signature screen: banding admits many false positives (any single
+    # band collision is enough), and each one would otherwise pay the
+    # exact-verify cost. The signatures already estimate Jaccard — the
+    # fraction of agreeing minhashes is an unbiased n_hashes-sample
+    # estimate — so screen JVM-side before any text moves. The margin is
+    # ~5σ below the target threshold at n_hashes=64 (σ = √(t(1−t)/n) ≈
+    # 0.05), so a true pair at the threshold is essentially never dropped,
+    # while unrelated template-similarity pairs (est ≈ 0.2) all are. At
+    # 100 TB this is the difference between exact-verifying ~N pairs and
+    # ~N·FP-rate pairs: the screen moves (id, 64-long sig), never text.
+    screen = max(threshold - 0.25, 0.0)
+    if screen > 0.0:
+        est = F.size(
+            F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(n_hashes))
+        cand = (
+            cand.join(
+                sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb")),
+                "id_b",
+            )
+            .filter(est >= screen)
+            .select("id_a", "id_b")
+        )
 
     if impl == "arrow":
         # Vectorized verify: ship candidate pairs' texts through Arrow and
@@ -220,7 +252,7 @@ def minhash_lsh_pairs(
 
     # Pure-JVM verify over the persisted shingle branch.
     if sh is None:
-        sh = df.select(
+        sh = widen(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
         ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
@@ -252,7 +284,7 @@ def simhash_pairs(
     for max_hamming < n_blocks; larger max_hamming trades recall for cost."""
     # three consumers (band keys + both verify sides) — persist or the
     # 64-fold simhash recomputes per branch
-    sb = df.select(
+    sb = widen(df.select(F.col(id_col), F.col(text_col))).select(
         id_col, simhash_bits(tokens(text_col), n_bits).alias("bits")
     ).persist()
     keyed = sb.select(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import widen
+
 
 def kgram_hashes(c: Column | str, k: int = 5) -> Column:
     """Ordered (non-distinct) k-gram xxhash64 sequence of a string."""
@@ -54,7 +56,7 @@ def with_fingerprints(
     its own projection step so each hash is computed exactly once (the
     inlined single-expression form re-evaluates the array per window)."""
     return (
-        df.withColumn("_kgram_hashes", kgram_hashes(text_col, k))
+        widen(df).withColumn("_kgram_hashes", kgram_hashes(text_col, k))
         .withColumn(out_col, _winnow_from_hashes(F.col("_kgram_hashes"), w))
         .drop("_kgram_hashes")
     )
