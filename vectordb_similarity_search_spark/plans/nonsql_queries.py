@@ -104,12 +104,36 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
-@query("p_cohort_stats")
+# Expected-output parquet twins for queries whose results are deterministic
+# but not SQL-expressible (learned-embedding search, seeded synthetic
+# cohorts): seeded generation with PINNED partitioning (sources/synthetic
+# uses numPartitions=8 explicitly) makes the output independent of sf_dir,
+# session, and cluster size, so a single precomputed fixture
+# (scripts/gen_expected_fixtures.py, committed under tests/fixtures/) turns
+# a rows-only count into a full rows+schema+hash oracle.
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+def _expected_oracle(name: str) -> str:
+    return (
+        "SELECT * FROM read_parquet('"
+        + os.path.join(_FIXTURES_DIR, f"{name}_expected.parquet")
+        + "')"
+    )
+
+
+@query("p_cohort_stats", oracle=_expected_oracle("p_cohort_stats"))
 def p_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference E1 cohort statistics over the synthetic multi-hospital
-    patients table (generator §S1-S3 as pure Spark expressions; rows-only:
-    Spark's rand(seed) stream has no DuckDB twin — determinism is pinned by
-    tests/test_patients.py::test_generator_deterministic)."""
+    patients table (generator §S1-S3 as pure Spark expressions). Oracle:
+    precomputed expected-output parquet — Spark's rand(seed) stream has no
+    DuckDB replay, but pinned partitioning makes it deterministic
+    (tests/test_patients.py::test_generator_deterministic), and every float
+    is rounded to 6 before comparison."""
     from ..operators.cohort import cohort_stats
     from ..sources.synthetic import gen_hospital_patients
 
@@ -119,11 +143,13 @@ def p_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_stats(pts)
 
 
-@query("p_search_report")
+@query("p_search_report", oracle=_expected_oracle("p_search_report"))
 def p_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference E2 end-to-end: z-score features with stored corpus stats,
-    scatter-gather top-10 across hospital partitions, ranked hits (rows-only;
-    self-retrieval + pruning properties in tests/test_patients.py)."""
+    scatter-gather top-10 across hospital partitions, ranked hits. Oracle:
+    precomputed expected-output parquet (seeded generator with pinned
+    partitioning → session-independent output; self-retrieval + pruning
+    properties additionally in tests/test_patients.py)."""
     from pyspark.sql import functions as FF
 
     from ..operators.cohort import PatientSimilaritySearch
@@ -143,26 +169,6 @@ def p_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "patient_id", "hospital", "received_transplant",
         FF.round("score", 6).alias("score"),
-    )
-
-
-# Expected-output parquet twins for the learned-embedding queries: their
-# output is sf-INDEPENDENT (fixed synthetic corpus + seeded weights), so a
-# single precomputed fixture (scripts/gen_expected_fixtures.py, committed
-# under tests/fixtures/) makes scoring parity driver-visible as a full
-# rows+schema+hash oracle instead of a rows-only count.
-_FIXTURES_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests",
-    "fixtures",
-)
-
-
-def _expected_oracle(name: str) -> str:
-    return (
-        "SELECT * FROM read_parquet('"
-        + os.path.join(_FIXTURES_DIR, f"{name}_expected.parquet")
-        + "')"
     )
 
 
