@@ -45,16 +45,13 @@ DRIVER_WINDOW = [
     "r_left_join_counts",
     "r_range_join",
     "r_rollup_revenue",
-    "r_grouping_sets",
     "r_percentiles",
     "r_string_agg",
     "r_above_customer_avg",
-    "r_array_agg",
     "r_intersect_except",
     "r_approx_distinct",
     # window functions
     "w_rank_orders",
-    "w_moving_avg",
     # text pipeline
     "t_token_stats",
     "t_exact_dedup",
@@ -62,8 +59,11 @@ DRIVER_WINDOW = [
     "t_lang_guess_confusion",
     "t_stopword_ratio",
     "t_bpe_tokens",
-    "t_doclen_percentiles",
     "t_fingerprint_pairs",
+    "t_rep_ngram",
+    "t_chunk_stats",
+    "t_pack_sequences",
+    "t_filter_funnel",
     # event streams (batch twins of the streaming ops)
     "e_tumbling_hourly",
     "e_sliding_2h",
@@ -91,6 +91,10 @@ DRIVER_WINDOW = [
 # parity replica.
 TAIL = [
     "v_knn_l2",
+    "r_grouping_sets",
+    "r_array_agg",
+    "w_moving_avg",
+    "t_doclen_percentiles",
     "v_embedding_variance",
     "v_dot_topk",
     "r_distinct_agg",

@@ -16,6 +16,7 @@ from ..functions.text import (
     n_tokens,
     quality_bucket,
     stopword_ratio,
+    tokens,
 )
 from .catalog import query, t
 
@@ -277,4 +278,242 @@ def t_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.95)), 4).alias("p95_chars"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (Gopher-style repetition, chunking,
+# sequence packing, filter funnel). All pure JVM expressions; token arrays
+# are materialized in their own projection step before any HOF consumes
+# them (an expression referenced inside a lambda re-evaluates per element).
+# ---------------------------------------------------------------------------
+
+# duplicate word-n-gram fraction of one doc: 1 - distinct/total, 0.0 when
+# fewer than n tokens (no n-grams). NULL-free by construction: the index
+# range stops at size-n+1, so element_at never reads past the end (DuckDB's
+# list_distinct drops NULLs while Spark's array_distinct keeps them — NULLs
+# in the gram list would silently diverge).
+def _dup_ngram_frac(toks: F.Column, n: int) -> F.Column:
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(
+        sz >= n,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _sql_dup_ngram_frac(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(n))
+    grams = f"list_transform(range(1, greatest(len(toks) - {n - 2}, 1)), i -> {parts})"
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}) "
+        "ELSE 0.0 END"
+    )
+
+
+@query(
+    "t_rep_ngram",
+    oracle=f"""
+WITH tok AS (SELECT source, {SQL_TOKENS} AS toks FROM documents),
+frac AS (SELECT source,
+                {_sql_dup_ngram_frac(2)} AS dup2,
+                {_sql_dup_ngram_frac(3)} AS dup3
+         FROM tok)
+SELECT source,
+       count(*) AS n_docs,
+       (round(avg(dup2), 6) + 0) AS avg_dup_2gram,
+       (round(avg(dup3), 6) + 0) AS avg_dup_3gram,
+       CAST(count(CASE WHEN dup2 > 0.5 THEN 1 END) AS BIGINT) AS n_repetitive
+FROM frac GROUP BY source
+""",
+)
+def t_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: fraction of duplicate word
+    2-/3-grams per doc, aggregated per source (the 'duplicate n-gram
+    fraction' family of quality filters from the Gopher/MassiveText rules,
+    public in Rae et al. 2021). Docs with dup-2gram fraction > 0.5 are the
+    boilerplate/template suspects a pipeline would drop."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", tokens("text").alias("toks"))
+    frac = tok.select(
+        "source",
+        _dup_ngram_frac(F.col("toks"), 2).alias("dup2"),
+        _dup_ngram_frac(F.col("toks"), 3).alias("dup3"),
+    )
+    return frac.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dup2"), 6).alias("avg_dup_2gram"),
+        F.round(F.avg("dup3"), 6).alias("avg_dup_3gram"),
+        F.count(F.when(F.col("dup2") > 0.5, 1)).cast("long").alias("n_repetitive"),
+    )
+
+
+@query(
+    "t_chunk_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, {SQL_TOKENS} AS toks FROM documents),
+spans AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+             range(0, CASE WHEN len(toks) <= 32 THEN 1
+                           ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END),
+             j -> len(toks[CAST(j*24 + 1 AS INTEGER):CAST(least(j*24 + 32, len(toks)) AS INTEGER)])
+         )) AS chunk_tokens
+  FROM tok)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       (round(CAST(sum(chunk_tokens) AS DOUBLE) / count(*), 6) + 0) AS avg_chunk_tokens,
+       CAST(min(chunk_tokens) AS INTEGER) AS min_chunk_tokens
+FROM spans GROUP BY source
+""",
+)
+def t_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24 — the
+    overlap-chunking every retrieval/training pipeline runs before
+    embedding): explode real chunk rows, then aggregate per source. The
+    chunk build is one narrow JVM projection — no shuffle until the final
+    aggregate, so it scales as the scan does."""
+    d = t(spark, sf_dir, "documents")
+    size, stride = 32, 24
+    tok = d.select("doc_id", "source", tokens("text").alias("toks"))
+    n_chunks = F.when(F.size("toks") <= size, F.lit(1)).otherwise(
+        F.ceil((F.size("toks") - size) / float(stride)).cast("long") + 1
+    )
+    chunks = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda j: F.size(
+                    F.slice(
+                        F.col("toks"),
+                        (j * stride + 1).cast("int"),
+                        F.least(
+                            F.lit(size),
+                            F.size("toks") - (j * stride).cast("int"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("chunk_tokens"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.round(F.sum("chunk_tokens").cast("double") / F.count("*"), 6)
+        .alias("avg_chunk_tokens"),
+        F.min("chunk_tokens").cast("int").alias("min_chunk_tokens"),
+    )
+
+
+@query(
+    "t_pack_sequences",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, {SQL_NTOK} AS nt FROM documents),
+cum AS (
+  SELECT source, nt,
+         sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(cum) AS BIGINT) AS total_tokens,
+       CAST(ceil(max(cum) / 1024.0) AS BIGINT) AS n_sequences,
+       CAST(count(CASE WHEN floor((cum - nt) / 1024.0) != floor((cum - 1) / 1024.0)
+                  THEN 1 END) AS BIGINT) AS n_boundary_docs
+FROM cum GROUP BY source
+""",
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice sequence packing audit (the standard LLM training
+    layout: concatenate each source's token stream in doc_id order, cut
+    every 1024 tokens): sequences produced and documents straddling a cut
+    boundary, from one window cumsum — integer-exact, no data movement
+    beyond the per-source shuffle."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    seq_len = 1024
+    tok = d.select("doc_id", "source", n_tokens("text").alias("nt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.select("source", "nt", F.sum("nt").over(w).alias("cum"))
+    crosses = F.floor((F.col("cum") - F.col("nt")) / float(seq_len)) != F.floor(
+        (F.col("cum") - 1) / float(seq_len)
+    )
+    return cum.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("cum").cast("long").alias("total_tokens"),
+        F.ceil(F.max("cum") / float(seq_len)).cast("long").alias("n_sequences"),
+        F.count(F.when(crosses, 1)).cast("long").alias("n_boundary_docs"),
+    )
+
+
+@query(
+    "t_filter_funnel",
+    oracle=f"""
+WITH m AS (
+  SELECT source,
+         (n_chars BETWEEN 100 AND 2000) AS len_ok,
+         (CAST(len(replace(text, ' ', '')) AS DOUBLE) / {SQL_NTOK}
+            BETWEEN 3 AND 10) AS tokavg_ok,
+         (CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE) / {SQL_NTOK}
+            >= 0.02) AS stop_ok
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN NOT len_ok THEN 1 END) AS BIGINT) AS fail_length,
+       CAST(count(CASE WHEN len_ok AND NOT tokavg_ok THEN 1 END) AS BIGINT)
+         AS fail_token_len,
+       CAST(count(CASE WHEN len_ok AND tokavg_ok AND NOT stop_ok THEN 1 END)
+         AS BIGINT) AS fail_stopwords,
+       CAST(count(CASE WHEN len_ok AND tokavg_ok AND stop_ok THEN 1 END)
+         AS BIGINT) AS kept
+FROM m GROUP BY source
+""",
+)
+def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel (the CCNet/Gopher-style keep/drop report every
+    corpus pipeline publishes): rule-ordered drop counts — length gate,
+    then mean-token-length gate, then stopword-density gate — and the
+    surviving count, per source. Single pass, conditional counts only."""
+    d = t(spark, sf_dir, "documents")
+    len_ok = F.col("n_chars").between(100, 2000)
+    tokavg_ok = avg_token_len("text").between(3, 10)
+    stop_ok = stopword_ratio("text", LANG_MARKERS["en"]) >= 0.02
+    m = d.select(
+        "source",
+        len_ok.alias("len_ok"),
+        tokavg_ok.alias("tokavg_ok"),
+        stop_ok.alias("stop_ok"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(~F.col("len_ok"), 1)).cast("long").alias("fail_length"),
+        F.count(F.when(F.col("len_ok") & ~F.col("tokavg_ok"), 1))
+        .cast("long")
+        .alias("fail_token_len"),
+        F.count(
+            F.when(F.col("len_ok") & F.col("tokavg_ok") & ~F.col("stop_ok"), 1)
+        )
+        .cast("long")
+        .alias("fail_stopwords"),
+        F.count(
+            F.when(F.col("len_ok") & F.col("tokavg_ok") & F.col("stop_ok"), 1)
+        )
+        .cast("long")
+        .alias("kept"),
     )
