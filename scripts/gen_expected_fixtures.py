@@ -18,7 +18,10 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-FIXTURE_QUERIES = ["m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report"]
+FIXTURE_QUERIES = [
+    "m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report",
+    "p_pca_variance", "m_media_decode_stats",
+]
 
 
 def main() -> None:

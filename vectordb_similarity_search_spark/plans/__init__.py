@@ -91,6 +91,8 @@ DRIVER_WINDOW = [
 # parity replica.
 TAIL = [
     "v_knn_l2",
+    "p_pca_variance",
+    "m_media_decode_stats",
     "r_grouping_sets",
     "r_array_agg",
     "w_moving_avg",

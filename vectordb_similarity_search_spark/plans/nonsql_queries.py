@@ -284,3 +284,49 @@ def s_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query("p_pca_variance", oracle=_expected_oracle("p_pca_variance"))
+def p_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA variance report over the synthetic patients' 20-dim
+    feature vectors (ml/pca: one Arrow moment pass → driver eigh → no
+    per-row data leaves the executors). Oracle: precomputed expected-output
+    parquet — the seeded pinned-partition corpus makes eigenvalues
+    deterministic to ~1e-12, far inside the round(6) comparison."""
+    from ..ml.pca import fit_pca
+    from ..operators.cohort import PatientSimilaritySearch
+
+    feats = PatientSimilaritySearch(_embed_patients(spark)).store.select("features")
+    m = fit_pca(feats, "features", k=8)
+    ratio = m.explained_ratio
+    cum = ratio.cumsum()
+    return spark.createDataFrame(
+        [
+            (i + 1, round(float(m.explained_var[i]), 6),
+             round(float(ratio[i]), 6), round(float(cum[i]), 6))
+            for i in range(len(ratio))
+        ],
+        "component int, explained_var double, explained_ratio double, cum_ratio double",
+    )
+
+
+@query("m_media_decode_stats", oracle=_expected_oracle("m_media_decode_stats"))
+def m_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pass made driver-visible: synthesize the seeded
+    binary media corpus (per-id RNG → independent of partitioning and
+    sf_dir), run the Arrow decode (operators/multimodal.decode_media — the
+    documented synth-fake parser; a codec library would swap in at the same
+    seam), aggregate per kind. Oracle: precomputed expected-output
+    parquet."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.multimodal import decode_media, synth_media
+
+    decoded = decode_media(synth_media(spark, n=120))
+    return decoded.groupBy("kind").agg(
+        FF.count("*").cast("long").alias("n_media"),
+        FF.round(FF.avg("width"), 6).alias("avg_width"),
+        FF.round(FF.avg("height"), 6).alias("avg_height"),
+        FF.round(FF.avg("mean_byte"), 6).alias("avg_mean_byte"),
+        FF.min("decoder").alias("decoder"),
+    )
