@@ -1,0 +1,70 @@
+"""Multi-format source/sink round-trips and partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.sources.io import read_table, write_table
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_documents_roundtrip(spark, tmp_path, fmt):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / f"docs_{fmt}")
+    write_table(docs, path, fmt)
+    back = read_table(spark, path, fmt, schema=docs.schema)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert _sorted_rows(back, cols) == _sorted_rows(docs, cols)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json"])
+def test_embeddings_array_roundtrip(spark, tmp_path, fmt):
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    path = str(tmp_path / f"emb_{fmt}")
+    write_table(emb, path, fmt)
+    back = read_table(spark, path, fmt, schema=emb.schema)
+    a = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    b = {r.vec_id: list(r.embedding) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_rejects_arrays(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="nested/array"):
+        write_table(emb, str(tmp_path / "x"), "csv")
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "d")
+    write_table(docs, path, "json")
+    with pytest.raises(ValueError, match="schema"):
+        read_table(spark, path, "json")
+
+
+def test_events_timestamp_roundtrip_json(spark, tmp_path):
+    ev = load_table(spark, SF, "events").limit(100)
+    path = str(tmp_path / "ev_json")
+    write_table(ev, path, "json")
+    back = read_table(spark, path, "json", schema=ev.schema)
+    a = _sorted_rows(ev, ["event_id", "ts"])
+    assert a == _sorted_rows(back, ["event_id", "ts"])
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_part")
+    write_table(docs, path, "parquet", partition_by=["source"])
+    back = read_table(spark, path, "parquet").filter(F.col("source") == "src3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src3" in plan
+    n_expected = docs.filter(F.col("source") == "src3").count()
+    assert back.count() == n_expected

@@ -1,0 +1,87 @@
+"""Multi-format source/sink layer: parquet, ORC, JSON-lines, CSV.
+
+The reference has no file I/O at all (in-memory dicts/numpy,
+similarity_search.py:268-271); this module is the engine's generic storage
+boundary beyond the parquet fixture loaders (sources/tables.py).
+
+Design rules encoded here (the ones that matter at 100 TB):
+
+- **Schema is explicit on read** for the text formats. CSV/JSON schema
+  inference runs an extra full pass over the data before the real job —
+  at scale that's a second 100 TB scan. Columnar formats (parquet/ORC)
+  carry their schema in file metadata, so no pass is needed.
+- **Partitioned layout is the coarsest index.** ``partition_by`` writes
+  ``col=value/`` directories; readers that filter on the partition column
+  prune whole directories at planning time (asserted by plan test — the
+  scan's PartitionFilters, not a row filter).
+- **CSV cannot carry nested/array columns** — callers get an explicit
+  error instead of a silently stringified column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+# Read options per text format: no inference (schema is required), ISO
+# timestamps so round-trips are lossless at micro precision.
+_CSV_OPTS = {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def _has_nested(schema: T.StructType) -> bool:
+    return any(
+        isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        for f in schema.fields
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "csv" and _has_nested(df.schema):
+        raise ValueError(
+            "CSV cannot represent nested/array columns; use parquet/orc/json"
+        )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        w = w.options(**_CSV_OPTS)
+    elif fmt == "json":
+        w = w.options(**_JSON_OPTS)
+    w.format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Scan ``path``. For csv/json a schema is REQUIRED (see module doc);
+    for parquet/orc it is optional (projection over the file schema)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    r = spark.read
+    if fmt == "csv":
+        if schema is None:
+            raise ValueError("csv read requires an explicit schema (no inference pass)")
+        r = r.options(**_CSV_OPTS)
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError("json read requires an explicit schema (no inference pass)")
+        r = r.options(**_JSON_OPTS)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)
