@@ -1,0 +1,88 @@
+"""MERGE-into-parquet semantics and salted-join equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.merge import merge_parquet
+from vectordb_similarity_search_spark.operators.skew import salted_join
+
+
+def _read(spark, path):
+    return {
+        r.k: (r.v, r.grp)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 == 0 else "b") for i in range(10)],
+        "k int, v string, grp string",
+    ).write.parquet(path)
+    return path
+
+
+def test_merge_update_insert_delete(spark, table):
+    updates = spark.createDataFrame(
+        [
+            (3, "v3_new", "b", False),   # update
+            (42, "v42", "a", False),     # insert
+            (4, None, None, True),       # delete
+        ],
+        "k int, v string, grp string, is_deleted boolean",
+    )
+    merge_parquet(spark, table, updates, ["k"], delete_col="is_deleted")
+    got = _read(spark, table)
+    assert got[3] == ("v3_new", "b")
+    assert got[42] == ("v42", "a")
+    assert 4 not in got
+    assert len(got) == 10  # 10 - 1 delete + 1 insert
+    assert got[7] == ("v7", "b")  # untouched rows intact
+
+
+def test_merge_rejects_duplicate_update_keys(spark, table):
+    updates = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "a")], "k int, v string, grp string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_parquet(spark, table, updates, ["k"])
+
+
+def test_merge_rejects_schema_drift(spark, table):
+    updates = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="schema"):
+        merge_parquet(spark, table, updates, ["k"])
+
+
+def test_merge_survives_partitioned_rewrite(spark, table):
+    updates = spark.createDataFrame([(0, "z", "a")], "k int, v string, grp string")
+    merge_parquet(spark, table, updates, ["k"], partition_by=["grp"])
+    got = _read(spark, table)
+    assert got[0] == ("z", "a") and len(got) == 10
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain(spark, how):
+    # 90% of big rows share one hot key
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(2000)], "key int, payload int"
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 2000, 7)], "key int, attr string"
+    )
+    plain = big.join(small, ["key"], how).orderBy("payload", "attr")
+    salted = salted_join(big, small, ["key"], how=how, n_salts=5).orderBy(
+        "payload", "attr"
+    )
+    assert plain.collect() == salted.collect()
+    assert "_salt" not in salted.columns
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.range(2).withColumnRenamed("id", "key")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["key"], how="full")

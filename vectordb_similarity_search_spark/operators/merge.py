@@ -1,0 +1,100 @@
+"""Keyed MERGE (upsert/delete) into a parquet table — vanilla-Spark
+emulation of the lakehouse MERGE INTO.
+
+Plain parquet has no transactional row-level merge (that's what
+Delta/Iceberg table formats add); the portable pattern is
+read-join-rewrite with an atomic directory swap:
+
+1. read the current table snapshot,
+2. full-outer join target vs updates on the key (updates broadcast when
+   small — the common CDC case: a day's changes vs years of history),
+3. resolve per row: update wins over target, absent-in-target inserts,
+   tombstones delete,
+4. write the new snapshot NEXT TO the table and atomically rename over it.
+
+Scale notes: the rewrite cost is one pass over the table — that is the
+honest floor for format-less parquet; partition the table and merge only
+affected partitions to cut it (``partition_by`` + pre-filtering updates'
+partitions). Readers never see a half-written table: the swap is a
+directory rename, and a crash before the rename leaves the old snapshot
+intact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_parquet(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    delete_col: str | None = None,
+    partition_by: list[str] | None = None,
+    broadcast_updates: bool = True,
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``table_path`` by key.
+
+    ``delete_col``: optional boolean column in ``updates`` marking
+    tombstones — matching target rows are removed (and such updates never
+    insert). The column itself is not written.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    target = spark.read.parquet(table_path)
+    data_cols = [c for c in updates.columns if c != delete_col]
+    if set(target.columns) != set(data_cols):
+        raise ValueError(
+            f"updates schema {sorted(data_cols)} != table schema "
+            f"{sorted(target.columns)}"
+        )
+
+    upd = updates
+    if delete_col is None:
+        upd = upd.withColumn("_tomb", F.lit(False))
+    else:
+        upd = upd.withColumn("_tomb", F.coalesce(F.col(delete_col), F.lit(False)))
+        upd = upd.drop(delete_col)
+    if upd.select(*key_cols).distinct().count() != upd.count():
+        raise ValueError("updates carry duplicate keys; resolve before merging")
+
+    u = upd.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in data_cols]).alias("_u"),
+        "_tomb",
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+    cond = [target[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
+    joined = target.join(u, cond, "full_outer")
+    # matched+tombstone -> drop; matched -> update; unmatched update -> insert;
+    # unmatched target -> keep
+    keep = ~F.coalesce(F.col("_tomb"), F.lit(False))
+    merged = (
+        joined.filter(keep)
+        .select(
+            *[
+                F.when(F.col("_u").isNotNull(), F.col("_u")[c])
+                .otherwise(target[c])
+                .alias(c)
+                for c in target.columns
+            ]
+        )
+    )
+
+    tmp = f"{table_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = f"{table_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old)
