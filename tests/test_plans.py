@@ -91,3 +91,34 @@ def test_ivf_catalog_query_prunes_partitions(spark, sf_dir):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0]
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical exchanges: the formatted plan prints each node in
+    both the tree and the detail section — count detail headers only."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_rep_ngram_prunes_and_single_shuffle(spark, sf_dir):
+    plan = plan_of(REGISTRY["t_rep_ngram"].fn(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "doc_id" not in read_schema and "lang" not in read_schema
+    # partial+final aggregate over one exchange — the n-gram math is a
+    # narrow projection, only (source, fracs) shuffles
+    assert _n_exchanges(plan) == 1
+
+
+def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
+    # window partitionBy(source) then groupBy(source): Catalyst must reuse
+    # the same hash partitioning — exactly ONE exchange in the whole plan
+    plan = plan_of(REGISTRY["t_pack_sequences"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) == 1
+    assert "Window" in plan
+
+
+def test_filter_funnel_single_pass(spark, sf_dir):
+    plan = plan_of(REGISTRY["t_filter_funnel"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) == 1  # conditional counts, one agg pass
