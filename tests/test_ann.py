@@ -114,3 +114,42 @@ def test_blocked_join_zero_norm_query_no_nan(spark, sf_dir):
     got = similarity_join_blocked(q, emb, k=5).collect()
     assert len(got) == 5
     assert all(r.score == 0.0 and not math.isnan(r.score) for r in got)
+
+
+def test_ivf_append_and_compact(spark, tmp_path):
+    import glob
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_append,
+        ivf_compact,
+        ivf_fit,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = ivf_fit(emb, n_cells=4, seed=1)
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") >= 10)
+    ivf_write_index(model, base, path)
+
+    # append the held-out rows; a probe must now find an appended vector
+    held = emb.filter(F.col("vec_id") < 10)
+    ivf_append(model, held, path)
+    qv = [float(x) for x in held.filter(F.col("vec_id") == 3).head()["embedding"]]
+    hits = ivf_search_index(spark, path, model, qv, k=1, nprobe=4).collect()
+    assert hits[0]["vec_id"] == 3  # self-retrieval through the appended files
+
+    n_before = spark.read.parquet(path).count()
+    files_before = len(glob.glob(f"{path}/cell=*/*.parquet"))
+    ivf_compact(spark, path, target_rows_per_file=10_000)
+    assert spark.read.parquet(path).count() == n_before
+    files_after = len(glob.glob(f"{path}/cell=*/*.parquet"))
+    assert files_after <= files_before
+    # search still correct post-swap
+    hits = ivf_search_index(spark, path, model, qv, k=1, nprobe=4).collect()
+    assert hits[0]["vec_id"] == 3

@@ -169,3 +169,59 @@ def ivf_search_index(
     cells = model.probe_cells(query_vec, nprobe)
     indexed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
     return knn(indexed, query_vec, k, id_col=id_col, vec_col=model.vec_col, metric=metric)
+
+
+def ivf_append(
+    model: IvfModel,
+    new_rows: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "cell",
+) -> None:
+    """Incremental insert into a written IVF index — the reference's
+    store-time insert (similarity_search.py:275-292 rebuilds its whole
+    in-memory matrix per batch; here an insert appends parquet files ONLY
+    under the cells the new vectors land in; existing files are never
+    rewritten and concurrent probes keep working).
+
+    Centroids are NOT refit on insert (standard IVF practice: the cell
+    assignment function must stay frozen or existing cells go stale);
+    periodic offline refits rebuild the index under a new path."""
+    model.assign(new_rows, cell_col).write.partitionBy(cell_col).mode(
+        "append"
+    ).parquet(path)
+
+
+def ivf_compact(
+    spark,
+    path: str,
+    *,
+    cell_col: str = "cell",
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Compact an appended IVF index: many small per-insert files per cell
+    degrade scan throughput (file-open overhead, tiny row groups). Rewrite
+    each cell's data into ~rows/target files, atomically swapping the
+    whole index directory (crash before the swap leaves the old index
+    intact)."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as FF
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(files, FF.col(cell_col))
+        .write.partitionBy(cell_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -97,6 +97,8 @@ TAIL = [
     "r_array_agg",
     "w_moving_avg",
     "t_doclen_percentiles",
+    "t_top_tokens",
+    "t_idf_common",
     "v_embedding_variance",
     "v_dot_topk",
     "r_distinct_agg",

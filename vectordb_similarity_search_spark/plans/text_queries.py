@@ -517,3 +517,79 @@ def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept"),
     )
+
+
+@query(
+    "t_top_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents),
+counts AS (
+  SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok),
+ranked AS (
+  SELECT source, tok, n,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, tok ASC) AS INTEGER) AS rank
+  FROM counts)
+SELECT source, tok, CAST(n AS BIGINT) AS n, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def t_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source top-5 vocabulary (the 'what is this corpus made of'
+    report): explode → count → rank with a deterministic (count desc, token
+    asc) tie-break. Partial aggregation absorbs the token explosion before
+    the shuffle — the exchange moves (source, token, partial count), never
+    token instances."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "tok", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+@query(
+    "t_idf_common",
+    oracle=f"""
+WITH dtok AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents),
+df_counts AS (
+  SELECT tok, count(*) AS df FROM dtok GROUP BY tok)
+SELECT tok, CAST(df AS BIGINT) AS df,
+       (round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) + 0)
+         AS idf
+FROM df_counts
+ORDER BY df DESC, tok ASC LIMIT 10
+""",
+)
+def t_idf_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency / IDF table head (the weighting every TF-IDF or
+    stopword-discovery pass needs): distinct tokens per doc → df →
+    ln(N/df), top-10 most common with deterministic tie-break. N rides a
+    1-row broadcast crossJoin — lazy, no driver-side count."""
+    d = t(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("_n"))
+    dfc = (
+        d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        dfc.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.log(F.col("_n").cast("double") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(10)
+    )
