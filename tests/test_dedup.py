@@ -127,3 +127,55 @@ def test_simhash_non_default_bits_roundtrip(spark):
            for r in simhash_pairs(df, n_bits=32, n_blocks=4).collect()}
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got
+
+
+def test_minhash_word_shingles_recall_and_exactness(spark):
+    """Word-shingle mode: finds injected near-dups, agrees with an exact
+    word-n-gram Jaccard computed in-process, and never emits a pair below
+    threshold (verify removes banding false positives)."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.dedup import (
+        _shingle_set,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:04d}" for i in range(2000)]
+    docs, texts = [], {}
+    for i in range(200):
+        toks = list(rng.choice(vocab, size=50))
+        if i % 25 == 1:  # near-dup of the previous doc, one token changed
+            toks = texts[i - 1].split()
+            toks[0] = "CHANGED"
+        texts[i] = " ".join(toks)
+        docs.append((i, texts[i]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, threshold=0.5, shingle_mode="word", shingle_n=3
+        ).collect()
+    }
+    # exact word-trigram Jaccard over all pairs
+    ss = {i: _shingle_set(t, 3, "word") for i, t in texts.items()}
+    expected = {}
+    for a in range(200):
+        for b in range(a + 1, 200):
+            inter = len(ss[a] & ss[b])
+            j = inter / (len(ss[a]) + len(ss[b]) - inter)
+            if j >= 0.5:
+                expected[(a, b)] = round(j, 6)
+    assert expected, "fixture must contain true near-dups"
+    assert got == expected
+
+
+def test_minhash_word_mode_requires_arrow(spark):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="arrow"):
+        minhash_lsh_pairs(df, shingle_mode="word", impl="jvm")

@@ -28,6 +28,22 @@ from ..functions.vector import cosine_similarity
 from ..util import widen
 
 
+def _shingle_set(text: str, n: int, mode: str) -> set:
+    """Shingle a document: ``char`` = overlapping character n-grams (matches
+    functions/text.char_shingles and the t_ngram_jaccard oracle); ``word``
+    = whitespace-token n-grams (the web-dedup standard — Lee et al. 2022,
+    MassiveText — because char n-grams of shared template/boilerplate text
+    give random pairs a high baseline Jaccard that floods LSH banding with
+    candidates; word n-grams restore near-zero baseline similarity). See
+    BASELINE.md round-2 scale notes for the measured blow-up."""
+    if mode == "char":
+        return {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
+    toks = text.split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact dedup = hash-groupBy on the key columns (dropDuplicates).
     Spark plans this as a partial+final aggregate — no document ever
@@ -68,6 +84,7 @@ def minhash_signatures_batch(
     shingle_n: int = 5,
     n_hashes: int = 64,
     seed: int = 42,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Arrow-vectorized MinHash signatures (the throughput path): per batch,
     shingle in C-speed string slicing, hash every shingle once with crc32,
@@ -101,8 +118,7 @@ def minhash_signatures_batch(
         for pdf in batches:
             ids, out = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                n = max(len(text) - (shingle_n - 1), 1)
-                shingles = {text[i : i + shingle_n] for i in range(n)}
+                shingles = _shingle_set(text, shingle_n, shingle_mode)
                 h = np.fromiter(
                     (zlib.crc32(s.encode()) for s in shingles),
                     dtype=np.uint64,
@@ -129,6 +145,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     verify: bool = True,
     impl: str = "arrow",
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs, optionally verified with
     exact Jaccard (north-star MinHash dedup; approximates
@@ -138,7 +155,14 @@ def minhash_lsh_pairs(
     band = 0.3⁴ ≈ 0.008, over 16 bands ≈ 12%; at J=0.8 ≈ 99.9%. Tune
     (bands, n_hashes) to move the S-curve; verify=True removes false
     positives entirely (exact Jaccard on candidates only).
+
+    ``shingle_mode``: ``char`` n-grams match the exact-Jaccard oracle
+    baseline; ``word`` n-grams (use shingle_n≈3-5 tokens) are the
+    boilerplate-robust web-scale choice — see _shingle_set. Arrow impl
+    only for ``word``.
     """
+    if shingle_mode != "char" and impl != "arrow":
+        raise ValueError("word shingles are implemented on the arrow path only")
     rows = n_hashes // bands
     sh = None
     if impl == "arrow":
@@ -147,7 +171,8 @@ def minhash_lsh_pairs(
         # signature screen below — without persist each branch re-runs the
         # scan + Python signature pass.
         sig_df = minhash_signatures_batch(
-            df, id_col, text_col, shingle_n=shingle_n, n_hashes=n_hashes
+            df, id_col, text_col, shingle_n=shingle_n, n_hashes=n_hashes,
+            shingle_mode=shingle_mode,
         ).persist()
     else:
         # Pure-JVM expression path: explode + n_hashes min-aggregates
@@ -234,7 +259,7 @@ def minhash_lsh_pairs(
             def sset(doc_id, text):
                 s = cache.get(doc_id)
                 if s is None:
-                    s = {text[i : i + k] for i in range(max(len(text) - k + 1, 1))}
+                    s = _shingle_set(text, k, shingle_mode)
                     cache[doc_id] = s
                 return s
 
