@@ -179,3 +179,43 @@ def test_minhash_word_mode_requires_arrow(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="arrow"):
         minhash_lsh_pairs(df, shingle_mode="word", impl="jvm")
+
+
+def test_simhash_arrow_path_recall(spark):
+    """Arrow simhash (crc32 family): pigeonhole recall on injected
+    near-identical docs, no pair above max_hamming, and the bit arrays are
+    valid simhash output (0/1, length 64)."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.dedup import (
+        simhash_bits_batch,
+        simhash_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:04d}" for i in range(2000)]
+    texts = {}
+    # 200-token docs: one changed token shifts each bit-sum by ±2 out of
+    # ~sqrt(200) — expected hamming ~2 of 64, comfortably inside ham<=3
+    for i in range(100):
+        toks = list(rng.choice(vocab, size=200))
+        if i % 20 == 1:  # near-dup: one token changed
+            toks = texts[i - 1].split()
+            toks[0] = "CHANGED"
+        texts[i] = " ".join(toks)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    bits = {r.doc_id: list(r.bits) for r in simhash_bits_batch(df).collect()}
+    assert all(len(b) == 64 and set(b) <= {0, 1} for b in bits.values())
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, impl="arrow").collect()
+    }
+    assert all(h <= 3 for h in got.values())
+    # every injected pair whose true hamming <= 3 must be found (pigeonhole)
+    for i in range(1, 100, 20):
+        ham = sum(a != b for a, b in zip(bits[i - 1], bits[i]))
+        if ham <= 3:
+            assert (i - 1, i) in got and got[(i - 1, i)] == ham
+    assert got, "expected at least one near-dup pair"

@@ -293,6 +293,62 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_bits_batch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Arrow-vectorized simhash bits (the throughput path, same design as
+    minhash_signatures_batch): per doc, hash every whitespace token once,
+    then one numpy broadcast ``(h >> j) & 1`` over all bit positions and a
+    column sum — ~3x the 64-fold JVM aggregate chain. The 64-bit token
+    hash is two salted crc32 halves (crc32 alone is 32-bit — using it
+    unextended would silently pin bits 32+ to a constant and collapse the
+    signature to 32 effective bits). Signatures differ from the
+    xxhash64-based JVM expression path (both are valid simhash families;
+    pick one per corpus and stick with it — an index built with one
+    cannot be probed with the other)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if n_bits > 64:
+        raise ValueError("simhash_bits_batch supports n_bits <= 64")
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("bits", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t.encode() for t in text.split()]
+                lo = np.fromiter(
+                    (zlib.crc32(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                hi = np.fromiter(
+                    (zlib.crc32(t + b"\x01") for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                h = lo | (hi << np.uint64(32))
+                bitmat = ((h[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+                sums = (2 * bitmat - 1).sum(axis=0)
+                ids.append(doc_id)
+                out.append((sums > 0).astype(np.int32))
+            yield pd.DataFrame({id_col: ids, "bits": out})
+
+    return widen(df.select(id_col, text_col)).mapInPandas(build, out_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -302,16 +358,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     n_bits: int = 64,
+    impl: str = "jvm",
 ) -> DataFrame:
     """SimHash near-dup pairs: ``n_bits``-bit simhash, block-key LSH
     candidates, exact hamming verify. Guarantee: any pair with
     hamming < n_blocks shares ≥1 block key (pigeonhole), so recall is exact
-    for max_hamming < n_blocks; larger max_hamming trades recall for cost."""
+    for max_hamming < n_blocks; larger max_hamming trades recall for cost.
+
+    ``impl='jvm'`` (default, xxhash64 expressions — the catalog/oracle
+    path) or ``'arrow'`` (crc32 numpy batch — the throughput path; a
+    different but equally valid hash family, see simhash_bits_batch)."""
     # three consumers (band keys + both verify sides) — persist or the
     # 64-fold simhash recomputes per branch
-    sb = widen(df.select(F.col(id_col), F.col(text_col))).select(
-        id_col, simhash_bits(tokens(text_col), n_bits).alias("bits")
-    ).persist()
+    if impl == "arrow":
+        sb = simhash_bits_batch(df, id_col, text_col, n_bits=n_bits).persist()
+    else:
+        sb = widen(df.select(F.col(id_col), F.col(text_col))).select(
+            id_col, simhash_bits(tokens(text_col), n_bits).alias("bits")
+        ).persist()
     keyed = sb.select(
         id_col,
         F.explode(simhash_block_keys(F.col("bits"), n_blocks, n_bits)).alias("bk"),
