@@ -1,0 +1,53 @@
+"""BM25 + RRF operator properties (the oracle pins exact values; these pin
+semantics the oracle can't see)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vectordb_similarity_search_spark.operators.bm25 import bm25_topk, rrf_fuse
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "apple banana cherry date"),
+        (1, "apple apple apple banana"),
+        (2, "cherry cherry cherry cherry"),
+        (3, "unrelated words only here"),
+        (4, ("apple banana " + "filler " * 50).strip()),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_hand_computation(spark, corpus):
+    got = {r.doc_id: r.bm25 for r in bm25_topk(corpus, ["apple"], k=5).collect()}
+    # hand BM25: N=5, df=3, avgdl = (4+4+4+4+52)/5 = 13.6
+    n, df, avgdl, k1, b = 5.0, 3.0, 13.6, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[1] == s(3, 4)   # highest tf wins
+    assert got[0] == s(1, 4)
+    assert got[4] == s(1, 52)  # length-normalized below doc 0
+    assert got[1] > got[0] > got[4]
+    assert got[3] == 0.0       # no term → zero score
+
+
+def test_rrf_union_semantics(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank_a int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id long, rank_b int")
+    got = {r.id: r.rrf for r in rrf_fuse(a, b, id_col="id", k=10).collect()}
+    assert got[2] == round(1 / 62 + 1 / 61, 6)  # in both rankings
+    assert got[1] == round(1 / 61, 6)           # only in a
+    assert got[3] == round(1 / 62, 6)           # only in b
+    assert got[2] > got[1] > got[3]
+
+
+def test_bm25_requires_terms(spark, corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, [])

@@ -1,0 +1,109 @@
+"""BM25 keyword scoring + reciprocal-rank-fusion hybrid retrieval.
+
+The lexical half of a modern vector-search stack (the reference is
+embedding-only): Okapi BM25 with Lucene's idf, and RRF to fuse a keyword
+ranking with a cosine ranking — the standard hybrid-search combiner
+(public algorithms: Robertson & Walker 1994; Cormack et al. 2009).
+
+Spark-first shape: for a handful of query terms the term frequencies are
+per-term column expressions over the token array — no explode, no
+(doc × term) blow-up; the corpus statistics (N, avgdl, per-term df) are a
+single tiny aggregate broadcast back via a 1-row crossJoin, so the whole
+plan is lazy and the scan stays one pass. At 100 TB none of this
+shuffles anything but the final top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import n_tokens, tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 for a bag of query terms.
+
+    score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+    with Lucene idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)).
+
+    Deterministic tie-break: (score desc, id asc).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        n_tokens(text_col).cast("double").alias("_len"),
+    )
+    for i, term in enumerate(query_terms):
+        toks = toks.withColumn(
+            f"_tf{i}",
+            F.size(F.filter("_toks", lambda t: t == F.lit(term))).cast("double"),
+        )
+    toks = toks.drop("_toks")
+    stats = toks.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_len") / F.count("*")).alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, 1)).cast("double").alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        part = (
+            idf
+            * (F.col(f"_tf{i}") * (k1 + 1.0))
+            / (
+                F.col(f"_tf{i}")
+                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    id_col: str,
+    rank_col_a: str = "rank_a",
+    rank_col_b: str = "rank_b",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (each: id + integer rank,
+    1-based): rrf = 1/(c+rank_a) + 1/(c+rank_b); ids missing from one
+    ranking contribute only the other term (standard RRF over the union).
+    Deterministic tie-break (rrf desc, id asc)."""
+    fa = a.select(F.col(id_col), F.col(rank_col_a).alias("_ra"))
+    fb = b.select(F.col(id_col), F.col(rank_col_b).alias("_rb"))
+    both = fa.join(fb, id_col, "full_outer")
+    rrf = F.coalesce(1.0 / (F.lit(c) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(c) + F.col("_rb")), F.lit(0.0)
+    )
+    return (
+        both.select(id_col, F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -99,6 +99,8 @@ TAIL = [
     "t_doclen_percentiles",
     "t_top_tokens",
     "t_idf_common",
+    "t_bm25_topk",
+    "v_hybrid_rrf",
     "v_embedding_variance",
     "v_dot_topk",
     "r_distinct_agg",

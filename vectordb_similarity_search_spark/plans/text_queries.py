@@ -593,3 +593,53 @@ def t_idf_common(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("tok").asc())
         .limit(10)
     )
+
+
+_BM25_TERMS = ["table", "scan", "window"]
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/bm25.bm25_topk with the same expression
+    shapes (constant-folded the way the Spark build folds them) so the
+    doubles match bit-for-bit."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t, CAST({SQL_NTOK} AS DOUBLE) AS dl
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl,
+         {tf_cols}
+  FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         {df_cols}
+  FROM tf)
+SELECT doc_id, (round({parts}, 6) + 0) AS bm25
+FROM tf, stats
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("t_bm25_topk", oracle=_sql_bm25(_BM25_TERMS))
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed bag of query terms (the lexical half
+    of hybrid retrieval; operators/bm25.py): per-term tf as token-array
+    expressions (no explode), corpus stats via one tiny broadcast
+    aggregate, single scan."""
+    from ..operators.bm25 import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)

@@ -280,3 +280,90 @@ def v_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("s", 6).alias("dot_score"))
     )
+
+
+@query(
+    "v_hybrid_rrf",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cos_ranked AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           (SELECT qv FROM q)) DESC,
+                    vec_id ASC) AS INTEGER) AS rank_cos
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY rank_cos LIMIT 50
+), toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl,
+         CAST(len(list_filter(t, x -> x = 'table')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'scan')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) AS tf2
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl,
+         CAST(count(CASE WHEN tf0 > 0 THEN 1 END) AS DOUBLE) AS df0,
+         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2
+  FROM tf
+), bm AS (
+  SELECT doc_id,
+         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         AS s
+  FROM tf, stats
+), bm_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank_bm
+  FROM bm ORDER BY rank_bm LIMIT 50
+), fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + b.rank_bm), 0.0)
+           + coalesce(1.0 / (60 + c.rank_cos), 0.0) AS rrf
+  FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, (round(rrf, 6) + 0) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+)
+def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking over documents fused with the
+    cosine ranking around query vec 0 (ids shared in the synthetic fixture)
+    by reciprocal-rank fusion — the standard lexical+vector combiner
+    (operators/bm25.rrf_fuse). Both rankings are top-50 candidate sets;
+    RRF runs over their union (missing side contributes 0)."""
+    from pyspark.sql import Window
+
+    from ..operators.bm25 import bm25_topk, rrf_fuse
+    from ..operators.topk import knn
+
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cos50 = knn(emb, qv, 50)
+    cos_ranked = cos50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+        .cast("int")
+        .alias("rank_cos"),
+    )
+    bm = bm25_topk(t(spark, sf_dir, "documents"), ["table", "scan", "window"], k=50)
+    # rank over the RAW candidate order bm25_topk already fixed (it returns
+    # rounded scores; recompute rank on the returned order deterministically)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("rank_bm"),
+    )
+    return rrf_fuse(
+        bm_ranked, cos_ranked,
+        id_col="doc_id", rank_col_a="rank_bm", rank_col_b="rank_cos", k=10,
+    ).select("doc_id", "rrf")
