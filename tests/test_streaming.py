@@ -195,3 +195,58 @@ def test_stream_stream_interval_join(stream_env):
         assert got == {(2, 1)}  # purchase 4's click is older than 1 h
     finally:
         q.stop()
+
+
+def test_streaming_neardup_finds_cross_batch_pair(spark, tmp_path):
+    """A near-copy arriving in a LATER micro-batch pairs with the original
+    seen earlier — the incremental property the batch operator can't give."""
+    import pyspark.sql.functions as F
+
+    from vectordb_similarity_search_spark.streaming.events import (
+        neardup_pairs_stream,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    chk = str(tmp_path / "docs_chk")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 8
+
+    def write_docs(rows, fname):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{src}/{fname}.parquet",
+        )
+
+    write_docs(
+        [(1, base_text), (2, "completely different content here " * 10)],
+        "b1",
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        neardup_pairs_stream(stream, threshold=0.7)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # nothing similar yet
+
+        write_docs([(3, base_text + "extra tail")], "b2")
+        q.processAllAvailable()
+        got = (
+            spark.table(name)
+            .select("id_new", "id_seen")
+            .distinct()
+            .collect()
+        )
+        assert {(r.id_new, r.id_seen) for r in got} == {(3, 1)}
+        est = spark.table(name).agg(F.min("est_jaccard")).first()[0]
+        assert est >= 0.7
+    finally:
+        q.stop()

@@ -137,3 +137,113 @@ def running_user_totals_stream(
             ),
         )
     )
+
+
+def neardup_pairs_stream(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """STREAMING near-duplicate detection — the incremental form of
+    operators/dedup.minhash_lsh_pairs: as documents arrive, each is checked
+    against the previously-seen members of its LSH buckets and (id_new,
+    id_seen, est_jaccard) pairs are emitted immediately.
+
+    Plan shape: per-row MinHash signature as pure projections (HOF
+    array_min per hash — no aggregation, so it composes with the stateful
+    op), explode band keys, ``applyInPandasWithState`` keyed by band key.
+    State per bucket = (ids, packed signatures) bounded by ``max_bucket``
+    (boilerplate buckets stop growing — same skew guardrail as the batch
+    operator). A pair colliding in several bands is emitted once per
+    colliding band; downstream exact-verify/dedup (batch operator's verify
+    step) absorbs duplicates — documented, matches how streaming LSH is
+    deployed (candidates are a stream, verification is the consumer).
+
+    Estimated (not exact) Jaccard: the stream never stores documents, only
+    ``n_hashes``-long signatures — state is O(buckets × max_bucket × 128 B),
+    not O(corpus)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(text_col) - (shingle_n - 1), F.lit(1))
+            ),
+            lambda i: F.substr(F.col(text_col), i, F.lit(shingle_n)),
+        )
+    )
+    base = docs.withColumn("_h", F.transform(shingles, lambda s: F.xxhash64(s)))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_h", _perm_hash(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    rows = n_hashes // bands
+    keyed = (
+        base.withColumn("_sig", sig)
+        .select(
+            id_col,
+            "_sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(bnd), F.slice("_sig", bnd * rows + 1, rows)
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("_band"),
+        )
+    )
+
+    out_schema = "id_new BIGINT, id_seen BIGINT, est_jaccard DOUBLE"
+    state_schema = "ids ARRAY<BIGINT>, sigs BINARY"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, packed = state.get
+            ids = list(ids)
+            sigs = np.frombuffer(packed, dtype=np.int64).reshape(-1, n_hashes)
+        else:
+            ids, sigs = [], np.empty((0, n_hashes), dtype=np.int64)
+        out = []
+        for pdf in pdfs:
+            for doc_id, s in zip(pdf[id_col], pdf["_sig"]):
+                sv = np.asarray(list(s), dtype=np.int64)
+                if len(ids):
+                    est = (sigs == sv).mean(axis=1)
+                    for j in np.flatnonzero(est >= threshold):
+                        out.append((int(doc_id), int(ids[j]), round(float(est[j]), 6)))
+                if len(ids) < max_bucket:
+                    ids.append(int(doc_id))
+                    sigs = np.vstack([sigs, sv[None, :]])
+        state.update((ids, sigs.tobytes()))
+        yield pd.DataFrame(out, columns=["id_new", "id_seen", "est_jaccard"])
+
+    return keyed.groupBy("_band").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _perm_hash(i: int):
+    """Single-arg factory so the loop index binds per-hash (PySpark HOF
+    lambdas capture late otherwise)."""
+
+    def f(h):
+        return F.xxhash64(F.lit(i), h)
+
+    return f
