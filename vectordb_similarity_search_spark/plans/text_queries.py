@@ -78,14 +78,20 @@ def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard exact-dedup plan."""
     d = t(spark, sf_dir, "documents")
     h = F.md5(F.col("text").cast("binary"))
+    # fully lazy: the dup-group count is its own 1-row aggregate crossJoined
+    # in (broadcast), not a build-time .count() baked into the plan as a
+    # literal — query build runs no jobs.
     dup_groups = (
-        d.groupBy(h.alias("h")).count().filter(F.col("count") > 1).count()
+        d.groupBy(h.alias("h"))
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").cast("long").alias("n_dup_groups"))
     )
     return d.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(h).alias("n_distinct_texts"),
         (F.count("*") - F.countDistinct(h)).alias("n_dup_docs"),
-    ).withColumn("n_dup_groups", F.lit(dup_groups).cast("long"))
+    ).crossJoin(F.broadcast(dup_groups))
 
 
 @query(
