@@ -26,9 +26,19 @@ TABLES = (
 )
 
 
+# One logical-plan per (session, sf_dir, table): spark.read.parquet runs a
+# 1-task footer job per CALL (schema read), so uncached repeat builds pay a
+# job each. DataFrames are immutable lazy plans — sharing one across queries
+# is free and keeps query BUILD zero-job after first touch (pinned by
+# tests/test_lazy_build.py). Keyed by applicationId so a new session never
+# sees a dead session's plans.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning/filter pushdown happen at the
-    parquet scan because we return the raw declarative scan, not a cache.
+    parquet scan because we return the raw declarative scan, not a cache
+    of data (only the logical plan is reused).
 
     events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects outright
     unless ``nanosAsLong`` is set; the conf is set HERE at runtime (not only
@@ -36,6 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSession. Read as long (ns since epoch) and normalize to
     TimestampType at micro precision (integer DIV — no double round-trip,
     2^63 ns is beyond double's 53-bit mantissa)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     # The engine's timestamp semantics are UTC (matches the DuckDB oracle
     # and is cluster-stable); pin it here too since the caller's session
     # may not come from our factory.
@@ -45,6 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
