@@ -219,3 +219,27 @@ def test_simhash_arrow_path_recall(spark):
         if ham <= 3:
             assert (i - 1, i) in got and got[(i - 1, i)] == ham
     assert got, "expected at least one near-dup pair"
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A 4-hop chain collapses to one cluster (requires >1 propagation
+    round); disjoint pair stays its own cluster."""
+    from vectordb_similarity_search_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 7, 10, 11]], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # one survivor per cluster (min id), untouched doc 7 passes through
+    assert kept == [1, 7, 10]

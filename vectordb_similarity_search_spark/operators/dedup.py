@@ -544,3 +544,77 @@ def embedding_neardup_blocked(
         .applyInPandas(score_cell, out_schema)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min member id. The step every dedup pipeline needs between
+    pair generation and deletion: near-duplication is transitive in
+    practice (A≈B≈C), so keep/drop decisions must be per CLUSTER, not per
+    pair — dropping one side of each pair independently can delete all
+    three of A,B,C.
+
+    Min-label propagation: each round every node takes the min label among
+    itself and its neighbors; converges in O(cluster diameter) rounds —
+    near-dup clusters are shallow (template families), so a handful. Each
+    round is one join + one aggregate on the PAIRS (candidate-sized, not
+    corpus-sized); the driver-side convergence check is one count per
+    round — an iterative offline algorithm, not a query-path operator.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's canonical (min-id)
+    member. Rows in no cluster pass through; the anti-join ships only
+    (id, cluster) labels — never documents."""
+    labels = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
