@@ -250,3 +250,35 @@ def test_streaming_neardup_finds_cross_batch_pair(spark, tmp_path):
         assert est >= 0.7
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, stream_env, tmp_path):
+    from vectordb_similarity_search_spark.streaming.events import (
+        enrich_stream_static,
+    )
+
+    _, src, chk, name, reader = stream_env
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    _write_batch(
+        src,
+        [(1, _t(9), 1, "click", 1.0), (2, _t(9), 2, "purchase", 2.0),
+         (3, _t(9), 3, "error", 0.0)],
+        "b1",
+    )
+    q = (
+        enrich_stream_static(reader(), dim, "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.event_id: r.category for r in spark.table(name).collect()}
+        assert got == {1: "engagement", 2: "revenue", 3: None}
+    finally:
+        q.stop()

@@ -247,3 +247,17 @@ def _perm_hash(i: int):
         return F.xxhash64(F.lit(i), h)
 
     return f
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: the static side is re-read per
+    micro-batch (so slowly-changing dims pick up updates) and broadcast —
+    the standard pattern for decorating an event stream with reference
+    data without shuffling the stream."""
+    return events.join(F.broadcast(dim), on, how)
