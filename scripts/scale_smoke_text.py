@@ -91,6 +91,18 @@ def main() -> None:
     print(f"simhash_pairs(ham<=3, arrow): {n_sim_a} pairs  {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
+    from vectordb_similarity_search_spark.operators.dedup import (
+        dedup_keep_canonical,
+    )
+
+    kept = dedup_keep_canonical(docs, pairs_w).count()
+    print(
+        f"cluster + keep-canonical: {kept} of {n_docs} docs kept  "
+        f"{time.time()-t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
     from vectordb_similarity_search_spark.functions.text import tokens
 
     counts = (
