@@ -51,3 +51,47 @@ def test_rrf_union_semantics(spark):
 def test_bm25_requires_terms(spark, corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, [])
+
+
+def test_bm25_matches_python_reference_on_random_corpora(spark):
+    """Randomized corpora: Spark BM25 == a straightforward pure-Python
+    implementation, to round(6), for every doc and several term bags."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k1, b = 1.2, 0.75
+
+    def py_bm25(terms):
+        toks = {i: t.split() for i, t in docs}
+        n = float(len(docs))
+        avgdl = sum(len(v) for v in toks.values()) / n
+        scores = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = float(tk.count(term))
+                dfreq = float(sum(1 for v in toks.values() if term in v))
+                idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(tk) / avgdl)
+                )
+            scores[i] = round(s, 6)
+        return scores
+
+    for terms in (["w0"], ["w1", "w2"], ["w3", "w4", "w5", "missing"]):
+        want = py_bm25(terms)
+        got = {
+            r.doc_id: r.bm25
+            for r in bm25_topk(df, terms, k=60).collect()
+        }
+        assert got == {i: want[i] for i in got}
+        # top-k ordering respects the reference scores
+        ordered = sorted(got, key=lambda i: (-got[i], i))
+        assert ordered == sorted(want, key=lambda i: (-want[i], i))[: len(got)]
