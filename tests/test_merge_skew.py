@@ -86,3 +86,15 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(2).withColumnRenamed("id", "key")
     with pytest.raises(ValueError):
         salted_join(df, df, ["key"], how="full")
+
+
+def test_swap_crash_window_is_recoverable(spark, table, tmp_path):
+    """Simulate a crash between swap renames: table dir missing, old
+    snapshot parked — the next merge restores it and applies cleanly."""
+    import os
+
+    os.rename(table, table + "__old_deadbeef")  # mid-swap crash state
+    updates = spark.createDataFrame([(1, "fixed", "a")], "k int, v string, grp string")
+    merge_parquet(spark, table, updates, ["k"])
+    got = _read(spark, table)
+    assert got[1] == ("fixed", "a") and len(got) == 10

@@ -167,12 +167,17 @@ def test_spark_transform_matches_numpy_with_batchnorm(spark):
     for (m1, v1), (mr, vr), (m2, v2) in zip(bn_model.bn, bn_rep, bn2):
         assert np.array_equal(m1, mr) and np.array_equal(v1, vr)
         assert np.allclose(m1, m2, atol=1e-10) and np.allclose(v1, v2, atol=1e-10)
-    # the stats describe the corpus: layer-1 activations normalize to
-    # mean ~0 / var ~1 (population stats fit on this very corpus)
-    W1, b1 = model.params[0], model.params[1]
+    # the stats describe the SERVED network: layer-1 raw activations
+    # normalize to mean ~0, and layer-2 activations computed with BN1
+    # already applied (what _forward runs) normalize to mean ~0 under
+    # bn[1] — i.e. BN2 was fit on post-BN1 inputs, torch-eval()-faithful
+    W1, b1, W2, b2 = model.params[:4]
     H1 = np.maximum(X @ W1 + b1, 0.0)
-    z = (H1 - bn_model.bn[0][0]) / np.sqrt(bn_model.bn[0][1] + 1e-5)
-    assert abs(z.mean()) < 1e-9
+    z1 = (H1 - bn_model.bn[0][0]) / np.sqrt(bn_model.bn[0][1] + 1e-5)
+    assert abs(z1.mean()) < 1e-9
+    H2 = np.maximum(z1 @ W2 + b2, 0.0)
+    z2 = (H2 - bn_model.bn[1][0]) / np.sqrt(bn_model.bn[1][1] + 1e-5)
+    assert abs(z2.mean()) < 1e-9
     got = {r.id: np.array(r.embedding) for r in bn_model.transform(df).collect()}
     want = _forward(model.params, X, bn_model.bn).astype(np.float32)
     for i in range(64):

@@ -57,3 +57,20 @@ def test_codebooks_deterministic(spark, emb):
     a = fit_pq(emb, m=8, k=16, seed=7)
     b = fit_pq(emb, m=8, k=16, seed=7)
     assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_l2_metric_screens_by_distance(spark):
+    """The reviewer scenario: an un-normalized corpus where large-dot
+    vectors are FAR — the l2 screen must keep the true nearest."""
+    import numpy as np
+
+    rows = [(0, [1.0, 0.0] * 4)]  # the true nearest to q
+    rng = np.random.default_rng(1)
+    for i in range(1, 400):
+        rows.append((i, [float(50.0 + rng.normal()), float(rng.normal())] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = fit_pq(df, m=4, k=16, normalize=False, seed=3)
+    codes = model.encode(df, vec_col="embedding")
+    q = [1.0, 0.0] * 4
+    got = model.search(codes, df, q, k=1, rescore=20, metric="l2").collect()
+    assert got[0].vec_id == 0

@@ -71,3 +71,24 @@ def test_stratified_sample_rates(spark, sf_dir):
     for r in got:
         rate = r["count"] / base[r["label"]]
         assert abs(rate - frac[r["label"]]) < 0.25  # tolerance at small n
+
+
+def test_balanced_sampler_ignores_null_stratum(spark):
+    """A single NULL-label row must not set the min-class floor (it can
+    never appear in the output) nor crash the sampler."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        stratified_sample_balanced,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, "a") for i in range(400)] + [(i, "b") for i in range(400, 600)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, label string")
+    got = stratified_sample_balanced(df, "label", seed=7)
+    counts = {r.label: r.c for r in got.groupBy("label").agg(
+        F.count("*").alias("c")).collect()}
+    assert None not in counts
+    # floor is the b-count (200), NOT 1: class a downsampled to ~200
+    assert 120 <= counts.get("a", 0) <= 280
+    assert counts.get("b", 0) == 200

@@ -158,62 +158,74 @@ def fit_batchnorm_stats(
     in_col: str = "features",
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Fit deterministic BatchNorm running statistics over a corpus,
-    distributed: one Arrow pass emits per-batch moment partials
-    (n, Σh, Σh²) for each hidden layer — layer 2's activations computed
-    with layer 1 already normalized by its own *global* stats, which needs
-    two passes; to stay single-pass we use the torch-faithful shortcut of
-    collecting both layers' pre-BN activations in the same forward (exactly
-    what running stats see during torch training). Partials reduce
-    driver-side after a deterministic sort — a few rows of floats, not
-    data. Population stats; bit-identical for a fixed partitioning (the
-    sort pins reduce order), equal to ~1e-12 across partitionings (float
-    reassociation — the same property Spark's own float ``sum`` has)."""
-    bc = df.sparkSession.sparkContext.broadcast(params)
+    distributed, in TWO Arrow passes: pass 1 fits layer-1 stats on the raw
+    H1 activations; pass 2 fits layer-2 stats on H2 computed with layer 1
+    ALREADY normalized by those global stats — matching the network that
+    inference actually runs (``_forward`` applies BN1 before the layer-2
+    matmul; fitting BN2 on raw-H1 activations would describe a
+    distribution the served network never produces). Each pass's partials
+    (n, Σh, Σh²) are a few float rows, reduced driver-side after a
+    deterministic sort. Population stats; bit-identical for a fixed
+    partitioning (the sort pins reduce order), equal to ~1e-12 across
+    partitionings (float reassociation — the same property Spark's own
+    float ``sum`` has)."""
     out_schema = T.StructType(
         [
             T.StructField("part", T.LongType()),
-            T.StructField("layer", T.IntegerType()),
             T.StructField("n", T.LongType()),
             T.StructField("s1", T.ArrayType(T.DoubleType())),
             T.StructField("s2", T.ArrayType(T.DoubleType())),
         ]
     )
+    eps = 1e-5
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        W1, b1, W2, b2, _W3, _b3 = bc.value
-        for bi, pdf in enumerate(batches):
-            if pdf.empty:
-                continue
-            X = np.vstack(pdf[in_col].to_numpy()).astype(np.float64)
-            H1 = np.maximum(X @ W1 + b1, 0.0)
-            H2 = np.maximum(H1 @ W2 + b2, 0.0)
-            rows = []
-            for li, H in ((0, H1), (1, H2)):
-                rows.append(
-                    {
-                        "part": bi,
-                        "layer": li,
-                        "n": len(H),
-                        "s1": H.sum(axis=0).tolist(),
-                        "s2": (H * H).sum(axis=0).tolist(),
-                    }
+    def _fit_layer(make_h) -> tuple[np.ndarray, np.ndarray]:
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for bi, pdf in enumerate(batches):
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf[in_col].to_numpy()).astype(np.float64)
+                H = make_h(X)
+                yield pd.DataFrame(
+                    [
+                        {
+                            "part": bi,
+                            "n": len(H),
+                            "s1": H.sum(axis=0).tolist(),
+                            "s2": (H * H).sum(axis=0).tolist(),
+                        }
+                    ]
                 )
-            yield pd.DataFrame(rows)
 
-    rows = sorted(
-        df.select(in_col).mapInPandas(partials, out_schema).collect(),
-        key=lambda r: (r["layer"], r["part"], r["n"], tuple(r["s1"])),
-    )
-    stats: list[tuple[np.ndarray, np.ndarray]] = []
-    for li in (0, 1):
-        layer_rows = [r for r in rows if r["layer"] == li]
-        n = sum(r["n"] for r in layer_rows)
-        s1 = np.sum([r["s1"] for r in layer_rows], axis=0)
-        s2 = np.sum([r["s2"] for r in layer_rows], axis=0)
+        rows = sorted(
+            df.select(in_col).mapInPandas(partials, out_schema).collect(),
+            key=lambda r: (r["part"], r["n"], tuple(r["s1"])),
+        )
+        n = sum(r["n"] for r in rows)
+        s1 = np.sum([r["s1"] for r in rows], axis=0)
+        s2 = np.sum([r["s2"] for r in rows], axis=0)
         mean = s1 / n
         var = np.maximum(s2 / n - mean * mean, 0.0)
-        stats.append((mean, var))
-    return stats
+        return mean, var
+
+    bc = df.sparkSession.sparkContext.broadcast(params)
+
+    def h1_raw(X: np.ndarray) -> np.ndarray:
+        W1, b1 = bc.value[0], bc.value[1]
+        return np.maximum(X @ W1 + b1, 0.0)
+
+    m1, v1 = _fit_layer(h1_raw)
+    bc1 = df.sparkSession.sparkContext.broadcast((m1, v1))
+
+    def h2_post_bn1(X: np.ndarray) -> np.ndarray:
+        W1, b1, W2, b2 = bc.value[0], bc.value[1], bc.value[2], bc.value[3]
+        mm, vv = bc1.value
+        H1 = np.maximum(X @ W1 + b1, 0.0)
+        H1 = (H1 - mm) / np.sqrt(vv + eps)
+        return np.maximum(H1 @ W2 + b2, 0.0)
+
+    m2, v2 = _fit_layer(h2_post_bn1)
+    return [(m1, v1), (m2, v2)]
 
 
 class EmbeddingModel:

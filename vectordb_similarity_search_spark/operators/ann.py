@@ -201,16 +201,17 @@ def ivf_compact(
 ) -> None:
     """Compact an appended IVF index: many small per-insert files per cell
     degrade scan throughput (file-open overhead, tiny row groups). Rewrite
-    each cell's data into ~rows/target files, atomically swapping the
-    whole index directory (crash before the swap leaves the old index
-    intact)."""
+    each cell's data into ~rows/target files, then swap the index
+    directory (util.swap_snapshot — parked old snapshot, mid-swap crash
+    recovered on the next compact/merge)."""
     import math
-    import os
-    import shutil
     import uuid
 
     from pyspark.sql import functions as FF
 
+    from ..util import restore_snapshot, swap_snapshot
+
+    restore_snapshot(path)  # recover a crashed previous swap, if any
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
@@ -221,7 +222,4 @@ def ivf_compact(
         .mode("overwrite")
         .parquet(tmp)
     )
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_snapshot(path, tmp)

@@ -28,6 +28,33 @@ from ..functions.vector import cosine_similarity
 from ..util import widen
 
 
+# Operators below persist intermediate DataFrames (signatures, shingle
+# arrays) consumed by several plan branches. Spark's storage memory is
+# LRU-evicted under pressure, so leaks are bounded, but a long-lived
+# session that rebuilds these operators many times can still accumulate
+# cached partitions — every persist is registered here and
+# release_dedup_caches() drops them all.
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every DataFrame this module has cached; returns count."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _shingle_set(text: str, n: int, mode: str) -> set:
     """Shingle a document: ``char`` = overlapping character n-grams (matches
     functions/text.char_shingles and the t_ngram_jaccard oracle); ``word``
@@ -170,10 +197,10 @@ def minhash_lsh_pairs(
         # Persisted: consumed by the band keys AND both sides of the
         # signature screen below — without persist each branch re-runs the
         # scan + Python signature pass.
-        sig_df = minhash_signatures_batch(
+        sig_df = _persist(minhash_signatures_batch(
             df, id_col, text_col, shingle_n=shingle_n, n_hashes=n_hashes,
             shingle_mode=shingle_mode,
-        ).persist()
+        ))
     else:
         # Pure-JVM expression path: explode + n_hashes min-aggregates
         # (codegen-able aggregates; the transform-per-hash HOF form is ~20x
@@ -182,9 +209,9 @@ def minhash_lsh_pairs(
         # The shingle branch feeds the signature build and both verify join
         # sides; persist it or Spark recomputes the scan + shingling per
         # branch.
-        sh = widen(df.select(F.col(id_col), F.col(text_col))).select(
+        sh = _persist(widen(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
-        ).persist()
+        ))
         base = sh.select(
             id_col, F.explode("shingles").alias("sgl")
         ).select(id_col, F.xxhash64("sgl").alias("h"))
@@ -277,9 +304,9 @@ def minhash_lsh_pairs(
 
     # Pure-JVM verify over the persisted shingle branch.
     if sh is None:
-        sh = widen(df.select(F.col(id_col), F.col(text_col))).select(
+        sh = _persist(widen(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), char_shingles(text_col, shingle_n).alias("shingles")
-        ).persist()
+        ))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -371,11 +398,11 @@ def simhash_pairs(
     # three consumers (band keys + both verify sides) — persist or the
     # 64-fold simhash recomputes per branch
     if impl == "arrow":
-        sb = simhash_bits_batch(df, id_col, text_col, n_bits=n_bits).persist()
+        sb = _persist(simhash_bits_batch(df, id_col, text_col, n_bits=n_bits))
     else:
-        sb = widen(df.select(F.col(id_col), F.col(text_col))).select(
+        sb = _persist(widen(df.select(F.col(id_col), F.col(text_col))).select(
             id_col, simhash_bits(tokens(text_col), n_bits).alias("bits")
-        ).persist()
+        ))
     keyed = sb.select(
         id_col,
         F.explode(simhash_block_keys(F.col("bits"), n_blocks, n_bits)).alias("bk"),
@@ -473,10 +500,13 @@ def embedding_neardup_blocked(
 
     Exactness & oracle bit-parity: the matmul only *screens* candidates (at
     threshold − 1e-6 slack); every surviving pair is rescored as
-    dot/(na·nb) with numpy axis-sums (sequential for dim < 128 — numpy's
-    pairwise-sum block size), the same left-to-right association as the
-    JVM HOF fold and DuckDB's list_cosine_similarity, so round(·, 6)
-    matches the oracle bit-for-bit (property test pins blocked == exact).
+    dot/(na·nb) accumulated STRICTLY left-to-right over dimensions
+    (vectorized across pairs, explicit loop over dims — numpy's .sum is
+    8-way-unrolled pairwise even below its 128-element block size and
+    differs bitwise from a sequential fold on most rows), matching the JVM
+    HOF fold and DuckDB's list_cosine_similarity association, so
+    round(·, 6) matches the oracle bit-for-bit (property test pins
+    blocked == exact).
     """
     from collections.abc import Iterator as _Iter
 
@@ -509,6 +539,14 @@ def embedding_neardup_blocked(
         F.greatest("_blk", "_other").alias("_gb"),
     )
 
+    def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """Row-wise dot with strict left-to-right accumulation over dims
+        (the JVM-fold / DuckDB association; np.sum would be pairwise)."""
+        acc = A[:, 0] * B[:, 0]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return acc
+
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
@@ -516,7 +554,7 @@ def embedding_neardup_blocked(
         same = ga == gb
         X = np.vstack(pdf["_v"].to_numpy())
         ids = pdf["_id"].to_numpy()
-        norms = np.sqrt((X * X).sum(axis=1))  # sequential: dim < 128
+        norms = np.sqrt(_seq_dot(X, X))
         safe = np.where(norms == 0.0, 1.0, norms)
         U = X / safe[:, None]
         if same:
@@ -531,8 +569,8 @@ def embedding_neardup_blocked(
         if same:
             keep &= ids[gi] < ids[gj]
         gi, gj = gi[keep], gj[keep]
-        # exact rescore in oracle association: dot/(na*nb), sequential sums
-        dots = (X[gi] * X[gj]).sum(axis=1)
+        # exact rescore in oracle association: dot/(na*nb), sequential fold
+        dots = _seq_dot(X[gi], X[gj])
         cos = dots / (norms[gi] * norms[gj])
         ok = cos >= threshold
         ida, idb = ids[gi[ok]], ids[gj[ok]]
@@ -577,6 +615,7 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.node)
@@ -597,8 +636,19 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silently returning split clusters would keep duplicate families
+        # alive; a >max_iter-diameter component means the pair graph has
+        # long chains — raise so the caller raises max_iter deliberately.
+        labels.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(a cluster's diameter exceeds max_iter); raise max_iter"
+        )
+    _PERSISTED.append(labels)  # returned cached; release_dedup_caches() frees it
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -3,31 +3,33 @@ emulation of the lakehouse MERGE INTO.
 
 Plain parquet has no transactional row-level merge (that's what
 Delta/Iceberg table formats add); the portable pattern is
-read-join-rewrite with an atomic directory swap:
+read-join-rewrite with a recoverable directory swap:
 
 1. read the current table snapshot,
 2. full-outer join target vs updates on the key (updates broadcast when
    small — the common CDC case: a day's changes vs years of history),
 3. resolve per row: update wins over target, absent-in-target inserts,
    tombstones delete,
-4. write the new snapshot NEXT TO the table and atomically rename over it.
+4. write the new snapshot NEXT TO the table and swap it in
+   (``util.swap_snapshot``: the previous snapshot is parked and removed
+   only after the new one is in place; a crash mid-swap is recovered by
+   ``restore_snapshot``, which this writer runs on entry — see its
+   docstring for the honest atomicity statement).
 
 Scale notes: the rewrite cost is one pass over the table — that is the
 honest floor for format-less parquet; partition the table and merge only
 affected partitions to cut it (``partition_by`` + pre-filtering updates'
-partitions). Readers never see a half-written table: the swap is a
-directory rename, and a crash before the rename leaves the old snapshot
-intact.
+partitions).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..util import restore_snapshot, swap_snapshot
 
 
 def merge_parquet(
@@ -48,6 +50,7 @@ def merge_parquet(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    restore_snapshot(table_path)  # recover a crashed previous swap, if any
     target = spark.read.parquet(table_path)
     data_cols = [c for c in updates.columns if c != delete_col]
     if set(target.columns) != set(data_cols):
@@ -94,7 +97,4 @@ def merge_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    old = f"{table_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    shutil.rmtree(old)
+    swap_snapshot(table_path, tmp)

@@ -88,18 +88,22 @@ class PqModel:
         vec_col: str = "embedding",
         metric: str = "cosine",
     ) -> DataFrame:
-        """ADC top-``rescore`` (dot-product lookup tables over the code
-        bytes) → exact knn over the candidates. For ``cosine`` the corpus
-        should have been encoded from normalized vectors (see fit_pq
-        ``normalize``)."""
+        """ADC top-``rescore`` → exact knn over the candidates. The lookup
+        table matches the metric: dot product (desc) for ``cosine`` — the
+        corpus must have been encoded from normalized vectors (see fit_pq
+        ``normalize``) — or squared subspace distance (asc) for ``l2``; a
+        dot screen on un-normalized vectors would keep the LARGEST vectors,
+        not the nearest."""
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unsupported metric {metric!r}")
         q = np.asarray(query_vec, dtype=np.float64)
-        qn = q / np.linalg.norm(q) if metric == "cosine" else q
-        # (m × k) dot-product lookup table
-        lut = np.einsum(
-            "mkd,md->mk",
-            self.codebooks,
-            qn.reshape(self.m, self.dsub),
+        qsub = (q / np.linalg.norm(q) if metric == "cosine" else q).reshape(
+            self.m, self.dsub
         )
+        if metric == "cosine":
+            lut = np.einsum("mkd,md->mk", self.codebooks, qsub)  # (m × k) dots
+        else:
+            lut = ((self.codebooks - qsub[:, None, :]) ** 2).sum(axis=2)
         bc = codes.sparkSession.sparkContext.broadcast(lut)
         out_schema = T.StructType(
             [codes.schema[id_col], T.StructField("_adc", T.DoubleType())]
@@ -118,10 +122,13 @@ class PqModel:
                 s = table[cols[None, :], C].sum(axis=1)
                 yield pd.DataFrame({id_col: pdf[id_col], "_adc": s})
 
+        order = (
+            F.col("_adc").desc() if metric == "cosine" else F.col("_adc").asc()
+        )
         cand = (
             codes.select(id_col, code_col)
             .mapInPandas(adc, out_schema)
-            .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+            .orderBy(order, F.col(id_col).asc())
             .limit(rescore)
         )
         subset = floats.join(F.broadcast(cand.select(id_col)), id_col)

@@ -34,7 +34,13 @@ def stratified_sample_balanced(
     table broadcast-joins back onto the rows; the filter is a seeded
     ``rand`` draw. No driver-side action, one data pass, no shuffle of the
     fact table (broadcast hash join on the label).
+
+    NULL labels are excluded up front: the equi-join could never match
+    them anyway (they'd silently vanish), and counting a NULL stratum
+    would let a class that cannot appear in the output drag the min-count
+    floor down and undersample every real class.
     """
+    df = df.where(F.col(label_col).isNotNull())
     counts = df.groupBy(label_col).agg(F.count("*").alias("_n_l"))
     floor = counts.agg(F.min("_n_l").alias("_t"))
     frac = counts.crossJoin(floor).select(

@@ -46,8 +46,12 @@ def _ivf_index_for(
     (atomic rename) only after the parquet index commits, so a half-built
     index is never probed.
     """
+    # Key includes the source file's (mtime, size): regenerated fixture
+    # data invalidates the cached index instead of being served stale.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{n_cells}|{seed}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_cells}|{seed}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_ivf_{key}")
     centers_path = os.path.join(base, "centers.npy")
@@ -296,8 +300,12 @@ def p_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pca import fit_pca
     from ..operators.cohort import PatientSimilaritySearch
 
-    feats = PatientSimilaritySearch(_embed_patients(spark)).store.select("features")
-    m = fit_pca(feats, "features", k=8)
+    if "pca_model" not in _MODEL_CACHE:
+        feats = PatientSimilaritySearch(_embed_patients(spark)).store.select(
+            "features"
+        )
+        _MODEL_CACHE["pca_model"] = fit_pca(feats, "features", k=8)
+    m = _MODEL_CACHE["pca_model"]
     ratio = m.explained_ratio
     cum = ratio.cumsum()
     return spark.createDataFrame(

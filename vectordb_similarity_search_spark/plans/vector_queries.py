@@ -320,7 +320,10 @@ WITH q AS (
   FROM tf, stats
 ), bm_ranked AS (
   SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank_bm
+         -- rank by the ROUNDED score: the Spark side ranks bm25_topk's
+         -- round(.,6) output, so a sub-5e-7 score gap must tie (doc_id
+         -- breaks it) on BOTH sides or ranks diverge
+         CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS INTEGER) AS rank_bm
   FROM bm ORDER BY rank_bm LIMIT 50
 ), fused AS (
   SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
