@@ -153,3 +153,47 @@ def test_ivf_append_and_compact(spark, tmp_path):
     # search still correct post-swap
     hits = ivf_search_index(spark, path, model, qv, k=1, nprobe=4).collect()
     assert hits[0]["vec_id"] == 3
+
+
+def test_ivfpq_index_probe(spark, tmp_path):
+    """IVF-PQ: partition-pruned probe + ADC + rescore matches the plain
+    IVF probe of the same cells (rescore window spans the probed rows)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_search_index,
+        ivf_write_index,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+    from vectordb_similarity_search_spark.operators.pq import fit_pq, l2_normalized
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = l2_normalized(emb.filter(F.col("vec_id") != 0))
+    ivf = ivf_fit(emb, n_cells=4, seed=1)
+    pq = fit_pq(emb, m=8, k=16, seed=7)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(ivf, pq, corpus, path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        r.vec_id
+        for r in ivfpq_search_index(
+            spark, path, ivf, pq, qv, k=5, nprobe=4, rescore=10_000
+        ).collect()
+    ]
+    # reference: plain IVF index over the same normalized corpus/cells
+    ref_path = str(tmp_path / "ivf_ref")
+    ivf_write_index(ivf, corpus, ref_path)
+    want = [
+        r.vec_id
+        for r in ivf_search_index(spark, ref_path, ivf, qv, k=5, nprobe=4).collect()
+    ]
+    assert got == want
+
+    # pruning: non-probed cells never reach the scan
+    probed = ivfpq_search_index(spark, path, ivf, pq, qv, k=5, nprobe=1, rescore=50)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -223,3 +223,58 @@ def ivf_compact(
         .parquet(tmp)
     )
     swap_snapshot(path, tmp)
+
+
+def ivfpq_write_index(
+    ivf_model: IvfModel,
+    pq_model,
+    corpus: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "cell",
+) -> None:
+    """Write an IVF-PQ index: rows are cell-partitioned (IVF — probes
+    become partition-pruned scans) AND carry PQ code bytes next to the
+    float vector (PQ — the probe scores codes via lookup tables and only
+    rescores the short-list from the float column). This is the classic
+    two-level ANN layout (FAISS IVFPQ, public architecture): at 100 TB
+    the scan of a probed cell reads ~(m bytes + id) per row for the ADC
+    pass; the float column is touched for rescore rows only via parquet
+    late materialization / a second pruned read."""
+    assigned = ivf_model.assign(corpus, cell_col)
+    encoded = pq_model.encode(
+        assigned, vec_col=ivf_model.vec_col, code_col="pq_code"
+    ).join(assigned.select("vec_id", ivf_model.vec_col), "vec_id")
+    encoded.write.partitionBy(cell_col).mode("overwrite").parquet(path)
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    ivf_model: IvfModel,
+    pq_model,
+    query_vec,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    rescore: int = 100,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Probe an IVF-PQ index: partition-pruned scan of ``nprobe`` cells,
+    ADC screening over the code bytes, exact cosine rescore of the
+    short-list from the stored float vectors."""
+    from pyspark.sql import functions as FF
+
+    cells = ivf_model.probe_cells(query_vec, nprobe)
+    probed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
+    return pq_model.search(
+        probed,
+        probed,
+        query_vec,
+        k,
+        rescore=rescore,
+        id_col=id_col,
+        code_col="pq_code",
+        vec_col=ivf_model.vec_col,
+    )
