@@ -68,3 +68,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "src3" in plan
     n_expected = docs.filter(F.col("source") == "src3").count()
     assert back.count() == n_expected
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan has NO Exchange
+    on either side — the write-time bucketing replaced the read-time
+    shuffle."""
+    import re
+
+    from vectordb_similarity_search_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lines = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4)
+    write_bucketed(
+        lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=4,
+    )
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        # sanity: result matches the plain (shuffled) join
+        plain = orders.join(
+            lines.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

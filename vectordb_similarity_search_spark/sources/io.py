@@ -85,3 +85,26 @@ def read_table(
     if schema is not None:
         r = r.schema(schema)
     return r.format(fmt).load(path)
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a BUCKETED managed table: rows are hash-partitioned into
+    ``n_buckets`` files per partition by ``bucket_cols`` at WRITE time, so
+    joins/aggregations on those columns read co-located data and skip the
+    shuffle entirely — the pre-shuffle trade every large repeatedly-joined
+    fact table should make (pay the shuffle once at write, never at read).
+    Optional ``sort_cols`` pre-sorts within buckets (sort-merge join
+    without the sort). Requires the session catalog (bucket metadata lives
+    in the table catalog, not the parquet files)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
