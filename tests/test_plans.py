@@ -122,3 +122,35 @@ def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
 def test_filter_funnel_single_pass(spark, sf_dir):
     plan = plan_of(REGISTRY["t_filter_funnel"].fn(spark, sf_dir))
     assert _n_exchanges(plan) == 1  # conditional counts, one agg pass
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The benchmark n-gram set must broadcast; the train side streams
+    past it (semi join) without a SortMergeJoin shuffle of the corpus."""
+    plan = plan_of(REGISTRY["t_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_stats_is_narrow_until_final_agg(spark, sf_dir):
+    """Phrase counting is per-doc expression work — no positional
+    self-join; the only exchange is the (source, phrase) aggregate."""
+    plan = plan_of(REGISTRY["t_phrase_stats"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1
+
+
+def test_scrub_pii_single_pass_pruned(spark, sf_dir):
+    plan = plan_of(REGISTRY["t_scrub_pii"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_acctbal" not in read_schema and "c_nationkey" not in read_schema
+
+
+def test_zipf_slope_absorbs_explode_before_shuffle(spark, sf_dir):
+    """The token explosion must hit a partial aggregate before any
+    exchange (the explosion never crosses the wire raw)."""
+    plan = plan_of(REGISTRY["t_zipf_slope"].fn(spark, sf_dir))
+    assert "Window" in plan
+    # partial agg directly above the generate/scan side
+    assert "HashAggregate" in plan

@@ -649,3 +649,279 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bm25 import bm25_topk
 
     return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: decontamination, phrase mining, PII scrubbing, Zipf
+# vocabulary diagnostics. Same discipline as above: integer-exact where
+# possible, token arrays projected before HOFs consume them, shuffles move
+# keys/ids — never document text.
+# ---------------------------------------------------------------------------
+
+_EVAL_SOURCE = "src0"  # the held-out "benchmark" slice for decontamination
+
+
+@query(
+    "t_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {SQL_TOKENS} AS w FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, len(w) - 3),
+             i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS g
+  FROM tok WHERE len(w) >= 5),
+ev AS (SELECT DISTINCT g FROM g WHERE source = '{_EVAL_SOURCE}'),
+hits AS (
+  SELECT DISTINCT t.doc_id, t.source
+  FROM g t JOIN ev USING (g) WHERE t.source != '{_EVAL_SOURCE}'),
+base AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source != '{_EVAL_SOURCE}' GROUP BY source),
+c AS (SELECT source, count(*) AS nc FROM hits GROUP BY source)
+SELECT base.source AS source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_contaminated,
+       (round(CAST(coalesce(nc, 0) AS DOUBLE) / n, 6) + 0) AS contam_rate
+FROM base LEFT JOIN c ON base.source = c.source
+""",
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram-collision check every training
+    pipeline runs against its eval sets; public method from GPT-3/PaLM
+    appendix decontamination): treat one source as the held-out benchmark,
+    flag every training document sharing any word 5-gram with it.
+
+    Scale shape: the eval n-gram set is DISTINCT'd then BROADCAST — the
+    100 TB train side never shuffles; each partition streams its exploded
+    grams past the in-memory hash set (a broadcast-hash-semi-join). The
+    per-doc `array_distinct` bounds the explosion at one gram per token."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tok = d.select("doc_id", "source", toks.alias("w"))
+    g5 = F.when(
+        F.size("w") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 4),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tok.select("doc_id", "source", F.explode(g5).alias("g"))
+    eval_grams = (
+        grams.filter(F.col("source") == _EVAL_SOURCE).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    base = (
+        d.filter(F.col("source") != _EVAL_SOURCE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    contam = hits.groupBy("source").agg(F.count("*").alias("nc"))
+    return base.join(contam, "source", "left").select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("nc"), F.lit(0)).cast("double") / F.col("n"), 6
+        ).alias("contam_rate"),
+    )
+
+
+_PHRASES = ["table hash", "part filter", "merge group"]
+
+
+@query(
+    "t_phrase_stats",
+    oracle=f"""
+WITH tok AS (SELECT source, {SQL_TOKENS} AS w FROM documents),
+bg AS (
+  SELECT source,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS b
+  FROM tok),
+per AS (
+  SELECT source, p.phrase,
+         len(list_filter(b, x -> x = p.phrase)) AS n
+  FROM bg, (VALUES {", ".join(f"('{p}')" for p in _PHRASES)}) p(phrase))
+SELECT source, phrase,
+       CAST(sum(n) AS BIGINT) AS n_occurrences,
+       CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_docs_with
+FROM per GROUP BY source, phrase
+""",
+)
+def t_phrase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (adjacent-bigram) frequency per source for a fixed
+    phrase list — the n-gram/collocation count behind phrase mining and
+    tokenizer-merge audits.
+
+    Implemented NARROW: each doc builds its bigram array in its own
+    projection and counts matches with `filter` — no posexplode +
+    positional self-join (which would shuffle one row per token; at 100 TB
+    that plan moves the whole corpus through an exchange keyed on doc_id).
+    The only shuffle here is the final (source, phrase) aggregate."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", tokens("text").alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("w"), i.cast("int")),
+                F.lit(" "),
+                F.element_at(F.col("w"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = tok.select("source", bigrams.alias("b"))
+    per = bg.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("phrase"),
+                        F.size(
+                            F.filter(F.col("b"), lambda x: x == F.lit(p))
+                        ).alias("n"),
+                    )
+                    for p in _PHRASES
+                ]
+            )
+        ).alias("pc"),
+    ).select("source", F.col("pc.phrase").alias("phrase"), F.col("pc.n").alias("n"))
+    return per.groupBy("source", "phrase").agg(
+        F.sum("n").cast("long").alias("n_occurrences"),
+        F.count(F.when(F.col("n") > 0, 1)).cast("long").alias("n_docs_with"),
+    )
+
+
+# Dialect-portable redaction patterns (Java regex and RE2 agree on these).
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "t_scrub_pii",
+    oracle=f"""
+WITH contact AS (
+  SELECT c_mktsegment,
+         printf('reach %s at user%d@example.com or +1-%03d-%04d soon',
+                c_name, c_custkey, c_custkey % 1000, c_custkey % 10000) AS txt
+  FROM customer),
+red AS (
+  SELECT c_mktsegment, txt,
+         regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM contact)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(len(regexp_extract_all(txt, '{_EMAIL_RE}'))) AS BIGINT)
+         AS n_emails,
+       CAST(sum(len(regexp_extract_all(txt, '{_PHONE_RE}'))) AS BIGINT)
+         AS n_phones,
+       CAST(sum(len(txt) - len(clean)) AS BIGINT) AS chars_delta
+FROM red GROUP BY c_mktsegment
+""",
+)
+def t_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (emails + phone numbers → placeholder tokens).
+    The fixture corpus carries no organic PII, so the query synthesizes a
+    deterministic contact line per customer row FROM existing columns and
+    then exercises the real redaction path: regex match-count + global
+    replace + redacted-mass accounting, per market segment.
+
+    The patterns are written in the common Java-regex/RE2 subset so the
+    DuckDB twin replays them verbatim. All outputs integer-exact. At scale
+    this is a pure narrow map — no shuffle except the final aggregate."""
+    c = t(spark, sf_dir, "customer")
+    txt = F.format_string(
+        "reach %s at user%d@example.com or +1-%03d-%04d soon",
+        F.col("c_name"),
+        F.col("c_custkey"),
+        F.col("c_custkey") % 1000,
+        F.col("c_custkey") % 10000,
+    )
+    red = c.select(
+        "c_mktsegment",
+        txt.alias("txt"),
+        F.regexp_replace(
+            F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return red.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.regexp_count("txt", F.lit(_EMAIL_RE))).cast("long").alias("n_emails"),
+        F.sum(F.regexp_count("txt", F.lit(_PHONE_RE))).cast("long").alias("n_phones"),
+        F.sum(F.length("txt") - F.length("clean")).cast("long").alias("chars_delta"),
+    )
+
+
+@query(
+    "t_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents),
+counts AS (
+  SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok),
+ranked AS (
+  SELECT source, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, tok ASC) AS rank
+  FROM counts),
+vocab AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax
+  FROM counts GROUP BY source),
+slope AS (
+  SELECT source,
+         (round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           + 0) AS zipf_slope
+  FROM ranked WHERE rank <= 50 GROUP BY source)
+SELECT vocab.source AS source, vocab_size, n_hapax, zipf_slope
+FROM vocab JOIN slope ON vocab.source = slope.source
+""",
+)
+def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diagnostics per source: size, hapax-legomena count, and
+    the Zipf rank-frequency slope (ln n vs ln rank regression over the top
+    50 ranks) — the corpus-health fingerprint that flags template-y or
+    machine-generated slices (natural text sits near slope -1).
+
+    The token explosion is absorbed by partial aggregation before the
+    (source, token) shuffle; the regression runs on ≤50 rows per source."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).cast("long").alias("n_hapax"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    slope = (
+        ranked.filter(F.col("rank") <= 50)
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("n").cast("double")),
+                    F.log(F.col("rank").cast("double")),
+                ),
+                6,
+            ).alias("zipf_slope")
+        )
+    )
+    return vocab.join(slope, "source")
