@@ -95,3 +95,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def runtime_bloom_filter_confs(
+    application_side_scan_threshold: str = "10GB",
+) -> dict[str, str]:
+    """Confs that let Catalyst inject a RUNTIME Bloom filter into shuffle
+    joins: when one join side carries a selective filter, its join keys are
+    bloom-aggregated and the OTHER side's scan is pre-filtered with
+    ``might_contain`` BEFORE the exchange — rows that cannot match never
+    shuffle. This is the row-level complement of partition pruning and one
+    of the biggest shuffle reducers for selective fact-fact joins at
+    100 TB (broadcast joins don't need it; sort-merge joins do).
+
+    Spark enables the optimizer by default but gates it on the application
+    side scanning >= 10 GB; pass a smaller threshold to demonstrate/force
+    it on small inputs (tests use "0").
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
