@@ -697,9 +697,14 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB train side never shuffles; each partition streams its exploded
     grams past the in-memory hash set (a broadcast-hash-semi-join). The
     per-doc `array_distinct` bounds the explosion at one gram per token."""
-    d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    tok = d.select("doc_id", "source", toks.alias("w"))
+    return contamination_report(t(spark, sf_dir, "documents"), _EVAL_SOURCE)
+
+
+def contamination_report(d: DataFrame, eval_source: str) -> DataFrame:
+    """The decontamination plan over any documents-shaped frame
+    (doc_id, source, text) — see t_decontaminate for the scale rationale.
+    Shared by the catalog query and scripts/scale_smoke_decontam.py."""
+    tok = d.select("doc_id", "source", tokens("text").alias("w"))
     g5 = F.when(
         F.size("w") >= 5,
         F.array_distinct(
@@ -711,16 +716,16 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     grams = tok.select("doc_id", "source", F.explode(g5).alias("g"))
     eval_grams = (
-        grams.filter(F.col("source") == _EVAL_SOURCE).select("g").distinct()
+        grams.filter(F.col("source") == eval_source).select("g").distinct()
     )
     hits = (
-        grams.filter(F.col("source") != _EVAL_SOURCE)
+        grams.filter(F.col("source") != eval_source)
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id", "source")
         .distinct()
     )
     base = (
-        d.filter(F.col("source") != _EVAL_SOURCE)
+        d.filter(F.col("source") != eval_source)
         .groupBy("source")
         .agg(F.count("*").alias("n"))
     )
