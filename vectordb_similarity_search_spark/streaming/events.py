@@ -261,3 +261,42 @@ def enrich_stream_static(
     the standard pattern for decorating an event stream with reference
     data without shuffling the stream."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def rollup_ingest_stream(
+    events: DataFrame, rollup_path: str, checkpoint_dir: str
+):
+    """Streaming ingest into the incremental rollup table
+    (operators/rollup.py): each micro-batch flows through
+    ``upsert_rollup`` — the same mergeable-partials maintenance the batch
+    path uses, so streaming and batch ingest produce identical tables.
+
+    Replay safety: foreachBatch is at-least-once (a crash after the sink
+    write but before the checkpoint commit replays the batch), and a
+    rollup MERGE is not naturally idempotent — re-applying a batch double
+    counts. An applied-batch ledger (one marker file per Spark batch id,
+    checked before the merge) makes replays no-ops. Honest crash window:
+    dying BETWEEN the merge and the marker write still double-counts that
+    one batch on restart; closing it needs a transactional table format
+    (Delta/Iceberg commit protocols), which plain parquet cannot express.
+    """
+    import os
+
+    from ..operators.rollup import upsert_rollup
+
+    ledger = f"{rollup_path.rstrip('/')}__applied"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already merged
+        upsert_rollup(batch_df.sparkSession, rollup_path, batch_df)
+        os.makedirs(ledger, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
