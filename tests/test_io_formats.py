@@ -99,3 +99,45 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_sorted_produces_tight_zone_maps(spark, tmp_path):
+    """Range-clustered write: files cover DISJOINT key ranges and each
+    row group's min/max span is a small slice of the domain — the footer
+    stats a selective reader uses to skip row groups entirely. The same
+    data written unsorted has every row group spanning ~the full domain
+    (no skipping possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_similarity_search_spark.sources.io import write_sorted
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).head()
+    domain = hi - lo + 1
+
+    def spans(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # l_orderkey
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    sorted_path = str(tmp_path / "sorted")
+    write_sorted(li, sorted_path, ["l_orderkey"], n_files=8)
+    unsorted_path = str(tmp_path / "unsorted")
+    li.repartition(8).write.parquet(unsorted_path)
+
+    s_spans = sorted(spans(sorted_path))
+    u_spans = spans(unsorted_path)
+    # sorted: disjoint file ranges (each next min > previous max)
+    for (_, prev_max), (nxt_min, _) in zip(s_spans, s_spans[1:]):
+        assert nxt_min > prev_max
+    # sorted row groups are tight; unsorted ones span ~the whole domain
+    widest_sorted = max(mx - mn for mn, mx in s_spans) / domain
+    narrowest_unsorted = min(mx - mn for mn, mx in u_spans) / domain
+    assert widest_sorted < 0.35
+    assert narrowest_unsorted > 0.9
