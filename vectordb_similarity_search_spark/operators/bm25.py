@@ -107,3 +107,89 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    phrase_weight: float = 1.5,
+) -> DataFrame:
+    """BM25 with a positional phrase component: the exact phrase (adjacent
+    bigram) is scored as a VIRTUAL TERM — its tf is the per-doc count of
+    adjacent occurrences, its df the docs containing it — and its BM25
+    part is added with ``phrase_weight`` (the classic phrase-boost shape
+    of Lucene query boosting). tf comes from a per-doc bigram-array
+    expression, so positions never explode into rows and the plan keeps
+    bm25_topk's one-pass/no-shuffle shape."""
+    if " " not in phrase:
+        raise ValueError("phrase must contain at least two words")
+    base = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        n_tokens(text_col).cast("double").alias("_len"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("_toks"), i.cast("int")),
+                F.lit(" "),
+                F.element_at(F.col("_toks"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = base
+    for i, term in enumerate(query_terms):
+        toks = toks.withColumn(
+            f"_tf{i}",
+            F.size(F.filter("_toks", lambda t: t == F.lit(term))).cast("double"),
+        )
+    toks = toks.withColumn(
+        "_tfp",
+        F.size(F.filter(bigrams, lambda x: x == F.lit(phrase))).cast("double"),
+    ).drop("_toks")
+    n_terms = len(query_terms)
+    stats = toks.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_len") / F.count("*")).alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, 1)).cast("double").alias(f"_df{i}")
+            for i in range(n_terms)
+        ],
+        F.count(F.when(F.col("_tfp") > 0, 1)).cast("double").alias("_dfp"),
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+
+    def part(tf_col: str, df_col: str):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5)
+        )
+        return (
+            idf
+            * (F.col(tf_col) * (k1 + 1.0))
+            / (
+                F.col(tf_col)
+                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
+            )
+        )
+
+    score = None
+    for i in range(n_terms):
+        p = part(f"_tf{i}", f"_df{i}")
+        score = p if score is None else score + p
+    phrase_part = part("_tfp", "_dfp") * phrase_weight
+    score = phrase_part if score is None else score + phrase_part
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -40,7 +40,6 @@ DRIVER_WINDOW = [
     "r_pricing_summary",
     "r_market_revenue",
     "r_semi_join",
-    "r_anti_join",
     "r_left_join_counts",
     "r_range_join",
     "r_rollup_revenue",
@@ -65,6 +64,7 @@ DRIVER_WINDOW = [
     "t_phrase_stats",
     "t_scrub_pii",
     "t_zipf_slope",
+    "t_bm25_phrase",
     # event streams (batch twins of the streaming ops)
     "e_tumbling_hourly",
     "e_sliding_2h",
@@ -97,6 +97,7 @@ TAIL = [
     "r_percentiles",
     "r_string_agg",
     "r_above_customer_avg",
+    "r_anti_join",
     "v_knn_l2",
     "p_pca_variance",
     "m_media_decode_stats",

@@ -930,3 +930,65 @@ def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return vocab.join(slope, "source")
+
+
+_PHRASE_Q_TERMS = ["scan", "window"]
+_PHRASE_Q = "table hash"
+
+
+def _sql_bm25_phrase(
+    terms: list[str], phrase: str, k1: float = 1.2, b: float = 0.75,
+    weight: float = 1.5,
+) -> str:
+    """DuckDB twin of operators/bm25.bm25_phrase_topk — same folded
+    expression shapes as _sql_bm25 so the doubles match bit-for-bit; the
+    phrase tf comes from the bigram list, mirroring the Spark build."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    bigram = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])"
+    df_cols = ",\n         ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+
+    def part(tf: str, df: str) -> str:
+        return (
+            f"ln(1.0 + (n - {df} + 0.5) / ({df} + 0.5))"
+            f" * ({tf} * {k1 + 1.0}) / ({tf} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        )
+
+    parts = " + ".join(part(f"tf{i}", f"df{i}") for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t, CAST({SQL_NTOK} AS DOUBLE) AS dl
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl,
+         {tf_cols},
+         CAST(len(list_filter({bigram}, x -> x = '{phrase}')) AS DOUBLE) AS tfp
+  FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         {df_cols},
+         CAST(count(CASE WHEN tfp > 0 THEN 1 END) AS DOUBLE) AS dfp
+  FROM tf)
+SELECT doc_id, (round({parts} + {part("tfp", "dfp")} * {weight}, 6) + 0) AS bm25
+FROM tf, stats
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("t_bm25_phrase", oracle=_sql_bm25_phrase(_PHRASE_Q_TERMS, _PHRASE_Q))
+def t_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-boosted BM25 top-10 (operators/bm25.py::bm25_phrase_topk):
+    the exact phrase scores as a weighted virtual term whose tf is the
+    per-doc adjacent-bigram count — positional relevance without a
+    positional index or any row explosion."""
+    from ..operators.bm25 import bm25_phrase_topk
+
+    return bm25_phrase_topk(
+        t(spark, sf_dir, "documents"), _PHRASE_Q_TERMS, _PHRASE_Q, k=10
+    )
