@@ -39,7 +39,7 @@ DRIVER_WINDOW = [
     # relational core
     "r_pricing_summary",
     "r_market_revenue",
-    "r_semi_join",
+    "r_skew_report",
     "r_left_join_counts",
     "r_range_join",
     "r_rollup_revenue",
@@ -98,6 +98,7 @@ TAIL = [
     "r_string_agg",
     "r_above_customer_avg",
     "r_anti_join",
+    "r_semi_join",
     "v_knn_l2",
     "p_pca_variance",
     "m_media_decode_stats",

@@ -907,3 +907,43 @@ def r_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "r_skew_report",
+    oracle="""
+WITH per_key AS (
+  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_rows_per_key,
+       (round(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0) AS avg_rows_per_key,
+       (round(quantile_cont(c, 0.99), 4) + 0) AS p99_rows_per_key,
+       (round(CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*)), 6)
+         + 0) AS skew_ratio
+FROM per_key
+""",
+)
+def r_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report that decides whether a key
+    needs salting (operators/skew.py::salted_join) or AQE skew-join
+    handling before a 100 TB shuffle: per-key row counts reduced to
+    max / avg / p99 and the max-to-avg skew ratio. Two-level aggregate;
+    the first level shuffles (key, partial count), the second is tiny."""
+    per_key = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_rows_per_key"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 6).alias(
+            "avg_rows_per_key"
+        ),
+        F.round(F.percentile("c", F.lit(0.99)), 4).alias("p99_rows_per_key"),
+        F.round(
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count("*")),
+            6,
+        ).alias("skew_ratio"),
+    )
