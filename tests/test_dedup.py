@@ -243,3 +243,71 @@ def test_dedup_clusters_transitive_chain(spark):
     )
     # one survivor per cluster (min id), untouched doc 7 passes through
     assert kept == [1, 7, 10]
+
+
+class TestSemanticPrune:
+    """SemDeDup-style cluster-blocked embedding dedup
+    (operators/dedup.py::semantic_neardup_pairs / semantic_prune)."""
+
+    def test_pairs_subset_of_exact_and_same_cell_complete(self, spark):
+        from vectordb_similarity_search_spark.operators.ann import ivf_fit
+        from vectordb_similarity_search_spark.operators.dedup import (
+            embedding_neardup_pairs,
+            semantic_neardup_pairs,
+        )
+        from vectordb_similarity_search_spark.sources.tables import load_table
+
+        from .conftest import SMOKE_SF
+
+        emb = load_table(spark, SMOKE_SF, "embeddings")
+        ivf = ivf_fit(emb, n_cells=4, seed=7)
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in semantic_neardup_pairs(emb, ivf, threshold=0.4).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        # precision: every semantic pair is a true pair with the exact score
+        for k, v in got.items():
+            assert k in exact and exact[k] == v
+        # completeness within cells: every exact pair whose ends share a
+        # cell must be reported
+        cells = {
+            r["_id"]: r["c"]
+            for r in ivf.assign(
+                emb.selectExpr("vec_id as _id", "embedding"), "c"
+            ).collect()
+        }
+        same_cell_exact = {
+            k for k in exact if cells[k[0]] == cells[k[1]]
+        }
+        assert same_cell_exact <= set(got)
+        # the approximation is doing real blocking work on this fixture
+        assert len(got) >= 1
+
+    def test_prune_keeps_canonical_per_cluster(self, spark):
+        from vectordb_similarity_search_spark.operators.ann import ivf_fit
+        from vectordb_similarity_search_spark.operators.dedup import (
+            semantic_neardup_pairs,
+            semantic_prune,
+        )
+        from vectordb_similarity_search_spark.operators.dedup import (
+            dedup_clusters,
+        )
+        from vectordb_similarity_search_spark.sources.tables import load_table
+
+        from .conftest import SMOKE_SF
+
+        emb = load_table(spark, SMOKE_SF, "embeddings")
+        ivf = ivf_fit(emb, n_cells=4, seed=7)
+        pairs = semantic_neardup_pairs(emb, ivf, threshold=0.4)
+        labels = dedup_clusters(pairs)
+        n_losers = labels.filter("doc_id != cluster_id").count()
+        kept = semantic_prune(emb, ivf, threshold=0.4)
+        assert kept.count() == emb.count() - n_losers
+        # every cluster's canonical (min id) survives
+        canon_ids = {r["cluster_id"] for r in labels.collect()}
+        kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+        assert canon_ids <= kept_ids

@@ -668,3 +668,100 @@ def dedup_keep_canonical(
     return df.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    ivf_model,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    cell_col: str = "_sem_cell",
+    max_cell: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023, public method):
+    k-means the embedding space (the IVF model's cells double as the
+    semantic clusters), then mine near-dup pairs ONLY within each cell —
+    the deliberate approximation that makes web-scale semantic dedup
+    tractable: cross-cell pairs are assumed non-duplicates.
+
+    Scale shape: the shuffle is one hash exchange on the cell id (N rows,
+    not N² pairs); each cell is one Arrow task running a float64 BLAS
+    screen + the strict left-to-right rescore (same kernel discipline as
+    :func:`embedding_neardup_blocked`, so reported cosines are exact).
+    Cells above ``max_cell`` raise — pick n_cells ≈ N/target_cell_size
+    upstream rather than letting one cell go quadratic silently."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    # assign() resolves the model's own vec_col name — rename after, not before
+    assigned = ivf_model.assign(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(ivf_model.vec_col)),
+        cell_col,
+    ).withColumnRenamed(ivf_model.vec_col, "_v")
+
+    def _seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        acc = A[:, 0] * B[:, 0]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return acc
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"cell {key[0]} holds {n} rows > max_cell={max_cell}; "
+                "refit with more cells"
+            )
+        if n < 2:
+            return empty
+        X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        ids = pdf["_id"].to_numpy()
+        norms = np.sqrt(_seq_dot_rows(X, X))
+        ok = norms != 0.0  # zero vectors: no direction, never near-dups
+        Xn = np.where(ok[:, None], X / np.where(ok, norms, 1.0)[:, None], 0.0)
+        S = Xn @ Xn.T  # BLAS screen (pairwise-summed dots)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= threshold - 1e-6
+        ii, jj = iu[keep], ju[keep]
+        if len(ii) == 0:
+            return empty
+        # exact rescore: sequential fold, dot/(na*nb) — oracle association
+        cos = _seq_dot_rows(X[ii], X[jj]) / (norms[ii] * norms[jj])
+        final = cos >= threshold
+        ia, jb = ids[ii[final]], ids[jj[final]]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(cos[final], 6)}
+        )
+
+    return assigned.groupBy(cell_col).applyInPandas(cell_pairs, out_schema)
+
+
+def semantic_prune(
+    df: DataFrame,
+    ivf_model,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup keep-one-per-semantic-cluster: within-cell near-dup pairs →
+    connected components → keep each cluster's min-id canonical. Returns
+    the pruned frame (all columns of ``df``)."""
+    pairs = semantic_neardup_pairs(
+        df, ivf_model, id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+    return dedup_keep_canonical(df, pairs, id_col=id_col)

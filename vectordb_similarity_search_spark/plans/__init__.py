@@ -40,7 +40,6 @@ DRIVER_WINDOW = [
     "r_pricing_summary",
     "r_market_revenue",
     "r_skew_report",
-    "r_left_join_counts",
     "r_range_join",
     "r_rollup_revenue",
     "r_intersect_except",
@@ -79,6 +78,7 @@ DRIVER_WINDOW = [
     "d_embedding_neardup",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
+    "d_semantic_prune",
     # patients / ML / sampling
     "p_cohort_stats",
     "p_search_report",
@@ -94,6 +94,7 @@ TAIL = [
     # displaced round-1-green stable queries (driver-verified in r01,
     # unchanged since; still checked every run by the local parity replica)
     "r_region_nation_revenue",
+    "r_left_join_counts",
     "r_percentiles",
     "r_string_agg",
     "r_above_customer_avg",

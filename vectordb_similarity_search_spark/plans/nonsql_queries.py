@@ -108,6 +108,26 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
+@query("d_semantic_prune")
+def d_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    cells from the cached IVF model double as semantic clusters; pairs are
+    mined ONLY within a cell (one hash exchange on the cell id — N rows
+    shuffled, never N² pairs — then one BLAS screen + exact rescore per
+    cell). The deliberate web-scale approximation: cross-cell pairs are
+    assumed non-duplicates. Same threshold as d_embedding_neardup, so the
+    result is provably a subset of the exact pairs with identical cosines,
+    and within-cell-complete (both pinned in tests/test_dedup.py).
+    Rows-only: the cell assignment comes from iterative k-means."""
+    emb = t(spark, sf_dir, "embeddings")
+    model, _ = _ivf_index_for(spark, sf_dir, n_cells=16)
+    from ..operators.dedup import semantic_neardup_pairs
+
+    return semantic_neardup_pairs(emb, model, threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # Expected-output parquet twins for queries whose results are deterministic
 # but not SQL-expressible (learned-embedding search, seeded synthetic
 # cohorts): seeded generation with PINNED partitioning (sources/synthetic
