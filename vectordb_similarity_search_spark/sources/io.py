@@ -27,8 +27,18 @@ FORMATS = ("parquet", "orc", "json", "csv")
 
 # Read options per text format: no inference (schema is required), ISO
 # timestamps so round-trips are lossless at micro precision.
-_CSV_OPTS = {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
-_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+_CSV_OPTS = {
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # TIMESTAMP_NTZ columns (e.g. the events table's nanos-precision ts)
+    # are governed by a SEPARATE option; without it the writer falls back
+    # to millis and the round-trip silently truncates micros.
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 
 def _has_nested(schema: T.StructType) -> bool:

@@ -40,12 +40,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet scan because we return the raw declarative scan, not a cache
     of data (only the logical plan is reused).
 
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects outright
-    unless ``nanosAsLong`` is set; the conf is set HERE at runtime (not only
-    in our session factory) because the grading driver builds its own plain
-    SparkSession. Read as long (ns since epoch) and normalize to
-    TimestampType at micro precision (integer DIV — no double round-trip,
-    2^63 ns is beyond double's 53-bit mantissa)."""
+    events.ts is TIMESTAMP(NANOS) in parquet. Depending on the Spark build
+    it surfaces either as LONG (when ``nanosAsLong`` applies) or as
+    TIMESTAMP_NTZ truncated to micros (newer readers ignore the legacy conf
+    and map nanos to NTZ natively). Both forms are normalized HERE at
+    runtime — not only in our session factory — because the grading driver
+    builds its own plain SparkSession. Target type is TimestampType at
+    micro precision with UTC session semantics: long path uses integer DIV
+    (no double round-trip, 2^63 ns is beyond double's 53-bit mantissa); NTZ
+    path reinterprets the wall-clock as UTC (session tz pinned below), so
+    both builds produce identical micros."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
@@ -57,8 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # NTZ wall-clock == UTC instant here (fixture is UTC-generated
+            # and the session tz is pinned to UTC above), so the cast is a
+            # pure type change, not a value shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _SCAN_CACHE[key] = df
     return df
 
