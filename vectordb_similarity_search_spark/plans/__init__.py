@@ -32,12 +32,10 @@ DRIVER_WINDOW = [
     "v_sim_join_topk",
     "v_query_cohort_stats",
     "v_centroids",
-    "v_zscore_fit",
-    "v_store_stats",
+    "v_hybrid_rrf",
     "v_ivf_knn",
     "v_lsh_knn",
     # relational core
-    "r_pricing_summary",
     "r_market_revenue",
     "r_skew_report",
     "r_range_join",
@@ -46,11 +44,13 @@ DRIVER_WINDOW = [
     "r_approx_distinct",
     # window functions
     "w_rank_orders",
-    # text pipeline
-    "t_token_stats",
-    "t_exact_dedup",
-    "t_ngram_jaccard_pairs",
-    "t_lang_guess_confusion",
+    # text pipeline (round-3 rotation: t_bm25_topk, t_doclen_percentiles,
+    # t_top_tokens, t_idf_common get their first-ever driver rows,
+    # displacing twice-green stable twins into TAIL)
+    "t_bm25_topk",
+    "t_doclen_percentiles",
+    "t_top_tokens",
+    "t_idf_common",
     "t_stopword_ratio",
     "t_bpe_tokens",
     "t_fingerprint_pairs",
@@ -58,7 +58,6 @@ DRIVER_WINDOW = [
     "t_chunk_stats",
     "t_pack_sequences",
     "t_filter_funnel",
-    # round-2 additions (never driver-verified → must sit inside the window)
     "t_decontaminate",
     "t_phrase_stats",
     "t_scrub_pii",
@@ -79,11 +78,13 @@ DRIVER_WINDOW = [
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
     "d_semantic_prune",
-    # patients / ML / sampling
+    # patients / ML / multimodal / sampling
     "p_cohort_stats",
     "p_search_report",
+    "p_pca_variance",
     "m_embed_knn",
     "m_embed_knn_bn",
+    "m_media_decode_stats",
     "s_sample_stratified",
 ]
 
@@ -91,8 +92,15 @@ DRIVER_WINDOW = [
 # CORRECTNESS_r01.json) and re-verified every test run by the local oracle
 # parity replica.
 TAIL = [
-    # displaced round-1-green stable queries (driver-verified in r01,
+    # displaced driver-green stable queries (verified in r01 and/or r02,
     # unchanged since; still checked every run by the local parity replica)
+    "v_store_stats",
+    "v_zscore_fit",
+    "r_pricing_summary",
+    "t_token_stats",
+    "t_exact_dedup",
+    "t_ngram_jaccard_pairs",
+    "t_lang_guess_confusion",
     "r_region_nation_revenue",
     "r_left_join_counts",
     "r_percentiles",
@@ -101,16 +109,9 @@ TAIL = [
     "r_anti_join",
     "r_semi_join",
     "v_knn_l2",
-    "p_pca_variance",
-    "m_media_decode_stats",
     "r_grouping_sets",
     "r_array_agg",
     "w_moving_avg",
-    "t_doclen_percentiles",
-    "t_top_tokens",
-    "t_idf_common",
-    "t_bm25_topk",
-    "v_hybrid_rrf",
     "v_embedding_variance",
     "v_dot_topk",
     "r_distinct_agg",
