@@ -18,10 +18,24 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-FIXTURE_QUERIES = [
-    "m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report",
-    "p_pca_variance", "m_media_decode_stats",
-]
+# name -> sf_dir the fixture is generated at. Seeded-generator queries are
+# sf-independent (any sf works; sf0.001 is fastest). Queries whose output
+# is a function of the fixture TABLES are sf-BOUND and must be generated
+# at sf0.01 — the scale the driver's correctness gate runs at (their
+# registry entries carry sf_bound=True via catalog.expected_oracle).
+FIXTURE_QUERIES = {
+    "m_embed_knn": "/root/testdata/sf0.001",
+    "m_embed_knn_bn": "/root/testdata/sf0.001",
+    "p_cohort_stats": "/root/testdata/sf0.001",
+    "p_search_report": "/root/testdata/sf0.001",
+    "p_pca_variance": "/root/testdata/sf0.001",
+    "m_media_decode_stats": "/root/testdata/sf0.001",
+    "d_minhash_lsh_pairs": "/root/testdata/sf0.01",
+    "d_simhash_pairs": "/root/testdata/sf0.01",
+    "t_fingerprint_pairs": "/root/testdata/sf0.01",
+    "d_semantic_prune": "/root/testdata/sf0.01",
+    "s_sample_stratified": "/root/testdata/sf0.01",
+}
 
 
 def main() -> None:
@@ -32,11 +46,11 @@ def main() -> None:
                       shuffle_partitions=8)
     out_dir = os.path.join(ROOT, "tests", "fixtures")
     os.makedirs(out_dir, exist_ok=True)
-    for name in FIXTURE_QUERIES:
-        pdf = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").toPandas()
+    for name, sf_dir in FIXTURE_QUERIES.items():
+        pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
         path = os.path.join(out_dir, f"{name}_expected.parquet")
         pdf.to_parquet(path, index=False)
-        print(f"{name}: {len(pdf)} rows -> {path}")
+        print(f"{name}: {len(pdf)} rows ({sf_dir}) -> {path}")
 
 
 if __name__ == "__main__":

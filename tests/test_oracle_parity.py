@@ -10,6 +10,7 @@ import os
 import pytest
 
 from vectordb_similarity_search_spark.plans import REGISTRY
+from vectordb_similarity_search_spark.plans.catalog import SF_BOUND_ORACLES
 
 from .conftest import ORACLE_SF, SMOKE_SF
 from .oracle import compare
@@ -23,7 +24,11 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, name):
     spec = REGISTRY[name]
-    compare(spec.fn(spark, SF), spec.oracle, SF)
+    # sf-bound fixture oracles (expected-output parquet generated from the
+    # sf0.01 tables) are only meaningful at the driver's correctness scale;
+    # pin their input there regardless of the smoke-sf default.
+    sf = ORACLE_SF if name in SF_BOUND_ORACLES else SF
+    compare(spec.fn(spark, sf), spec.oracle, sf)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)

@@ -16,6 +16,7 @@ Float discipline (so value-hashes match bit-for-bit):
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -23,6 +24,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_package_on_executors
 from ..sources.tables import load_table
+
+# Expected-output parquet fixtures (tests/fixtures/): oracles for queries
+# whose results are deterministic but not SQL-expressible (seeded
+# generators, hash sketches, iterative k-means). scripts/
+# gen_expected_fixtures.py regenerates them; tests/test_oracle_parity.py
+# and the driver replay them through DuckDB's read_parquet.
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+# Fixture oracles whose expected output is a function of the INPUT TABLES
+# (documents/embeddings/lineitem), generated at the driver's correctness
+# scale sf0.01 — valid ONLY at that sf. (The seeded-generator fixtures are
+# sf-independent and absent from this set.) test_oracle_parity pins these
+# at sf0.01 regardless of the smoke-sf default.
+SF_BOUND_ORACLES: set[str] = set()
+
+
+def expected_oracle(name: str, *, sf_bound: bool = False) -> str:
+    """DuckDB oracle that replays a committed expected-output parquet."""
+    if sf_bound:
+        SF_BOUND_ORACLES.add(name)
+    return (
+        "SELECT * FROM read_parquet('"
+        + os.path.join(FIXTURES_DIR, f"{name}_expected.parquet")
+        + "')"
+    )
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .catalog import expected_oracle as _expected_oracle
 from .catalog import query, t
 
 
@@ -90,25 +91,37 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_blocked(emb, threshold=0.4)
 
 
-@query("d_minhash_lsh_pairs")
+@query(
+    "d_minhash_lsh_pairs",
+    oracle=_expected_oracle("d_minhash_lsh_pairs", sf_bound=True),
+)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on documents at the standard web-dedup
     operating point (J ≥ 0.8; 16 bands × 4 rows → recall ≈ 1-(1-0.41)^16 ≈
     100% at J=0.8 while random J≈0.2 pairs collide at ~0.16% per band) —
-    the scale path for t_ngram_jaccard_pairs (rows-only: xxhash64 sketch)."""
+    the scale path for t_ngram_jaccard_pairs. Oracle: expected-output
+    parquet (xxhash64 sketch has no DuckDB replay, but the pair set is a
+    pure content function — session/core-count independent)."""
     return minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), threshold=0.8, bands=16, n_hashes=64
     )
 
 
-@query("d_simhash_pairs")
+@query(
+    "d_simhash_pairs",
+    oracle=_expected_oracle("d_simhash_pairs", sf_bound=True),
+)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash,
-    4-block LSH candidates; rows-only: xxhash64 sketch)."""
+    4-block LSH candidates). Oracle: expected-output parquet (content-pure
+    xxhash64 sketch — no DuckDB replay, but session-independent)."""
     return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
-@query("d_semantic_prune")
+@query(
+    "d_semantic_prune",
+    oracle=_expected_oracle("d_semantic_prune", sf_bound=True),
+)
 def d_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
     cells from the cached IVF model double as semantic clusters; pairs are
@@ -118,7 +131,10 @@ def d_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed non-duplicates. Same threshold as d_embedding_neardup, so the
     result is provably a subset of the exact pairs with identical cosines,
     and within-cell-complete (both pinned in tests/test_dedup.py).
-    Rows-only: the cell assignment comes from iterative k-means."""
+    Oracle: expected-output parquet — the iterative k-means has no SQL
+    replay, but the seeded fit is bit-stable across sessions, core counts
+    and fresh index rebuilds (verified empirically; see also
+    tests/test_dedup.py subset/within-cell-complete properties)."""
     emb = t(spark, sf_dir, "embeddings")
     model, _ = _ivf_index_for(spark, sf_dir, n_cells=16)
     from ..operators.dedup import semantic_neardup_pairs
@@ -129,25 +145,16 @@ def d_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Expected-output parquet twins for queries whose results are deterministic
-# but not SQL-expressible (learned-embedding search, seeded synthetic
-# cohorts): seeded generation with PINNED partitioning (sources/synthetic
-# uses numPartitions=8 explicitly) makes the output independent of sf_dir,
-# session, and cluster size, so a single precomputed fixture
-# (scripts/gen_expected_fixtures.py, committed under tests/fixtures/) turns
-# a rows-only count into a full rows+schema+hash oracle.
-_FIXTURES_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests",
-    "fixtures",
-)
-
-
-def _expected_oracle(name: str) -> str:
-    return (
-        "SELECT * FROM read_parquet('"
-        + os.path.join(_FIXTURES_DIR, f"{name}_expected.parquet")
-        + "')"
-    )
+# but not SQL-expressible, two flavors (both via catalog.expected_oracle,
+# regenerated by scripts/gen_expected_fixtures.py, committed under
+# tests/fixtures/):
+# - seeded generators with PINNED partitioning (sources/synthetic uses
+#   numPartitions=8 explicitly): output independent of sf_dir, session and
+#   cluster size;
+# - hash-sketch / k-means / sampler queries over the fixture TABLES
+#   (sf_bound=True): output is a pure function of the table contents —
+#   verified bit-identical across session core counts and fresh k-means
+#   rebuilds — generated at sf0.01, the driver's correctness scale.
 
 
 @query("p_cohort_stats", oracle=_expected_oracle("p_cohort_stats"))
@@ -285,15 +292,20 @@ def v_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
-@query("s_sample_stratified")
+@query(
+    "s_sample_stratified",
+    oracle=_expected_oracle("s_sample_stratified", sf_bound=True),
+)
 def s_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded sampling surface (training-data pipeline primitive):
     5% uniform sample of lineitem plus a class-balanced stratified sample
     of the embeddings corpus (per-label fraction = min_class/class, derived
     LAZILY inside the plan — no count/collect at query build; the two
-    sample sizes are lazy aggregates unioned into one result). Rows-only:
-    Spark's Bernoulli sampler has no SQL twin; determinism given a seed and
-    partitioning, plus rate tolerances, are pinned in tests/test_sample.py."""
+    sample sizes are lazy aggregates unioned into one result). Oracle:
+    expected-output parquet — the Bernoulli draw has no SQL twin, but the
+    single-row-group fixture files pin the sampler's partition index, so
+    the counts are session- and core-count-independent (verified
+    empirically; rate tolerances in tests/test_sample.py)."""
     from ..operators.sampling import stratified_sample_balanced
 
     emb = t(spark, sf_dir, "embeddings")

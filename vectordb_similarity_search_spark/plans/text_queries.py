@@ -18,7 +18,7 @@ from ..functions.text import (
     stopword_ratio,
     tokens,
 )
-from .catalog import query, t
+from .catalog import expected_oracle, query, t
 
 # DuckDB mirrors of the expression builders in functions/text.py.
 SQL_TOKENS = r"string_split_regex(text, '\s+')"
@@ -251,10 +251,14 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t_fingerprint_pairs")
+@query(
+    "t_fingerprint_pairs",
+    oracle=expected_oracle("t_fingerprint_pairs", sf_bound=True),
+)
 def t_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap pairs (north-star document
-    fingerprinting; rows-only: xxhash64 sketch — guarantees pinned by
+    fingerprinting). Oracle: expected-output parquet (content-pure
+    xxhash64 sketch — no DuckDB replay; winnowing guarantees pinned by
     tests/test_fingerprint.py)."""
     from ..operators.fingerprint import fingerprint_overlap_pairs
 
