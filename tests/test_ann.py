@@ -197,3 +197,42 @@ def test_ivfpq_index_probe(spark, tmp_path):
     probed = ivfpq_search_index(spark, path, ivf, pq, qv, k=5, nprobe=1, rescore=50)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_assign_blas_matches_expression_at_256_cells(spark):
+    """The Arrow BLAS argmin assign (the >EXPR_MAX_CELLS path a production
+    4k-64k-cell IVF takes) must agree cell-for-cell with the small-model
+    expression form, and must be the auto-picked strategy at 256 cells."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.ann import IvfModel
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((256, 16))
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = IvfModel(centers, "embedding")
+    assert len(model.centers) > IvfModel.EXPR_MAX_CELLS  # auto -> BLAS
+    blas = {r.vec_id: r.cell for r in model.assign(df).collect()}
+    expr = {
+        r.vec_id: r.cell
+        for r in model.assign(df, use_blas=False).collect()
+    }
+    assert blas == expr
+    assert set(blas.values()) <= set(range(256))
+
+
+def test_assign_blas_handles_empty_partitions(spark):
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.ann import IvfModel
+
+    rng = np.random.default_rng(3)
+    model = IvfModel(rng.standard_normal((128, 8)), "embedding")
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id long, embedding array<float>"
+    ).repartition(8)  # 7 empty partitions
+    got = model.assign(df).collect()
+    assert len(got) == 1 and 0 <= got[0].cell < 128

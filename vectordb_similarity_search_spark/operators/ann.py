@@ -48,14 +48,38 @@ def ivf_fit(
 
 
 class IvfModel:
+    # Above this cell count the unrolled-expression assign path loses: it
+    # builds one interpreted HOF distance expression PER CENTROID per row
+    # (a 4k-cell production IVF would be a 4k-wide expression array — plan
+    # bloat plus interpreted-HOF cost), while one Arrow batch matmul
+    # against the broadcast centroid matrix is O(batch × cells) BLAS.
+    EXPR_MAX_CELLS = 64
+
     def __init__(self, centers: np.ndarray, vec_col: str):
         self.centers = centers  # n_cells × dim, driver-side (tiny)
         self.vec_col = vec_col
 
-    def assign(self, corpus: DataFrame, cell_col: str = "cell") -> DataFrame:
+    def assign(
+        self,
+        corpus: DataFrame,
+        cell_col: str = "cell",
+        *,
+        use_blas: bool | None = None,
+    ) -> DataFrame:
         """Attach the nearest-centroid cell id to every corpus row — the
         'build the index' step. At scale, persist the result partitioned by
-        ``cell`` (partitionBy on write) so probes prune at the source."""
+        ``cell`` (partitionBy on write) so probes prune at the source.
+
+        Two physical strategies with identical results (parity pinned in
+        tests/test_ann.py): a JVM expression form for small models (keeps
+        the whole plan codegen-friendly and oracle-replayable) and an
+        Arrow ``mapInPandas`` BLAS argmin for large ones (the centroid
+        matrix rides the closure — one broadcast per executor, one matmul
+        per batch). ``use_blas=None`` picks by ``EXPR_MAX_CELLS``."""
+        if use_blas is None:
+            use_blas = len(self.centers) > self.EXPR_MAX_CELLS
+        if use_blas:
+            return self._assign_blas(corpus, cell_col)
         from ..functions.vector import to_double_array
 
         dists = [
@@ -74,6 +98,36 @@ class IvfModel:
             F.array(*dists), F.array_min(F.array(*dists))
         ).cast("int") - 1
         return corpus.withColumn(cell_col, cell)
+
+    def _assign_blas(self, corpus: DataFrame, cell_col: str) -> DataFrame:
+        """Arrow argmin assign: ||x−c||² = ||x||² − 2x·c + ||c||², and the
+        ||x||² term is constant per row, so argmin(||c||² − 2 X Cᵀ) picks
+        the same cell — one (batch × dim)·(dim × cells) matmul per Arrow
+        batch, float64 like the expression path."""
+        from pyspark.sql import types as T
+
+        centers = np.ascontiguousarray(self.centers, dtype=np.float64)
+        c_norm = (centers**2).sum(axis=1)
+        vec_col = self.vec_col
+        schema = T.StructType(
+            list(corpus.schema.fields) + [T.StructField(cell_col, T.IntegerType())]
+        )
+
+        def assign_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf) == 0:
+                    pdf[cell_col] = pd.Series([], dtype="int32")
+                    yield pdf
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = c_norm - 2.0 * (x @ centers.T)
+                pdf[cell_col] = np.argmin(d, axis=1).astype(np.int32)
+                yield pdf
+
+        return corpus.mapInPandas(assign_batches, schema)
 
     def probe_cells(self, query_vec: Sequence[float], nprobe: int = 2) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
