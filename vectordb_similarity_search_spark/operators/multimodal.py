@@ -127,20 +127,24 @@ def decode_media(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decoder = "synth-fake"
         for pdf in batches:
+            # per-blob Python is inherent to parsing binary, but walk the
+            # batch over raw numpy arrays (iterrows materializes a Series
+            # per row — ~10x slower at no benefit)
             out = []
-            for _, row in pdf.iterrows():
-                w, h, mean_byte = _fake_decode(bytes(row["data"]))
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "width": w,
-                        "height": h,
-                        "decoder": decoder,
-                        "mean_byte": mean_byte,
-                    }
-                )
-            yield pd.DataFrame(out)
+            for mid, kind, data in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["data"].to_numpy(),
+            ):
+                w, h, mean_byte = _fake_decode(bytes(data))
+                out.append((mid, kind, w, h, decoder, mean_byte))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height", "decoder",
+                    "mean_byte",
+                ],
+            )
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
 
@@ -159,11 +163,13 @@ def byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = np.frombuffer(bytes(row["data"])[16:], dtype=np.uint8)
+            for mid, data in zip(
+                pdf["media_id"].to_numpy(), pdf["data"].to_numpy()
+            ):
+                payload = np.frombuffer(bytes(data)[16:], dtype=np.uint8)
                 hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
-                out.append({"media_id": row["media_id"], "hist": hist.tolist()})
-            yield pd.DataFrame(out)
+                out.append((mid, hist.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "hist"])
 
     return media.mapInPandas(featurize, schema)
 
@@ -183,18 +189,16 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["data"])[16:]
+            for mid, data in zip(
+                pdf["media_id"].to_numpy(), pdf["data"].to_numpy()
+            ):
+                payload = bytes(data)[16:]
                 n = len(payload) // FRAME_BYTES
                 for i in range(0, n, every):
                     out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": i,
-                            "frame": payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES],
-                        }
+                        (mid, i, payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(sample, schema)
 
