@@ -35,6 +35,7 @@ FIXTURE_QUERIES = {
     "t_fingerprint_pairs": "/root/testdata/sf0.01",
     "d_semantic_prune": "/root/testdata/sf0.01",
     "s_sample_stratified": "/root/testdata/sf0.01",
+    "v_ivf_recall_curve": "/root/testdata/sf0.01",
 }
 
 

@@ -236,3 +236,18 @@ def test_assign_blas_handles_empty_partitions(spark):
     ).repartition(8)  # 7 empty partitions
     got = model.assign(df).collect()
     assert len(got) == 1 and 0 <= got[0].cell < 128
+
+
+def test_ivf_recall_curve_monotone(spark):
+    """recall@10 must be non-decreasing in nprobe and reach 1.0 at a full
+    16-cell probe's upper half (nprobe=8 of 16 probes half the corpus)."""
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    rows = REGISTRY["v_ivf_recall_curve"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    curve = {r.nprobe: r.recall_at_10 for r in rows}
+    assert sorted(curve) == [1, 2, 4, 8]
+    vals = [curve[p] for p in (1, 2, 4, 8)]
+    assert vals == sorted(vals), vals
+    assert all(0.0 <= v <= 1.0 for v in vals)

@@ -30,10 +30,10 @@ DRIVER_WINDOW = [
     # vector search family
     "v_knn_cosine",
     "v_sim_join_topk",
-    "v_query_cohort_stats",
     "v_centroids",
     "v_hybrid_rrf",
     "v_ivf_knn",
+    "v_ivf_recall_curve",
     "v_lsh_knn",
     # relational core
     "r_market_revenue",
@@ -96,6 +96,7 @@ TAIL = [
     # unchanged since; still checked every run by the local parity replica)
     "v_store_stats",
     "v_zscore_fit",
+    "v_query_cohort_stats",
     "r_pricing_summary",
     "t_token_stats",
     "t_exact_dedup",

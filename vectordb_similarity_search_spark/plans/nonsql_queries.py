@@ -280,6 +280,47 @@ def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
+@query(
+    "v_ivf_recall_curve",
+    oracle=_expected_oracle("v_ivf_recall_curve", sf_bound=True),
+)
+def v_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality curve as a catalog artifact: recall@10 of the prebuilt
+    16-cell IVF index vs nprobe ∈ {1,2,4,8}, measured against the exact
+    brute-force kNN baseline for query vec 0 — the recall/nprobe trade-off
+    every ANN deployment tunes, driver-visible instead of pytest-only
+    (monotonicity additionally pinned in tests/test_ann.py). One union of
+    four partition-pruned probes joined against the 10-row exact result —
+    no collect. Oracle: expected-output parquet (k-means assignment is
+    bit-stable across sessions; see d_semantic_prune)."""
+    from ..operators.topk import knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = list(row[0])
+    model, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+    exact = (
+        knn(emb.filter(F.col("vec_id") != 0), qv, 10)
+        .select("vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    probes = None
+    for nprobe in (1, 2, 4, 8):
+        hits = ivf_search_index(
+            spark, index_path, model, qv, k=10, nprobe=nprobe
+        ).select(F.lit(nprobe).alias("nprobe"), "vec_id")
+        probes = hits if probes is None else probes.unionByName(hits)
+    return (
+        probes.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / 10.0, 6
+            ).alias("recall_at_10")
+        )
+    )
+
+
 @query("v_lsh_knn")
 def v_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed kNN for query vec 0 (rows-only; recall property in
