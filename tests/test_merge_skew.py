@@ -98,3 +98,66 @@ def test_swap_crash_window_is_recoverable(spark, table, tmp_path):
     merge_parquet(spark, table, updates, ["k"])
     got = _read(spark, table)
     assert got[1] == ("fixed", "a") and len(got) == 10
+
+
+def test_skew_aware_join_routes_and_matches(spark):
+    """The diagnostics → mitigation loop end-to-end: a measured-skewed key
+    routes through salted_join, results equal the plain join, and the
+    salt actually balances the hot key's reducer load."""
+    from vectordb_similarity_search_spark.operators.skew import (
+        SALT,
+        measure_key_skew,
+        skew_aware_join,
+    )
+    from pyspark.sql import functions as F
+
+    # hot key 1 carries ~90% of rows -> ratio far above threshold
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(5000)], "key int, payload int"
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 5000, 3)], "key int, attr string"
+    )
+    out, decision = skew_aware_join(big, small, ["key"], threshold=4.0)
+    assert decision.salted and decision.skew_ratio > 4.0
+    plain = big.join(small, ["key"]).orderBy("payload", "attr").collect()
+    assert out.orderBy("payload", "attr").collect() == plain
+    # balanced max-task proxy: the hot key's rows spread over n_salts
+    # reducer groups, so the largest (key, salt) group shrinks ~n_salts x
+    hot_rows = 4500
+    salted_groups = (
+        big.withColumn(SALT, F.floor(F.rand(42) * decision.n_salts).cast("int"))
+        .groupBy("key", SALT)
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    assert salted_groups < hot_rows / decision.n_salts * 1.6
+
+
+def test_skew_aware_join_skips_salting_when_uniform(spark):
+    from vectordb_similarity_search_spark.operators.skew import skew_aware_join
+
+    big = spark.createDataFrame(
+        [(i % 100, i) for i in range(2000)], "key int, payload int"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "key int, attr string"
+    )
+    out, decision = skew_aware_join(big, small, ["key"], threshold=4.0)
+    assert not decision.salted and decision.skew_ratio < 1.5
+    assert out.count() == 2000
+
+
+def test_skew_report_ratio_matches_measure(spark, sf_dir):
+    """r_skew_report's skew_ratio and the advisor primitive agree — the
+    catalog diagnostic IS the routing input."""
+    from vectordb_similarity_search_spark.operators.skew import measure_key_skew
+    from vectordb_similarity_search_spark.plans import REGISTRY
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    report = REGISTRY["r_skew_report"].fn(spark, sf_dir).head()
+    measured = measure_key_skew(
+        load_table(spark, sf_dir, "lineitem"), ["l_partkey"]
+    )
+    assert abs(report["skew_ratio"] - measured) < 1e-4

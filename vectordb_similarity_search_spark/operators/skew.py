@@ -16,10 +16,71 @@ on its own salt).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT = "_salt"
+
+
+def measure_key_skew(df: DataFrame, on: list[str]) -> float:
+    """Max-to-avg rows-per-key ratio of a join key — the number the
+    r_skew_report query computes over the whole table, as a reusable
+    advisor primitive. 1.0 = perfectly uniform; a ratio of N means the hot
+    key's reducer gets N× the average task's rows. Two-level aggregate
+    (shuffle carries (key, partial count), second level is a single tiny
+    row), so the diagnostic costs one scan — at 100 TB run it on a sample
+    or reuse a maintained per-key stats table instead."""
+    row = (
+        df.groupBy(*on)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            (
+                F.max("c").cast("double")
+                / (F.sum("c").cast("double") / F.count("*"))
+            ).alias("ratio")
+        )
+        .head()
+    )
+    return float(row["ratio"])
+
+
+@dataclass(frozen=True)
+class SkewDecision:
+    """What the advisor saw and did — so the routing is auditable."""
+
+    skew_ratio: float
+    threshold: float
+    salted: bool
+    n_salts: int
+
+
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    how: str = "inner",
+    threshold: float = 4.0,
+    n_salts: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, SkewDecision]:
+    """The diagnostics → mitigation loop as one executable operator: measure
+    the big side's key skew (measure_key_skew == r_skew_report's ratio),
+    and route through ``salted_join`` only when it crosses ``threshold``
+    (default 4.0: below that, AQE's skew-split handles residual imbalance;
+    above it, the hot key's single reducer dominates the stage wall-clock).
+    Returns (result, decision); result rows are identical either way
+    (pinned in tests/test_merge_skew.py)."""
+    ratio = measure_key_skew(big, on)
+    salted = ratio >= threshold
+    out = (
+        salted_join(big, small, on, n_salts=n_salts, how=how, seed=seed)
+        if salted
+        else big.join(small, on, how)
+    )
+    return out, SkewDecision(ratio, threshold, salted, n_salts)
 
 
 def salted_join(
