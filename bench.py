@@ -39,6 +39,15 @@ HEADLINE = [
     "t_exact_dedup",         # hash dedup summary
 ]
 
+# Second group: the round-2 training-data-pipeline surface. Kept OUT of
+# the headline total so the 14-query cross-round series stays comparable;
+# reported as its own total alongside.
+PIPELINE = [
+    "t_decontaminate",       # benchmark-suite n-gram decontamination
+    "t_bm25_phrase",         # phrase-boosted BM25 retrieval
+    "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,15 +68,20 @@ def main() -> None:
     # min of 2 runs per query: this VM shows ±2x scheduling noise on
     # identical plans; the min is the stable estimate of plan cost (run 2
     # also reuses compiled codegen, separating fixed compile from data time)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    def run_group(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = run_group(HEADLINE)
+    pipeline = run_group(PIPELINE)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_queries": pipeline,
+                "pipeline_total_wall": round(sum(pipeline.values()), 3),
                 "sf": sf,
             }
         )
