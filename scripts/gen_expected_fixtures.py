@@ -36,6 +36,7 @@ FIXTURE_QUERIES = {
     "d_semantic_prune": "/root/testdata/sf0.01",
     "s_sample_stratified": "/root/testdata/sf0.01",
     "v_ivf_recall_curve": "/root/testdata/sf0.01",
+    "d_dedup_keep": "/root/testdata/sf0.01",
 }
 
 

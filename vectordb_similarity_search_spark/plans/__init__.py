@@ -30,7 +30,6 @@ DRIVER_WINDOW = [
     # vector search family
     "v_knn_cosine",
     "v_sim_join_topk",
-    "v_centroids",
     "v_hybrid_rrf",
     "v_ivf_knn",
     "v_ivf_recall_curve",
@@ -40,7 +39,6 @@ DRIVER_WINDOW = [
     "r_skew_report",
     "r_range_join",
     "r_rollup_revenue",
-    "r_intersect_except",
     "r_approx_distinct",
     # window functions
     "w_rank_orders",
@@ -63,6 +61,7 @@ DRIVER_WINDOW = [
     "t_scrub_pii",
     "t_zipf_slope",
     "t_bm25_phrase",
+    "t_domain_mixture",
     # event streams (batch twins of the streaming ops)
     "e_tumbling_hourly",
     "e_sliding_2h",
@@ -78,6 +77,7 @@ DRIVER_WINDOW = [
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
     "d_semantic_prune",
+    "d_dedup_keep",
     # patients / ML / multimodal / sampling
     "p_cohort_stats",
     "p_search_report",
@@ -97,7 +97,9 @@ TAIL = [
     "v_store_stats",
     "v_zscore_fit",
     "v_query_cohort_stats",
+    "v_centroids",
     "r_pricing_summary",
+    "r_intersect_except",
     "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",

@@ -411,3 +411,44 @@ def m_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FF.round(FF.avg("mean_byte"), 6).alias("avg_mean_byte"),
         FF.min("decoder").alias("decoder"),
     )
+
+
+@query(
+    "d_dedup_keep",
+    oracle=_expected_oracle("d_dedup_keep", sf_bound=True),
+)
+def d_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END-TO-END, driver-visible: MinHash+LSH pair
+    mining (same operating point as d_minhash_lsh_pairs) → connected-
+    components clustering (min-label propagation) → keep the canonical
+    (min-id) member per cluster, summarized per source as kept/dropped
+    counts. The clustering is an iterative offline algorithm (bounded
+    rounds of joins over the candidate-sized pair set — documented
+    build-time work, like the ANN index builds); the summary itself is one
+    aggregate. Oracle: expected-output parquet — pairs are content-pure
+    (see d_minhash_lsh_pairs) and min-label propagation is
+    order-independent, so the result is session-independent."""
+    from ..operators.dedup import dedup_keep_canonical, minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, bands=16, n_hashes=64
+    )
+    kept = dedup_keep_canonical(docs, pairs)
+    totals = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -996,3 +996,85 @@ def t_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_phrase_topk(
         t(spark, sf_dir, "documents"), _PHRASE_Q_TERMS, _PHRASE_Q, k=10
     )
+
+
+# DoReMi-style domain reweighting targets: three upweighted head domains,
+# the rest share the remaining mass uniformly. repr'd doubles so the Spark
+# literals and the DuckDB VALUES parse to identical float64s.
+_MIX_HEAD = {"src0": 0.2, "src1": 0.15, "src2": 0.15}
+_MIX_REST = (1.0 - sum(_MIX_HEAD.values())) / 17  # src3..src19
+_MIX_TARGETS = {
+    **_MIX_HEAD,
+    **{f"src{i}": _MIX_REST for i in range(3, 20)},
+}
+_MIX_SQL_VALUES = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in _MIX_TARGETS.items()
+)
+
+
+@query(
+    "t_domain_mixture",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({SQL_NTOK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT per.*, CAST(sum(n_tokens) OVER () AS DOUBLE) AS tot_tokens
+  FROM per),
+tgt(source, t_share) AS (VALUES {_MIX_SQL_VALUES})
+SELECT t.source, n_docs, n_tokens,
+       (round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) + 0) AS current_share,
+       (round(t_share, 6) + 0) AS target_share,
+       (round(least(1.0, t_share * (0.5 * tot_tokens)
+                         / CAST(n_tokens AS DOUBLE)), 6) + 0)
+         AS sample_fraction,
+       CAST(floor(least(1.0, t_share * (0.5 * tot_tokens)
+                             / CAST(n_tokens AS DOUBLE))
+                  * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
+FROM tot t JOIN tgt USING (source)
+""",
+)
+def t_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting plan (DoReMi / The Pile-style corpus
+    mixing, public methods): given literal target mixture weights per
+    source domain and a token budget (50% of the corpus), derive each
+    domain's sampling fraction = min(1, target_share · budget / tokens) and
+    its expected token yield — the table a training-data pipeline feeds to
+    its per-domain samplers (stratified_sample_by takes exactly these
+    fractions). One shuffle (per-source agg); the global total rides a
+    window over the 20-row aggregate, and the weight table folds into the
+    plan as a literal map — nothing driver-side, no second scan."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+    m = F.create_map(
+        *[x for s, w in _MIX_TARGETS.items() for x in (F.lit(s), F.lit(w))]
+    )
+    t_share = m[F.col("source")]
+    frac = F.least(
+        F.lit(1.0),
+        t_share * (F.lit(0.5) * tot) / F.col("n_tokens").cast("double"),
+    )
+    return (
+        per.withColumn("tot_tokens", tot)
+        .filter(t_share.isNotNull())
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6)
+            .alias("current_share"),
+            F.round(t_share, 6).alias("target_share"),
+            F.round(frac, 6).alias("sample_fraction"),
+            F.floor(frac * F.col("n_tokens").cast("double"))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )
