@@ -18,37 +18,41 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# name -> sf_dir the fixture is generated at. Seeded-generator queries are
-# sf-independent (any sf works; sf0.001 is fastest). Queries whose output
-# is a function of the fixture TABLES are sf-BOUND and must be generated
-# at sf0.01 — the scale the driver's correctness gate runs at (their
-# registry entries carry sf_bound=True via catalog.expected_oracle).
-FIXTURE_QUERIES = {
-    "m_embed_knn": "/root/testdata/sf0.001",
-    "m_embed_knn_bn": "/root/testdata/sf0.001",
-    "p_cohort_stats": "/root/testdata/sf0.001",
-    "p_search_report": "/root/testdata/sf0.001",
-    "p_pca_variance": "/root/testdata/sf0.001",
-    "m_media_decode_stats": "/root/testdata/sf0.001",
-    "d_minhash_lsh_pairs": "/root/testdata/sf0.01",
-    "d_simhash_pairs": "/root/testdata/sf0.01",
-    "t_fingerprint_pairs": "/root/testdata/sf0.01",
-    "d_semantic_prune": "/root/testdata/sf0.01",
-    "s_sample_stratified": "/root/testdata/sf0.01",
-    "v_ivf_recall_curve": "/root/testdata/sf0.01",
-    "d_dedup_keep": "/root/testdata/sf0.01",
-}
+# Seeded-generator fixtures are sf-independent (generated at sf0.001, the
+# fastest). sf-BOUND fixtures (functions of the fixture tables, classified
+# by catalog.expected_oracle(..., sf_bound=True) — the single source of
+# truth) are generated at sf0.01, the scale the driver's correctness gate
+# runs at; the dir is derived from that registry set so the two can't
+# drift.
+SF_FREE_DIR = "/root/testdata/sf0.001"
+SF_BOUND_DIR = "/root/testdata/sf0.01"
+FIXTURE_QUERIES = [
+    "m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report",
+    "p_pca_variance", "m_media_decode_stats",
+    "d_minhash_lsh_pairs", "d_simhash_pairs", "t_fingerprint_pairs",
+    "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
+    "d_dedup_keep",
+]
 
 
 def main() -> None:
     from vectordb_similarity_search_spark.plans import REGISTRY
+    from vectordb_similarity_search_spark.plans.catalog import SF_BOUND_ORACLES
+    from vectordb_similarity_search_spark.plans.nonsql_queries import (
+        pin_ivf_centers_fixture,
+    )
     from vectordb_similarity_search_spark.session import get_spark
 
     spark = get_spark(app_name="gen-fixtures", master="local[8]",
                       shuffle_partitions=8)
     out_dir = os.path.join(ROOT, "tests", "fixtures")
     os.makedirs(out_dir, exist_ok=True)
-    for name, sf_dir in FIXTURE_QUERIES.items():
+    # pin the fitted k-means centers FIRST: the k-means-derived fixtures
+    # (d_semantic_prune, v_ivf_recall_curve, d_dedup_keep's index reuse)
+    # must be generated from the same committed centers the queries load
+    print("ivf centers:", pin_ivf_centers_fixture(spark, SF_BOUND_DIR))
+    for name in FIXTURE_QUERIES:
+        sf_dir = SF_BOUND_DIR if name in SF_BOUND_ORACLES else SF_FREE_DIR
         pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
         path = os.path.join(out_dir, f"{name}_expected.parquet")
         pdf.to_parquet(path, index=False)

@@ -251,3 +251,24 @@ def test_ivf_recall_curve_monotone(spark):
     vals = [curve[p] for p in (1, 2, 4, 8)]
     assert vals == sorted(vals), vals
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_assign_blas_replaces_existing_cell_column(spark):
+    """Re-assigning a frame that already carries the cell column must
+    replace it (withColumn semantics), not duplicate the field."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.ann import IvfModel
+
+    rng = np.random.default_rng(5)
+    model = IvfModel(rng.standard_normal((128, 8)), "embedding")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    once = model.assign(df)
+    twice = model.assign(once)
+    assert twice.columns.count("cell") == 1
+    a = {r.vec_id: r.cell for r in once.collect()}
+    b = {r.vec_id: r.cell for r in twice.collect()}
+    assert a == b

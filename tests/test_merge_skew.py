@@ -161,3 +161,22 @@ def test_skew_report_ratio_matches_measure(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"), ["l_partkey"]
     )
     assert abs(report["skew_ratio"] - measured) < 1e-4
+
+
+def test_skew_helpers_edge_cases(spark):
+    """Review fixes: empty frame reports uniform skew (no crash), and an
+    unsupported join type fails at entry, not data-dependently."""
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.skew import (
+        measure_key_skew,
+        skew_aware_join,
+    )
+
+    df = spark.createDataFrame([], "key int, payload int")
+    assert measure_key_skew(df, ["key"]) == 1.0
+    small = spark.createDataFrame([(1, "a")], "key int, attr string")
+    out, decision = skew_aware_join(df, small, ["key"])
+    assert out.count() == 0 and not decision.salted
+    with _pytest.raises(ValueError):
+        skew_aware_join(df, small, ["key"], how="full")

@@ -70,12 +70,16 @@ class IvfModel:
         'build the index' step. At scale, persist the result partitioned by
         ``cell`` (partitionBy on write) so probes prune at the source.
 
-        Two physical strategies with identical results (parity pinned in
+        Two physical strategies (parity at 256 cells pinned in
         tests/test_ann.py): a JVM expression form for small models (keeps
         the whole plan codegen-friendly and oracle-replayable) and an
         Arrow ``mapInPandas`` BLAS argmin for large ones (the centroid
         matrix rides the closure — one broadcast per executor, one matmul
-        per batch). ``use_blas=None`` picks by ``EXPR_MAX_CELLS``."""
+        per batch). ``use_blas=None`` picks by ``EXPR_MAX_CELLS``. The two
+        compute the distance with different float summation orders, so a
+        vector EXACTLY equidistant from two centroids can land differently;
+        real corpora don't sit on bisectors, and an index is always
+        built+probed through one strategy."""
         if use_blas is None:
             use_blas = len(self.centers) > self.EXPR_MAX_CELLS
         if use_blas:
@@ -109,6 +113,9 @@ class IvfModel:
         centers = np.ascontiguousarray(self.centers, dtype=np.float64)
         c_norm = (centers**2).sum(axis=1)
         vec_col = self.vec_col
+        # mirror withColumn semantics: re-assigning a frame that already
+        # carries cell_col replaces it instead of duplicating the field
+        corpus = corpus.drop(cell_col)
         schema = T.StructType(
             list(corpus.schema.fields) + [T.StructField(cell_col, T.IntegerType())]
         )

@@ -43,7 +43,9 @@ def measure_key_skew(df: DataFrame, on: list[str]) -> float:
         )
         .head()
     )
-    return float(row["ratio"])
+    # empty input -> zero key groups -> null aggregates; an empty frame has
+    # no skew, so report the uniform ratio instead of crashing the caller
+    return 1.0 if row["ratio"] is None else float(row["ratio"])
 
 
 @dataclass(frozen=True)
@@ -73,6 +75,10 @@ def skew_aware_join(
     above it, the hot key's single reducer dominates the stage wall-clock).
     Returns (result, decision); result rows are identical either way
     (pinned in tests/test_merge_skew.py)."""
+    # validate up front, not only in the salted branch: an unsupported
+    # join type must fail on day one, not the day the data turns skewed
+    if how not in ("inner", "left"):
+        raise ValueError("skew_aware_join supports inner/left (big side drives)")
     ratio = measure_key_skew(big, on)
     salted = ratio >= threshold
     out = (

@@ -27,8 +27,39 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .catalog import FIXTURES_DIR
 from .catalog import expected_oracle as _expected_oracle
 from .catalog import query, t
+
+
+def _committed_centers_path(sf_dir: str, n_cells: int, seed: int) -> str:
+    """Committed k-means centers fixture for this (sf, model) pair.
+
+    The sf-bound expected-output fixtures of the k-means-derived queries
+    (d_semantic_prune, v_ivf_recall_curve) are only as stable as the
+    fitted centroids. Fitting is deterministic for THIS fixture layout
+    (single-row-group file → single input partition → fixed aggregation
+    order; verified bit-identical across session core counts), but
+    committing the fitted centers next to the expected outputs makes the
+    guarantee structural instead of empirical: any environment that can
+    load a .npy reproduces the exact cell assignment."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        FIXTURES_DIR, f"ivf_centers_{sf_tag}_{n_cells}_{seed}.npy"
+    )
+
+
+def pin_ivf_centers_fixture(
+    spark: SparkSession, sf_dir: str, *, n_cells: int = 16, seed: int = 42
+) -> str:
+    """Fit (or load) the IVF model for ``sf_dir`` and commit its centers
+    under tests/fixtures/ (used by scripts/gen_expected_fixtures.py)."""
+    model, _ = _ivf_index_for(spark, sf_dir, n_cells=n_cells, seed=seed)
+    path = _committed_centers_path(sf_dir, n_cells, seed)
+    tmp = path + ".tmp.npy"
+    np.save(tmp, model.centers)
+    os.replace(tmp, path)
+    return path
 
 
 def _ivf_index_for(
@@ -60,7 +91,14 @@ def _ivf_index_for(
     if os.path.exists(centers_path):
         return IvfModel(np.load(centers_path), "embedding"), index_path
     emb = t(spark, sf_dir, "embeddings")
-    model = ivf_fit(emb, n_cells=n_cells, seed=seed)
+    committed = _committed_centers_path(sf_dir, n_cells, seed)
+    if os.path.exists(committed):
+        # prefer the committed centers fixture: guarantees the cell
+        # assignment matches the committed expected-output fixtures even
+        # if a future Spark/MLlib version fits differently
+        model = IvfModel(np.load(committed), "embedding")
+    else:
+        model = ivf_fit(emb, n_cells=n_cells, seed=seed)
     ivf_write_index(model, emb.filter(F.col("vec_id") != 0), index_path)
     os.makedirs(base, exist_ok=True)
     tmp = centers_path + ".tmp.npy"
