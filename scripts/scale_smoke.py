@@ -97,6 +97,34 @@ def main() -> None:
     pq_ids = {r["vec_id"] for r in pq_hits}
     out["pq_1m_recall_at_10"] = round(len(pq_ids & exact_ids) / 10, 2)
 
+    # --- IVF at production cell count: 256 cells → the BLAS argmin assign
+    # path (expression form would be a 256-wide interpreted plan), written
+    # as a cell-partitioned store, probed partition-pruned
+    import tempfile
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        IvfModel,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    rng = __import__("numpy").random.default_rng(42)
+    # sampled centers stand in for a full k-means fit (the fit is its own
+    # offline job; this smoke times assign+write+probe, not training)
+    sample = vecs.filter(F.col("vec_id") % (N_VECTORS // 256) == 0).collect()
+    centers = __import__("numpy").array([r["embedding"] for r in sample[:256]])
+    model = IvfModel(centers, "embedding")
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="vss_smoke_ivf_"), "idx")
+    t0 = time.time()
+    ivf_write_index(model, vecs, idx_path)
+    out["ivf256_1m_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_hits = ivf_search_index(spark, idx_path, model, qv, k=10, nprobe=8).collect()
+    out["ivf256_1m_probe8_sec"] = round(time.time() - t0, 2)
+    out["ivf256_1m_recall_at_10"] = round(
+        len({r["vec_id"] for r in ivf_hits} & exact_ids) / 10, 2
+    )
+
     # --- patients: generate-at-scale + single-pass cohort stats + search
     t0 = time.time()
     pts = gen_patients(spark, N_PATIENTS, num_partitions=64).persist()
