@@ -35,7 +35,6 @@ DRIVER_WINDOW = [
     "v_ivf_recall_curve",
     "v_lsh_knn",
     # relational core
-    "r_market_revenue",
     "r_skew_report",
     "r_range_join",
     "r_rollup_revenue",
@@ -68,6 +67,7 @@ DRIVER_WINDOW = [
     "e_session_windows",
     "e_json_extract",
     "e_asof_join",
+    "e_interval_join",
     "e_pivot_user_activity",
     "e_from_json_filter",
     "e_hourly_top_type",
@@ -100,6 +100,7 @@ TAIL = [
     "v_centroids",
     "r_pricing_summary",
     "r_intersect_except",
+    "r_market_revenue",
     "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",

@@ -324,3 +324,61 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "e_interval_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (attribution) join — the batch twin of
+    streaming/events.stream_stream_interval_join: every click within the
+    hour preceding a same-user purchase (e_asof_join keeps only the LAST
+    click; the interval form keeps them all, which is the shape whose
+    streaming state Spark can bound and evict).
+
+    Plan shape: equi-key on user_id makes this a hash/sort-merge join with
+    the time range as a post-join predicate — the shuffle moves each side
+    once, keyed by user, no unbounded range-join explosion (each user's
+    clicks meet only that user's purchases)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "gap_us"
+            ),
+        )
+    )
