@@ -92,3 +92,43 @@ def test_balanced_sampler_ignores_null_stratum(spark):
     # floor is the b-count (200), NOT 1: class a downsampled to ~200
     assert 120 <= counts.get("a", 0) <= 280
     assert counts.get("b", 0) == 200
+
+
+def test_hash_sample_partition_independent(spark, sf_dir):
+    """The content-keyed sample is identical no matter how the input is
+    partitioned — the property rand(seed) sampling cannot give."""
+    from vectordb_similarity_search_spark.operators.sampling import hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    a = {
+        (r[0], r[1])
+        for r in hash_sample(li, 0.1, ["l_orderkey", "l_linenumber"]).collect()
+    }
+    b = {
+        (r[0], r[1])
+        for r in hash_sample(
+            li.repartition(17), 0.1, ["l_orderkey", "l_linenumber"]
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    n = li.count()
+    assert 0.05 * n < len(a) < 0.15 * n
+
+
+def test_hash_split_disjoint_and_exhaustive(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.sampling import hash_split
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    n = li.count()
+    splits = hash_split(li, [0.8, 0.1, 0.1], ["l_orderkey", "l_linenumber"])
+    counts = [s.count() for s in splits]
+    assert sum(counts) == n  # exhaustive + disjoint by construction
+    assert 0.7 * n < counts[0] < 0.9 * n
+    # a key's fate is stable: re-evaluating yields the same membership
+    first = {tuple(r) for r in splits[0].limit(50).collect()}
+    again = {tuple(r) for r in splits[0].collect()}
+    assert first <= again

@@ -70,3 +70,50 @@ def stratified_sample_by(
     )
     frac = m[F.col(label_col)]
     return df.where(frac.isNotNull() & (F.rand(seed) < frac))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    on: list[str],
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Content-keyed deterministic sampling: a row's inclusion depends only
+    on its key bytes and the seed (xxhash64 bucket < fraction), NOT on the
+    partition layout — so the sample is reproducible across cluster sizes,
+    re-partitions and re-runs, and any row keeps a stable fate when the
+    table is appended to. This is the reproducible form for train/test
+    splits at 100 TB; ``F.rand(seed)``'s per-partition stream (above) is
+    only stable for a fixed partitioning."""
+    h = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.lit(seed)), F.lit(1_000_000)
+    )
+    return df.where(h < int(fraction * 1_000_000))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: list[float],
+    on: list[str],
+    *,
+    seed: int = 42,
+) -> list[DataFrame]:
+    """Disjoint, exhaustive train/val/test split by content hash: row goes
+    to split i iff its hash bucket falls in [cum_i, cum_{i+1}) of the
+    normalized weights. Same determinism guarantees as hash_sample; the
+    splits are provably disjoint and cover the input (same hash expression,
+    adjacent half-open ranges)."""
+    total = float(sum(weights))
+    bounds = [0.0]
+    for w in weights:
+        bounds.append(bounds[-1] + w / total)
+    h = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.lit(seed)), F.lit(1_000_000)
+    )
+    out = []
+    for i in range(len(weights)):
+        lo = int(bounds[i] * 1_000_000)
+        hi = int(bounds[i + 1] * 1_000_000) if i < len(weights) - 1 else 1_000_000
+        out.append(df.where((h >= lo) & (h < hi)))
+    return out
