@@ -300,16 +300,20 @@ def m_embed_knn_bn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODEL_CACHE: dict = {}
 
 
-@query("v_ivf_knn")
+@query(
+    "v_ivf_knn",
+    oracle=_expected_oracle("v_ivf_knn", sf_bound=True),
+)
 def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN over a PREBUILT written index: 16-cell k-means
     index materialized once as cell-partitioned parquet (offline build,
     cached per sf_dir), then the query probes 4 cells via a
     partition-pruned scan — the scan's PartitionFilters carry the cell
     predicate, so non-probed cells are never read (asserted in
-    tests/test_plans.py). Exact top-10 within the probed cells.
-    (rows-only: k-means is iterative/non-SQL; recall vs exact kNN pinned in
-    tests/test_ann.py)."""
+    tests/test_plans.py). Exact top-10 within the probed cells. Oracle:
+    expected-output parquet (k-means is iterative/non-SQL, but the
+    committed-centers fixture pins the assignment — see
+    _committed_centers_path; recall vs exact kNN in tests/test_ann.py)."""
     emb = t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = list(row[0])
@@ -359,10 +363,14 @@ def v_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("v_lsh_knn")
+@query(
+    "v_lsh_knn",
+    oracle=_expected_oracle("v_lsh_knn", sf_bound=True),
+)
 def v_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed kNN for query vec 0 (rows-only; recall property in
-    tests/test_ann.py)."""
+    """SRP-LSH bucketed kNN for query vec 0. Oracle: expected-output
+    parquet — the hyperplane signatures are a seeded content function
+    (verified session-independent); recall property in tests/test_ann.py."""
     emb = t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = list(row[0])

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import query, t
+from .catalog import expected_oracle, query, t
 
 DEC = "decimal(18,2)"
 D32 = "decimal(3,2)"
@@ -736,11 +736,18 @@ def r_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("r_approx_distinct")
+@query(
+    "r_approx_distinct",
+    oracle=expected_oracle("r_approx_distinct", sf_bound=True),
+)
 def r_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts (rows-only: sketch values
-    are engine-specific by nature; the ±5% accuracy property vs exact
-    counts is pinned in tests/test_fingerprint.py)."""
+    """HyperLogLog++ approximate distinct counts. Oracle: expected-output
+    parquet — sketch values are engine-specific (no SQL twin), but HLL
+    register updates are max-merges, commutative and associative, so the
+    estimate is a pure function of the value set independent of partition
+    layout (verified bit-identical across session core counts); the ±5%
+    accuracy property vs exact counts is pinned in
+    tests/test_fingerprint.py."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
