@@ -1,8 +1,9 @@
-"""Dedup + ANN queries. Hash-sketch operators (MinHash/SimHash/SRP-LSH) are
-rows-only checked — DuckDB has no xxhash64, so no SQL twin can replay them;
-their correctness is pinned by property tests against exact baselines
-(tests/test_dedup.py, tests/test_ann.py). The exact embedding near-dup IS
-oracle-checked.
+"""Dedup + ANN queries. Hash-sketch operators (MinHash/SimHash/SRP-LSH)
+have no DuckDB SQL twin (no xxhash64 there), but their outputs are pure
+content functions, so they carry expected-parquet oracles (full
+rows+schema+hash checks) plus property tests against exact baselines
+(tests/test_dedup.py, tests/test_ann.py). The exact embedding near-dup has
+a direct SQL twin.
 """
 
 from __future__ import annotations
