@@ -28,7 +28,7 @@ SF_FREE_DIR = "/root/testdata/sf0.001"
 SF_BOUND_DIR = "/root/testdata/sf0.01"
 FIXTURE_QUERIES = [
     "m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report",
-    "p_pca_variance", "m_media_decode_stats",
+    "p_pca_variance", "m_media_decode_stats", "m_frame_sample",
     "d_minhash_lsh_pairs", "d_simhash_pairs", "t_fingerprint_pairs",
     "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
     "d_dedup_keep", "v_ivf_knn", "v_lsh_knn", "r_approx_distinct",

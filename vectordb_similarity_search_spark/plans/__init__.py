@@ -36,7 +36,6 @@ DRIVER_WINDOW = [
     "v_lsh_knn",
     # relational core
     "r_skew_report",
-    "r_range_join",
     "r_rollup_revenue",
     "r_approx_distinct",
     # window functions
@@ -85,6 +84,7 @@ DRIVER_WINDOW = [
     "m_embed_knn",
     "m_embed_knn_bn",
     "m_media_decode_stats",
+    "m_frame_sample",
     "s_sample_stratified",
 ]
 
@@ -101,6 +101,7 @@ TAIL = [
     "r_pricing_summary",
     "r_intersect_except",
     "r_market_revenue",
+    "r_range_join",
     "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",

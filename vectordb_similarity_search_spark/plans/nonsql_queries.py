@@ -499,3 +499,29 @@ def d_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+@query("m_frame_sample", oracle=_expected_oracle("m_frame_sample"))
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pass made driver-visible (the multimodal
+    explode-shape transform): synthesize the seeded binary media corpus,
+    keep every 2nd fixed-size frame of each video blob
+    (operators/multimodal.frame_sample — real byte slicing over the synth
+    container), and reduce per video to frame count, sampled bytes and a
+    content digest (xor of per-frame crc32s — order-independent, so the
+    aggregate is partition-stable). Oracle: precomputed expected-output
+    parquet (per-id seeded generation → sf- and session-independent)."""
+    from ..operators.multimodal import frame_sample, synth_media
+
+    frames = frame_sample(synth_media(spark, n=120), every=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(F.length("frame")).cast("long").alias("sampled_bytes"),
+            # BIT_XOR of crc32s: commutative digest of the sampled content
+            F.expr("CAST(bit_xor(crc32(frame)) AS BIGINT)").alias(
+                "content_digest"
+            ),
+        )
+    )
