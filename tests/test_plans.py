@@ -154,3 +154,27 @@ def test_zipf_slope_absorbs_explode_before_shuffle(spark, sf_dir):
     assert "Window" in plan
     # partial agg directly above the generate/scan side
     assert "HashAggregate" in plan
+
+
+def test_interval_join_pushes_type_filters_and_hash_joins(spark, sf_dir):
+    """Both event_type filters reach the scans; the time range rides a
+    hash join on user_id (broadcast here, SMJ at scale) — never a
+    nested-loop range explosion."""
+    plan = plan_of(REGISTRY["e_interval_join"].fn(spark, sf_dir))
+    assert plan.count("EqualTo(event_type") >= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_domain_mixture_one_window_two_exchanges(spark, sf_dir):
+    """Per-source agg shuffle + the single-partition global-total window;
+    the weight table folds into the plan as literals (no join), and the
+    corpus total is computed by exactly one Window node."""
+    import re
+
+    plan = plan_of(REGISTRY["t_domain_mixture"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    # formatted mode prints each node twice (tree + detail header);
+    # count detail headers only, like _n_exchanges
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert _n_exchanges(plan) == 2

@@ -1058,9 +1058,13 @@ def t_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[x for s, w in _MIX_TARGETS.items() for x in (F.lit(s), F.lit(w))]
     )
     t_share = m[F.col("source")]
+    # reference the materialized tot_tokens COLUMN (not the window
+    # expression again) so the plan carries exactly one Window node
     frac = F.least(
         F.lit(1.0),
-        t_share * (F.lit(0.5) * tot) / F.col("n_tokens").cast("double"),
+        t_share
+        * (F.lit(0.5) * F.col("tot_tokens"))
+        / F.col("n_tokens").cast("double"),
     )
     return (
         per.withColumn("tot_tokens", tot)
