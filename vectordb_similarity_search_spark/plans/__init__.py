@@ -36,7 +36,6 @@ DRIVER_WINDOW = [
     "v_lsh_knn",
     # relational core
     "r_skew_report",
-    "r_rollup_revenue",
     "r_approx_distinct",
     # window functions
     "w_rank_orders",
@@ -60,6 +59,7 @@ DRIVER_WINDOW = [
     "t_zipf_slope",
     "t_bm25_phrase",
     "t_domain_mixture",
+    "t_bigram_logprob",
     # event streams (batch twins of the streaming ops)
     "e_tumbling_hourly",
     "e_sliding_2h",
@@ -102,6 +102,7 @@ TAIL = [
     "r_intersect_except",
     "r_market_revenue",
     "r_range_join",
+    "r_rollup_revenue",
     "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",

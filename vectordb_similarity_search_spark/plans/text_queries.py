@@ -1082,3 +1082,93 @@ def t_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_tokens"),
         )
     )
+
+
+@query(
+    "t_bigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKENS} AS t FROM documents
+), bigrams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), cab AS (
+  SELECT bg, CAST(count(*) AS DOUBLE) AS c_ab FROM bigrams GROUP BY bg
+), ca AS (
+  SELECT string_split(bg, ' ')[1] AS a, CAST(sum(c_ab) AS DOUBLE) AS c_a
+  FROM cab GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks)
+), doc_scores AS (
+  SELECT b.doc_id, b.source,
+         avg(ln((c.c_ab + 1.0) / (a.c_a + v.vocab))) AS doc_lp
+  FROM bigrams b
+  JOIN cab c ON b.bg = c.bg
+  JOIN ca a ON string_split(b.bg, ' ')[1] = a.a
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (round(avg(doc_lp), 6) + 0) AS avg_bigram_logprob
+FROM doc_scores GROUP BY source
+""",
+)
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM quality score (the CCNet-style LM filter with
+    the corpus as its own LM): per document, the mean add-one-smoothed
+    conditional log-likelihood ln((c(a,b)+1)/(c(a)+V)) of its bigrams,
+    aggregated per source. Gibberish scores far below template text — the
+    standard perplexity-bucket signal, here with an exact SQL twin instead
+    of an opaque model.
+
+    Scale shape: bigram/unigram count tables are corpus-reduced aggregates
+    (shuffle carries (bigram, partial count), never documents); the scoring
+    join keys exploded bigrams against the count tables — at web scale the
+    count tables are the small side (vocabulary², zipf-truncated) and
+    broadcast; V is a 1-row lazy aggregate crossJoined in."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    cab = bigrams.groupBy("bg").agg(F.count("*").cast("double").alias("c_ab"))
+    ca = cab.groupBy(
+        F.split("bg", " ").getItem(0).alias("a")
+    ).agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("vocab"))
+    )
+    doc_scores = (
+        bigrams.join(cab, "bg")
+        .join(ca, F.split("bg", " ").getItem(0) == F.col("a"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                F.log(
+                    (F.col("c_ab") + F.lit(1.0))
+                    / (F.col("c_a") + F.col("vocab"))
+                )
+            ).alias("doc_lp")
+        )
+    )
+    return doc_scores.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("doc_lp"), 6).alias("avg_bigram_logprob"),
+    )
