@@ -31,9 +31,8 @@ def test_oracle_parity(spark, name):
     compare(spec.fn(spark, sf), spec.oracle, sf)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF)
-    assert df.count() >= 0
-    assert len(df.schema) > 0
+def test_every_query_has_an_oracle():
+    """As of round 3 every registry query carries a full rows+schema+hash
+    oracle (SQL twin or expected-parquet). Adding a rows-only query again
+    is a deliberate decision — update this pin and document why."""
+    assert ROWS_ONLY_QUERIES == []
