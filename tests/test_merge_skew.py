@@ -180,3 +180,99 @@ def test_skew_helpers_edge_cases(spark):
     assert out.count() == 0 and not decision.salted
     with _pytest.raises(ValueError):
         skew_aware_join(df, small, ["key"], how="full")
+
+
+def _scd2_table(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "dim")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "alice", "bronze", t0, None),
+        (2, "bob", "silver", t0, None),
+        (3, "carol", "gold", t0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "cust_id int, name string, tier string, "
+        "valid_from timestamp, valid_to timestamp",
+    ).write.parquet(path)
+    return path, t0
+
+
+def test_scd2_tracks_history(spark, tmp_path):
+    """Changed attrs close the current row and open a new one; equal
+    updates are no-ops (idempotent replay); new keys insert."""
+    import datetime as dt
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, t0 = _scd2_table(spark, tmp_path)
+    t1 = dt.datetime(2024, 6, 1)
+    updates = spark.createDataFrame(
+        [
+            (1, "alice", "gold", t1),     # tier change -> versioned
+            (2, "bob", "silver", t1),     # identical -> no-op
+            (4, "dave", "bronze", t1),    # new key -> first version
+        ],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    scd2_apply(spark, path, updates, ["cust_id"])
+    rows = {
+        (r.cust_id, r.tier, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert (1, "bronze", t0, t1) in rows      # closed old version
+    assert (1, "gold", t1, None) in rows      # new current
+    assert (2, "silver", t0, None) in rows    # untouched (idempotent)
+    assert (3, "gold", t0, None) in rows      # no update -> untouched
+    assert (4, "bronze", t1, None) in rows    # brand-new key
+    assert len(rows) == 5
+    # replaying the same batch changes nothing
+    scd2_apply(spark, path, updates, ["cust_id"])
+    again = {
+        (r.cust_id, r.tier, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == rows
+
+
+def test_scd2_second_change_extends_history(spark, tmp_path):
+    import datetime as dt
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, t0 = _scd2_table(spark, tmp_path)
+    t1, t2 = dt.datetime(2024, 6, 1), dt.datetime(2024, 9, 1)
+    mk = lambda tier, ts: spark.createDataFrame(  # noqa: E731
+        [(1, "alice", tier, ts)],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    scd2_apply(spark, path, mk("silver", t1), ["cust_id"])
+    scd2_apply(spark, path, mk("gold", t2), ["cust_id"])
+    hist = sorted(
+        (r.tier, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(path).filter("cust_id = 1").collect()
+    )
+    assert hist == [
+        ("bronze", t0, t1),
+        ("gold", t2, None),
+        ("silver", t1, t2),
+    ]
+
+
+def test_scd2_rejects_duplicate_update_keys(spark, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, _ = _scd2_table(spark, tmp_path)
+    t1 = dt.datetime(2024, 6, 1)
+    dup = spark.createDataFrame(
+        [(1, "alice", "gold", t1), (1, "alice", "silver", t1)],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    with _pytest.raises(ValueError):
+        scd2_apply(spark, path, dup, ["cust_id"])

@@ -98,3 +98,88 @@ def merge_parquet(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     swap_snapshot(table_path, tmp)
+
+
+def scd2_apply(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    broadcast_updates: bool = True,
+) -> None:
+    """Slowly-changing-dimension type 2 apply: dimension history as
+    immutable versioned rows. The table carries ``valid_from``/``valid_to``
+    (NULL valid_to = current row); ``updates`` carries the key, the new
+    attribute values and ``ts_col`` (when the change took effect).
+
+    Per key: an update whose attributes DIFFER from the current row closes
+    it (valid_to = effective_ts) and inserts a new current row; an update
+    equal to the current row is a no-op (idempotent CDC replay); a new key
+    inserts its first current row. History rows are never touched — the
+    rewrite is one pass + swap, same recoverable-snapshot discipline as
+    merge_parquet. At scale, partition by a key-derived bucket and rewrite
+    only partitions with changes.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    restore_snapshot(table_path)
+    target = spark.read.parquet(table_path)
+    attr_cols = [
+        c
+        for c in target.columns
+        if c not in (*key_cols, valid_from, valid_to)
+    ]
+    expect = set(key_cols) | set(attr_cols) | {ts_col}
+    if set(updates.columns) != expect:
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != expected {sorted(expect)}"
+        )
+    if updates.select(*key_cols).distinct().count() != updates.count():
+        raise ValueError("one update per key per apply; pre-collapse the batch")
+
+    u = updates.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+
+    history = target.filter(F.col(valid_to).isNotNull())
+    current = target.filter(F.col(valid_to).isNull())
+    cond = [current[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
+    j = current.join(u, cond, "full_outer")
+    changed = F.col("_u").isNotNull() & (
+        F.struct(*[current[c] for c in attr_cols]) != F.col("_u")
+    )
+    # current rows (the side that exists in the table): closed if changed,
+    # kept as-is otherwise. valid_from is non-null on every real row, so
+    # it marks the current side of the full-outer join.
+    still = (
+        j.filter(current[valid_from].isNotNull())
+        .select(
+            *[current[k].alias(k) for k in key_cols],
+            *[current[c].alias(c) for c in attr_cols],
+            current[valid_from].alias(valid_from),
+            F.when(changed, F.col("_ts")).otherwise(F.lit(None)).alias(valid_to),
+        )
+    )
+    # new current rows: changed keys + brand-new keys (no current side)
+    fresh = (
+        j.filter(F.col("_u").isNotNull() & (changed | current[valid_from].isNull()))
+        .select(
+            *[F.col(f"_k_{k}").alias(k) for k in key_cols],
+            *[F.col("_u")[c].alias(c) for c in attr_cols],
+            F.col("_ts").alias(valid_from),
+            F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+        )
+    )
+    snapshot = history.unionByName(still).unionByName(fresh)
+
+    tmp = f"{table_path.rstrip('/')}__scd2_{uuid.uuid4().hex[:8]}"
+    snapshot.write.mode("overwrite").parquet(tmp)
+    swap_snapshot(table_path, tmp)
