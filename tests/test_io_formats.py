@@ -141,3 +141,48 @@ def test_write_sorted_produces_tight_zone_maps(spark, tmp_path):
     narrowest_unsorted = min(mx - mn for mn, mx in u_spans) / domain
     assert widest_sorted < 0.35
     assert narrowest_unsorted > 0.9
+
+
+def test_write_zordered_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering: row-group min/max spans shrink on BOTH
+    z-columns (a single-key sort only tightens its own column; the
+    second dimension spans ~the whole domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_similarity_search_spark.sources.io import (
+        write_sorted,
+        write_zordered,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    dom = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).head()
+    domains = {0: dom[1] - dom[0] + 1, 1: dom[3] - dom[2] + 1}
+
+    def spans(path, col_idx):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+    spath = str(tmp_path / "sorted1d")
+    write_sorted(li, spath, ["l_orderkey"], n_files=16)
+
+    def median_rel_span(path, idx):
+        s = sorted((mx - mn) / domains[idx] for mn, mx in spans(path, idx))
+        return s[len(s) // 2]
+
+    # z-order: BOTH columns' typical row-group span is a fraction of the
+    # domain; the 1-d sort leaves the second column at ~full domain
+    assert median_rel_span(zpath, 0) < 0.6
+    assert median_rel_span(zpath, 1) < 0.6
+    assert median_rel_span(spath, 1) > 0.9

@@ -21,6 +21,7 @@ Design rules encoded here (the ones that matter at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FORMATS = ("parquet", "orc", "json", "csv")
@@ -145,3 +146,74 @@ def write_sorted(
     else:
         parts = df.repartitionByRange(*cols)
     parts.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df,
+    path: str,
+    z_cols: list[str],
+    *,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ORDER clustered on two-or-more numeric columns —
+    the multi-dimensional half of Delta's OPTIMIZE ZORDER, on plain
+    parquet. A single-key sort (write_sorted) gives tight zone maps on
+    ONE column and useless ones on the rest; interleaving the bits of
+    each column's normalized rank into a Morton (Z) value and
+    range-clustering on THAT gives every file/row-group a small hyper-
+    rectangle of the key space, so selective predicates on ANY of the
+    z-columns skip most row groups via footer min/max stats.
+
+    Normalization is a lazy per-column (min, max) aggregate crossJoined
+    in (no driver-side pass): each column maps to a ``bits``-bit bucket,
+    and the buckets' bits interleave into the sort key. All expression-
+    level — one extra projection, then the same repartitionByRange +
+    sortWithinPartitions write as write_sorted."""
+    if len(z_cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (use write_sorted for 1)")
+    stats = df.agg(
+        *[
+            f
+            for c in z_cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    scaled = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    buckets = [
+        F.least(
+            F.lit(top),
+            F.floor(
+                (F.col(c).cast("double") - F.col(f"_lo_{c}"))
+                / (
+                    F.when(
+                        F.col(f"_hi_{c}") > F.col(f"_lo_{c}"),
+                        F.col(f"_hi_{c}") - F.col(f"_lo_{c}"),
+                    ).otherwise(F.lit(1.0))
+                )
+                * top
+            ).cast("long"),
+        )
+        for c in z_cols
+    ]
+    n = len(z_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + d))
+    zdf = scaled.withColumn("_z", z).drop(
+        *[f"_lo_{c}" for c in z_cols], *[f"_hi_{c}" for c in z_cols]
+    )
+    (
+        zdf.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
