@@ -108,11 +108,13 @@ def main() -> None:
         ivf_write_index,
     )
 
-    rng = __import__("numpy").random.default_rng(42)
+    import numpy as np
+
     # sampled centers stand in for a full k-means fit (the fit is its own
     # offline job; this smoke times assign+write+probe, not training)
-    sample = vecs.filter(F.col("vec_id") % (N_VECTORS // 256) == 0).collect()
-    centers = __import__("numpy").array([r["embedding"] for r in sample[:256]])
+    stride = max(1, N_VECTORS // 256)
+    sample = vecs.filter(F.col("vec_id") % stride == 0).collect()
+    centers = np.array([r["embedding"] for r in sample[:256]])
     model = IvfModel(centers, "embedding")
     idx_path = os.path.join(tempfile.mkdtemp(prefix="vss_smoke_ivf_"), "idx")
     t0 = time.time()

@@ -186,3 +186,19 @@ def test_write_zordered_tightens_both_dimensions(spark, tmp_path):
     assert median_rel_span(zpath, 0) < 0.6
     assert median_rel_span(zpath, 1) < 0.6
     assert median_rel_span(spath, 1) > 0.9
+
+
+def test_write_zordered_rejects_overflowing_bits(spark, tmp_path):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.sources.io import write_zordered
+
+    df = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    with _pytest.raises(ValueError, match="63"):
+        write_zordered(
+            df, str(tmp_path / "z"), df.columns[:4], bits=16
+        )
+    # default bits auto-fits: 5 columns -> 12 bits each (60 <= 63)
+    write_zordered(df, str(tmp_path / "z5"), df.columns, n_files=4)

@@ -276,3 +276,26 @@ def test_scd2_rejects_duplicate_update_keys(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         scd2_apply(spark, path, dup, ["cust_id"])
+
+
+def test_scd2_rejects_stale_batch(spark, tmp_path):
+    """An update older than the row it would replace is stale CDC
+    re-delivery — refuse instead of corrupting history."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, t0 = _scd2_table(spark, tmp_path)
+    t1, t2 = dt.datetime(2024, 6, 1), dt.datetime(2024, 9, 1)
+    mk = lambda tier, ts: spark.createDataFrame(  # noqa: E731
+        [(1, "alice", tier, ts)],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    scd2_apply(spark, path, mk("gold", t2), ["cust_id"])
+    with _pytest.raises(ValueError, match="stale"):
+        scd2_apply(spark, path, mk("silver", t1), ["cust_id"])
+    # table unchanged by the refused apply
+    cur = spark.read.parquet(path).filter("cust_id = 1 AND valid_to IS NULL")
+    assert [r.tier for r in cur.collect()] == ["gold"]

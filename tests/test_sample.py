@@ -132,3 +132,14 @@ def test_hash_split_disjoint_and_exhaustive(spark, sf_dir):
     first = {tuple(r) for r in splits[0].limit(50).collect()}
     again = {tuple(r) for r in splits[0].collect()}
     assert first <= again
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for bad in ([], [0.5, 0.0], [0.5, -0.2, 0.7]):
+        with _pytest.raises(ValueError):
+            hash_split(df, bad, ["k"])

@@ -119,10 +119,18 @@ def scd2_apply(
     Per key: an update whose attributes DIFFER from the current row closes
     it (valid_to = effective_ts) and inserts a new current row; an update
     equal to the current row is a no-op (idempotent CDC replay); a new key
-    inserts its first current row. History rows are never touched — the
-    rewrite is one pass + swap, same recoverable-snapshot discipline as
-    merge_parquet. At scale, partition by a key-derived bucket and rewrite
-    only partitions with changes.
+    inserts its first current row. An update OLDER than the current row's
+    valid_from is rejected (stale CDC re-delivery would otherwise install
+    old data over newer and write a negative-duration history row).
+    History rows are never touched — the rewrite is one pass + swap, same
+    recoverable-snapshot discipline as merge_parquet. At scale, partition
+    by a key-derived bucket and rewrite only partitions with changes.
+
+    Join shape: current LEFT-joins the (broadcastable) updates for
+    close/keep/version, and new keys come from updates ANTI-joined
+    against the current KEYS only — so the dimension is never shuffled
+    for the common tiny-batch case (a full-outer join would ignore the
+    broadcast hint and sort-merge the whole dimension every apply).
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -152,33 +160,53 @@ def scd2_apply(
     history = target.filter(F.col(valid_to).isNotNull())
     current = target.filter(F.col(valid_to).isNull())
     cond = [current[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
-    j = current.join(u, cond, "full_outer")
+    j = current.join(u, cond, "left")
     changed = F.col("_u").isNotNull() & (
         F.struct(*[current[c] for c in attr_cols]) != F.col("_u")
     )
-    # current rows (the side that exists in the table): closed if changed,
-    # kept as-is otherwise. valid_from is non-null on every real row, so
-    # it marks the current side of the full-outer join.
-    still = (
-        j.filter(current[valid_from].isNotNull())
-        .select(
-            *[current[k].alias(k) for k in key_cols],
-            *[current[c].alias(c) for c in attr_cols],
-            current[valid_from].alias(valid_from),
-            F.when(changed, F.col("_ts")).otherwise(F.lit(None)).alias(valid_to),
+    stale = j.filter(changed & (F.col("_ts") < current[valid_from]))
+    n_stale = stale.count()
+    if n_stale:
+        raise ValueError(
+            f"{n_stale} update(s) are older than the row they would "
+            "replace (stale CDC batch); refusing to rewrite history"
         )
+    # current rows: closed if changed, kept as-is otherwise
+    still = j.select(
+        *[current[k].alias(k) for k in key_cols],
+        *[current[c].alias(c) for c in attr_cols],
+        current[valid_from].alias(valid_from),
+        F.when(changed, F.col("_ts")).otherwise(F.lit(None)).alias(valid_to),
     )
-    # new current rows: changed keys + brand-new keys (no current side)
-    fresh = (
-        j.filter(F.col("_u").isNotNull() & (changed | current[valid_from].isNull()))
-        .select(
-            *[F.col(f"_k_{k}").alias(k) for k in key_cols],
-            *[F.col("_u")[c].alias(c) for c in attr_cols],
-            F.col("_ts").alias(valid_from),
-            F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
-        )
+    # new versions for changed keys
+    versioned = j.filter(changed).select(
+        *[F.col(f"_k_{k}").alias(k) for k in key_cols],
+        *[F.col("_u")[c].alias(c) for c in attr_cols],
+        F.col("_ts").alias(valid_from),
+        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
     )
-    snapshot = history.unionByName(still).unionByName(fresh)
+    # brand-new keys: anti-join against the current KEYS (narrow — the
+    # dimension's attribute payload never shuffles here; eqNullSafe to
+    # match the join semantics above)
+    cur_keys = current.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in key_cols]
+    )
+    new_rows = updates.join(
+        cur_keys,
+        [
+            F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+            for k in key_cols
+        ],
+        "left_anti",
+    ).select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+    )
+    snapshot = history.unionByName(still).unionByName(versioned).unionByName(
+        new_rows
+    )
 
     tmp = f"{table_path.rstrip('/')}__scd2_{uuid.uuid4().hex[:8]}"
     snapshot.write.mode("overwrite").parquet(tmp)

@@ -72,6 +72,15 @@ def stratified_sample_by(
     return df.where(frac.isNotNull() & (F.rand(seed) < frac))
 
 
+def _hash_bucket(on: list[str], seed: int):
+    """The shared bucket expression: hash_sample membership and
+    hash_split routing MUST stay bit-identical (a sampled row keeps a
+    stable fate under any split of the same keys+seed)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.lit(seed)), F.lit(1_000_000)
+    )
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
@@ -86,10 +95,7 @@ def hash_sample(
     table is appended to. This is the reproducible form for train/test
     splits at 100 TB; ``F.rand(seed)``'s per-partition stream (above) is
     only stable for a fixed partitioning."""
-    h = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.lit(seed)), F.lit(1_000_000)
-    )
-    return df.where(h < int(fraction * 1_000_000))
+    return df.where(_hash_bucket(on, seed) < int(fraction * 1_000_000))
 
 
 def hash_split(
@@ -104,13 +110,15 @@ def hash_split(
     normalized weights. Same determinism guarantees as hash_sample; the
     splits are provably disjoint and cover the input (same hash expression,
     adjacent half-open ranges)."""
+    if not weights or any(w <= 0 for w in weights):
+        raise ValueError(
+            f"weights must be non-empty and strictly positive, got {weights}"
+        )
     total = float(sum(weights))
     bounds = [0.0]
     for w in weights:
         bounds.append(bounds[-1] + w / total)
-    h = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.lit(seed)), F.lit(1_000_000)
-    )
+    h = _hash_bucket(on, seed)
     out = []
     for i in range(len(weights)):
         lo = int(bounds[i] * 1_000_000)

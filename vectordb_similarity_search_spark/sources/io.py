@@ -154,7 +154,7 @@ def write_zordered(
     z_cols: list[str],
     *,
     n_files: int = 8,
-    bits: int = 16,
+    bits: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write parquet Z-ORDER clustered on two-or-more numeric columns —
@@ -170,9 +170,21 @@ def write_zordered(
     in (no driver-side pass): each column maps to a ``bits``-bit bucket,
     and the buckets' bits interleave into the sort key. All expression-
     level — one extra projection, then the same repartitionByRange +
-    sortWithinPartitions write as write_sorted."""
+    sortWithinPartitions write as write_sorted.
+
+    ``bits`` defaults to the deepest interleave that fits a signed long
+    (63 // n_cols, capped at 16); an explicit value is validated — a key
+    wider than 63 bits would wrap into the sign bit / low positions and
+    silently scramble the ordering."""
     if len(z_cols) < 2:
         raise ValueError("z-order needs >= 2 columns (use write_sorted for 1)")
+    if bits is None:
+        bits = min(16, 63 // len(z_cols))
+    if bits < 1 or bits * len(z_cols) > 63:
+        raise ValueError(
+            f"bits={bits} with {len(z_cols)} columns needs "
+            f"{bits * len(z_cols)} key bits; a signed long holds 63"
+        )
     stats = df.agg(
         *[
             f
