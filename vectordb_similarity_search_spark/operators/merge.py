@@ -76,11 +76,14 @@ def merge_parquet(
     if broadcast_updates:
         u = F.broadcast(u)
     cond = [target[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
-    joined = target.join(u, cond, "full_outer")
-    # matched+tombstone -> drop; matched -> update; unmatched update -> insert;
-    # unmatched target -> keep
+    # target LEFT-joins the (broadcastable) updates — a full_outer join
+    # would ignore the broadcast hint and sort-merge the whole table on
+    # every merge; inserts come from a keys-only anti-join instead, so
+    # the table's payload never shuffles for the tiny-CDC-batch case.
+    joined = target.join(u, cond, "left")
+    # matched+tombstone -> drop; matched -> update; unmatched target -> keep
     keep = ~F.coalesce(F.col("_tomb"), F.lit(False))
-    merged = (
+    updated = (
         joined.filter(keep)
         .select(
             *[
@@ -91,6 +94,17 @@ def merge_parquet(
             ]
         )
     )
+    tgt_keys = target.select(*[F.col(k).alias(f"_tk_{k}") for k in key_cols])
+    inserts = (
+        upd.filter(~F.col("_tomb"))
+        .join(
+            tgt_keys,
+            [F.col(k).eqNullSafe(F.col(f"_tk_{k}")) for k in key_cols],
+            "left_anti",
+        )
+        .select(*[F.col(c) for c in target.columns])
+    )
+    merged = updated.unionByName(inserts)
 
     tmp = f"{table_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
     w = merged.write.mode("overwrite")
