@@ -58,6 +58,21 @@ def main() -> None:
         pdf.to_parquet(path, index=False)
         print(f"{name}: {len(pdf)} rows ({sf_dir}) -> {path}")
 
+    # pin the INPUT table bytes the sf-bound fixtures derive from, so a
+    # future testdata regeneration fails the guard test attributably
+    # instead of looking like query regressions
+    import hashlib
+    import json
+
+    fps = {}
+    for table in ("documents", "embeddings", "lineitem", "orders"):
+        p = os.path.join(SF_BOUND_DIR, f"{table}.parquet")
+        fps[table] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    fp_path = os.path.join(out_dir, "testdata_fingerprints.json")
+    with open(fp_path, "w") as fh:
+        json.dump({"sf_dir": SF_BOUND_DIR, "md5": fps}, fh, indent=1)
+    print(f"testdata fingerprints -> {fp_path}")
+
 
 if __name__ == "__main__":
     main()

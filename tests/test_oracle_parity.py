@@ -36,3 +36,28 @@ def test_every_query_has_an_oracle():
     oracle (SQL twin or expected-parquet). Adding a rows-only query again
     is a deliberate decision — update this pin and document why."""
     assert ROWS_ONLY_QUERIES == []
+
+
+def test_sf_bound_fixture_inputs_unchanged():
+    """The sf-bound expected-parquet fixtures are functions of the sf0.01
+    table CONTENTS. If the driver ever regenerates testdata with different
+    bytes, those fixtures are stale — this test fails first with an
+    attributable message instead of letting the oracle comparisons fail
+    as if the queries regressed. Fix: rerun scripts/gen_expected_fixtures.py
+    and commit the refreshed fixtures + fingerprints."""
+    import hashlib
+    import json
+
+    fp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "testdata_fingerprints.json",
+    )
+    pinned = json.load(open(fp))
+    for table, want in pinned["md5"].items():
+        path = os.path.join(pinned["sf_dir"], f"{table}.parquet")
+        got = hashlib.md5(open(path, "rb").read()).hexdigest()
+        assert got == want, (
+            f"{path} changed since the sf-bound fixtures were generated — "
+            "regenerate via scripts/gen_expected_fixtures.py"
+        )
