@@ -60,12 +60,16 @@ def main() -> None:
 
     # pin the INPUT table bytes the sf-bound fixtures derive from, so a
     # future testdata regeneration fails the guard test attributably
-    # instead of looking like query regressions
+    # instead of looking like query regressions. Pin ALL fixture tables —
+    # a hand-picked subset would silently drift from what future sf-bound
+    # queries actually read.
     import hashlib
     import json
 
+    from vectordb_similarity_search_spark.sources.tables import TABLES
+
     fps = {}
-    for table in ("documents", "embeddings", "lineitem", "orders"):
+    for table in TABLES:
         p = os.path.join(SF_BOUND_DIR, f"{table}.parquet")
         fps[table] = hashlib.md5(open(p, "rb").read()).hexdigest()
     fp_path = os.path.join(out_dir, "testdata_fingerprints.json")

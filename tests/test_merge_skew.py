@@ -299,3 +299,21 @@ def test_scd2_rejects_stale_batch(spark, tmp_path):
     # table unchanged by the refused apply
     cur = spark.read.parquet(path).filter("cust_id = 1 AND valid_to IS NULL")
     assert [r.tier for r in cur.collect()] == ["gold"]
+
+
+@pytest.mark.parametrize("bcast", [True, False])
+def test_merge_tombstone_for_absent_key_is_noop(spark, table, bcast):
+    """Deleting a key that isn't in the target neither inserts nor fails —
+    on both the broadcast (left+anti) and big-batch (full_outer) paths."""
+    from vectordb_similarity_search_spark.operators.merge import merge_parquet
+
+    before = _read(spark, table)
+    updates = spark.createDataFrame(
+        [(999, "ghost", "zz", True)],
+        "k int, v string, grp string, is_deleted boolean",
+    )
+    merge_parquet(
+        spark, table, updates, ["k"],
+        delete_col="is_deleted", broadcast_updates=bcast,
+    )
+    assert _read(spark, table) == before

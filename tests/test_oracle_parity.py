@@ -54,8 +54,17 @@ def test_sf_bound_fixture_inputs_unchanged():
         "testdata_fingerprints.json",
     )
     pinned = json.load(open(fp))
+    # the pins must cover the directory the parity tests actually read
+    assert pinned["sf_dir"] == ORACLE_SF, (
+        f"fingerprints pinned for {pinned['sf_dir']} but parity runs at "
+        f"{ORACLE_SF} — regenerate via scripts/gen_expected_fixtures.py"
+    )
     for table, want in pinned["md5"].items():
         path = os.path.join(pinned["sf_dir"], f"{table}.parquet")
+        assert os.path.exists(path), (
+            f"{path} missing/moved since the sf-bound fixtures were "
+            "generated — regenerate via scripts/gen_expected_fixtures.py"
+        )
         got = hashlib.md5(open(path, "rb").read()).hexdigest()
         assert got == want, (
             f"{path} changed since the sf-bound fixtures were generated — "

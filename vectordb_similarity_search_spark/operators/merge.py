@@ -73,38 +73,54 @@ def merge_parquet(
         F.struct(*[F.col(c) for c in data_cols]).alias("_u"),
         "_tomb",
     )
-    if broadcast_updates:
-        u = F.broadcast(u)
     cond = [target[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
-    # target LEFT-joins the (broadcastable) updates — a full_outer join
-    # would ignore the broadcast hint and sort-merge the whole table on
-    # every merge; inserts come from a keys-only anti-join instead, so
-    # the table's payload never shuffles for the tiny-CDC-batch case.
-    joined = target.join(u, cond, "left")
-    # matched+tombstone -> drop; matched -> update; unmatched target -> keep
     keep = ~F.coalesce(F.col("_tomb"), F.lit(False))
-    updated = (
-        joined.filter(keep)
-        .select(
-            *[
-                F.when(F.col("_u").isNotNull(), F.col("_u")[c])
-                .otherwise(target[c])
-                .alias(c)
-                for c in target.columns
-            ]
+    if broadcast_updates:
+        # target LEFT-joins the broadcast updates — a full_outer join
+        # would ignore the broadcast hint and sort-merge the whole table
+        # on every merge; inserts come from a keys-only anti-join, so the
+        # table's payload never shuffles for the tiny-CDC-batch case.
+        joined = target.join(F.broadcast(u), cond, "left")
+        updated = (
+            joined.filter(keep)
+            .select(
+                *[
+                    F.when(F.col("_u").isNotNull(), F.col("_u")[c])
+                    .otherwise(target[c])
+                    .alias(c)
+                    for c in target.columns
+                ]
+            )
         )
-    )
-    tgt_keys = target.select(*[F.col(k).alias(f"_tk_{k}") for k in key_cols])
-    inserts = (
-        upd.filter(~F.col("_tomb"))
-        .join(
-            tgt_keys,
-            [F.col(k).eqNullSafe(F.col(f"_tk_{k}")) for k in key_cols],
-            "left_anti",
+        tgt_keys = target.select(
+            *[F.col(k).alias(f"_tk_{k}") for k in key_cols]
         )
-        .select(*[F.col(c) for c in target.columns])
-    )
-    merged = updated.unionByName(inserts)
+        inserts = (
+            upd.filter(~F.col("_tomb"))
+            .join(
+                tgt_keys,
+                [F.col(k).eqNullSafe(F.col(f"_tk_{k}")) for k in key_cols],
+                "left_anti",
+            )
+            .select(*[F.col(c) for c in target.columns])
+        )
+        merged = updated.unionByName(inserts)
+    else:
+        # big-batch path: one full_outer shuffle beats the left-join
+        # shape's extra table scan + key shuffle when the updates side
+        # is too large to broadcast anyway
+        joined = target.join(u, cond, "full_outer")
+        merged = (
+            joined.filter(keep)
+            .select(
+                *[
+                    F.when(F.col("_u").isNotNull(), F.col("_u")[c])
+                    .otherwise(target[c])
+                    .alias(c)
+                    for c in target.columns
+                ]
+            )
+        )
 
     tmp = f"{table_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
     w = merged.write.mode("overwrite")
