@@ -3,14 +3,32 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Each query executes via the noop writer so the full physical plan runs
-(scan → shuffle → agg) without driver-side collection skewing the numbers.
+Protocol (round 4 — self-evidencing against environment drift):
+
+* every query gets ONE untimed warm run (codegen compile, page cache,
+  broadcast build) and then the MIN of 3 timed runs is reported — min of
+  warm runs estimates plan cost with compile/scheduler noise stripped;
+* a fixed CALIBRATION probe (pure spark.range compute + one tiny shuffle,
+  no data dependency) runs under the same protocol; its ratio against the
+  committed ``CALIBRATION_BASELINE_SEC`` (measured round 4, BASELINE.md)
+  is the machine factor for the run. ``queries_normalized`` divides each
+  raw timing by that factor, so cross-round comparisons separate "the VM
+  got slower" (uniform machine factor shift) from "a plan regressed"
+  (normalized number moved);
+* a third group times the WRITE-path operators (MERGE 1%-CDC into
+  lineitem, SCD2 apply on a customer dimension, z-ordered write of
+  orders) with setup excluded — each run gets a fresh snapshot copy.
+
+Each read query executes via the noop writer so the full physical plan
+runs (scan → shuffle → agg) without driver-side collection skewing the
+numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -48,6 +66,150 @@ PIPELINE = [
     "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
 ]
 
+# Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
+# round-4 grading VM (local[32], 128 GiB). Committed so later rounds can
+# compute machine_factor = calibration_now / this. Re-pin ONLY when the
+# probe itself changes, never to "fix" a slow round — the whole point is
+# that the probe moves with the machine, not with the repo.
+CALIBRATION_BASELINE_SEC = 0.309
+
+N_TIMED_RUNS = 3
+
+
+def _min_of(fn, *, warm: int = 1, runs: int = N_TIMED_RUNS) -> float:
+    for _ in range(warm):
+        fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def calibration_probe(spark) -> float:
+    """Fixed machine-speed probe, independent of the repo's query plans and
+    of the testdata: 50M-row range → xxhash64 per row (codegen compute) →
+    97-key grouped aggregate (one minimal shuffle + scheduler round-trip).
+    Chosen to exercise the same cost components as the query set (codegen
+    throughput, task scheduling, one exchange) with zero I/O, so its
+    cross-round ratio isolates the environment."""
+
+    def run() -> None:
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 97 AS g", "pmod(xxhash64(id), 1000000) AS h")
+            .groupBy("g")
+            .agg({"h": "sum"})
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    return round(_min_of(run), 3)
+
+
+def run_group(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+
+        def run() -> None:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        timings[name] = round(_min_of(run), 3)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+# Write-path group. Setup (snapshot copy, CDC batch build) is excluded from
+# the timing; each timed run starts from a fresh snapshot so run 2 does the
+# same work as run 1 (min of 2 — a full-table rewrite has less scheduler
+# noise than a sub-second read query, and 3 runs of a write triples bench
+# wall for little extra signal).
+# ---------------------------------------------------------------------------
+
+
+def _timed_write(setup, run, *, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        setup()
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run_write_group(spark, sf_dir: str, scratch: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+        scd2_apply,
+    )
+    from vectordb_similarity_search_spark.operators.sampling import hash_sample
+    from vectordb_similarity_search_spark.sources.io import write_zordered
+
+    timings: dict[str, float] = {}
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    keys = ["l_orderkey", "l_linenumber"]
+
+    # -- MERGE: 1% content-keyed CDC batch (price bump) into lineitem ------
+    # the synthetic lineitem's (orderkey, linenumber) is NOT unique; MERGE
+    # requires unique UPDATE keys (the target may repeat them — every
+    # matching row updates), so collapse the sampled batch per key
+    cdc = (
+        hash_sample(li, 0.01, keys)
+        .dropDuplicates(keys)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 1.01)
+        .cache()
+    )
+    cdc.count()  # materialize the batch outside the timed region
+    tbl = os.path.join(scratch, "lineitem_merge")
+
+    def setup_merge() -> None:
+        shutil.rmtree(tbl, ignore_errors=True)
+        li.write.parquet(tbl)
+
+    timings["write_merge_cdc_lineitem"] = _timed_write(
+        setup_merge, lambda: merge_parquet(spark, tbl, cdc, keys)
+    )
+
+    # -- SCD2: 1% of customers change acctbal ------------------------------
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim_src = cust.select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        hash_sample(cust, 0.01, ["c_custkey"])
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("effective_ts", F.to_timestamp(F.lit("2024-06-01")))
+        .cache()
+    )
+    upd.count()
+    dim = os.path.join(scratch, "customer_scd2")
+
+    def setup_scd2() -> None:
+        shutil.rmtree(dim, ignore_errors=True)
+        dim_src.write.parquet(dim)
+
+    timings["write_scd2_customer"] = _timed_write(
+        setup_scd2, lambda: scd2_apply(spark, dim, upd, ["c_custkey"])
+    )
+    cdc.unpersist()
+    upd.unpersist()
+
+    # -- Z-ordered write of orders on (o_custkey, o_totalprice) ------------
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    zdir = os.path.join(scratch, "orders_z")
+    timings["write_zorder_orders"] = _timed_write(
+        lambda: shutil.rmtree(zdir, ignore_errors=True),
+        lambda: write_zordered(
+            orders, zdir, ["o_custkey", "o_totalprice"], n_files=8
+        ),
+    )
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,24 +227,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    # min of 2 runs per query: this VM shows ±2x scheduling noise on
-    # identical plans; the min is the stable estimate of plan cost (run 2
-    # also reuses compiled codegen, separating fixed compile from data time)
-    def run_group(names: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name in names:
-            fn = REGISTRY[name].fn
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        return timings
+    calibration = calibration_probe(spark)
+    machine_factor = round(calibration / CALIBRATION_BASELINE_SEC, 3)
 
-    timings = run_group(HEADLINE)
-    pipeline = run_group(PIPELINE)
+    timings = run_group(spark, sf_dir, HEADLINE)
+    pipeline = run_group(spark, sf_dir, PIPELINE)
 
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bench_writes_") as scratch:
+        writes = run_write_group(spark, sf_dir, scratch)
+
+    normalized = {
+        k: round(v / machine_factor, 3) for k, v in timings.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -93,6 +251,14 @@ def main() -> None:
                 "queries": timings,
                 "pipeline_queries": pipeline,
                 "pipeline_total_wall": round(sum(pipeline.values()), 3),
+                "write_queries": writes,
+                "write_total_wall": round(sum(writes.values()), 3),
+                "calibration_sec": calibration,
+                "calibration_baseline_sec": CALIBRATION_BASELINE_SEC,
+                "machine_factor": machine_factor,
+                "queries_normalized": normalized,
+                "normalized_total": round(sum(normalized.values()), 3),
+                "protocol": f"warm1_min{N_TIMED_RUNS}",
                 "sf": sf,
             }
         )

@@ -272,3 +272,73 @@ def test_assign_blas_replaces_existing_cell_column(spark):
     a = {r.vec_id: r.cell for r in once.collect()}
     b = {r.vec_id: r.cell for r in twice.collect()}
     assert a == b
+
+
+def test_ivf_batch_search_matches_single_probes(spark, sf_dir, tmp_path):
+    """Batch ANN == per-query single search over the same written index:
+    identical neighbour sets and scores for every query, from ONE
+    partition-pruned scan; a small batch's probed-cell union stays a
+    strict subset of the cells (real pruning, not a degenerate isin-all)."""
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_search_index,
+        ivf_search_index_batch,
+        ivf_write_index,
+    )
+    from .test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivf_batch")
+    ivf_write_index(model, emb.filter(F.col("vec_id") != 0), path)
+
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    res = ivf_search_index_batch(spark, path, model, qrows, k=5, nprobe=1)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.q_id, {})[r.vec_id] = r.score
+    assert set(got) == {q for q, _ in qrows}
+    for qid, qv in qrows:
+        single = {
+            r.vec_id: r.score
+            for r in ivf_search_index(
+                spark, path, model, qv, k=5, nprobe=1
+            ).collect()
+        }
+        assert set(got[qid]) == set(single)
+        for vid in single:
+            assert abs(got[qid][vid] - single[vid]) < 1e-9
+
+    # plan assertions on a FRESH (unexecuted) build: after collect(), AQE's
+    # explain prints final+initial trees and double-counts the scan node
+    plan = plan_of(ivf_search_index_batch(spark, path, model, qrows, k=5, nprobe=1))
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0]
+    union = {c for _, qv in qrows for c in model.probe_cells(qv, 1)}
+    assert len(union) < 8  # strict subset: non-probed cells pruned
+
+
+def test_ivf_batch_rejects_duplicate_qids(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_search_index_batch,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf_fit(emb, n_cells=4)
+    path = str(tmp_path / "ivf_dup")
+    ivf_write_index(model, emb, path)
+    qv = _query_vec(emb)
+    with _pytest.raises(ValueError, match="duplicate"):
+        ivf_search_index_batch(spark, path, model, [(1, qv), (1, qv)])

@@ -4,11 +4,13 @@ bakes literals into the plan and puts driver-side jobs on the query path —
 the anti-pattern previously fixed in r_intersect_except, s_sample_stratified
 and t_exact_dedup).
 
-Exempt by design (documented in their docstrings): vector queries that
-fetch the query vector (one tiny head()), ANN queries that build/load a
-cached index, and the model-backed queries that fit/load a model once per
-process (m_*, p_pca). Those run bounded build-once work, not per-build
-scans of the data."""
+Round 4: the exemption list shrank to ONE query. Query *parameters*
+(_query_vec), z-score corpus stats (_zparams), ANN indexes and fitted
+models are all memoized per session now, so the SECOND build of EVERY
+catalog query — vector/ANN/model families included — must run zero jobs.
+The single exception is d_dedup_keep: connected-components convergence is
+an inherently iterative driver loop (documented in operators/dedup.py as
+an offline algorithm, not a query path)."""
 
 from __future__ import annotations
 
@@ -18,16 +20,20 @@ import pytest
 
 from vectordb_similarity_search_spark.plans import REGISTRY
 
-SQL_FAMILIES = ("r_", "w_", "e_", "t_")
+# build-time driver iteration is the algorithm itself here, not a fixable
+# lookup: label propagation checks convergence with a bounded count() loop
+ITERATIVE_BUILD = {"d_dedup_keep"}
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in REGISTRY if n.startswith(SQL_FAMILIES)]
+    "name", [n for n in REGISTRY if n not in ITERATIVE_BUILD]
 )
 def test_build_runs_no_jobs(spark, sf_dir, name):
     sc = spark.sparkContext
     # warm: the first touch of a table pays spark.read.parquet's 1-task
-    # schema-footer job (inherent to the reader, cached by load_table)
+    # schema-footer job (inherent to the reader, cached by load_table);
+    # the first build of a parameterized/model query additionally pays its
+    # memoized parameter fetch / model fit exactly once per session
     REGISTRY[name].fn(spark, sf_dir)
     group = f"lazy-probe-{uuid.uuid4().hex[:8]}"
     sc.setJobGroup(group, f"build {name}")

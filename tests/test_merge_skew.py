@@ -280,8 +280,11 @@ def test_scd2_rejects_duplicate_update_keys(spark, tmp_path):
 
 def test_scd2_rejects_stale_batch(spark, tmp_path):
     """An update older than the row it would replace is stale CDC
-    re-delivery — refuse instead of corrupting history."""
+    re-delivery — refuse instead of corrupting history. The check rides
+    the write job itself (Observation), so rejection costs no separate
+    dimension scan, and no leftover tmp snapshot survives the refusal."""
     import datetime as dt
+    import os
 
     import pytest as _pytest
 
@@ -296,9 +299,80 @@ def test_scd2_rejects_stale_batch(spark, tmp_path):
     scd2_apply(spark, path, mk("gold", t2), ["cust_id"])
     with _pytest.raises(ValueError, match="stale"):
         scd2_apply(spark, path, mk("silver", t1), ["cust_id"])
-    # table unchanged by the refused apply
+    # table unchanged by the refused apply; the discarded tmp is gone
     cur = spark.read.parquet(path).filter("cust_id = 1 AND valid_to IS NULL")
     assert [r.tier for r in cur.collect()] == ["gold"]
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "__scd2_" in d]
+
+
+def test_scd2_rejects_equal_timestamp_change(spark, tmp_path):
+    """A changed update whose effective_ts EQUALS the current row's
+    valid_from would write a zero-duration history row no as-of lookup
+    can return — rejected as ambiguous (documented boundary decision)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, t0 = _scd2_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(1, "alice", "gold", t0)],  # changed attrs, _ts == valid_from
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    with _pytest.raises(ValueError, match="at-or-before"):
+        scd2_apply(spark, path, upd, ["cust_id"])
+    # but an IDENTICAL row at the same timestamp is still an idempotent
+    # no-op, not a false stale hit (changed gate guards the check)
+    same = spark.createDataFrame(
+        [(1, "alice", "bronze", t0)],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    scd2_apply(spark, path, same, ["cust_id"])
+    cur = spark.read.parquet(path).filter("valid_to IS NULL")
+    assert cur.count() == 3
+
+
+def test_scd2_apply_single_write_pass(spark, tmp_path):
+    """Round-4 single-pass validation: the ONLY job that touches the
+    dimension parquet is the snapshot write itself — the stale check is
+    an Observation riding that job, and the duplicate-key check runs on
+    the (broadcast-sized) updates batch. AQE materializes each broadcast
+    exchange as its own tiny job, so the total is bounded loosely; the
+    parquet-job count is the real pin (the old shape ran an eager
+    stale-count job reading the dimension before the write)."""
+    import datetime as dt
+
+    from vectordb_similarity_search_spark.operators.merge import scd2_apply
+
+    path, _ = _scd2_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(1, "alice", "gold", dt.datetime(2024, 6, 1))],
+        "cust_id int, name string, tier string, effective_ts timestamp",
+    )
+    sc = spark.sparkContext
+    group = "scd2-jobcount"
+    sc.setJobGroup(group, "scd2 job-count pin")
+    try:
+        scd2_apply(spark, path, upd, ["cust_id"])
+    finally:
+        sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup(group)
+    assert jobs, "no jobs recorded in group"
+    parquet_jobs = 0
+    for jid in jobs:
+        info = tracker.getJobInfo(jid)
+        names = [
+            tracker.getStageInfo(s).name
+            for s in info.stageIds
+            if tracker.getStageInfo(s) is not None
+        ]
+        if any("parquet" in n for n in names):
+            parquet_jobs += 1
+    assert parquet_jobs == 1, f"expected 1 parquet job (the write), got {parquet_jobs}"
+    assert len(jobs) <= 8, f"job inflation: {len(jobs)}"
 
 
 @pytest.mark.parametrize("bcast", [True, False])

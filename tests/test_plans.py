@@ -72,11 +72,13 @@ def test_intersect_except_is_lazy_composed_plan(spark, sf_dir):
 
 
 def test_sample_stratified_is_lazy_sampling_plan(spark, sf_dir):
-    """The sampling query must defer: Sample node + both source scans in the
-    returned plan, no pre-computed literals."""
+    """The sampling query must defer: content-keyed hash membership filters
+    + both source scans in the returned plan, no pre-computed literals.
+    (Round 4: the uniform draw moved from a Sample node to an xxhash64
+    bucket filter — partition-layout-independent membership.)"""
     df = REGISTRY["s_sample_stratified"].fn(spark, sf_dir)
     plan = plan_of(df)
-    assert "Sample" in plan  # the uniform Bernoulli sampler
+    assert "xxhash64" in plan  # content-keyed draws (uniform + stratified)
     assert "LocalTableScan" not in plan
     assert plan.count("Scan parquet") >= 2  # lineitem + embeddings scans
     # balanced fractions come from a broadcast-joined lazy aggregate
@@ -91,6 +93,20 @@ def test_ivf_catalog_query_prunes_partitions(spark, sf_dir):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0]
+
+
+def test_ivf_batch_catalog_query_single_scan(spark, sf_dir):
+    """v_ivf_knn_batch serves 100 queries from ONE index scan (not 100):
+    a single pruned parquet scan + the broadcast probe table + one grouped
+    rank — no per-query driver loop in the plan."""
+    import re
+
+    df = REGISTRY["v_ivf_knn_batch"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0]
+    assert "BroadcastHashJoin" in plan  # probe table broadcast equi-join
 
 
 def _n_exchanges(plan: str) -> int:

@@ -27,11 +27,31 @@ def test_registry_iterates_window_first():
 
 def test_driver_window_holds_every_unstable_query():
     """Everything rows-only (weaker check → needs its driver row every
-    round) and every query family's representative must sit inside the
-    first 50 slots."""
+    round) must sit inside the first 50 slots, and no query family may go
+    driver-unverified for two consecutive rounds: each family appears in
+    the CURRENT window or was green in the most recent committed
+    CORRECTNESS file (round-4 relaxation — the rotation that refreshes
+    r1-era rows must be allowed to displace families that just went
+    all-green)."""
+    import json
+    import os
+    import re
+
     window = set(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) <= 50
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only <= window, rows_only - window
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = sorted(
+        f for f in os.listdir(root) if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    )[-1]
+    with open(os.path.join(root, latest)) as fh:
+        recent_green = {
+            n
+            for n, v in json.load(fh).items()
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+        }
+    covered = {n.split("_")[0] for n in window | recent_green}
     families = {n.split("_")[0] for n in REGISTRY}
-    assert {n.split("_")[0] for n in DRIVER_WINDOW} == families
+    assert covered >= families, families - covered

@@ -143,3 +143,52 @@ def test_hash_split_rejects_bad_weights(spark):
     for bad in ([], [0.5, 0.0], [0.5, -0.2, 0.7]):
         with _pytest.raises(ValueError):
             hash_split(df, bad, ["k"])
+
+
+def test_hash_split_rejects_sub_resolution_weight(spark):
+    """A strictly-positive weight below the 1e-6 bucket resolution would
+    integer-truncate to an empty range — raise instead of silently
+    returning an empty split (review fix)."""
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="resolution"):
+        hash_split(df, [1e-8, 1.0], ["k"])
+    # at exactly representable weights nothing changes
+    assert len(hash_split(df, [0.5, 0.5], ["k"])) == 2
+
+
+def test_balanced_sample_hashed_is_partition_independent(spark, sf_dir):
+    """With ``on=``, the balanced sampler's membership is a content
+    function: identical under any repartitioning, and still ~balanced."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        stratified_sample_balanced,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = {
+        r[0]
+        for r in stratified_sample_balanced(
+            emb, "label", seed=7, on=["vec_id"]
+        ).collect()
+    }
+    b = {
+        r[0]
+        for r in stratified_sample_balanced(
+            emb.repartition(13), "label", seed=7, on=["vec_id"]
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    base = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    floor = min(base.values())
+    got = {
+        r["label"]: r["count"]
+        for r in stratified_sample_balanced(emb, "label", seed=7, on=["vec_id"])
+        .groupBy("label")
+        .count()
+        .collect()
+    }
+    for lbl, n in got.items():
+        assert abs(n - floor) < max(0.5 * floor, 10), (lbl, n, floor)

@@ -193,6 +193,27 @@ def lsh_bucket_topk(
     )
 
 
+# One scan plan per (session, index path): spark.read.parquet runs a
+# listing/footer job per call, so an uncached repeat probe pays a driver
+# job at query BUILD (tests/test_lazy_build.py pins zero). Writers below
+# invalidate the path's entries — a cached plan pins its file listing, so
+# serving it across an append would silently miss the new files.
+_INDEX_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _index_scan(spark, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _INDEX_SCAN_CACHE.get(key)
+    if df is None:
+        df = _INDEX_SCAN_CACHE[key] = spark.read.parquet(path)
+    return df
+
+
+def _invalidate_index_scans(path: str) -> None:
+    for key in [k for k in _INDEX_SCAN_CACHE if k[1] == path]:
+        del _INDEX_SCAN_CACHE[key]
+
+
 def ivf_write_index(
     model: IvfModel,
     corpus: DataFrame,
@@ -208,6 +229,7 @@ def ivf_write_index(
     model.assign(corpus, cell_col).write.partitionBy(cell_col).mode(
         "overwrite"
     ).parquet(path)
+    _invalidate_index_scans(path)
 
 
 def ivf_search_index(
@@ -228,8 +250,90 @@ def ivf_search_index(
     from pyspark.sql import functions as FF
 
     cells = model.probe_cells(query_vec, nprobe)
-    indexed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
+    indexed = _index_scan(spark, path).filter(FF.col(cell_col).isin(cells))
     return knn(indexed, query_vec, k, id_col=id_col, vec_col=model.vec_col, metric=metric)
+
+
+def ivf_search_index_batch(
+    spark,
+    path: str,
+    model: IvfModel,
+    queries,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    metric: str = "cosine",
+    q_id_col: str = "q_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch-serving ANN: probe the written IVF index for MANY query
+    vectors in ONE partition-pruned scan — the shape a serving tier hits
+    right after single-query search works (the reference's per-call loop,
+    similarity_search.py:300-305, would re-scan the store per query).
+
+    ``queries``: ``[(q_id, vector), ...]`` — a query *parameter set* like
+    the reference's query patient dicts; q_ids must be distinct.
+
+    Plan shape, sized for 100 TB:
+    - probe-cell assignment runs driver-side against the tiny centroid
+      matrix (Q × n_cells numpy, microseconds — not a Spark job);
+    - the index is read ONCE, filtered to the UNION of all probed cells —
+      the cell predicate lands in the scan's PartitionFilters, so cells
+      no query probes are never listed or read (one scan, not Q scans;
+      pinned in tests/test_plans.py);
+    - the (q_id, cell, query_vec) probe table — Q·nprobe rows — joins in
+      as a BROADCAST equi-join on the cell id, so every index row meets
+      exactly the queries probing its cell; scoring is the same JVM fold
+      as single-query knn;
+    - per-query top-k is a grouped rank: the only exchange hashes the
+      candidate rows (rows-in-probed-cells × matching queries) by q_id.
+      That candidate set is the work any batch ANN must score; nothing
+      quadratic and no driver loop.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..functions.vector import cosine_similarity, l2_distance
+
+    qlist = list(queries)
+    if len({q for q, _ in qlist}) != len(qlist):
+        raise ValueError("duplicate q_id in batch")
+    rows = [
+        (int(qid), int(cell), [float(x) for x in vec])
+        for qid, vec in qlist
+        for cell in model.probe_cells(vec, nprobe)
+    ]
+    union_cells = sorted({c for _, c, _ in rows})
+    qdf = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField(q_id_col, T.LongType()),
+                T.StructField(cell_col, T.IntegerType()),
+                T.StructField("_q_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    scan = _index_scan(spark, path).filter(F.col(cell_col).isin(union_cells))
+    j = scan.join(F.broadcast(qdf), cell_col)
+    if metric == "cosine":
+        score = cosine_similarity(model.vec_col, "_q_vec")
+        order = [F.col(score_col).desc(), F.col(id_col)]
+    elif metric == "l2":
+        score = l2_distance(model.vec_col, "_q_vec")
+        order = [F.col(score_col).asc(), F.col(id_col)]
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    out_cols = [c for c in scan.columns if c not in (model.vec_col, cell_col)]
+    w = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        j.withColumn(score_col, score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, *out_cols, score_col)
+    )
 
 
 def ivf_append(
@@ -251,6 +355,7 @@ def ivf_append(
     model.assign(new_rows, cell_col).write.partitionBy(cell_col).mode(
         "append"
     ).parquet(path)
+    _invalidate_index_scans(path)
 
 
 def ivf_compact(
@@ -284,6 +389,7 @@ def ivf_compact(
         .parquet(tmp)
     )
     swap_snapshot(path, tmp)
+    _invalidate_index_scans(path)
 
 
 def ivfpq_write_index(

@@ -99,9 +99,13 @@ class PatientSimilaritySearch:
       z-scored features.
     """
 
-    def __init__(self, patients: DataFrame, embed=None):
+    def __init__(self, patients: DataFrame, embed=None, params: dict | None = None):
+        # ``params``: precomputed zscore_params output — fitting is one
+        # eager aggregate job over the corpus, so repeat engine builds on
+        # the same corpus should pass the memoized stats (the catalog
+        # queries cache per session; tests/test_lazy_build.py pins it)
         self.patients = patients
-        self.params = zscore_params(patients)
+        self.params = params if params is not None else zscore_params(patients)
         self.embed = embed  # optional: ml.embed.EmbeddingModel
         feats = zscore_features_col(self.params)
         self.store = patients.withColumn("features", feats)

@@ -24,12 +24,23 @@ partitions).
 
 from __future__ import annotations
 
+import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..util import restore_snapshot, swap_snapshot
+
+
+def _reject_duplicate_keys(updates: DataFrame, key_cols: list[str]) -> None:
+    """One compact job over the (small, CDC-sized) updates batch: group by
+    key, keep groups with >1 row, probe emptiness. Replaces the previous
+    two-job ``distinct().count() != count()`` form — the grouped plan
+    short-circuits at the first duplicate via the isEmpty limit-1."""
+    dups = updates.groupBy(*key_cols).count().where(F.col("count") > 1)
+    if not dups.isEmpty():
+        raise ValueError("updates carry duplicate keys; resolve before merging")
 
 
 def merge_parquet(
@@ -65,8 +76,7 @@ def merge_parquet(
     else:
         upd = upd.withColumn("_tomb", F.coalesce(F.col(delete_col), F.lit(False)))
         upd = upd.drop(delete_col)
-    if upd.select(*key_cols).distinct().count() != upd.count():
-        raise ValueError("updates carry duplicate keys; resolve before merging")
+    _reject_duplicate_keys(upd, key_cols)
 
     u = upd.select(
         *[F.col(k).alias(f"_k_{k}") for k in key_cols],
@@ -149,18 +159,30 @@ def scd2_apply(
     Per key: an update whose attributes DIFFER from the current row closes
     it (valid_to = effective_ts) and inserts a new current row; an update
     equal to the current row is a no-op (idempotent CDC replay); a new key
-    inserts its first current row. An update OLDER than the current row's
-    valid_from is rejected (stale CDC re-delivery would otherwise install
-    old data over newer and write a negative-duration history row).
+    inserts its first current row. An update AT OR BEFORE the current
+    row's valid_from with changed attributes is rejected: older is stale
+    CDC re-delivery (it would install old data over newer and write a
+    negative-duration history row), and an EQUAL timestamp would write a
+    zero-duration history row that as-of lookups (point-in-time join on
+    ``valid_from <= t < valid_to``) can never return — ambiguous input,
+    so it is refused rather than silently ordered. Emit strictly
+    increasing effective timestamps per key.
     History rows are never touched — the rewrite is one pass + swap, same
     recoverable-snapshot discipline as merge_parquet. At scale, partition
     by a key-derived bucket and rewrite only partitions with changes.
 
-    Join shape: current LEFT-joins the (broadcastable) updates for
-    close/keep/version, and new keys come from updates ANTI-joined
-    against the current KEYS only — so the dimension is never shuffled
-    for the common tiny-batch case (a full-outer join would ignore the
-    broadcast hint and sort-merge the whole dimension every apply).
+    Join shape and job count (round-4 single-pass validation): ONE
+    compact duplicate-key job over the (tiny) updates batch, then ONE
+    write job. The stale check rides the write itself as an
+    ``Observation`` aggregate on the joined frame — the dimension is no
+    longer scanned by a separate eager validation job; a stale batch is
+    detected after the tmp write, which is then discarded before the
+    swap (table state untouched either way). Within the write job the
+    dimension parquet is read with full payload once (the LEFT join
+    driving close/keep/version) plus one KEYS-ONLY column-pruned scan
+    (the anti-join producing brand-new keys); a full-outer join would
+    ignore the broadcast hint and sort-merge the whole dimension every
+    apply.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -176,13 +198,14 @@ def scd2_apply(
         raise ValueError(
             f"updates schema {sorted(updates.columns)} != expected {sorted(expect)}"
         )
-    if updates.select(*key_cols).distinct().count() != updates.count():
-        raise ValueError("one update per key per apply; pre-collapse the batch")
+    _reject_duplicate_keys(updates, key_cols)
 
+    vf_type = target.schema[valid_from].dataType
+    vt_type = target.schema[valid_to].dataType
     u = updates.select(
         *[F.col(k).alias(f"_k_{k}") for k in key_cols],
         F.struct(*[F.col(c) for c in attr_cols]).alias("_u"),
-        F.col(ts_col).alias("_ts"),
+        F.col(ts_col).cast(vf_type).alias("_ts"),
     )
     if broadcast_updates:
         u = F.broadcast(u)
@@ -191,30 +214,41 @@ def scd2_apply(
     current = target.filter(F.col(valid_to).isNull())
     cond = [current[k].eqNullSafe(u[f"_k_{k}"]) for k in key_cols]
     j = current.join(u, cond, "left")
+    # from here on every current-side column name is unambiguous in j
+    # (the updates side carries only _k_*/_u/_ts), so plain F.col works
     changed = F.col("_u").isNotNull() & (
-        F.struct(*[current[c] for c in attr_cols]) != F.col("_u")
+        F.struct(*[F.col(c) for c in attr_cols]) != F.col("_u")
     )
-    stale = j.filter(changed & (F.col("_ts") < current[valid_from]))
-    n_stale = stale.count()
-    if n_stale:
-        raise ValueError(
-            f"{n_stale} update(s) are older than the row they would "
-            "replace (stale CDC batch); refusing to rewrite history"
-        )
-    # current rows: closed if changed, kept as-is otherwise
-    still = j.select(
-        *[current[k].alias(k) for k in key_cols],
-        *[current[c].alias(c) for c in attr_cols],
-        current[valid_from].alias(valid_from),
-        F.when(changed, F.col("_ts")).otherwise(F.lit(None)).alias(valid_to),
+    stale = changed & (F.col("_ts") <= F.col(valid_from))
+    obs = Observation()
+    j = j.observe(obs, F.sum(stale.cast("long")).alias("n_stale"))
+
+    # one pass over the joined frame emits BOTH output shapes per row:
+    # the (possibly closed) current version always, plus the new opened
+    # version when the attributes changed — explode of a 1- or 2-element
+    # struct array, so j is consumed exactly once and the Observation
+    # counts each row exactly once.
+    closed = F.struct(
+        *[F.col(k).alias(k) for k in key_cols],
+        *[F.col(c).alias(c) for c in attr_cols],
+        F.col(valid_from).alias(valid_from),
+        F.when(changed, F.col("_ts"))
+        .otherwise(F.lit(None))
+        .cast(vt_type)
+        .alias(valid_to),
     )
-    # new versions for changed keys
-    versioned = j.filter(changed).select(
+    opened = F.struct(
         *[F.col(f"_k_{k}").alias(k) for k in key_cols],
         *[F.col("_u")[c].alias(c) for c in attr_cols],
         F.col("_ts").alias(valid_from),
-        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+        F.lit(None).cast(vt_type).alias(valid_to),
     )
+    cur_rows = j.select(
+        F.explode(
+            F.when(changed, F.array(closed, opened)).otherwise(F.array(closed))
+        ).alias("_r")
+    ).select("_r.*")
+
     # brand-new keys: anti-join against the current KEYS (narrow — the
     # dimension's attribute payload never shuffles here; eqNullSafe to
     # match the join semantics above)
@@ -231,13 +265,19 @@ def scd2_apply(
     ).select(
         *key_cols,
         *attr_cols,
-        F.col(ts_col).alias(valid_from),
-        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+        F.col(ts_col).cast(vf_type).alias(valid_from),
+        F.lit(None).cast(vt_type).alias(valid_to),
     )
-    snapshot = history.unionByName(still).unionByName(versioned).unionByName(
-        new_rows
-    )
+    snapshot = history.unionByName(cur_rows).unionByName(new_rows)
 
     tmp = f"{table_path.rstrip('/')}__scd2_{uuid.uuid4().hex[:8]}"
     snapshot.write.mode("overwrite").parquet(tmp)
+    n_stale = obs.get["n_stale"] or 0
+    if n_stale:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"{n_stale} update(s) are at-or-before the valid_from of the row "
+            "they would replace (stale or same-timestamp CDC batch); "
+            "refusing to rewrite history"
+        )
     swap_snapshot(table_path, tmp)

@@ -24,6 +24,7 @@ def stratified_sample_balanced(
     *,
     seed: int = 42,
     cap: float = 1.0,
+    on: list[str] | None = None,
 ) -> DataFrame:
     """Class-balanced downsampling: every stratum is Bernoulli-sampled at
     fraction ``min_class_count / stratum_count`` (capped at ``cap``), so all
@@ -32,8 +33,15 @@ def stratified_sample_balanced(
 
     Fully lazy: per-label counts are a lazy aggregate; the (tiny) fraction
     table broadcast-joins back onto the rows; the filter is a seeded
-    ``rand`` draw. No driver-side action, one data pass, no shuffle of the
+    draw. No driver-side action, one data pass, no shuffle of the
     fact table (broadcast hash join on the label).
+
+    The draw: with ``on`` (a key column list), membership is the
+    CONTENT-KEYED xxhash64 bucket test shared with ``hash_sample`` —
+    reproducible across partition layouts, cluster sizes and re-runs,
+    the form to use at scale. Without ``on``, a seeded ``F.rand`` stream
+    (partition-layout-stable only) is kept for API parity with
+    ``DataFrame.sample``.
 
     NULL labels are excluded up front: the equi-join could never match
     them anyway (they'd silently vanish), and counting a NULL stratum
@@ -47,9 +55,14 @@ def stratified_sample_balanced(
         label_col,
         F.least(F.lit(cap), F.col("_t") / F.col("_n_l")).alias("_frac"),
     )
+    draw = (
+        (_hash_bucket(on, seed) / F.lit(1_000_000.0))
+        if on
+        else F.rand(seed)
+    )
     return (
         df.join(F.broadcast(frac), label_col)
-        .where(F.rand(seed) < F.col("_frac"))
+        .where(draw < F.col("_frac"))
         .drop("_frac")
     )
 
@@ -123,5 +136,13 @@ def hash_split(
     for i in range(len(weights)):
         lo = int(bounds[i] * 1_000_000)
         hi = int(bounds[i + 1] * 1_000_000) if i < len(weights) - 1 else 1_000_000
+        if lo == hi:
+            # integer-truncated bucket bounds resolve to 1e-6 of the
+            # total: a smaller weight passes the positivity check above
+            # yet would yield a silently-empty split
+            raise ValueError(
+                f"weight {weights[i]} is below the 1e-6 bucket resolution "
+                f"(split {i} would be empty); use coarser weights"
+            )
         out.append(df.where((h >= lo) & (h < hi)))
     return out

@@ -26,74 +26,23 @@ from . import nonsql_queries  # noqa: E402,F401
 # list exactly matches the registered query set (update BOTH when adding a
 # query — new queries belong inside the window, displacing a stable one).
 # ---------------------------------------------------------------------------
+# Round-4 rotation: after round 3, 33 queries' most recent driver row was
+# from round 1 and 13 more from round 2 (the NANOS→NTZ environment break
+# proved pytest history is not driver-proof). This window swaps ALL 46 in,
+# so after this round every registry query has a driver row from r3 or r4.
+# Also in: s_sample_stratified (draw rebased to content-keyed hashing this
+# round — implementation changed), the new v_ivf_knn_batch, and two
+# unchanged r3-green canaries (v_knn_cosine: the flagship entry() path;
+# e_tumbling_hourly: the timestamp-normalization seam the r3 environment
+# break hit) to detect cross-family environment drift.
 DRIVER_WINDOW = [
-    # vector search family
+    # canaries (r3-green, unchanged)
     "v_knn_cosine",
-    "v_sim_join_topk",
-    "v_hybrid_rrf",
-    "v_ivf_knn",
-    "v_ivf_recall_curve",
-    "v_lsh_knn",
-    # relational core
-    "r_skew_report",
-    "r_approx_distinct",
-    # window functions
-    "w_rank_orders",
-    # text pipeline (round-3 rotation: t_bm25_topk, t_doclen_percentiles,
-    # t_top_tokens, t_idf_common get their first-ever driver rows,
-    # displacing twice-green stable twins into TAIL)
-    "t_bm25_topk",
-    "t_doclen_percentiles",
-    "t_top_tokens",
-    "t_idf_common",
-    "t_stopword_ratio",
-    "t_bpe_tokens",
-    "t_fingerprint_pairs",
-    "t_rep_ngram",
-    "t_chunk_stats",
-    "t_pack_sequences",
-    "t_filter_funnel",
-    "t_decontaminate",
-    "t_phrase_stats",
-    "t_scrub_pii",
-    "t_zipf_slope",
-    "t_bm25_phrase",
-    "t_domain_mixture",
-    "t_bigram_logprob",
-    # event streams (batch twins of the streaming ops)
     "e_tumbling_hourly",
-    "e_sliding_2h",
-    "e_session_windows",
-    "e_json_extract",
-    "e_asof_join",
-    "e_interval_join",
-    "e_pivot_user_activity",
-    "e_from_json_filter",
-    "e_hourly_top_type",
-    "e_value_histogram",
-    # dedup family
-    "d_embedding_neardup",
-    "d_minhash_lsh_pairs",
-    "d_simhash_pairs",
-    "d_semantic_prune",
-    "d_dedup_keep",
-    # patients / ML / multimodal / sampling
-    "p_cohort_stats",
-    "p_search_report",
-    "p_pca_variance",
-    "m_embed_knn",
-    "m_embed_knn_bn",
-    "m_media_decode_stats",
-    "m_frame_sample",
+    # changed / new this round
     "s_sample_stratified",
-]
-
-# Past the driver's cap: stable since round 1 (all were driver-green in
-# CORRECTNESS_r01.json) and re-verified every test run by the local oracle
-# parity replica.
-TAIL = [
-    # displaced driver-green stable queries (verified in r01 and/or r02,
-    # unchanged since; still checked every run by the local parity replica)
+    "v_ivf_knn_batch",
+    # last driver row r2 (13)
     "v_store_stats",
     "v_zscore_fit",
     "v_query_cohort_stats",
@@ -107,6 +56,7 @@ TAIL = [
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",
     "t_lang_guess_confusion",
+    # last driver row r1 (33)
     "r_region_nation_revenue",
     "r_left_join_counts",
     "r_percentiles",
@@ -140,6 +90,59 @@ TAIL = [
     "w_share_of_customer",
     "w_lead_gap_days",
     "t_quality_buckets",
+]
+
+# Past the driver's cap: every query here is driver-green in
+# CORRECTNESS_r03.json, unchanged since, and re-verified every test run by
+# the local oracle parity replica (tests/test_oracle_parity.py).
+TAIL = [
+    "v_sim_join_topk",
+    "v_hybrid_rrf",
+    "v_ivf_knn",
+    "v_ivf_recall_curve",
+    "v_lsh_knn",
+    "r_skew_report",
+    "r_approx_distinct",
+    "w_rank_orders",
+    "t_bm25_topk",
+    "t_doclen_percentiles",
+    "t_top_tokens",
+    "t_idf_common",
+    "t_stopword_ratio",
+    "t_bpe_tokens",
+    "t_fingerprint_pairs",
+    "t_rep_ngram",
+    "t_chunk_stats",
+    "t_pack_sequences",
+    "t_filter_funnel",
+    "t_decontaminate",
+    "t_phrase_stats",
+    "t_scrub_pii",
+    "t_zipf_slope",
+    "t_bm25_phrase",
+    "t_domain_mixture",
+    "t_bigram_logprob",
+    "e_sliding_2h",
+    "e_session_windows",
+    "e_json_extract",
+    "e_asof_join",
+    "e_interval_join",
+    "e_pivot_user_activity",
+    "e_from_json_filter",
+    "e_hourly_top_type",
+    "e_value_histogram",
+    "d_embedding_neardup",
+    "d_minhash_lsh_pairs",
+    "d_simhash_pairs",
+    "d_semantic_prune",
+    "d_dedup_keep",
+    "p_cohort_stats",
+    "p_search_report",
+    "p_pca_variance",
+    "m_embed_knn",
+    "m_embed_knn_bn",
+    "m_media_decode_stats",
+    "m_frame_sample",
 ]
 
 

@@ -17,17 +17,29 @@ from ..operators.topk import knn, similarity_join
 from .catalog import query, t
 
 
+# One tiny driver job per DISTINCT (session, sf_dir, vec_id) — repeat query
+# builds against the same corpus reuse the fetched parameter, so the second
+# build of any vector query is zero-job (tests/test_lazy_build.py pins it).
+# Keyed by applicationId like sources/tables._SCAN_CACHE so a new session
+# never reads a dead session's value.
+_QVEC_CACHE: dict[tuple[str, str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch the query vector (a query *parameter*, like the reference's
     query patient dict, similarity_search.py:613-634 — one driver-side row,
-    not a data-path collect)."""
-    row = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .head()
-    )
-    return list(row[0])
+    not a data-path collect), memoized per (session, sf_dir, vec_id)."""
+    key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    cached = _QVEC_CACHE.get(key)
+    if cached is None:
+        row = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .head()
+        )
+        cached = _QVEC_CACHE[key] = list(row[0])
+    return list(cached)
 
 
 @query(
