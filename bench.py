@@ -173,6 +173,41 @@ def run_write_group(spark, sf_dir: str, scratch: str) -> dict[str, float]:
         setup_merge, lambda: merge_parquet(spark, tbl, cdc, keys)
     )
 
+    # -- Partition-pruned MERGE: same-size table partitioned by ship
+    # month, CDC confined to the latest month — the O(touched partitions)
+    # path vs the full rewrite above
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    li_m = li.withColumn(
+        "l_shipmonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    last_month = li_m.agg(F.max("l_shipmonth")).head()[0]
+    pkeys = keys + ["l_shipmonth"]
+    cdc_m = (
+        hash_sample(
+            li_m.filter(F.col("l_shipmonth") == last_month), 0.5, keys
+        )
+        .dropDuplicates(pkeys)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 1.01)
+        .cache()
+    )
+    cdc_m.count()
+    ptbl = os.path.join(scratch, "lineitem_pmerge")
+
+    def setup_pmerge() -> None:
+        shutil.rmtree(ptbl, ignore_errors=True)
+        li_m.write.partitionBy("l_shipmonth").parquet(ptbl)
+
+    timings["write_merge_pruned_lineitem"] = _timed_write(
+        setup_pmerge,
+        lambda: merge_parquet_partitioned(
+            spark, ptbl, cdc_m, pkeys, ["l_shipmonth"]
+        ),
+    )
+    cdc_m.unpersist()
+
     # -- SCD2: 1% of customers change acctbal ------------------------------
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     dim_src = cust.select(

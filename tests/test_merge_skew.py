@@ -391,3 +391,214 @@ def test_merge_tombstone_for_absent_key_is_noop(spark, table, bcast):
         delete_col="is_deleted", broadcast_updates=bcast,
     )
     assert _read(spark, table) == before
+
+
+def _part_table(spark, tmp_path):
+    """A bucket-partitioned table: bucket = k % 3 (key-derived, so a row
+    can never change partitions — the pruned-merge precondition)."""
+    path = str(tmp_path / "ptbl")
+    rows = [(i, f"v{i}", i % 3) for i in range(30)]
+    spark.createDataFrame(rows, "k int, v string, bucket int").write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    return path
+
+
+def _snapshot_files(path):
+    import glob
+    import os
+
+    return {
+        os.path.relpath(f, path): os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+def test_pruned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """The 100 TB property: a CDC batch touching one bucket leaves every
+    other partition's FILES untouched (same inodes/mtimes), while the
+    result matches a full merge."""
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+        merge_parquet_partitioned,
+    )
+
+    path = _part_table(spark, tmp_path)
+    # twin table for the full-merge equivalence check
+    twin = str(tmp_path / "twin")
+    spark.read.parquet(path).write.partitionBy("bucket").parquet(twin)
+
+    before = _snapshot_files(path)
+    updates = spark.createDataFrame(
+        [(3, "v3_new", 0, False), (90, "v90", 0, False), (6, None, 0, True)],
+        "k int, v string, bucket int, is_deleted boolean",
+    )
+    n = merge_parquet_partitioned(
+        spark, path, updates, ["k", "bucket"], ["bucket"],
+        delete_col="is_deleted",
+    )
+    assert n == 1  # only bucket=0 rewritten
+    after = _snapshot_files(path)
+    untouched_before = {f: m for f, m in before.items() if "bucket=0" not in f}
+    untouched_after = {f: m for f, m in after.items() if "bucket=0" not in f}
+    assert untouched_before == untouched_after  # bytes never rewritten
+
+    merge_parquet(
+        spark, twin, updates, ["k", "bucket"], delete_col="is_deleted",
+        partition_by=["bucket"],
+    )
+    got = {(r.k, r.v, r.bucket) for r in spark.read.parquet(path).collect()}
+    want = {(r.k, r.v, r.bucket) for r in spark.read.parquet(twin).collect()}
+    assert got == want
+    assert (3, "v3_new", 0) in got and (90, "v90", 0) in got
+    assert not any(k == 6 for k, _, _ in got)
+
+
+def test_pruned_merge_new_and_emptied_partitions(spark, tmp_path):
+    """Inserts into a partition value the table has never seen create its
+    dir; tombstoning every row of a partition removes its dir."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "ptbl2")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, bucket int"
+    ).write.partitionBy("bucket").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(3, "c", 30, False), (2, None, 20, True)],
+        "k int, v string, bucket int, is_deleted boolean",
+    )
+    merge_parquet_partitioned(
+        spark, path, updates, ["k", "bucket"], ["bucket"],
+        delete_col="is_deleted",
+    )
+    got = {(r.k, r.v, r.bucket) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (3, "c", 30)}
+    assert os.path.isdir(os.path.join(path, "bucket=30"))
+    assert not os.path.exists(os.path.join(path, "bucket=20"))
+
+
+def test_pruned_merge_requires_key_determined_partition(spark, tmp_path):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    path = _part_table(spark, tmp_path)
+    upd = spark.createDataFrame([(1, "x", 1)], "k int, v string, bucket int")
+    with _pytest.raises(ValueError, match="subset of key_cols"):
+        merge_parquet_partitioned(spark, path, upd, ["k"], ["bucket"])
+
+
+def test_pruned_merge_recovers_parked_partition(spark, tmp_path):
+    """A crash between the two swap renames leaves the partition dir
+    parked; the next pruned merge restores it before proceeding."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    path = _part_table(spark, tmp_path)
+    os.rename(
+        os.path.join(path, "bucket=1"),
+        os.path.join(path, "bucket=1__old_deadbeef"),
+    )
+    upd = spark.createDataFrame([(0, "fixed", 0)], "k int, v string, bucket int")
+    merge_parquet_partitioned(spark, path, upd, ["k", "bucket"], ["bucket"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert (0, "fixed") in got
+    assert len(got) == 30  # bucket=1's rows are back
+
+
+def _part_dim(spark, tmp_path, name="pdim"):
+    import datetime as dt
+
+    path = str(tmp_path / name)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, f"n{i}", "bronze", i % 4, t0, None) for i in range(20)]
+    spark.createDataFrame(
+        rows,
+        "cust_id int, name string, tier string, bucket int, "
+        "valid_from timestamp, valid_to timestamp",
+    ).write.partitionBy("bucket").parquet(path)
+    return path, t0
+
+
+def test_pruned_scd2_touches_only_updated_buckets(spark, tmp_path):
+    import datetime as dt
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        scd2_apply,
+        scd2_apply_partitioned,
+    )
+
+    path, t0 = _part_dim(spark, tmp_path)
+    twin = str(tmp_path / "pdim_twin")
+    spark.read.parquet(path).write.partitionBy("bucket").parquet(twin)
+
+    t1 = dt.datetime(2024, 6, 1)
+    updates = spark.createDataFrame(
+        [
+            (1, "n1", "gold", 1, t1),    # tier change in bucket 1
+            (5, "n5", "bronze", 1, t1),  # identical -> no-op
+            (41, "n41", "silver", 1, t1),  # new key in bucket 1
+        ],
+        "cust_id int, name string, tier string, bucket int, "
+        "effective_ts timestamp",
+    )
+    before = _snapshot_files(path)
+    n = scd2_apply_partitioned(
+        spark, path, updates, ["cust_id", "bucket"], ["bucket"]
+    )
+    assert n == 1
+    after = _snapshot_files(path)
+    ub = {f: m for f, m in before.items() if "bucket=1" not in f}
+    ua = {f: m for f, m in after.items() if "bucket=1" not in f}
+    assert ub == ua  # other buckets' bytes untouched
+
+    scd2_apply(spark, twin, updates, ["cust_id", "bucket"])
+    got = {
+        tuple(r) for r in spark.read.parquet(path)
+        .select("cust_id", "tier", "bucket", "valid_from", "valid_to")
+        .collect()
+    }
+    want = {
+        tuple(r) for r in spark.read.parquet(twin)
+        .select("cust_id", "tier", "bucket", "valid_from", "valid_to")
+        .collect()
+    }
+    assert got == want
+    assert (1, "bronze", 1, t0, t1) in got  # closed old version
+    assert (1, "gold", 1, t1, None) in got  # new current
+    assert (41, "silver", 1, t1, None) in got  # insert
+
+
+def test_pruned_scd2_stale_batch_leaves_dims_untouched(spark, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        scd2_apply_partitioned,
+    )
+
+    path, t0 = _part_dim(spark, tmp_path, "pdim_stale")
+    t1, t2 = dt.datetime(2024, 6, 1), dt.datetime(2024, 9, 1)
+    mk = lambda tier, ts: spark.createDataFrame(  # noqa: E731
+        [(2, "n2", tier, 2, ts)],
+        "cust_id int, name string, tier string, bucket int, "
+        "effective_ts timestamp",
+    )
+    scd2_apply_partitioned(spark, path, mk("gold", t2), ["cust_id", "bucket"], ["bucket"])
+    before = _snapshot_files(path)
+    with _pytest.raises(ValueError, match="stale"):
+        scd2_apply_partitioned(
+            spark, path, mk("silver", t1), ["cust_id", "bucket"], ["bucket"]
+        )
+    assert _snapshot_files(path) == before  # nothing swapped on rejection

@@ -63,13 +63,31 @@ def merge_parquet(
         raise ValueError("key_cols must be non-empty")
     restore_snapshot(table_path)  # recover a crashed previous swap, if any
     target = spark.read.parquet(table_path)
+    upd = _resolve_updates(target, updates, key_cols, delete_col)
+    merged = _merged_frame(target, upd, key_cols, broadcast_updates)
+
+    tmp = f"{table_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    swap_snapshot(table_path, tmp)
+
+
+def _resolve_updates(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None,
+) -> DataFrame:
+    """Schema-check the batch, normalize the tombstone flag to ``_tomb``,
+    and reject duplicate keys (one compact job)."""
     data_cols = [c for c in updates.columns if c != delete_col]
     if set(target.columns) != set(data_cols):
         raise ValueError(
             f"updates schema {sorted(data_cols)} != table schema "
             f"{sorted(target.columns)}"
         )
-
     upd = updates
     if delete_col is None:
         upd = upd.withColumn("_tomb", F.lit(False))
@@ -77,7 +95,19 @@ def merge_parquet(
         upd = upd.withColumn("_tomb", F.coalesce(F.col(delete_col), F.lit(False)))
         upd = upd.drop(delete_col)
     _reject_duplicate_keys(upd, key_cols)
+    return upd
 
+
+def _merged_frame(
+    target: DataFrame,
+    upd: DataFrame,
+    key_cols: list[str],
+    broadcast_updates: bool,
+) -> DataFrame:
+    """The lazy merged snapshot of ``target`` (the full table, or a
+    pruned partition slice) against a ``_resolve_updates``-normalized
+    batch: update wins over target, tombstones drop, new keys insert."""
+    data_cols = [c for c in target.columns]
     u = upd.select(
         *[F.col(k).alias(f"_k_{k}") for k in key_cols],
         F.struct(*[F.col(c) for c in data_cols]).alias("_u"),
@@ -114,30 +144,22 @@ def merge_parquet(
             )
             .select(*[F.col(c) for c in target.columns])
         )
-        merged = updated.unionByName(inserts)
-    else:
-        # big-batch path: one full_outer shuffle beats the left-join
-        # shape's extra table scan + key shuffle when the updates side
-        # is too large to broadcast anyway
-        joined = target.join(u, cond, "full_outer")
-        merged = (
-            joined.filter(keep)
-            .select(
-                *[
-                    F.when(F.col("_u").isNotNull(), F.col("_u")[c])
-                    .otherwise(target[c])
-                    .alias(c)
-                    for c in target.columns
-                ]
-            )
+        return updated.unionByName(inserts)
+    # big-batch path: one full_outer shuffle beats the left-join
+    # shape's extra table scan + key shuffle when the updates side
+    # is too large to broadcast anyway
+    joined = target.join(u, cond, "full_outer")
+    return (
+        joined.filter(keep)
+        .select(
+            *[
+                F.when(F.col("_u").isNotNull(), F.col("_u")[c])
+                .otherwise(target[c])
+                .alias(c)
+                for c in target.columns
+            ]
         )
-
-    tmp = f"{table_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
-    w = merged.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
-    swap_snapshot(table_path, tmp)
+    )
 
 
 def scd2_apply(
@@ -188,6 +210,40 @@ def scd2_apply(
         raise ValueError("key_cols must be non-empty")
     restore_snapshot(table_path)
     target = spark.read.parquet(table_path)
+    snapshot, obs = _scd2_snapshot(
+        target, updates, key_cols, ts_col, valid_from, valid_to,
+        broadcast_updates,
+    )
+
+    tmp = f"{table_path.rstrip('/')}__scd2_{uuid.uuid4().hex[:8]}"
+    snapshot.write.mode("overwrite").parquet(tmp)
+    _raise_if_stale(obs, tmp)
+    swap_snapshot(table_path, tmp)
+
+
+def _raise_if_stale(obs: Observation, tmp: str) -> None:
+    n_stale = obs.get["n_stale"] or 0
+    if n_stale:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"{n_stale} update(s) are at-or-before the valid_from of the row "
+            "they would replace (stale or same-timestamp CDC batch); "
+            "refusing to rewrite history"
+        )
+
+
+def _scd2_snapshot(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str,
+    valid_to: str,
+    broadcast_updates: bool,
+) -> tuple[DataFrame, Observation]:
+    """The lazy SCD2 snapshot of ``target`` (full dimension or a pruned
+    partition slice) plus the Observation whose ``n_stale`` metric must be
+    checked after the write and before any swap."""
     attr_cols = [
         c
         for c in target.columns
@@ -269,15 +325,235 @@ def scd2_apply(
         F.lit(None).cast(vt_type).alias(valid_to),
     )
     snapshot = history.unionByName(cur_rows).unionByName(new_rows)
+    return snapshot, obs
 
-    tmp = f"{table_path.rstrip('/')}__scd2_{uuid.uuid4().hex[:8]}"
-    snapshot.write.mode("overwrite").parquet(tmp)
-    n_stale = obs.get["n_stale"] or 0
-    if n_stale:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+def _restore_partition_swaps(table_path: str) -> None:
+    """Crash recovery for per-partition swaps: any ``<dir>__old_<id>``
+    under the table root either shadows a missing partition dir (crash
+    between the two renames → restore it) or survived a completed swap
+    (crash before cleanup → remove it)."""
+    import glob
+    import os
+
+    for parked in glob.glob(
+        os.path.join(table_path, "**", "*__old_*"), recursive=True
+    ):
+        live = parked.split("__old_")[0]
+        if os.path.exists(live):
+            shutil.rmtree(parked, ignore_errors=True)
+        else:
+            os.rename(parked, live)
+
+
+def _partition_dirs(root: str) -> set[str]:
+    """Relative paths of the leaf partition directories under ``root``
+    (dirs that directly contain data files) — names are Spark's own
+    ``col=value`` encoding on both the table and tmp sides, so they
+    compare as opaque strings and no value→dirname re-encoding (with its
+    escaping pitfalls) ever happens here."""
+    import os
+
+    out = set()
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if dirpath == root:
+            continue
+        if any(f.endswith(".parquet") for f in filenames):
+            out.add(os.path.relpath(dirpath, root))
+    return out
+
+
+def merge_parquet_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str],
+    *,
+    delete_col: str | None = None,
+    broadcast_updates: bool = True,
+    max_touched_partitions: int = 10_000,
+) -> int:
+    """Partition-pruned MERGE: rewrite ONLY the partitions the updates
+    touch — the scale path the module docstring promises. At a 100 TB
+    table with daily CDC touching a handful of partitions, the full
+    ``merge_parquet`` rewrite is O(table); this is O(touched partitions)
+    end to end: the target read is a partition-pruned scan, the join runs
+    on the slice, and only touched partition directories are swapped.
+
+    Correctness precondition (validated): every ``partition_by`` column
+    must be part of ``key_cols`` — a row's partition is then determined
+    by its immutable key, so an update can never MOVE a row between
+    partitions (which a pruned merge could not see). Partition a fact
+    table by a key-derived bucket (``pmod(xxhash64(key), N)``) or an
+    immutable event date to satisfy this.
+
+    Mechanics: touched partition values are the updates' distinct
+    partition tuples (driver-bounded, capped at
+    ``max_touched_partitions`` — beyond that, a full merge is cheaper
+    than per-dir bookkeeping and the cap raises with that advice). The
+    merged slice is written next to the table, then per-partition-dir
+    swaps reconcile: same-named dirs swap (recoverable park-and-rename),
+    brand-new partition dirs move in, and a touched dir with NO output
+    rows (every row tombstoned) is removed. Crash honesty: the swap loop
+    is sequential, so a crash mid-loop leaves SOME partitions merged and
+    some not — each individual dir is recoverable
+    (``_restore_partition_swaps`` runs on entry), but cross-partition
+    atomicity needs a transactional table format (Delta/Iceberg), which
+    plain parquet cannot express. Returns the number of partitions
+    rewritten.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    _validate_pruned_partitioning(key_cols, partition_by)
+    _restore_partition_swaps(table_path)
+    full = spark.read.parquet(table_path)
+    upd = _resolve_updates(full, updates, key_cols, delete_col)
+
+    pred = _touched_predicate(upd, partition_by, max_touched_partitions)
+    if pred is None:
+        return 0
+    target = full.filter(pred)  # partition-pruned scan
+    merged = _merged_frame(target, upd, key_cols, broadcast_updates)
+    existing = _existing_partition_dirs(target, table_path)
+
+    tmp_root = f"{table_path.rstrip('/')}__pmerge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
+    return _reconcile_partition_dirs(table_path, tmp_root, existing)
+
+
+def _validate_pruned_partitioning(
+    key_cols: list[str], partition_by: list[str]
+) -> None:
+    if not partition_by:
+        raise ValueError("partition_by must be non-empty (else use the full apply)")
+    if not set(partition_by) <= set(key_cols):
         raise ValueError(
-            f"{n_stale} update(s) are at-or-before the valid_from of the row "
-            "they would replace (stale or same-timestamp CDC batch); "
-            "refusing to rewrite history"
+            "partition_by must be a subset of key_cols: a pruned merge is "
+            "only sound when a row's partition is key-determined and "
+            "immutable (use a key-derived bucket column)"
         )
-    swap_snapshot(table_path, tmp)
+
+
+def _touched_predicate(
+    upd: DataFrame, partition_by: list[str], max_touched: int
+):
+    """OR-of-tuples filter over the updates' distinct partition values
+    (driver-bounded, capped); None when the batch is empty."""
+    touched = (
+        upd.select(*partition_by).distinct().limit(max_touched + 1).collect()
+    )
+    if len(touched) > max_touched:
+        raise ValueError(
+            f"updates touch > {max_touched} partitions; a full rewrite is "
+            "the better plan at that span"
+        )
+    pred = None
+    for row in touched:
+        clause = None
+        for c in partition_by:
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
+def _existing_partition_dirs(target: DataFrame, table_path: str) -> set[str]:
+    """The touched partitions' dir names as they exist on disk, named by
+    Spark itself (input_file_name over the pruned slice — a
+    file-listing-scale job, O(touched partitions))."""
+    import os
+
+    root = os.path.abspath(table_path)
+    existing = set()
+    for r in target.select(F.input_file_name().alias("f")).distinct().collect():
+        f = r["f"]
+        if f.startswith("file:"):
+            f = f[len("file:"):]
+        rel = os.path.relpath(os.path.dirname(f), root)
+        if rel != ".":
+            existing.add(rel)
+    return existing
+
+
+def _reconcile_partition_dirs(
+    table_path: str, tmp_root: str, existing: set[str]
+) -> int:
+    """Move the written partition dirs into the table: same-named dirs
+    swap (recoverable park-and-rename), brand-new dirs move in, touched
+    dirs with no output rows are removed. Sequential, so only
+    per-partition (not cross-partition) atomicity — see the public
+    functions' docstrings."""
+    import os
+
+    root = os.path.abspath(table_path)
+    tmp_names = _partition_dirs(tmp_root)
+    for name in sorted(tmp_names & existing):  # rewritten partitions
+        swap_snapshot(os.path.join(root, name), os.path.join(tmp_root, name))
+    for name in sorted(tmp_names - existing):  # brand-new partitions
+        dst = os.path.join(root, name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(tmp_root, name), dst)
+    for name in sorted(existing - tmp_names):  # fully-deleted partitions
+        parked = os.path.join(root, name) + f"__old_{uuid.uuid4().hex[:8]}"
+        os.rename(os.path.join(root, name), parked)
+        shutil.rmtree(parked)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return len(tmp_names | existing)
+
+
+def scd2_apply_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str],
+    *,
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    broadcast_updates: bool = True,
+    max_touched_partitions: int = 10_000,
+) -> int:
+    """Partition-pruned SCD2 apply: the ``scd2_apply`` semantics (close /
+    version / insert, single-pass Observation stale check, same
+    equal-timestamp rejection) touching ONLY the partitions the batch's
+    keys live in — the scale path for a 100 TB dimension partitioned by a
+    key-derived bucket (``pmod(xxhash64(key), N)``).
+
+    Same precondition as ``merge_parquet_partitioned`` (``partition_by``
+    ⊆ ``key_cols``): a key's entire version history then lives in one
+    partition forever, so close+insert pairs never straddle a partition
+    boundary and untouched partitions cannot hold a current row for an
+    updated key. A stale batch is detected after the tmp write and
+    discarded before ANY partition dir is swapped — the dimension is
+    untouched on rejection. Crash honesty matches
+    ``merge_parquet_partitioned``: per-partition recoverable swaps,
+    sequential across partitions. Returns the number of partitions
+    rewritten.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    _validate_pruned_partitioning(key_cols, partition_by)
+    _restore_partition_swaps(table_path)
+    full = spark.read.parquet(table_path)
+    missing = set(partition_by) - set(updates.columns)
+    if missing:
+        raise ValueError(f"updates lack partition columns {sorted(missing)}")
+
+    pred = _touched_predicate(
+        updates.select(*partition_by), partition_by, max_touched_partitions
+    )
+    if pred is None:
+        return 0
+    target = full.filter(pred)  # partition-pruned scan
+    snapshot, obs = _scd2_snapshot(
+        target, updates, key_cols, ts_col, valid_from, valid_to,
+        broadcast_updates,
+    )
+    existing = _existing_partition_dirs(target, table_path)
+
+    tmp_root = f"{table_path.rstrip('/')}__pscd2_{uuid.uuid4().hex[:8]}"
+    snapshot.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
+    _raise_if_stale(obs, tmp_root)
+    return _reconcile_partition_dirs(table_path, tmp_root, existing)
