@@ -452,7 +452,13 @@ def _touched_predicate(
     for row in touched:
         clause = None
         for c in partition_by:
-            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            # == / isNull, NOT eqNullSafe: the catalyst partition-pruning
+            # rule recognizes EqualTo and IsNull but not <=>, so a
+            # null-safe-equals predicate here silently degrades the
+            # "pruned" scan to a full-table read (caught by the 20M-row
+            # scale smoke: pruned wall grew with TABLE size, not slice)
+            v = row[c]
+            eq = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
             clause = eq if clause is None else (clause & eq)
         pred = clause if pred is None else (pred | clause)
     return pred
