@@ -31,17 +31,18 @@ from . import nonsql_queries  # noqa: E402,F401
 # proved pytest history is not driver-proof). This window swaps ALL 46 in,
 # so after this round every registry query has a driver row from r3 or r4.
 # Also in: s_sample_stratified (draw rebased to content-keyed hashing this
-# round — implementation changed), the new v_ivf_knn_batch, and two
-# unchanged r3-green canaries (v_knn_cosine: the flagship entry() path;
-# e_tumbling_hourly: the timestamp-normalization seam the r3 environment
-# break hit) to detect cross-family environment drift.
+# round — implementation changed), the new v_ivf_knn_batch and v_sq8_knn,
+# and an unchanged r3-green canary (e_tumbling_hourly: the
+# timestamp-normalization seam the r3 environment break hit) to detect
+# environment drift. v_knn_cosine sits in TAIL but is driver-exercised
+# every round anyway as the entry() flagship.
 DRIVER_WINDOW = [
-    # canaries (r3-green, unchanged)
-    "v_knn_cosine",
+    # canary (r3-green, unchanged)
     "e_tumbling_hourly",
     # changed / new this round
     "s_sample_stratified",
     "v_ivf_knn_batch",
+    "v_sq8_knn",
     # last driver row r2 (13)
     "v_store_stats",
     "v_zscore_fit",
@@ -96,6 +97,7 @@ DRIVER_WINDOW = [
 # CORRECTNESS_r03.json, unchanged since, and re-verified every test run by
 # the local oracle parity replica (tests/test_oracle_parity.py).
 TAIL = [
+    "v_knn_cosine",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

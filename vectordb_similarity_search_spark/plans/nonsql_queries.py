@@ -418,6 +418,50 @@ def v_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v_sq8_knn",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, (round(s, 6) + 0) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+""",
+)
+def v_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 search through the SQ8-QUANTIZED store (operators/quantize:
+    4x-compressed uint8 codes screen the corpus to an approximate top-50,
+    then an exact rescore over just those candidates' float vectors picks
+    the final top-10). The oracle is deliberately the SAME exact-kNN SQL
+    twin as v_knn_cosine: the compressed path's driver-checked contract
+    is EXACTNESS of the served top-k, not closeness — approximate screen,
+    exact answer (screen-depth recall properties in
+    tests/test_quantize.py). Model fit (per-dim min/max) is one aggregate,
+    memoized per session like the other model builds."""
+    from ..operators.quantize import fit_sq8
+
+    qv = _vq(spark, sf_dir)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    key = (spark.sparkContext.applicationId, sf_dir, "sq8")
+    if key not in _MODEL_CACHE:
+        model = fit_sq8(corpus, "embedding", dim=len(qv))
+        _MODEL_CACHE[key] = (model, model.encode(corpus))
+    model, codes = _MODEL_CACHE[key]
+    res = model.search(codes, corpus, qv, k=10, rescore=50)
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+def _vq(spark: SparkSession, sf_dir: str) -> list:
+    from .vector_queries import _query_vec
+
+    return _query_vec(spark, sf_dir, 0)
+
+
+@query(
     "v_lsh_knn",
     oracle=_expected_oracle("v_lsh_knn", sf_bound=True),
 )
