@@ -56,7 +56,9 @@ DRIVER_WINDOW = [
     "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",
-    "t_lang_guess_confusion",
+    # displaced for the new t_bpe_train: t_lang_guess_confusion keeps its
+    # r2 driver row and the local replica; rotate it back next round
+    "t_bpe_train",
     # last driver row r1 (33)
     "r_region_nation_revenue",
     "r_left_join_counts",
@@ -97,6 +99,7 @@ DRIVER_WINDOW = [
 # CORRECTNESS_r03.json, unchanged since, and re-verified every test run by
 # the local oracle parity replica (tests/test_oracle_parity.py).
 TAIL = [
+    "t_lang_guess_confusion",
     "v_knn_cosine",
     "v_sim_join_topk",
     "v_hybrid_rrf",

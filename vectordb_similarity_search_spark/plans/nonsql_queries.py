@@ -418,6 +418,36 @@ def v_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_bpe_train",
+    oracle=_expected_oracle("t_bpe_train", sf_bound=True),
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE tokenizer merges over the documents corpus (ml/bpe:
+    one distributed word-count aggregate — the corpus-scale step — then
+    the bounded driver-side merge loop, the same moments→driver split as
+    PCA). Returns the first 20 merges in learned order. Oracle:
+    expected-output parquet — the merge table is a pure content function
+    of the corpus (deterministic cap + lexicographic tie-breaks;
+    layout-independence pinned in tests/test_bpe.py); no SQL twin (the
+    loop is iterative). Fit memoized per session (model build, not query
+    work)."""
+    from ..ml.bpe import fit_bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe")
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = fit_bpe(
+            t(spark, sf_dir, "documents"), "text", n_merges=40, top_words=50_000
+        )
+    merges = _MODEL_CACHE[key].merges[:20]
+    rows = [
+        (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, unit string"
+    )
+
+
+@query(
     "v_sq8_knn",
     oracle="""
 WITH q AS (
