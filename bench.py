@@ -66,6 +66,15 @@ PIPELINE = [
     "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
 ]
 
+# Fourth group (round 4): the ANN serving paths. First warm run pays the
+# one-time index/model build (cached per process); min-of-3 then measures
+# the steady-state probe cost — the number a serving tier cares about.
+ANN = [
+    "v_ivf_knn",             # single query, partition-pruned probe
+    "v_ivf_knn_batch",       # 100 queries, one pruned scan + grouped rank
+    "v_sq8_knn",             # 4x-compressed screen + exact rescore
+]
+
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
 # round-4 grading VM (local[32], 128 GiB). Committed so later rounds can
 # compute machine_factor = calibration_now / this. Re-pin ONLY when the
@@ -267,6 +276,7 @@ def main() -> None:
 
     timings = run_group(spark, sf_dir, HEADLINE)
     pipeline = run_group(spark, sf_dir, PIPELINE)
+    ann = run_group(spark, sf_dir, ANN)
 
     import tempfile
 
@@ -286,6 +296,8 @@ def main() -> None:
                 "queries": timings,
                 "pipeline_queries": pipeline,
                 "pipeline_total_wall": round(sum(pipeline.values()), 3),
+                "ann_queries": ann,
+                "ann_total_wall": round(sum(ann.values()), 3),
                 "write_queries": writes,
                 "write_total_wall": round(sum(writes.values()), 3),
                 "calibration_sec": calibration,
