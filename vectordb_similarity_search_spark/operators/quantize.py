@@ -104,7 +104,12 @@ class Sq8Model:
 
 
 def fit_sq8(df: DataFrame, vec_col: str = "embedding", dim: int | None = None) -> Sq8Model:
-    """Per-dim min/max from one aggregate over zipped array positions."""
+    """Per-dim min/max from one aggregate over zipped array positions.
+
+    Pass ``dim`` when known (it always is in a real pipeline): omitting it
+    costs one extra driver probe job (a ``head()`` to measure the first
+    vector) before the aggregate — the same query-parameter-lookup class
+    the catalog memoizes elsewhere."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     row = df.agg(
