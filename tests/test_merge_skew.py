@@ -602,3 +602,22 @@ def test_pruned_scd2_stale_batch_leaves_dims_untouched(spark, tmp_path):
             spark, path, mk("silver", t1), ["cust_id", "bucket"], ["bucket"]
         )
     assert _snapshot_files(path) == before  # nothing swapped on rejection
+
+
+def test_pruned_apply_refuses_flat_table(spark, tmp_path):
+    """A pruned merge against a non-hive-partitioned table would leave the
+    root-level files in place beside the new partition dirs (silent row
+    duplication) — refused at entry."""
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a", 0)], "k int, v string, bucket int"
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(1, "x", 0)], "k int, v string, bucket int")
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        merge_parquet_partitioned(spark, path, upd, ["k", "bucket"], ["bucket"])

@@ -406,6 +406,7 @@ def merge_parquet_partitioned(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     _validate_pruned_partitioning(key_cols, partition_by)
+    _require_hive_layout(table_path)
     _restore_partition_swaps(table_path)
     full = spark.read.parquet(table_path)
     upd = _resolve_updates(full, updates, key_cols, delete_col)
@@ -432,6 +433,25 @@ def _validate_pruned_partitioning(
             "partition_by must be a subset of key_cols: a pruned merge is "
             "only sound when a row's partition is key-determined and "
             "immutable (use a key-derived bucket column)"
+        )
+
+
+def _require_hive_layout(table_path: str) -> None:
+    """A pruned apply against a FLAT table would leave the original
+    root-level files in place next to the new partition dirs — every
+    touched row silently duplicated. Refuse up front instead."""
+    import os
+
+    flat = [
+        f
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(table_path, f))
+    ]
+    if flat:
+        raise ValueError(
+            f"{table_path} holds root-level parquet files — not a "
+            "hive-partitioned layout; write it with partitionBy first or "
+            "use the full (non-pruned) apply"
         )
 
 
@@ -541,6 +561,7 @@ def scd2_apply_partitioned(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     _validate_pruned_partitioning(key_cols, partition_by)
+    _require_hive_layout(table_path)
     _restore_partition_swaps(table_path)
     full = spark.read.parquet(table_path)
     missing = set(partition_by) - set(updates.columns)
