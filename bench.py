@@ -73,6 +73,7 @@ ANN = [
     "v_ivf_knn",             # single query, partition-pruned probe
     "v_ivf_knn_batch",       # 100 queries, one pruned scan + grouped rank
     "v_sq8_knn",             # 4x-compressed screen + exact rescore
+    "v_pq_knn",              # 16x-compressed ADC screen + exact rescore
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -59,6 +59,16 @@ def test_codebooks_deterministic(spark, emb):
     assert np.array_equal(a.codebooks, b.codebooks)
 
 
+def test_sorted_fit_is_layout_independent(spark, emb):
+    """The v_pq_knn catalog query trains on a vec_id-sorted sample so the
+    codebooks are a pure content function: reshuffling the corpus into a
+    different partition layout must yield bit-identical codebooks (a bare
+    limit() sample would not — it takes whatever partitions come first)."""
+    a = fit_pq(emb.orderBy("vec_id"), m=16, k=32, seed=42)
+    b = fit_pq(emb.repartition(7).orderBy("vec_id"), m=16, k=32, seed=42)
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
 def test_l2_metric_screens_by_distance(spark):
     """The reviewer scenario: an un-normalized corpus where large-dot
     vectors are FAR — the l2 screen must keep the true nearest."""

@@ -101,6 +101,7 @@ DRIVER_WINDOW = [
 TAIL = [
     "t_lang_guess_confusion",
     "v_knn_cosine",
+    "v_pq_knn",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

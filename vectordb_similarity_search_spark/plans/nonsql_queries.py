@@ -492,6 +492,45 @@ def _vq(spark: SparkSession, sf_dir: str) -> list:
 
 
 @query(
+    "v_pq_knn",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, (round(s, 6) + 0) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+""",
+)
+def v_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 search through the PQ-ENCODED store (operators/pq: 16x-
+    compressed codes — 64-dim float32 → 16 one-byte subspace codes — ADC-
+    screened to an approximate top-200, then an exact rescore over just
+    those candidates' float vectors picks the final top-10). Same driver
+    contract as v_sq8_knn and the same exact-kNN SQL twin: approximate
+    screen, EXACT served top-k (screen-depth margin measured >=2x at
+    every fixture sf; rescore-window property in tests/test_pq.py). The
+    codebooks train on a vec_id-SORTED sample so the fit is partition-
+    layout independent (limit over an unordered scan is not); fit +
+    encode memoized per session like the other model builds."""
+    from ..operators.pq import fit_pq, l2_normalized
+
+    qv = _vq(spark, sf_dir)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    if key not in _MODEL_CACHE:
+        model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
+        _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))
+    model, codes = _MODEL_CACHE[key]
+    res = model.search(codes, corpus, qv, k=10, rescore=200)
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
     "v_lsh_knn",
     oracle=_expected_oracle("v_lsh_knn", sf_bound=True),
 )
