@@ -128,6 +128,7 @@ def write_sorted(
     *,
     n_files: int | None = None,
     mode: str = "overwrite",
+    zone_map: bool = False,
 ) -> None:
     """Write parquet globally range-clustered on ``sort_cols``:
     ``repartitionByRange`` gives each output file a disjoint key range and
@@ -146,6 +147,12 @@ def write_sorted(
     else:
         parts = df.repartitionByRange(*cols)
     parts.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    if zone_map:
+        # commit-time stats sidecar: file-level pruning without footer
+        # reads (sources/zonemap.py)
+        from .zonemap import write_zone_map
+
+        write_zone_map(path, sort_cols)
 
 
 def write_zordered(
@@ -156,6 +163,7 @@ def write_zordered(
     n_files: int = 8,
     bits: int | None = None,
     mode: str = "overwrite",
+    zone_map: bool = False,
 ) -> None:
     """Write parquet Z-ORDER clustered on two-or-more numeric columns —
     the multi-dimensional half of Delta's OPTIMIZE ZORDER, on plain
@@ -229,3 +237,7 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+    if zone_map:
+        from .zonemap import write_zone_map
+
+        write_zone_map(path, z_cols)
