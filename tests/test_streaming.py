@@ -390,3 +390,77 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got2 == {(10, 1), (10, 4)}
     finally:
         q.stop()
+
+
+def test_cdc_merge_stream_upserts_and_deletes(spark, tmp_path):
+    """Streaming CDC upsert: micro-batches MERGE into a parquet table —
+    within-batch version resolution (order_col), tombstones
+    (delete_col), and natural replay idempotence (re-applying the last
+    batch leaves the table unchanged)."""
+    from vectordb_similarity_search_spark.operators.merge import merge_parquet
+    from vectordb_similarity_search_spark.streaming.events import (
+        cdc_merge_stream,
+    )
+
+    tbl = str(tmp_path / "cdc_tbl")
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    cdc_schema = "id long, name string, bal double, ver long, _del boolean"
+    spark.createDataFrame(
+        [(1, "a", 10.0, 0), (2, "b", 20.0, 0), (3, "c", 30.0, 0)],
+        "id long, name string, bal double, ver long",
+    ).coalesce(1).write.parquet(tbl)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, cdc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(cdc_schema).parquet(str(src))
+    q = cdc_merge_stream(
+        stream,
+        tbl,
+        ["id"],
+        str(tmp_path / "cdc_chk"),
+        order_col="ver",
+        delete_col="_del",
+    )
+    try:
+        # batch 1: update id=2, insert id=4
+        write_batch(
+            [(2, "b", 21.0, 1, False), (4, "d", 41.0, 1, False)], "b1"
+        )
+        q.processAllAvailable()
+        got = {r.id: (r.name, r.bal, r.ver) for r in spark.read.parquet(tbl).collect()}
+        assert got == {
+            1: ("a", 10.0, 0),
+            2: ("b", 21.0, 1),
+            3: ("c", 30.0, 0),
+            4: ("d", 41.0, 1),
+        }
+        # batch 2: two versions of id=1 (ver 2 must win), delete id=3
+        b2 = [
+            (1, "a", 11.0, 1, False),
+            (1, "a", 12.0, 2, False),
+            (3, "c", 30.0, 1, True),
+        ]
+        write_batch(b2, "b2")
+        q.processAllAvailable()
+        got = {r.id: (r.name, r.bal, r.ver) for r in spark.read.parquet(tbl).collect()}
+        want = {
+            1: ("a", 12.0, 2),
+            2: ("b", 21.0, 1),
+            4: ("d", 41.0, 1),
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+    # replay idempotence: re-MERGE batch 2's resolved rows directly —
+    # exactly what a foreachBatch replay after a crash would do
+    replay = spark.createDataFrame(
+        [(1, "a", 12.0, 2, False), (3, "c", 30.0, 1, True)], cdc_schema
+    )
+    merge_parquet(spark, tbl, replay, ["id"], delete_col="_del")
+    got = {r.id: (r.name, r.bal, r.ver) for r in spark.read.parquet(tbl).collect()}
+    assert got == want

@@ -302,6 +302,74 @@ def rollup_ingest_stream(
     )
 
 
+def cdc_merge_stream(
+    updates: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    *,
+    order_col: str | None = None,
+    delete_col: str | None = None,
+    partition_by: list[str] | None = None,
+):
+    """Streaming upsert: each micro-batch of CDC rows MERGEs into the
+    parquet table at ``table_path`` — the streaming twin of
+    ``operators/merge.py`` (with ``partition_by``, each batch rewrites
+    only the partitions it touches, the O(touched) path a continuous
+    100 TB ingest needs).
+
+    ``order_col``: CDC feeds routinely carry several versions of a key
+    per batch; the row with the greatest ``order_col`` wins (ties break
+    on the row's own column values — deterministic). Without it, a batch
+    with duplicate keys is REJECTED by the merge, not silently collapsed.
+
+    Replay safety, unlike ``rollup_ingest_stream``: an upsert/delete
+    MERGE is naturally IDEMPOTENT — re-applying a batch overwrites the
+    same keys with the same values — so foreachBatch's at-least-once
+    replay needs no applied-batch ledger, PROVIDED this stream is the
+    table's only writer (a replay interleaved with another writer's
+    change can resurrect it).
+    """
+    from ..operators.merge import merge_parquet, merge_parquet_partitioned
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            others = [
+                c
+                for c in batch.columns
+                if c not in key_cols and c != order_col
+            ]
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), *[F.col(c).desc() for c in others]
+            )
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if partition_by:
+            merge_parquet_partitioned(
+                spark, table_path, batch, key_cols, partition_by,
+                delete_col=delete_col,
+            )
+        else:
+            merge_parquet(
+                spark, table_path, batch, key_cols, delete_col=delete_col
+            )
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     clicks: DataFrame,
     purchases: DataFrame,
