@@ -68,15 +68,21 @@ def main() -> None:
         hash_sample,
     )
 
-    cdc = (
+    # The CDC batch is WRITTEN OUT and re-read before any merge mutates
+    # ptbl: a cached frame whose lineage reads ptbl would recompute from
+    # a pinned listing of deleted files if its blocks were ever evicted
+    # after the pruned merge swaps bucket dirs.
+    cdc_path = os.path.join(work, "cdc_batch")
+    (
         hash_sample(
             spark.read.parquet(ptbl).filter(F.col("bucket") < TOUCH),
             0.1,
             ["k"],
         )
         .withColumn("val", F.col("val") + 1.0)
-        .cache()
+        .write.parquet(cdc_path)
     )
+    cdc = spark.read.parquet(cdc_path)
     n_cdc = cdc.count()
 
     before = {

@@ -127,3 +127,24 @@ def test_partitioned_compaction_noop(spark, tmp_path):
     orders.repartition(1).write.partitionBy("o_orderpriority").parquet(path)
     res = compact_parquet_partitioned(spark, path, ["o_orderpriority"])
     assert not res["rewritten"] and res["dirs_touched"] == 0
+
+
+def test_partitioned_compaction_rejects_wrong_column_order(spark, tmp_path):
+    """partition_cols out of on-disk nesting order would mis-key the
+    broadcast join and (pre-guard) delete whole partitions as 'empty' —
+    it must raise with the table untouched."""
+    df = spark.createDataFrame(
+        [(i, f"a{i % 2}", f"b{i % 3}", float(i)) for i in range(60)],
+        "k long, pa string, pb string, val double",
+    )
+    path = str(tmp_path / "two_level")
+    df.repartition(4).write.partitionBy("pa", "pb").parquet(path)
+    before = _content(spark, path)
+    import pytest
+
+    with pytest.raises(ValueError, match="on-disk partition nesting"):
+        compact_parquet_partitioned(spark, path, ["pb", "pa"])
+    assert _content(spark, path) == before
+
+    res = compact_parquet_partitioned(spark, path, ["pa", "pb"])
+    assert res["rewritten"] and _content(spark, path) == before

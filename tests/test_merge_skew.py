@@ -621,3 +621,46 @@ def test_pruned_apply_refuses_flat_table(spark, tmp_path):
     upd = spark.createDataFrame([(1, "x", 0)], "k int, v string, bucket int")
     with _pytest.raises(ValueError, match="hive-partitioned"):
         merge_parquet_partitioned(spark, path, upd, ["k", "bucket"], ["bucket"])
+
+
+def test_pruned_merge_handles_uri_hostile_partition_values(spark, tmp_path):
+    """Partition values containing spaces/colons/percents: the on-disk
+    dir names go through hive escaping AND input_file_name returns them
+    URI-encoded — the two namings must reconcile or the merge crashes
+    mid-swap (regression: _existing_partition_dirs now unquotes)."""
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    tbl = str(tmp_path / "hostile")
+    rows = [(1, "a b", 1.0), (2, "x:y", 2.0), (3, "p%q", 3.0), (4, "a b", 4.0)]
+    spark.createDataFrame(rows, "k long, part string, val double").write.partitionBy(
+        "part"
+    ).parquet(tbl)
+
+    upd = spark.createDataFrame(
+        [(1, "a b", 10.0), (2, "x:y", 20.0)], "k long, part string, val double"
+    )
+    n = merge_parquet_partitioned(spark, tbl, upd, ["k", "part"], ["part"])
+    assert n == 2
+    got = {r.k: r.val for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 3.0, 4: 4.0}
+
+
+def test_touched_predicate_scales_to_thousands_of_partitions(spark):
+    """A CDC batch touching 5k partitions is legal (cap 10k); the OR
+    tree must be balanced or Catalyst's recursive analysis overflows the
+    driver stack (regression for the left-deep chain)."""
+    from vectordb_similarity_search_spark.operators.merge import (
+        _touched_predicate,
+    )
+
+    upd = spark.range(5000).selectExpr(
+        "id AS p1", "cast(id % 7 AS string) AS p2"
+    )
+    pred = _touched_predicate(upd, ["p1", "p2"], 10_000)
+    base = spark.range(6000).selectExpr(
+        "id AS p1", "cast(id % 7 AS string) AS p2", "id AS v"
+    )
+    # analysis + optimization of the 5000-clause predicate must complete
+    assert base.filter(pred).count() == 5000

@@ -464,3 +464,33 @@ def test_cdc_merge_stream_upserts_and_deletes(spark, tmp_path):
     merge_parquet(spark, tbl, replay, ["id"], delete_col="_del")
     got = {r.id: (r.name, r.bal, r.ver) for r in spark.read.parquet(tbl).collect()}
     assert got == want
+
+
+def test_cdc_merge_stream_metadata_order_col(spark, tmp_path):
+    """The CDC ordering column (LSN-style feed metadata) need not be a
+    table column: it resolves within-batch versions and is dropped
+    before the merge (regression: schema check used to reject it)."""
+    from vectordb_similarity_search_spark.streaming.events import (
+        cdc_merge_stream,
+    )
+
+    tbl = str(tmp_path / "meta_tbl")
+    src = tmp_path / "meta_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, bal double"
+    ).coalesce(1).write.parquet(tbl)
+    cdc_schema = "id long, bal double, lsn long"
+    stream = spark.readStream.schema(cdc_schema).parquet(str(src))
+    q = cdc_merge_stream(
+        stream, tbl, ["id"], str(tmp_path / "meta_chk"), order_col="lsn"
+    )
+    try:
+        spark.createDataFrame(
+            [(1, 11.0, 5), (1, 12.0, 6), (3, 30.0, 5)], cdc_schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.id: r.bal for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: 12.0, 2: 20.0, 3: 30.0}

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hyperplane_signature
+from ..util import evict_other_apps
 from .topk import knn
 
 
@@ -203,6 +204,7 @@ _INDEX_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _index_scan(spark, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
+    evict_other_apps(_INDEX_SCAN_CACHE, key[0])
     df = _INDEX_SCAN_CACHE.get(key)
     if df is None:
         df = _INDEX_SCAN_CACHE[key] = spark.read.parquet(path)
@@ -413,6 +415,7 @@ def ivfpq_write_index(
         assigned, vec_col=ivf_model.vec_col, code_col="pq_code"
     ).join(assigned.select("vec_id", ivf_model.vec_col), "vec_id")
     encoded.write.partitionBy(cell_col).mode("overwrite").parquet(path)
+    _invalidate_index_scans(path)
 
 
 def ivfpq_search_index(

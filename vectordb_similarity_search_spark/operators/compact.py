@@ -123,6 +123,9 @@ def compact_parquet(
     tmp = f"{table_path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     out.write.parquet(tmp)
     swap_snapshot(table_path, tmp)
+    from .merge import _invalidate_foreign_scan_caches
+
+    _invalidate_foreign_scan_caches(table_path)
     if zone_cols or sort_cols:
         # the old sidecar died with the old snapshot; re-commit stats
         # for the same columns (plus any new clustering columns)
@@ -153,6 +156,17 @@ def compact_parquet_partitioned(
     if not dirs:
         raise ValueError(
             f"{table_path} has no col=value partition dirs; use compact_parquet"
+        )
+    # partition_cols MUST match the on-disk dir nesting IN ORDER: the
+    # data-side join key is built in caller order while the dir-side key
+    # follows the directory nesting — a mismatch would drop every row in
+    # the inner join and the reconcile step would then remove the
+    # "empty" partitions. Data loss, so validate up front.
+    disk_order = [seg.split("=", 1)[0] for seg in next(iter(dirs)).split(os.sep)]
+    if partition_cols != disk_order:
+        raise ValueError(
+            f"partition_cols {partition_cols} must match the table's "
+            f"on-disk partition nesting {disk_order} (same columns, same order)"
         )
     plan: dict[str, int] = {}
     before = after = 0
@@ -209,6 +223,22 @@ def compact_parquet_partitioned(
         .write.partitionBy(*partition_cols)
         .parquet(tmp)
     )
+    # Defense in depth against the join-key/dir-key mismatch class: a
+    # compaction rewrites exactly the planned dirs — if the tmp output
+    # is missing any (rows were lost to a bad key) abort with the table
+    # untouched rather than let the reconcile delete "empty" partitions.
+    tmp_dirs = _partition_dirs(tmp)
+    if tmp_dirs != set(plan):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction output dirs {sorted(tmp_dirs)} != planned "
+            f"{sorted(plan)}; aborting before any swap (table unchanged)"
+        )
+    from .merge import _invalidate_foreign_scan_caches
+
+    _invalidate_foreign_scan_caches(table_path)
     _reconcile_partition_dirs(table_path, tmp, set(plan))
     for rel in plan:
         after += len(_data_files(os.path.join(table_path, rel)))

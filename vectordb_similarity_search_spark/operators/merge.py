@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 from ..util import restore_snapshot, swap_snapshot
 
 
+def _invalidate_foreign_scan_caches(path: str) -> None:
+    """Any table this writer rewrites may also be probed through the ANN
+    index-scan cache (operators/ann) — a cached plan pins the old file
+    listing and would read deleted files after the swap. Cheap no-op when
+    the path was never probed."""
+    from .ann import _invalidate_index_scans
+
+    _invalidate_index_scans(path)
+
+
 def _reject_duplicate_keys(updates: DataFrame, key_cols: list[str]) -> None:
     """One compact job over the (small, CDC-sized) updates batch: group by
     key, keep groups with >1 row, probe emptiness. Replaces the previous
@@ -72,6 +82,7 @@ def merge_parquet(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     swap_snapshot(table_path, tmp)
+    _invalidate_foreign_scan_caches(table_path)
 
 
 def _resolve_updates(
@@ -420,6 +431,7 @@ def merge_parquet_partitioned(
 
     tmp_root = f"{table_path.rstrip('/')}__pmerge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
+    _invalidate_foreign_scan_caches(table_path)
     return _reconcile_partition_dirs(table_path, tmp_root, existing)
 
 
@@ -468,7 +480,7 @@ def _touched_predicate(
             f"updates touch > {max_touched} partitions; a full rewrite is "
             "the better plan at that span"
         )
-    pred = None
+    clauses = []
     for row in touched:
         clause = None
         for c in partition_by:
@@ -480,8 +492,19 @@ def _touched_predicate(
             v = row[c]
             eq = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
             clause = eq if clause is None else (clause & eq)
-        pred = clause if pred is None else (pred | clause)
-    return pred
+        clauses.append(clause)
+    # Balanced OR tree, NOT a left-deep (a|b)|c chain: Catalyst walks
+    # expression trees recursively, and a chain thousands of Ors deep
+    # (legal — the cap is 10k partitions) overflows the driver stack
+    # during analysis. Pairwise reduction keeps depth at log2(n) ~ 14
+    # while preserving the exact EqualTo/IsNull shapes the pruning rule
+    # matches.
+    while len(clauses) > 1:
+        clauses = [
+            clauses[i] | clauses[i + 1] if i + 1 < len(clauses) else clauses[i]
+            for i in range(0, len(clauses), 2)
+        ]
+    return clauses[0] if clauses else None
 
 
 def _existing_partition_dirs(target: DataFrame, table_path: str) -> set[str]:
@@ -490,12 +513,21 @@ def _existing_partition_dirs(target: DataFrame, table_path: str) -> set[str]:
     file-listing-scale job, O(touched partitions))."""
     import os
 
+    from urllib.parse import unquote
+
     root = os.path.abspath(table_path)
     existing = set()
     for r in target.select(F.input_file_name().alias("f")).distinct().collect():
         f = r["f"]
         if f.startswith("file:"):
             f = f[len("file:"):]
+        # input_file_name returns a URI: the ON-DISK dir name "p=a b"
+        # arrives as "p=a%20b" (and hive's own escaping "p=x%3Ay" as
+        # "p=x%253Ay"). One unquote level recovers the on-disk name so
+        # this set compares equal to _partition_dirs' os.walk names —
+        # otherwise any partition value with a space/':'/'%' makes the
+        # reconcile treat the dir as brand-new AND fully-deleted.
+        f = unquote(f)
         rel = os.path.relpath(os.path.dirname(f), root)
         if rel != ".":
             existing.add(rel)
@@ -583,4 +615,5 @@ def scd2_apply_partitioned(
     tmp_root = f"{table_path.rstrip('/')}__pscd2_{uuid.uuid4().hex[:8]}"
     snapshot.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
     _raise_if_stale(obs, tmp_root)
+    _invalidate_foreign_scan_caches(table_path)
     return _reconcile_partition_dirs(table_path, tmp_root, existing)

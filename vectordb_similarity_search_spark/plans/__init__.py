@@ -43,6 +43,10 @@ DRIVER_WINDOW = [
     "s_sample_stratified",
     "v_ivf_knn_batch",
     "v_sq8_knn",
+    # new this round; displaces r_string_funcs2 (near-twin of
+    # r_string_funcs, which stays in-window — the twin keeps its r1
+    # driver row + the local replica; rotate it back next round)
+    "v_pq_knn",
     # last driver row r2 (13)
     "v_store_stats",
     "v_zscore_fit",
@@ -83,7 +87,6 @@ DRIVER_WINDOW = [
     "r_union_parties",
     "r_scalar_math",
     "r_corr_stats",
-    "r_string_funcs2",
     "r_date_funcs2",
     "r_having",
     "r_nested_agg",
@@ -95,13 +98,14 @@ DRIVER_WINDOW = [
     "t_quality_buckets",
 ]
 
-# Past the driver's cap: every query here is driver-green in
-# CORRECTNESS_r03.json, unchanged since, and re-verified every test run by
-# the local oracle parity replica (tests/test_oracle_parity.py).
+# Past the driver's cap: every query here has a past driver row (r2/r3)
+# or — r_string_funcs2, displaced this round for v_pq_knn — an r1 row,
+# and ALL are re-verified every test run by the local oracle parity
+# replica (tests/test_oracle_parity.py).
 TAIL = [
     "t_lang_guess_confusion",
     "v_knn_cosine",
-    "v_pq_knn",
+    "r_string_funcs2",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

@@ -256,7 +256,7 @@ def _zparams(spark: SparkSession, pts, tag: str) -> dict:
     eager aggregate job, a model-build cost that repeat query builds on the
     same seeded corpus must not re-pay (round-4 close-out of the
     `_query_vec pays a job per build` notes item)."""
-    key = (spark.sparkContext.applicationId, "zparams", tag)
+    key = _model_key(spark, "zparams", tag)
     if key not in _MODEL_CACHE:
         from ..operators.cohort import zscore_params
 
@@ -320,6 +320,17 @@ def m_embed_knn_bn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODEL_CACHE: dict = {}
 
 
+def _model_key(spark, *rest):
+    """App-scoped cache key; sweeps entries of stopped sessions on the
+    way (string-keyed entries — session-independent numpy models — are
+    untouched by the sweep)."""
+    from ..util import evict_other_apps
+
+    app = spark.sparkContext.applicationId
+    evict_other_apps(_MODEL_CACHE, app)
+    return (app, *rest)
+
+
 @query(
     "v_ivf_knn",
     oracle=_expected_oracle("v_ivf_knn", sf_bound=True),
@@ -357,7 +368,7 @@ def v_ivf_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_search.py:613-634), fetched once per session. Oracle:
     expected-output parquet (committed-centers fixture pins the cell
     assignment; within-cell scoring is the exact JVM fold)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "qbatch100")
+    key = _model_key(spark, sf_dir, "qbatch100")
     if key not in _MODEL_CACHE:
         emb = t(spark, sf_dir, "embeddings")
         _MODEL_CACHE[key] = [
@@ -433,7 +444,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     work)."""
     from ..ml.bpe import fit_bpe
 
-    key = (spark.sparkContext.applicationId, sf_dir, "bpe")
+    key = _model_key(spark, sf_dir, "bpe")
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = fit_bpe(
             t(spark, sf_dir, "documents"), "text", n_merges=40, top_words=50_000
@@ -476,7 +487,7 @@ def v_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    key = (spark.sparkContext.applicationId, sf_dir, "sq8")
+    key = _model_key(spark, sf_dir, "sq8")
     if key not in _MODEL_CACHE:
         model = fit_sq8(corpus, "embedding", dim=len(qv))
         _MODEL_CACHE[key] = (model, model.encode(corpus))
@@ -521,7 +532,7 @@ def v_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    key = _model_key(spark, sf_dir, "pq")
     if key not in _MODEL_CACHE:
         model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
         _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))

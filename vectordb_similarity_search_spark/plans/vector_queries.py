@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.topk import knn, similarity_join
+from ..util import evict_other_apps
 from .catalog import query, t
 
 
@@ -30,6 +31,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     query patient dict, similarity_search.py:613-634 — one driver-side row,
     not a data-path collect), memoized per (session, sf_dir, vec_id)."""
     key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    evict_other_apps(_QVEC_CACHE, key[0])
     cached = _QVEC_CACHE.get(key)
     if cached is None:
         row = (

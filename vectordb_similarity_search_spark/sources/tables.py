@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import evict_other_apps
+
 TABLES = (
     "region",
     "nation",
@@ -51,6 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path reinterprets the wall-clock as UTC (session tz pinned below), so
     both builds produce identical micros."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    evict_other_apps(_SCAN_CACHE, key[0])
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

@@ -322,6 +322,9 @@ def cdc_merge_stream(
     per batch; the row with the greatest ``order_col`` wins (ties break
     on the row's own column values — deterministic). Without it, a batch
     with duplicate keys is REJECTED by the merge, not silently collapsed.
+    The ordering column may be feed METADATA (an LSN/op timestamp that
+    is not a table column) — after resolution it is dropped when the
+    target table does not carry it.
 
     Replay safety, unlike ``rollup_ingest_stream``: an upsert/delete
     MERGE is naturally IDEMPOTENT — re-applying a batch overwrites the
@@ -331,6 +334,8 @@ def cdc_merge_stream(
     change can resurrect it).
     """
     from ..operators.merge import merge_parquet, merge_parquet_partitioned
+
+    target_cols: set[str] = set()  # memoized across batches (stable schema)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df
@@ -350,6 +355,15 @@ def cdc_merge_stream(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            # the ordering column may be feed metadata, not a table
+            # column — drop it when the target doesn't carry it (schema
+            # read memoized; this stream is the table's only writer)
+            if not target_cols:
+                target_cols.update(
+                    batch_df.sparkSession.read.parquet(table_path).columns
+                )
+            if order_col not in target_cols:
+                batch = batch.drop(order_col)
         if batch.isEmpty():
             return
         spark = batch.sparkSession

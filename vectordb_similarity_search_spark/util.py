@@ -61,3 +61,18 @@ def restore_snapshot(table_path: str) -> bool:
         return False
     os.rename(parked[-1], table_path)
     return True
+
+
+def evict_other_apps(cache: dict, app_id: str) -> None:
+    """Drop cache entries that belong to a DIFFERENT Spark application.
+
+    The per-session plan/model caches (sources/tables._SCAN_CACHE,
+    operators/ann._INDEX_SCAN_CACHE, plans' _MODEL_CACHE/_QVEC_CACHE) key
+    tuples by ``applicationId`` first. Entries of a stopped session are
+    unreachable once a new session starts (fresh appId) but would
+    otherwise be pinned for the process lifetime, holding plan objects
+    into dead JVM contexts — a leak in any long-lived process that
+    restarts sessions. Sweeping on insert keeps exactly one session's
+    entries alive."""
+    for k in [k for k in cache if isinstance(k, tuple) and k and k[0] != app_id]:
+        del cache[k]
