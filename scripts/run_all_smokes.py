@@ -24,6 +24,7 @@ SMOKES = [
     ("scale_smoke_skew.py", False),       # 10M-row salted-join routing
     ("scale_smoke_rollup.py", False),     # incremental rollup maintenance
     ("scale_smoke_decontam.py", False),   # decontamination at scale
+    ("scale_smoke_lakehouse.py", False),  # zone-map pruning + compaction
     ("scale_smoke_ann_batch.py", True),   # 1M-vector batch ANN serving
     ("scale_smoke_text.py", True),        # 100k/500k-doc dedup pipeline
     ("scale_smoke.py", True),             # 1M vectors + 5M patients
