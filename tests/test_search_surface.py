@@ -1,0 +1,188 @@
+"""Filtered / radius / hydrated / MMR search — semantics and plan shapes.
+
+These are the vector-DB serving-surface operators added in round 4
+(operators/topk.py: filtered_knn, range_search, mmr_rerank and the
+v_search_docs hydration query). Oracle parity covers values; these tests
+pin the properties the oracles cannot see: pre-filter semantics, plan
+shapes that survive a 100 TB corpus, and MMR's greedy guarantees.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.topk import (
+    filtered_knn,
+    knn,
+    mmr_rerank,
+    range_search,
+)
+from vectordb_similarity_search_spark.plans import REGISTRY
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- filtered
+
+
+def test_filtered_knn_prefilter_semantics(spark, sf_dir):
+    """PRE-filter: with an allow-list smaller than k the result is exactly
+    the allow-listed rows (post-filtering top-k would return fewer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    allowed = emb.filter(F.col("vec_id").isin([7, 11, 13])).select("vec_id")
+    out = filtered_knn(emb.filter(F.col("vec_id") != 0), qv, 10, allowed=allowed)
+    assert sorted(r.vec_id for r in out.collect()) == [7, 11, 13]
+
+
+def test_filtered_knn_predicate_pushes_to_scan(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    out = filtered_knn(emb, qv, 5, predicate=F.col("label") == 1)
+    plan = plan_of(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "label" in pushed[0]
+    # still the two-phase top-k
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_knn_matches_knn_on_prefiltered_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    via_op = filtered_knn(emb, qv, 5, predicate=F.col("label") == 1).collect()
+    via_manual = knn(emb.filter(F.col("label") == 1), qv, 5).collect()
+    assert via_op == via_manual
+
+
+def test_filtered_knn_requires_a_filter(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="predicate"):
+        filtered_knn(emb, [0.0] * 8, 5)
+
+
+def test_v_filtered_knn_plan_broadcast_semi_no_smj(spark, sf_dir):
+    plan = plan_of(REGISTRY["v_filtered_knn"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------------ range
+
+
+def test_range_search_matches_manual_filter(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    got = {r.vec_id for r in range_search(emb, qv, 0.1).collect()}
+    scored = knn(emb, qv, 10_000).collect()  # exhaustive, ordered
+    want = {r.vec_id for r in scored if r.score is not None and r.score >= 0.1}
+    assert got == want
+
+
+def test_range_search_l2_keeps_below_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    rows = range_search(emb, qv, 3.0, metric="l2", score_col="dist").collect()
+    assert rows and all(r.dist <= 3.0 for r in rows)
+    # self-match at distance 0 must be included
+    assert 0 in {r.vec_id for r in rows}
+
+
+def test_range_search_is_shuffle_free(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    plan = plan_of(range_search(emb, qv, 0.2))
+    assert "Exchange" not in plan  # narrow scan + filter, nothing else
+
+
+# --------------------------------------------------------------- hydrated
+
+
+def test_v_search_docs_broadcasts_hits_and_prunes_payload(spark, sf_dir):
+    plan = plan_of(REGISTRY["v_search_docs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the embeddings scan must not read the documents payload and the
+    # documents scan must not read vectors
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    emb_scan = [s for s in schemas if "embedding" in s]
+    doc_scan = [s for s in schemas if "text" in s]
+    assert emb_scan and "text" not in emb_scan[0]
+    assert doc_scan and "embedding" not in doc_scan[0]
+
+
+# -------------------------------------------------------------------- MMR
+
+
+def _candidates(spark, sf_dir, k=25):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    return knn(emb.filter(F.col("vec_id") != 0), qv, k)
+
+
+def test_mmr_first_pick_is_most_relevant(spark, sf_dir):
+    cands = _candidates(spark, sf_dir)
+    top_rel = cands.orderBy(F.desc("score"), "vec_id").head().vec_id
+    out = mmr_rerank(cands, 5).orderBy("mmr_rank").collect()
+    assert out[0].vec_id == top_rel
+    assert [r.mmr_rank for r in out] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in out}) == 5  # no repeats
+
+
+def test_mmr_lambda_one_is_relevance_order(spark, sf_dir):
+    """λ=1 disables the diversity penalty — MMR degenerates to top-k."""
+    cands = _candidates(spark, sf_dir)
+    plain = [r.vec_id for r in cands.orderBy(F.desc("score"), "vec_id").collect()][:10]
+    out = mmr_rerank(cands, 10, lambda_=1.0).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == plain
+    # and mmr_score must be finite (the -inf sentinel must never leak)
+    assert all(abs(r.mmr_score) < 1e9 for r in out)
+
+
+def test_mmr_k_larger_than_candidates(spark, sf_dir):
+    cands = _candidates(spark, sf_dir, k=4)
+    out = mmr_rerank(cands, 10).collect()
+    assert len(out) == 4
+
+
+def test_mmr_rejects_bad_lambda_and_huge_groups(spark, sf_dir):
+    cands = _candidates(spark, sf_dir, k=5)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(cands, 3, lambda_=1.5)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        mmr_rerank(cands, 3, max_candidates=2).collect()
+
+
+def test_mmr_diversity_actually_penalizes(spark, sf_dir):
+    """With λ=0 the second pick must be the candidate least similar to the
+    first, regardless of relevance."""
+    import numpy as np
+
+    cands = _candidates(spark, sf_dir, k=10)
+    rows = cands.collect()
+    out = mmr_rerank(cands, 2, lambda_=0.0).orderBy("mmr_rank").collect()
+    first = next(r for r in rows if r.vec_id == out[0].vec_id)
+    fv = np.asarray(first.embedding, dtype=np.float64)
+    fv /= np.linalg.norm(fv)
+
+    def cos(r):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        return float(fv @ (v / n)) if n else 0.0
+
+    others = [r for r in rows if r.vec_id != out[0].vec_id]
+    want = min(others, key=lambda r: (cos(r), r.vec_id)).vec_id
+    assert out[1].vec_id == want

@@ -234,3 +234,178 @@ def similarity_join_blocked(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """All corpus rows within a similarity/distance threshold of one query
+    (the vector-store "radius search" companion of :func:`knn` — same scan
+    shape as the reference's scoring pass, similarity_search.py:302-305, but
+    bounded by score instead of count).
+
+    cosine: keep rows with ``score >= threshold``; l2: ``dist <= threshold``.
+    Rows whose score is NULL (zero-norm vectors under cosine) are dropped —
+    "within the radius" is undefined for them.
+
+    Scale: a narrow projection + filter over the (column-pruned) scan — no
+    shuffle, no driver merge; the result is unbounded by construction, so
+    callers that need an ordered result pay one range-partitioned sort.
+    """
+    score, desc = _score(vec_col, array_lit(query_vec), metric)
+    scored = corpus.withColumn(score_col, score)
+    pred = (
+        F.col(score_col) >= float(threshold)
+        if desc
+        else F.col(score_col) <= float(threshold)
+    )
+    return scored.filter(pred)
+
+
+def filtered_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    predicate: Column | None = None,
+    allowed: DataFrame | None = None,
+    allowed_on: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+    broadcast_allowed: bool = True,
+) -> DataFrame:
+    """Exact kNN under a metadata filter — PRE-filter semantics (the filter
+    restricts the candidate set *before* scoring, so the result always has
+    min(k, |allowed|) rows; post-filtering a plain top-k can return fewer).
+
+    Two filter forms, composable:
+    - ``predicate``: a column predicate on the corpus itself — Catalyst
+      pushes it into the parquet scan (PushedFilters), so the filtered scan
+      reads less, not more.
+    - ``allowed`` (+ ``allowed_on``, default ``id_col``): an id frame from a
+      metadata table — applied as a LEFT SEMI join, broadcast by default
+      (filters in vector stores are dimension-sized next to the corpus).
+      Pass ``broadcast_allowed=False`` when the allow-list is itself huge;
+      the semi join then shuffles both sides on the id.
+
+    This is the engine's version of a vector DB's filtered search; exactness
+    comes free because scoring is exhaustive over the filtered set — unlike
+    IVF post-filtering there is no recall loss however selective the filter.
+    """
+    if predicate is None and allowed is None:
+        raise ValueError("filtered_knn needs a predicate and/or an allowed frame")
+    filtered = corpus
+    if predicate is not None:
+        filtered = filtered.filter(predicate)
+    if allowed is not None:
+        on = allowed_on or id_col
+        ids = allowed.select(F.col(on).alias(id_col)).distinct()
+        if broadcast_allowed:
+            ids = F.broadcast(ids)
+        filtered = filtered.join(ids, on=id_col, how="left_semi")
+    return knn(
+        filtered, query_vec, k,
+        id_col=id_col, vec_col=vec_col, metric=metric, score_col=score_col,
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    *,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank of a small candidate set.
+
+    MMR(i) = λ·rel(i) − (1−λ)·max_{j∈selected} cos(i, j); greedily pick the
+    argmax ``k`` times (Carbonell & Goldstein 1998).  The first pick is the
+    most relevant candidate; ties break (mmr desc, id asc), and the greedy
+    input is sorted (rel desc, id asc) so the result is deterministic
+    regardless of partitioning.
+
+    Architecture: rerank is inherently sequential over the WHOLE candidate
+    set, so it must not run on the corpus — the contract is candidates
+    come from a distributed first-phase retriever (:func:`knn`,
+    ``ivf_knn``) with candidate count ~k·oversample (tens to hundreds).
+    The single ``applyInPandas`` group moves only those rows to one task
+    and stays in the lazy plan (no driver collect at build time); a group
+    larger than ``max_candidates`` raises rather than degrading into a
+    driver-sized quadratic.
+
+    Output: ``(id_col, relevance, mmr_score, mmr_rank)`` — ``relevance`` is
+    the input ``score_col``; ``mmr_score`` of the first pick is λ·rel (no
+    selected set yet).
+    """
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    id_field = candidates.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
+    )
+    lam = float(lambda_)
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_candidates:
+            raise ValueError(
+                f"mmr_rerank got {len(pdf)} candidates (> {max_candidates}); "
+                "rerank the output of a top-k retriever, not a corpus"
+            )
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        U = X / norms
+        S = U @ U.T  # candidate-candidate cosine
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        picked = np.zeros(n, dtype=bool)
+        mmr_out = np.empty(kk, dtype=np.float64)
+        for step in range(kk):
+            if step == 0:
+                mmr = lam * rel - (1.0 - lam) * 0.0
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr_masked = np.where(picked, -np.inf, mmr)
+            best = int(np.argmax(mmr_masked))  # ties → lowest index = id asc
+            selected.append(best)
+            mmr_out[step] = mmr_masked[best]
+            picked[best] = True
+            max_sim = np.maximum(max_sim, S[:, best])
+        sel = np.asarray(selected)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[sel],
+                "relevance": rel[sel],
+                "mmr_score": mmr_out,
+                "mmr_rank": np.arange(1, kk + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        candidates.select(id_col, vec_col, score_col)
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda _key, pdf: rerank(pdf), out_schema)
+    )

@@ -47,11 +47,16 @@ DRIVER_WINDOW = [
     # r_string_funcs, which stays in-window — the twin keeps its r1
     # driver row + the local replica; rotate it back next round)
     "v_pq_knn",
-    # last driver row r2 (13)
-    "v_store_stats",
-    "v_zscore_fit",
-    "v_query_cohort_stats",
-    "v_centroids",
+    # new this round (vector-DB search surface: filtered / radius /
+    # hydrated / MMR-diversified search); displace the four stable r2-era
+    # v_* metadata queries below into TAIL (their plans are untouched since
+    # r1/r2, the v_ family keeps 8 in-window entries — rotate them back
+    # next round together with r_string_funcs2 / t_lang_guess_confusion)
+    "v_filtered_knn",
+    "v_range_search",
+    "v_search_docs",
+    "v_mmr_rerank",
+    # last driver row r2 (9)
     "r_pricing_summary",
     "r_intersect_except",
     "r_market_revenue",
@@ -106,6 +111,13 @@ TAIL = [
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",
+    # displaced this round for the new search-surface queries; last driver
+    # row r2, plans untouched since, re-verified every run by the local
+    # oracle replica — rotate back next round
+    "v_store_stats",
+    "v_zscore_fit",
+    "v_query_cohort_stats",
+    "v_centroids",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

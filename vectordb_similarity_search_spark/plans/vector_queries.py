@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.topk import knn, similarity_join
 from ..util import evict_other_apps
+from .catalog import expected_oracle as _expected_oracle
 from .catalog import query, t
 
 
@@ -384,3 +385,139 @@ def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm_ranked, cos_ranked,
         id_col="doc_id", rank_col_a="rank_bm", rank_col_b="rank_cos", k=10,
     ).select("doc_id", "rrf")
+
+
+@query(
+    "v_filtered_knn",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+    AND e.vec_id IN (SELECT doc_id FROM documents
+                     WHERE lang = 'en' AND n_chars >= 300)
+)
+SELECT vec_id, label, (round(s, 6) + 0) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+""",
+)
+def v_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-10 cosine neighbours of vec 0 among
+    vectors whose document is English and >= 300 chars — the vector-DB
+    metadata-filter search the reference's cohort queries approximate
+    (similarity_search.py:366-407 filter AFTER search; this is the exact
+    PRE-filter form). The allow-list is a broadcast LEFT SEMI join (metadata
+    dims are small next to a 100 TB corpus), scoring stays exhaustive over
+    the filtered set, so exactness holds at any filter selectivity."""
+    from ..operators.topk import filtered_knn
+
+    qv = _query_vec(spark, sf_dir, 0)
+    allowed = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 300))
+        .select("doc_id")
+    )
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return filtered_knn(
+        corpus, qv, 10, allowed=allowed, allowed_on="doc_id"
+    ).select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
+    "v_range_search",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, (round(s, 6) + 0) AS score
+FROM scored WHERE s >= 0.2 ORDER BY s DESC, vec_id
+""",
+)
+def v_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every vector with cosine >= 0.2 to vec 0 (the
+    count-unbounded companion of v_knn_cosine — a vector store's "within
+    distance r" query). Narrow scan + filter; the only shuffle is the final
+    range-partitioned sort of the (small) result."""
+    from ..operators.topk import range_search
+
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    hits = range_search(corpus, _query_vec(spark, sf_dir, 0), 0.2)
+    return hits.orderBy(F.col("score").desc(), F.col("vec_id").asc()).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "v_search_docs",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+), top AS (
+  SELECT vec_id, s FROM scored ORDER BY s DESC, vec_id LIMIT 10
+)
+SELECT t.vec_id AS doc_id, d.lang, d.source, d.n_chars,
+       substr(d.text, 1, 60) AS snippet, (round(t.s, 6) + 0) AS score
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.s DESC, t.vec_id
+""",
+)
+def v_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydrated search: top-10 neighbours of vec 0 joined back to their
+    document payload (lang, source, size, snippet) — the serving shape a
+    vector DB returns (ids alone are useless to the caller). Late
+    materialization: the wide payload join happens AFTER top-k, so only k
+    rows carry text; the k-row hit set is the broadcast side and the
+    documents scan streams once without a shuffle (at 100 TB the same plan
+    holds — broadcasting the corpus-sized side would be the bug)."""
+    qv = _query_vec(spark, sf_dir, 0)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    hits = knn(corpus, qv, 10).select("vec_id", "score")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, 60).alias("snippet"),
+    )
+    return (
+        docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .select(
+            "doc_id", "lang", "source", "n_chars", "snippet",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@query("v_mmr_rerank", oracle=_expected_oracle("v_mmr_rerank", sf_bound=True))
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity rerank: top-25 cosine candidates of vec 0, greedily
+    re-ranked by Maximal Marginal Relevance (λ=0.7) down to 10 — the
+    result-diversification stage real retrieval stacks bolt onto ANN
+    (Carbonell & Goldstein 1998; no counterpart in the reference, which
+    returns raw similarity order, similarity_search.py:305). Distributed
+    first phase (TakeOrdered top-25) + one 25-row applyInPandas group; the
+    greedy loop never sees the corpus. Fixture oracle: MMR's sequential
+    selection is not SQL-expressible, but is deterministic (sorted greedy
+    input, fixed tie-breaks)."""
+    from ..operators.topk import mmr_rerank
+
+    qv = _query_vec(spark, sf_dir, 0)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cands = knn(corpus, qv, 25)
+    return mmr_rerank(cands, 10, lambda_=0.7).select(
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+        "mmr_rank",
+    )
