@@ -32,7 +32,7 @@ FIXTURE_QUERIES = [
     "d_minhash_lsh_pairs", "d_simhash_pairs", "t_fingerprint_pairs",
     "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
     "d_dedup_keep", "v_ivf_knn", "v_lsh_knn", "r_approx_distinct",
-    "v_ivf_knn_batch", "t_bpe_train", "v_mmr_rerank",
+    "v_ivf_knn_batch", "t_bpe_train", "v_mmr_rerank", "v_ivf_knn_filtered",
 ]
 
 

@@ -1,0 +1,174 @@
+"""Index lifecycle: logical deletes (tombstones), compaction GC, filtered
+probes — the vector-store mutation surface around the written IVF index.
+
+Contract under test (operators/ann.py): ivf_delete appends an id batch
+under <index>/_tombstones without touching index files; every search
+(single, batch, IVF-PQ) anti-joins the tombstone set; ivf_compact purges
+tombstoned rows physically and retires the tombstone directory with the
+old snapshot; probe predicates are pre-filter (filter before top-k).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.ann import (
+    ivf_compact,
+    ivf_delete,
+    ivf_fit,
+    ivf_search_index,
+    ivf_search_index_batch,
+    ivf_write_index,
+)
+from vectordb_similarity_search_spark.operators.topk import knn
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def index(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(model, emb.filter(F.col("vec_id") != 0), path)
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    return model, path, qv
+
+
+def test_delete_hides_ids_from_search(spark, index):
+    model, path, qv = index
+    before = [r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()]
+    n = ivf_delete(spark, path, before[:2])
+    assert n == 2
+    after = [r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()]
+    assert not set(before[:2]) & set(after)
+    # nprobe=8 probes every cell → remaining results are the exact tail
+    assert after[:3] == before[2:5]
+
+
+def test_delete_is_logical_and_invisible_to_raw_scan(spark, index):
+    model, path, qv = index
+    raw = spark.read.parquet(path).count()
+    ivf_delete(spark, path, [1, 2, 3])
+    # tombstones are metadata, not data: the raw index scan sees the same
+    # rows (no file rewritten) and no phantom rows from _tombstones
+    assert spark.read.parquet(path).count() == raw
+    assert os.path.isdir(os.path.join(path, "_tombstones"))
+
+
+def test_delete_empty_batch_is_noop(spark, index):
+    model, path, qv = index
+    assert ivf_delete(spark, path, []) == 0
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+
+
+def test_batch_search_honors_tombstones(spark, index):
+    model, path, qv = index
+    queries = [(0, qv)]
+    before = ivf_search_index_batch(spark, path, model, queries, k=5, nprobe=8).collect()
+    victims = [r.vec_id for r in before[:2]]
+    ivf_delete(spark, path, victims)
+    after = ivf_search_index_batch(spark, path, model, queries, k=5, nprobe=8).collect()
+    assert not set(victims) & {r.vec_id for r in after}
+
+
+def test_compact_purges_tombstones_physically(spark, index):
+    model, path, qv = index
+    total = spark.read.parquet(path).count()
+    hits = [r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()]
+    ivf_delete(spark, path, hits[:2])
+    logical = ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()
+    ivf_compact(spark, path, target_rows_per_file=10_000)
+    # physically gone, tombstone dir retired, search result unchanged
+    assert spark.read.parquet(path).count() == total - 2
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+    assert ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect() == logical
+
+
+def test_deleted_id_stays_dead_until_compact_then_reinsert(spark, index):
+    """Single-version contract: a tombstone kills the id, not a row —
+    appending the same id while its tombstone is live stays hidden AND is
+    purged by the next compact (the tombstone cannot know which copy the
+    caller meant). The supported re-insert order is compact first, then
+    append (upsert semantics belong to operators/merge, not the index)."""
+    from vectordb_similarity_search_spark.operators.ann import ivf_append
+
+    model, path, qv = index
+    top = ivf_search_index(spark, path, model, qv, k=1, nprobe=8).collect()[0]
+    victim = top.vec_id
+    row = spark.read.parquet(path).filter(F.col("vec_id") == victim).drop("cell")
+    row.write.mode("overwrite").parquet(str(path) + "_stash")
+    stashed = spark.read.parquet(str(path) + "_stash")
+
+    ivf_delete(spark, path, [victim])
+    ivf_append(model, stashed, path)  # contract violation: tombstone is live
+    after = {r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()}
+    assert victim not in after
+    ivf_compact(spark, path, target_rows_per_file=10_000)
+    purged = {r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()}
+    assert victim not in purged  # both copies died with the tombstone
+
+    ivf_append(model, stashed, path)  # supported order: compact, THEN append
+    back = {r.vec_id for r in ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect()}
+    assert victim in back
+
+
+def test_filtered_probe_matches_manual_prefilter(spark, index):
+    model, path, qv = index
+    got = ivf_search_index(
+        spark, path, model, qv, k=5, nprobe=4, predicate=F.col("label") == 1
+    ).collect()
+    cells = model.probe_cells(qv, 4)
+    probed = spark.read.parquet(path).filter(
+        F.col("cell").isin(cells) & (F.col("label") == 1)
+    )
+    want = knn(probed, qv, 5).drop("cell").collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
+
+
+def test_filtered_probe_prunes_and_pushes(spark, index):
+    import contextlib
+    import io
+
+    model, path, qv = index
+    df = ivf_search_index(
+        spark, path, model, qv, k=5, nprobe=2, predicate=F.col("label") == 1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0]  # cell pruning survives the predicate
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "label" in pushed[0]
+
+
+def test_batch_filtered_probe(spark, index):
+    model, path, qv = index
+    out = ivf_search_index_batch(
+        spark, path, model, [(0, qv)], k=5, nprobe=8, predicate=F.col("label") == 1
+    ).collect()
+    assert out and all(r.label == 1 for r in out)
+
+
+def test_ivfpq_search_honors_tombstones(spark, sf_dir, tmp_path):
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+    from vectordb_similarity_search_spark.operators.pq import fit_pq, l2_normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf_fit(emb, n_cells=4, seed=1)
+    pq = fit_pq(emb, m=8, k=16, seed=7)
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_write_index(model, pq, l2_normalized(emb.filter(F.col("vec_id") != 0)), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    before = ivfpq_search_index(spark, path, model, pq, qv, k=5, nprobe=4).collect()
+    victim = before[0].vec_id
+    ivf_delete(spark, path, [victim])
+    after = ivfpq_search_index(spark, path, model, pq, qv, k=5, nprobe=4).collect()
+    assert victim not in {r.vec_id for r in after}

@@ -234,6 +234,62 @@ def ivf_write_index(
     _invalidate_index_scans(path)
 
 
+def _tombstone_dir(path: str) -> str:
+    """Tombstone store of a written index. The leading underscore keeps the
+    directory invisible to Spark's file listing (same convention as
+    ``_SUCCESS``/``_metadata``), so a raw ``spark.read.parquet(path)`` of
+    the index never picks tombstones up as data or as a partition value —
+    pinned in tests/test_ann_lifecycle.py."""
+    return f"{path.rstrip('/')}/_tombstones"
+
+
+def _tombstone_ids(spark, path: str, id_col: str) -> DataFrame | None:
+    import os
+
+    tp = _tombstone_dir(path)
+    if not os.path.isdir(tp):
+        return None
+    return _index_scan(spark, tp).select(id_col).distinct()
+
+
+def _apply_tombstones(spark, path: str, scan: DataFrame, id_col: str) -> DataFrame:
+    tomb = _tombstone_ids(spark, path, id_col)
+    if tomb is None:
+        return scan
+    return scan.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def ivf_delete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
+    """Logical delete from a written IVF / IVF-PQ index — the vector-store
+    lifecycle op the reference lacks entirely (its store is rebuilt
+    in-memory per batch, similarity_search.py:275-292).
+
+    Design (the standard ANN-store shape — e.g. FAISS remove_ids /
+    Milvus-style delta deletes, public architecture): deletes append an
+    id batch under ``<index>/_tombstones`` — O(batch), no index file is
+    touched, concurrent probes keep working — and every search
+    anti-joins the (broadcast) tombstone set. :func:`ivf_compact`
+    physically purges tombstoned rows and clears the set, so the
+    broadcast stays bounded by the delete traffic between compactions.
+
+    Contract: index ids are unique and a tombstone kills the ID, not a
+    row — appending the same id while its tombstone is live stays hidden
+    and is purged by the next compact (the tombstone cannot know which
+    copy a caller meant). To re-insert a deleted id: compact first, then
+    append. Document-level upsert belongs to operators/merge, not the
+    index. Returns the number of tombstones written (0 for an empty
+    batch).
+    """
+    ids = list(ids)
+    if not ids:
+        return 0
+    tp = _tombstone_dir(path)
+    df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    df.coalesce(1).write.mode("append").parquet(tp)
+    _invalidate_index_scans(tp)
+    return len(ids)
+
+
 def ivf_search_index(
     spark,
     path: str,
@@ -245,14 +301,26 @@ def ivf_search_index(
     id_col: str = "vec_id",
     cell_col: str = "cell",
     metric: str = "cosine",
+    predicate=None,
 ) -> DataFrame:
     """Query a written IVF index: the cell predicate prunes partitions at
     the source (file listing level) — no bytes of non-probed cells are
-    read."""
+    read. Tombstoned ids (:func:`ivf_delete`) are anti-joined out.
+
+    ``predicate`` adds a metadata filter over the probed candidates
+    (filtered ANN): pre-filter semantics within the probed cells — the
+    filter applies BEFORE top-k, so however selective it is the result is
+    the true top-k of the filtered probed set (no post-filter recall
+    cliff); payload-column predicates additionally push into the pruned
+    scan (PushedFilters). Recall vs exact filtered search is governed by
+    nprobe alone, same as the unfiltered probe."""
     from pyspark.sql import functions as FF
 
     cells = model.probe_cells(query_vec, nprobe)
     indexed = _index_scan(spark, path).filter(FF.col(cell_col).isin(cells))
+    indexed = _apply_tombstones(spark, path, indexed, id_col)
+    if predicate is not None:
+        indexed = indexed.filter(predicate)
     return knn(indexed, query_vec, k, id_col=id_col, vec_col=model.vec_col, metric=metric)
 
 
@@ -269,6 +337,7 @@ def ivf_search_index_batch(
     metric: str = "cosine",
     q_id_col: str = "q_id",
     score_col: str = "score",
+    predicate=None,
 ) -> DataFrame:
     """Batch-serving ANN: probe the written IVF index for MANY query
     vectors in ONE partition-pruned scan — the shape a serving tier hits
@@ -319,6 +388,9 @@ def ivf_search_index_batch(
         ),
     )
     scan = _index_scan(spark, path).filter(F.col(cell_col).isin(union_cells))
+    scan = _apply_tombstones(spark, path, scan, id_col)
+    if predicate is not None:
+        scan = scan.filter(predicate)
     j = scan.join(F.broadcast(qdf), cell_col)
     if metric == "cosine":
         score = cosine_similarity(model.vec_col, "_q_vec")
@@ -365,13 +437,19 @@ def ivf_compact(
     path: str,
     *,
     cell_col: str = "cell",
+    id_col: str = "vec_id",
     target_rows_per_file: int = 1_000_000,
 ) -> None:
     """Compact an appended IVF index: many small per-insert files per cell
     degrade scan throughput (file-open overhead, tiny row groups). Rewrite
     each cell's data into ~rows/target files, then swap the index
     directory (util.swap_snapshot — parked old snapshot, mid-swap crash
-    recovered on the next compact/merge)."""
+    recovered on the next compact/merge).
+
+    Compaction is also the tombstone GC: rows deleted via
+    :func:`ivf_delete` are dropped from the rewrite, and the swap retires
+    the ``_tombstones`` directory with the old snapshot (the new snapshot
+    is written clean), so probes stop paying the anti-join."""
     import math
     import uuid
 
@@ -380,7 +458,7 @@ def ivf_compact(
     from ..util import restore_snapshot, swap_snapshot
 
     restore_snapshot(path)  # recover a crashed previous swap, if any
-    df = spark.read.parquet(path)
+    df = _apply_tombstones(spark, path, spark.read.parquet(path), id_col)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
@@ -392,6 +470,7 @@ def ivf_compact(
     )
     swap_snapshot(path, tmp)
     _invalidate_index_scans(path)
+    _invalidate_index_scans(_tombstone_dir(path))
 
 
 def ivfpq_write_index(
@@ -438,6 +517,7 @@ def ivfpq_search_index(
 
     cells = ivf_model.probe_cells(query_vec, nprobe)
     probed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
+    probed = _apply_tombstones(spark, path, probed, id_col)
     return pq_model.search(
         probed,
         probed,

@@ -56,13 +56,15 @@ DRIVER_WINDOW = [
     "v_range_search",
     "v_search_docs",
     "v_mmr_rerank",
-    # last driver row r2 (9)
+    # new this round: filtered probe of the written IVF index (displaces
+    # r2-era t_token_stats into TAIL — rotate back next round)
+    "v_ivf_knn_filtered",
+    # last driver row r2 (8)
     "r_pricing_summary",
     "r_intersect_except",
     "r_market_revenue",
     "r_range_join",
     "r_rollup_revenue",
-    "t_token_stats",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",
     # displaced for the new t_bpe_train: t_lang_guess_confusion keeps its
@@ -118,6 +120,7 @@ TAIL = [
     "v_zscore_fit",
     "v_query_cohort_stats",
     "v_centroids",
+    "t_token_stats",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

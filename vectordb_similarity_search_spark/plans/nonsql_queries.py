@@ -354,6 +354,32 @@ def v_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v_ivf_knn_filtered",
+    oracle=_expected_oracle("v_ivf_knn_filtered", sf_bound=True),
+)
+def v_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the written index: the scale twin of
+    v_filtered_knn — same prebuilt 16-cell index as v_ivf_knn, probing 4
+    cells with a ``label = 1`` metadata predicate applied INSIDE the
+    probed cells (pre-filter semantics: filter before top-k, so the
+    result is the true top-10 of the filtered probed set — no
+    post-filter recall cliff; the predicate also lands in the pruned
+    scan's PushedFilters, pinned in tests/test_ann_lifecycle.py).
+    Recall vs the exact filtered search is governed by nprobe alone.
+    Oracle: expected-output parquet (committed-centers fixture pins the
+    cell assignment)."""
+    from .vector_queries import _query_vec
+
+    qv = _query_vec(spark, sf_dir, 0)
+    model, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+    res = ivf_search_index(
+        spark, index_path, model, qv, k=10, nprobe=4,
+        predicate=F.col("label") == 1,
+    )
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
     "v_ivf_knn_batch",
     oracle=_expected_oracle("v_ivf_knn_batch", sf_bound=True),
 )
