@@ -74,6 +74,10 @@ ANN = [
     "v_ivf_knn_batch",       # 100 queries, one pruned scan + grouped rank
     "v_sq8_knn",             # 4x-compressed screen + exact rescore
     "v_pq_knn",              # 16x-compressed ADC screen + exact rescore
+    "v_ivf_knn_filtered",    # metadata-filtered pruned probe
+    "v_filtered_knn",        # exact filtered search (semi-join allow-list)
+    "v_search_docs",         # top-k + broadcast payload hydration
+    "v_mmr_rerank",          # top-25 retrieve + MMR diversity rerank
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
