@@ -494,3 +494,118 @@ def test_cdc_merge_stream_metadata_order_col(spark, tmp_path):
         q.stop()
     got = {r.id: r.bal for r in spark.read.parquet(tbl).collect()}
     assert got == {1: 12.0, 2: 20.0, 3: 30.0}
+
+
+def test_vector_ingest_stream(spark, tmp_path):
+    """Streaming vector ingest: micro-batches append under frozen IVF
+    cells; deletes tombstone; periodic compact GCs; probes against the
+    live index match a batch-built index of the same final corpus."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+    from vectordb_similarity_search_spark.streaming.vectors import (
+        vector_ingest_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = ivf_fit(emb, n_cells=4, seed=3)
+    path = str(tmp_path / "vecidx")
+    # seed the index with vec_id < 20
+    ivf_write_index(model, emb.filter(F.col("vec_id") < 20), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    schema = "vec_id long, embedding array<float>, label int, _del boolean"
+
+    def write_batch(df):
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = vector_ingest_stream(
+        stream, model, path, str(tmp_path / "vec_chk"),
+        delete_col="_del", compact_every=2, target_rows_per_file=10_000,
+    )
+    try:
+        # batch 1: insert vec_id 20-34
+        write_batch(
+            emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 35))
+            .withColumn("_del", F.lit(False))
+        )
+        q.processAllAvailable()
+        n1 = spark.read.parquet(path).count()
+        assert n1 == 35
+        # batch 2: insert 35-49, delete 2 seeded ids -> triggers compact
+        ins = emb.filter(F.col("vec_id") >= 35).withColumn("_del", F.lit(False))
+        dels = emb.filter(F.col("vec_id").isin([5, 6])).withColumn(
+            "_del", F.lit(True)
+        )
+        write_batch(ins.unionByName(dels))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # compact ran (batch 2 of compact_every=2): tombstones GC'd physically
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+    assert spark.read.parquet(path).count() == 498  # 500 - 2 deleted
+    # probes match a batch-built index over the same final corpus
+    batch_path = str(tmp_path / "vecidx_batch")
+    ivf_write_index(
+        model, emb.filter(~F.col("vec_id").isin([5, 6])), batch_path
+    )
+    got = ivf_search_index(spark, path, model, qv, k=5, nprobe=4).collect()
+    want = ivf_search_index(spark, batch_path, model, qv, k=5, nprobe=4).collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
+    # replay idempotence: ledger markers exist for both batches
+    ledger = path + "__applied"
+    assert sorted(os.listdir(ledger)) == ["0", "1"]
+
+
+def test_vector_ingest_stream_rejects_delete_plus_insert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_fit,
+        ivf_write_index,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+    from vectordb_similarity_search_spark.streaming.vectors import (
+        vector_ingest_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = ivf_fit(emb, n_cells=4, seed=3)
+    path = str(tmp_path / "vecidx2")
+    ivf_write_index(model, emb.filter(F.col("vec_id") < 10), path)
+
+    src = tmp_path / "vec_src2"
+    src.mkdir()
+    schema = "vec_id long, embedding array<float>, label int, _del boolean"
+    conflict = (
+        emb.filter(F.col("vec_id") == 3)
+        .withColumn("_del", F.lit(True))
+        .unionByName(
+            emb.filter(F.col("vec_id") == 3).withColumn("_del", F.lit(False))
+        )
+    )
+    conflict.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = vector_ingest_stream(
+        stream, model, path, str(tmp_path / "vec_chk2"), delete_col="_del"
+    )
+    import pytest as _pytest
+
+    from pyspark.errors import StreamingQueryException
+
+    try:
+        with _pytest.raises(StreamingQueryException, match="delete"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
