@@ -59,11 +59,13 @@ DRIVER_WINDOW = [
     # new this round: filtered probe of the written IVF index (displaces
     # r2-era t_token_stats into TAIL — rotate back next round)
     "v_ivf_knn_filtered",
-    # last driver row r2 (8)
+    # new this round: trained NB quality classifier, full SQL twin
+    # (displaces r2-era r_range_join into TAIL — rotate back next round)
+    "t_nb_quality",
+    # last driver row r2 (7)
     "r_pricing_summary",
     "r_intersect_except",
     "r_market_revenue",
-    "r_range_join",
     "r_rollup_revenue",
     "t_exact_dedup",
     "t_ngram_jaccard_pairs",
@@ -121,6 +123,7 @@ TAIL = [
     "v_query_cohort_stats",
     "v_centroids",
     "t_token_stats",
+    "r_range_join",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

@@ -1172,3 +1172,67 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("doc_lp"), 6).alias("avg_bigram_logprob"),
     )
+
+
+_NB_THRESH = 0.06  # weak-label boundary on the en-stopword ratio
+
+
+@query(
+    "t_nb_quality",
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE)
+                   / CAST({SQL_NTOK} AS DOUBLE) >= {_NB_THRESH}
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+tok AS (SELECT doc_id, y, unnest({SQL_TOKENS}) AS tok FROM lab),
+cnt AS (
+  SELECT tok,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+  FROM tok GROUP BY tok),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+w AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                    - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)),
+                    9) AS DECIMAL(24,9)) AS wd
+  FROM cnt, tot),
+pri AS (
+  SELECT ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE)) AS prior
+  FROM lab),
+sc AS (
+  SELECT tok.doc_id, sum(w.wd) AS s
+  FROM tok JOIN w USING (tok) GROUP BY tok.doc_id)
+SELECT sc.doc_id, CAST(lab.y AS INTEGER) AS label,
+       (round(CAST(sc.s AS DOUBLE) + pri.prior, 6) + 0) AS nb_log_odds
+FROM sc JOIN lab USING (doc_id), pri
+ORDER BY CAST(sc.s AS DOUBLE) + pri.prior DESC, sc.doc_id
+LIMIT 20
+""",
+)
+def t_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier as a catalog query: multinomial Naive
+    Bayes (Laplace-smoothed) fit against a CCNet-style weak label (en
+    stopword ratio >= 0.06 — the 'looks like the reference corpus'
+    proxy), self-scored, top-20 docs by log-odds. The whole train+score
+    is ONE lazy plan: a (token, class) count aggregate, broadcast
+    log-ratio weights, an exact DECIMAL per-doc sum — closed-form
+    training a 100 TB corpus can afford (contrast ml/quality's
+    iterative logreg, whose per-iteration job makes it an offline op).
+    Integer sufficient statistics make the result bit-deterministic and
+    fully SQL-expressible — hence a real DuckDB twin, not a fixture."""
+    from ..functions.text import stopword_ratio
+    from ..ml.quality import nb_quality_log_odds
+
+    d = t(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "_lbl", stopword_ratio("text", LANG_MARKERS["en"]) >= _NB_THRESH
+    )
+    scored = nb_quality_log_odds(labeled, "_lbl")
+    return scored.orderBy(
+        F.col("nb_log_odds").desc(), F.col("doc_id").asc()
+    ).limit(20).select(
+        "doc_id", "label", F.round("nb_log_odds", 6).alias("nb_log_odds")
+    )
