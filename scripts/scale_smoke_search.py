@@ -88,12 +88,13 @@ def main() -> None:
     assert len(exact_ids) == K and all(r.label == 3 for r in exact_rows)
     print(f"exact filtered search ({N_VECTORS} rows, 10% filter): {t_exact:.2f} s")
 
-    # ---- index build + filtered probe
-    _, t_build = timed(lambda: (
-        ivf_write_index(ivf_fit(corpus, n_cells=N_CELLS, seed=42), corpus, os.path.join(work, "ivf"))
-    ))
-    model = ivf_fit(corpus, n_cells=N_CELLS, seed=42)  # cached sample refit (cheap)
+    # ---- index build + filtered probe (fit ONCE: the probe must use the
+    # exact centers the index was written with)
     path = os.path.join(work, "ivf")
+    t0 = time.perf_counter()
+    model = ivf_fit(corpus, n_cells=N_CELLS, seed=42)
+    ivf_write_index(model, corpus, path)
+    t_build = time.perf_counter() - t0
     print(f"index build ({N_CELLS} cells): {t_build:.1f} s")
 
     probe = lambda: ivf_search_index(
@@ -114,7 +115,7 @@ def main() -> None:
     assert hits >= 1  # the query vector itself
 
     # ---- delete lifecycle at scale
-    victims = exact_ids[:5] + list(range(500_000, 500_995))
+    victims = sorted(set(exact_ids[:5]) | set(range(N_VECTORS // 2, N_VECTORS // 2 + 995)))
     _, t_del = timed(lambda: ivf_delete(spark, path, victims))
     after = ivf_search_index(spark, path, model, qv, k=K, nprobe=NPROBE, predicate=pred).collect()
     assert not set(victims) & {r.vec_id for r in after}
@@ -127,7 +128,7 @@ def main() -> None:
     post = ivf_search_index(spark, path, model, qv, k=K, nprobe=NPROBE, predicate=pred)
     post_rows, t_post = timed(lambda: post.collect())
     assert not set(victims) & {r.vec_id for r in post_rows}
-    print(f"delete 1000 ids: {t_del:.2f} s; probe w/ tombstones {t_probe_tomb:.2f} s; "
+    print(f"delete {len(victims)} ids: {t_del:.2f} s; probe w/ tombstones {t_probe_tomb:.2f} s; "
           f"compact (purge+rewrite): {t_compact:.1f} s; probe after: {t_post:.2f} s")
 
     # ---- MMR rerank over distributed top-100

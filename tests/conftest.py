@@ -27,3 +27,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SMOKE_SF
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan of an UNEXECUTED DataFrame (AQE prints
+    final+initial trees after an action — assert on fresh frames only)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()

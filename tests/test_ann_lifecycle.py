@@ -129,17 +129,13 @@ def test_filtered_probe_matches_manual_prefilter(spark, index):
 
 
 def test_filtered_probe_prunes_and_pushes(spark, index):
-    import contextlib
-    import io
+    from .conftest import plan_of
 
     model, path, qv = index
     df = ivf_search_index(
         spark, path, model, qv, k=5, nprobe=2, predicate=F.col("label") == 1
     )
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    plan = buf.getvalue()
+    plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0]  # cell pruning survives the predicate
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
@@ -172,3 +168,26 @@ def test_ivfpq_search_honors_tombstones(spark, sf_dir, tmp_path):
     ivf_delete(spark, path, [victim])
     after = ivfpq_search_index(spark, path, model, pq, qv, k=5, nprobe=4).collect()
     assert victim not in {r.vec_id for r in after}
+
+
+def test_compact_with_everything_tombstoned_is_a_safe_noop(spark, index):
+    """Deleting every live id then compacting must NOT brick the index:
+    plain partitioned parquet cannot represent an empty table, so the
+    compact skips (returns False), files and tombstones stay, and probes
+    keep working (returning nothing)."""
+    model, path, qv = index
+    all_ids = [r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()]
+    ivf_delete(spark, path, all_ids)
+    assert ivf_compact(spark, path, target_rows_per_file=10_000) is False
+    # index still readable, probes return empty, tombstones still live
+    assert spark.read.parquet(path).count() == len(all_ids)
+    assert ivf_search_index(spark, path, model, qv, k=5, nprobe=8).collect() == []
+    assert os.path.isdir(os.path.join(path, "_tombstones"))
+    # appending new rows makes it compactable again
+    from vectordb_similarity_search_spark.operators.ann import ivf_append
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fresh = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    ivf_append(model, fresh, path)
+    assert ivf_compact(spark, path, target_rows_per_file=10_000) is True
+    assert spark.read.parquet(path).count() == fresh.count()

@@ -5,21 +5,15 @@ refactor silently degrades the plan even though results stay correct."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 from pyspark.sql import functions as F
 
 from vectordb_similarity_search_spark.operators.topk import knn, similarity_join
 from vectordb_similarity_search_spark.plans import REGISTRY
 from vectordb_similarity_search_spark.sources.tables import load_table
 
+from .conftest import plan_of
 
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+
 
 
 def test_pricing_summary_pushdown(spark, sf_dir):

@@ -113,3 +113,12 @@ def test_nb_is_fully_lazy(spark):
     nb_quality_log_odds(d, "_lbl")
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_nb_single_class_raises_at_execution(spark):
+    """Degenerate all-one-class labels must raise (lazily — the build
+    stays zero-job), not emit Inf log-odds."""
+    d = load_table(spark, SF, "documents").withColumn("_lbl", F.lit(True))
+    df = nb_quality_log_odds(d, "_lbl")  # builds fine
+    with pytest.raises(Exception, match="single-class"):
+        df.collect()

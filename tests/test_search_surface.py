@@ -9,9 +9,6 @@ shapes that survive a 100 TB corpus, and MMR's greedy guarantees.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -24,12 +21,9 @@ from vectordb_similarity_search_spark.operators.topk import (
 from vectordb_similarity_search_spark.plans import REGISTRY
 from vectordb_similarity_search_spark.sources.tables import load_table
 
+from .conftest import plan_of
 
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+
 
 
 # ---------------------------------------------------------------- filtered
@@ -186,3 +180,21 @@ def test_mmr_diversity_actually_penalizes(spark, sf_dir):
     others = [r for r in rows if r.vec_id != out[0].vec_id]
     want = min(others, key=lambda r: (cos(r), r.vec_id)).vec_id
     assert out[1].vec_id == want
+
+
+def test_mmr_drops_null_relevance_candidates(spark, sf_dir):
+    """A candidate with NULL score (undefined cosine, e.g. zero vector)
+    must be excluded — NaN would otherwise win np.argmax and rank first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    cands = knn(emb.filter(F.col("vec_id") != 0), qv, 5)
+    dim = len(qv)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim, None)],
+        "vec_id long, embedding array<double>, score double",
+    )
+    poisoned = cands.select("vec_id", "embedding", "score").unionByName(zero)
+    out = mmr_rerank(poisoned, 6).collect()
+    ids = {r.vec_id for r in out}
+    assert 999_999 not in ids
+    assert len(out) == 5  # the 5 real candidates survive

@@ -131,12 +131,15 @@ def fit_quality_classifier(
                     {"pos": nz.astype(np.int32), "gq": acc[nz]}
                 )
 
-        rows = (
-            base.mapInPandas(partials, grad_schema)
-            .groupBy("pos")
-            .agg(F.sum("gq").alias("gq"))
-            .collect()
-        )
+        try:
+            rows = (
+                base.mapInPandas(partials, grad_schema)
+                .groupBy("pos")
+                .agg(F.sum("gq").alias("gq"))
+                .collect()
+            )
+        finally:
+            bc_w.destroy()  # don't leak the broadcast on a failed job
         g = np.zeros(dim + 1, dtype=np.float64)
         for r in rows:
             g[r["pos"]] = r["gq"] / scale
@@ -146,7 +149,6 @@ def fit_quality_classifier(
         mh = m_t / (1.0 - b1**step)
         vh = v_t / (1.0 - b2**step)
         w = w - lr * mh / (np.sqrt(vh) + eps)
-        bc_w.destroy()
     return QualityModel(weights=w, dim=dim)
 
 
@@ -231,10 +233,22 @@ def nb_quality_log_odds(
         .cast("decimal(24,9)")
         .alias("wd"),
     )
+    # Degenerate single-class training data would make the prior ln(x/0) =
+    # Inf and every score garbage; raise AT EXECUTION (the build must stay
+    # zero-job) instead of emitting Inf silently.
     pri = lab.agg(
-        F.log(
-            F.sum("_y").cast("double") / F.sum(1 - F.col("_y")).cast("double")
-        ).alias("prior")
+        F.sum("_y").alias("_d1"), F.sum(1 - F.col("_y")).alias("_d0")
+    ).select(
+        F.when(
+            (F.col("_d1") > 0) & (F.col("_d0") > 0),
+            F.log(F.col("_d1").cast("double") / F.col("_d0").cast("double")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("nb_quality_log_odds: training labels are single-class")
+            )
+        )
+        .alias("prior")
     )
     sc = (
         tok.join(F.broadcast(w), "tok")

@@ -439,7 +439,7 @@ def ivf_compact(
     cell_col: str = "cell",
     id_col: str = "vec_id",
     target_rows_per_file: int = 1_000_000,
-) -> None:
+) -> bool:
     """Compact an appended IVF index: many small per-insert files per cell
     degrade scan throughput (file-open overhead, tiny row groups). Rewrite
     each cell's data into ~rows/target files, then swap the index
@@ -449,7 +449,14 @@ def ivf_compact(
     Compaction is also the tombstone GC: rows deleted via
     :func:`ivf_delete` are dropped from the rewrite, and the swap retires
     the ``_tombstones`` directory with the old snapshot (the new snapshot
-    is written clean), so probes stop paying the anti-join."""
+    is written clean), so probes stop paying the anti-join.
+
+    Returns True if a rewrite happened. A compact whose survivor set is
+    EMPTY (every live row tombstoned) is a no-op returning False: plain
+    partitioned parquet cannot represent an empty table (the swap would
+    install a schema-less directory and brick every subsequent probe), so
+    the files and tombstones stay as they are — probes already return
+    nothing; to actually retire the index, delete its directory."""
     import math
     import uuid
 
@@ -460,6 +467,8 @@ def ivf_compact(
     restore_snapshot(path)  # recover a crashed previous swap, if any
     df = _apply_tombstones(spark, path, spark.read.parquet(path), id_col)
     n = df.count()
+    if n == 0:
+        return False
     files = max(1, math.ceil(n / target_rows_per_file))
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     (
@@ -471,6 +480,7 @@ def ivf_compact(
     swap_snapshot(path, tmp)
     _invalidate_index_scans(path)
     _invalidate_index_scans(_tombstone_dir(path))
+    return True
 
 
 def ivfpq_write_index(

@@ -346,7 +346,9 @@ def mmr_rerank(
 
     Output: ``(id_col, relevance, mmr_score, mmr_rank)`` — ``relevance`` is
     the input ``score_col``; ``mmr_score`` of the first pick is λ·rel (no
-    selected set yet).
+    selected set yet). Candidates with NULL/NaN relevance (undefined
+    similarity, e.g. zero-norm vectors) are dropped before the greedy
+    loop — NaN would otherwise win ``np.argmax``.
     """
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
@@ -366,6 +368,19 @@ def mmr_rerank(
             raise ValueError(
                 f"mmr_rerank got {len(pdf)} candidates (> {max_candidates}); "
                 "rerank the output of a top-k retriever, not a corpus"
+            )
+        # Drop candidates with undefined relevance (NULL/NaN score — e.g.
+        # cosine vs a zero-norm vector, which knn() scores NULL): NaN would
+        # otherwise WIN np.argmax and surface first with garbage penalties.
+        pdf = pdf[pdf[score_col].notna()]
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=object),
+                    "relevance": pd.Series([], dtype=np.float64),
+                    "mmr_score": pd.Series([], dtype=np.float64),
+                    "mmr_rank": pd.Series([], dtype=np.int32),
+                }
             )
         pdf = pdf.sort_values(
             [score_col, id_col], ascending=[False, True], kind="mergesort"

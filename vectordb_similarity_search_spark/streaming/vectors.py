@@ -35,7 +35,7 @@ def vector_ingest_stream(
       (:func:`ivf_delete` — O(batch) append, no index file touched);
     - remaining rows are cell-assigned under the FROZEN centroids and
       appended only under the touched cells (:func:`ivf_append`);
-    - every ``compact_every``-th applied batch triggers
+    - every ``compact_every``-th batch id triggers
       :func:`ivf_compact`, bounding small-file growth and GC-ing
       tombstones — probes between compactions pay one broadcast
       anti-join against the (delete-traffic-bounded) tombstone set.
@@ -57,7 +57,6 @@ def vector_ingest_stream(
     index directory so compaction's snapshot swap never touches it.
     """
     ledger = f"{index_path.rstrip('/')}__applied"
-    applied_count = [0]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger, str(batch_id))
@@ -88,8 +87,10 @@ def vector_ingest_stream(
                 ivf_delete(spark, index_path, dead, id_col=id_col)
         if not batch.isEmpty():
             ivf_append(model, batch, index_path)
-        applied_count[0] += 1
-        if compact_every and applied_count[0] % compact_every == 0:
+        # cadence keys off the DURABLE batch_id (monotonic across stream
+        # restarts via the checkpoint), not a process-local counter — a
+        # crash-looping stream must still reach its compactions
+        if compact_every and batch_id % compact_every == compact_every - 1:
             ivf_compact(
                 spark, index_path, id_col=id_col,
                 target_rows_per_file=target_rows_per_file,
