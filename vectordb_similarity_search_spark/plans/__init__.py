@@ -62,13 +62,16 @@ DRIVER_WINDOW = [
     # new this round: trained NB quality classifier, full SQL twin
     # (displaces r2-era r_range_join into TAIL — rotate back next round)
     "t_nb_quality",
-    # last driver row r2 (7)
+    # new this round: IVF index balance report (displaces r2-era
+    # t_ngram_jaccard_pairs into TAIL — its scale path d_minhash_lsh_pairs
+    # is r3-green; rotate back next round)
+    "v_index_stats",
+    # last driver row r2 (6)
     "r_pricing_summary",
     "r_intersect_except",
     "r_market_revenue",
     "r_rollup_revenue",
     "t_exact_dedup",
-    "t_ngram_jaccard_pairs",
     # displaced for the new t_bpe_train: t_lang_guess_confusion keeps its
     # r2 driver row and the local replica; rotate it back next round
     "t_bpe_train",
@@ -124,6 +127,7 @@ TAIL = [
     "v_centroids",
     "t_token_stats",
     "r_range_join",
+    "t_ngram_jaccard_pairs",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

@@ -740,3 +740,35 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "v_index_stats",
+    oracle=_expected_oracle("v_index_stats", sf_bound=True),
+)
+def v_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health report: per-cell population of the written 16-cell IVF
+    index (the same prebuilt store v_ivf_knn probes) — the balance
+    diagnostic every IVF deployment watches, since a hot cell caps probe
+    parallelism and a starved one wastes nprobe budget (the vector twin of
+    r_skew_report). One cell-grouped count over the partition-metadata
+    column plus a broadcast total; share = n/total is a double of exact
+    integers, bit-stable under any partitioning. Oracle: expected-parquet
+    (cell assignment pinned by the committed-centers fixture)."""
+    from ..operators.ann import _index_scan
+
+    _, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+    idx = _index_scan(spark, index_path)
+    per_cell = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = per_cell.agg(F.sum("n_vectors").alias("_tot"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("cell")
+    )
