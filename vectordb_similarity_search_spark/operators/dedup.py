@@ -12,6 +12,8 @@ exploding, the standard guardrail in web-scale dedup pipelines.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -765,3 +767,240 @@ def semantic_prune(
         df, ivf_model, id_col=id_col, vec_col=vec_col, threshold=threshold
     )
     return dedup_keep_canonical(df, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: signature store + new-batch-vs-corpus pairing.
+# The production ingest shape — a continuously-growing corpus cannot
+# re-pair itself on every arriving batch. The store holds signatures and
+# pre-exploded band keys; a batch probe pays O(batch) Python hashing
+# plus narrow JVM streaming scans of those compact tables (broadcast
+# semi-filtered, never shuffled) — the corpus TEXT is never re-shingled
+# (the dominant cost, it's a Python pass over every document) and
+# corpus self-pairs are never generated.
+# ---------------------------------------------------------------------------
+
+
+def _store_meta_path(path: str) -> str:
+    # underscore prefix: invisible to Spark's file listing of the store
+    return os.path.join(path.rstrip("/"), "_store_meta.json")
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_mode: str = "char",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize MinHash signatures as a parquet store: (id, sig) rows
+    at the store root plus the PRE-EXPLODED banded keys under
+    ``<store>/_keys`` (underscore dir — invisible to a scan of the root).
+
+    Keys are precomputed at write time so a probe never re-derives them
+    from the corpus signatures — per-batch probing pays narrow streaming
+    scans, not an O(corpus) explode (see minhash_lsh_pairs_incremental).
+
+    The hash-family parameters (incl. ``bands``) are committed to
+    ``_store_meta.json``: signatures from different (seed, n_hashes,
+    shingle_n, shingle_mode, bands) families are incomparable, so
+    incremental runs validate the meta instead of silently producing
+    zero pairs. ``mode="append"`` extends the store with a new batch's
+    signatures and keys (same family enforced) — the store grows with
+    the corpus.
+    """
+    import json
+
+    from ..functions.hashing import lsh_band_keys
+
+    meta = {
+        "id_col": id_col, "shingle_n": shingle_n, "n_hashes": n_hashes,
+        "bands": bands, "seed": seed, "shingle_mode": shingle_mode,
+    }
+    if mode == "append" and os.path.exists(_store_meta_path(path)):
+        with open(_store_meta_path(path)) as fh:
+            existing = json.load(fh)
+        if existing != meta:
+            raise ValueError(
+                f"signature-store family mismatch: store has {existing}, "
+                f"append asked for {meta}"
+            )
+    sigs = _persist(minhash_signatures_batch(
+        docs, id_col, text_col,
+        shingle_n=shingle_n, n_hashes=n_hashes, seed=seed,
+        shingle_mode=shingle_mode,
+    ))
+    sigs.write.mode(mode).parquet(path)
+    rows = n_hashes // bands
+    keys = sigs.select(
+        id_col,
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+    ).select(id_col, F.col("bk.key").alias("key"))
+    keys.write.mode(mode).parquet(os.path.join(path.rstrip("/"), "_keys"))
+    with open(_store_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    corpus_texts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the stored corpus — exact
+    Jaccard ≥ threshold, candidates via banded LSH against the signature
+    store (:func:`write_signature_store`; banding comes from the store's
+    committed meta — probes cannot mix hash families).
+
+    Scale shape (the reason this exists next to :func:`minhash_lsh_pairs`):
+    - the corpus is touched only through its signature store — no
+      re-shingle, no corpus self-pairs, no per-batch key explode (keys
+      are precomputed at store-write time under ``_keys``);
+    - the new batch's banded keys BROADCAST into every store pass, so
+      nothing corpus-sized ever shuffles: per batch the store costs one
+      map-combined count over the (broadcast-filtered) keys scan for the
+      skew guard, one keys scan for the candidate join, and one sigs
+      scan (broadcast-filtered to candidate ids) for the signature
+      screen — all narrow streaming passes;
+    - the skew guardrail drops matched keys with more than ``max_bucket``
+      corpus entries (boilerplate bands — same guard as the batch
+      operator), counted map-side so a degenerate key never materializes
+      its pairs;
+    - exact verify fetches text for CANDIDATE corpus ids only, so text
+      moves for pairs, not the corpus.
+
+    Output: ``(id_new, id_corpus, jaccard)``. Intra-batch duplicates are
+    the batch operator's job — run ``minhash_lsh_pairs(new_docs)`` for
+    those; dedup of the new batch against itself AND the corpus is the
+    union of the two.
+
+    Does not mutate the store: call :func:`write_signature_store` with
+    ``mode="append"`` after accepting the batch so the next batch sees it.
+    """
+    import json
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from ..functions.hashing import lsh_band_keys
+
+    spark = new_docs.sparkSession
+    with open(_store_meta_path(store_path)) as fh:
+        meta = json.load(fh)
+    if meta["id_col"] != id_col:
+        raise ValueError(f"store id_col {meta['id_col']!r} != {id_col!r}")
+    shingle_n, n_hashes = meta["shingle_n"], meta["n_hashes"]
+    shingle_mode, seed = meta["shingle_mode"], meta["seed"]
+    bands = meta["bands"]
+    rows = n_hashes // bands
+
+    new_sigs = _persist(minhash_signatures_batch(
+        new_docs, id_col, text_col,
+        shingle_n=shingle_n, n_hashes=n_hashes, seed=seed,
+        shingle_mode=shingle_mode,
+    ))
+    new_keyed = _persist(new_sigs.select(
+        F.col(id_col).alias("id_new"),
+        F.col("sig").alias("_sig_new"),
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+    ).select("id_new", "_sig_new", F.col("bk.key").alias("key")))
+    new_key_set = new_keyed.select("key").distinct()
+
+    store_keys = spark.read.parquet(
+        os.path.join(store_path.rstrip("/"), "_keys")
+    )
+    # matched store keys only (broadcast filter), counted map-side: the
+    # skew guard never materializes a hot key's pair explosion
+    matched = store_keys.join(F.broadcast(new_key_set), "key")
+    hot = (
+        matched.groupBy("key").count()
+        .filter(F.col("count") > max_bucket)
+        .select("key")
+    )
+    cand_ids = (
+        matched.join(F.broadcast(hot), "key", "left_anti")
+        .withColumnRenamed(id_col, "id_corpus")
+        .join(F.broadcast(new_keyed.select("id_new", "key")), "key")
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    # signature screen before any text moves (same margin rationale as
+    # minhash_lsh_pairs); corpus sigs pruned to candidate ids via the
+    # broadcast join — one narrow scan of the sigs table
+    corpus_sigs = spark.read.parquet(store_path).select(
+        F.col(id_col).alias("id_corpus"), F.col("sig").alias("_sig_corpus")
+    )
+    cand = (
+        corpus_sigs.join(F.broadcast(cand_ids), "id_corpus")
+        .join(F.broadcast(new_sigs.select(
+            F.col(id_col).alias("id_new"), F.col("sig").alias("_sig_new")
+        )), "id_new")
+    )
+    screen = max(threshold - 0.25, 0.0)
+    est = F.size(
+        F.filter(
+            F.zip_with("_sig_new", "_sig_corpus", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(n_hashes))
+    cand = cand.filter(est >= screen).select("id_new", "id_corpus")
+
+    # exact verify: texts for candidates only. Join order matters at
+    # scale: the candidate set (tiny) gathers its new-side texts first,
+    # then BROADCASTS into the corpus text scan — the corpus streams one
+    # narrow pass, never shuffles (without the hint Spark picks a
+    # sort-merge join and shuffles the whole corpus per batch).
+    with_new = cand.join(
+        new_docs.select(F.col(id_col).alias("id_new"),
+                        F.col(text_col).alias("_ta")),
+        "id_new",
+    )
+    paired = corpus_texts.select(
+        F.col(id_col).alias("id_corpus"), F.col(text_col).alias("_tb")
+    ).join(F.broadcast(with_new), "id_corpus")
+    id_type = new_docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_new", id_type),
+            T.StructField("id_corpus", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def verify_pairs(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        cache: dict = {}
+
+        def sset(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = _shingle_set(text, shingle_n, shingle_mode)
+            return s
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            jac = [
+                (len(a & b) / len(a | b)) if (a or b) else 1.0
+                for a, b in (
+                    (sset(("n", i), ta), sset(("c", j), tb))
+                    for i, j, ta, tb in zip(
+                        pdf["id_new"], pdf["id_corpus"], pdf["_ta"], pdf["_tb"]
+                    )
+                )
+            ]
+            out = pdf[["id_new", "id_corpus"]].copy()
+            out["jaccard"] = jac
+            yield out
+
+    verified = paired.mapInPandas(verify_pairs, out_schema)
+    return verified.filter(F.col("jaccard") >= threshold)
