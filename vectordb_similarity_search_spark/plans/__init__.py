@@ -66,9 +66,11 @@ DRIVER_WINDOW = [
     # t_ngram_jaccard_pairs into TAIL — its scale path d_minhash_lsh_pairs
     # is r3-green; rotate back next round)
     "v_index_stats",
-    # last driver row r2 (6)
+    # new this round: one-pass table profiler (displaces r2-era
+    # r_intersect_except into TAIL — rotate back next round)
+    "r_table_profile",
+    # last driver row r2 (5)
     "r_pricing_summary",
-    "r_intersect_except",
     "r_market_revenue",
     "r_rollup_revenue",
     "t_exact_dedup",
@@ -128,6 +130,7 @@ TAIL = [
     "t_token_stats",
     "r_range_join",
     "t_ngram_jaccard_pairs",
+    "r_intersect_except",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

@@ -954,3 +954,44 @@ def r_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "r_table_profile",
+    oracle="""
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+""",
+)
+def r_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the engine's ANALYZE TABLE): per-column row /
+    null / exact-distinct counts for the orders key+enum columns in ONE
+    scan (operators/profile.py — single aggregate row, exploded to a row
+    per column). Exact mode here so DuckDB can twin it; the operator's
+    100 TB default is the HLL mode (tiny mergeable sketches, no EXPAND).
+    """
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        approx=False,
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
