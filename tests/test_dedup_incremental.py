@@ -98,3 +98,60 @@ def test_incremental_never_emits_corpus_corpus_pairs(spark, store):
     new = docs.filter(F.col("doc_id") >= SPLIT)
     out = minhash_lsh_pairs_incremental(new, store, docs, threshold=0.3).toPandas()
     assert (out.id_new >= SPLIT).all() and (out.id_corpus < SPLIT).all()
+
+
+def test_reprobe_after_append_emits_no_self_pairs(spark, tmp_path):
+    """A replayed probe of a batch already appended to the store (crash
+    between append and downstream commit) must not pair docs with
+    themselves — the batch operator's b > a exclusion, incrementally."""
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "sigs3")
+    write_signature_store(docs.filter(F.col("doc_id") < SPLIT), path)
+    batch = docs.filter(F.col("doc_id") >= SPLIT)
+    write_signature_store(batch, path, mode="append")  # accepted...
+    replay = minhash_lsh_pairs_incremental(batch, path, docs, threshold=0.8).toPandas()
+    assert not (replay.id_new == replay.id_corpus).any()
+    # and it still finds the legit cross pairs
+    assert ((replay.id_new == 486) & (replay.id_corpus == 435)).any()
+
+
+def test_append_without_meta_rejected(spark, tmp_path):
+    """An append onto a store whose first build never committed its meta
+    (crashed mid-build) must refuse loudly, not stamp fresh meta over
+    signatures of an unknown hash family."""
+    import os as _os
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "sigs4")
+    write_signature_store(docs.filter(F.col("doc_id") < 50), path)
+    _os.remove(_os.path.join(path, "_store_meta.json"))
+    with pytest.raises(ValueError, match="no committed meta"):
+        write_signature_store(
+            docs.filter(F.col("doc_id") >= 50), path, mode="append"
+        )
+
+
+def test_incremental_jaccard_matches_batch_rounding(spark, store):
+    """Both operators round exact Jaccard to 6 decimals — the values must
+    be BIT-equal to the committed batch fixture, not merely close."""
+    docs = load_table(spark, SF, "documents")
+    got = (
+        minhash_lsh_pairs_incremental(
+            docs.filter(F.col("doc_id") >= SPLIT), store, docs, threshold=0.8
+        )
+        .toPandas()
+        .sort_values(["id_new", "id_corpus"])
+        .reset_index(drop=True)
+    )
+    full = pd.read_parquet(
+        os.path.join("tests", "fixtures", "d_minhash_lsh_pairs_expected.parquet")
+    )
+    cross = full[(full.id_a < SPLIT) & (full.id_b >= SPLIT)]
+    want = (
+        cross.rename(columns={"id_b": "id_new", "id_a": "id_corpus"})[
+            ["id_new", "id_corpus", "jaccard"]
+        ]
+        .sort_values(["id_new", "id_corpus"])
+        .reset_index(drop=True)
+    )
+    assert list(got.jaccard) == list(want.jaccard)  # bit-equal

@@ -36,3 +36,11 @@ def test_unknown_column_rejected(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(orders, ["nope"])
+
+
+def test_degenerate_column_lists_rejected(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(orders, [])
+    with pytest.raises(ValueError, match="duplicate columns"):
+        profile_table(orders, ["o_custkey", "o_custkey"])

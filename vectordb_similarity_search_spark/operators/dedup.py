@@ -817,13 +817,16 @@ def write_signature_store(
     """
     import json
 
-    from ..functions.hashing import lsh_band_keys
-
     meta = {
         "id_col": id_col, "shingle_n": shingle_n, "n_hashes": n_hashes,
         "bands": bands, "seed": seed, "shingle_mode": shingle_mode,
     }
-    if mode == "append" and os.path.exists(_store_meta_path(path)):
+    if mode == "append":
+        if not os.path.exists(_store_meta_path(path)):
+            raise ValueError(
+                "signature store has no committed meta (first build "
+                "incomplete or crashed) — rebuild with mode='overwrite'"
+            )
         with open(_store_meta_path(path)) as fh:
             existing = json.load(fh)
         if existing != meta:
@@ -831,20 +834,38 @@ def write_signature_store(
                 f"signature-store family mismatch: store has {existing}, "
                 f"append asked for {meta}"
             )
-    sigs = _persist(minhash_signatures_batch(
+    sigs = minhash_signatures_batch(
         docs, id_col, text_col,
         shingle_n=shingle_n, n_hashes=n_hashes, seed=seed,
         shingle_mode=shingle_mode,
-    ))
-    sigs.write.mode(mode).parquet(path)
-    rows = n_hashes // bands
-    keys = sigs.select(
-        id_col,
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
-    ).select(id_col, F.col("bk.key").alias("key"))
-    keys.write.mode(mode).parquet(os.path.join(path.rstrip("/"), "_keys"))
-    with open(_store_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    ).persist()
+    try:
+        rows = n_hashes // bands
+        keys = sigs.select(
+            id_col,
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+        ).select(id_col, F.col("bk.key").alias("key"))
+        keys_path = os.path.join(path.rstrip("/"), "_keys")
+        # Crash-window ordering (plain parquet has no multi-table commit):
+        # - overwrite: sigs first (truncates the root, _keys included),
+        #   keys second, meta LAST — a crash before the meta leaves a
+        #   store every probe refuses loudly (missing meta), never a
+        #   silently inconsistent one;
+        # - append: keys FIRST, sigs second — a crash in between leaves
+        #   orphaned keys, which probes tolerate (the signature screen is
+        #   a left join: a candidate with no stored sig skips the screen
+        #   and is settled by exact verify), whereas the reverse order
+        #   would leave sigs invisible to every future probe.
+        if mode == "append":
+            keys.write.mode("append").parquet(keys_path)
+            sigs.write.mode("append").parquet(path)
+        else:
+            sigs.write.mode(mode).parquet(path)
+            keys.write.mode(mode).parquet(keys_path)
+            with open(_store_meta_path(path), "w") as fh:
+                json.dump(meta, fh)
+    finally:
+        sigs.unpersist()
 
 
 def minhash_lsh_pairs_incremental(
@@ -886,13 +907,14 @@ def minhash_lsh_pairs_incremental(
 
     Does not mutate the store: call :func:`write_signature_store` with
     ``mode="append"`` after accepting the batch so the next batch sees it.
+    The new batch's signatures are cached for the duration of the plan
+    (they feed three passes); long-lived ingest loops should call
+    :func:`release_dedup_caches` between batches, like the batch operator.
     """
     import json
     from collections.abc import Iterator as _Iter
 
     import pandas as pd
-
-    from ..functions.hashing import lsh_band_keys
 
     spark = new_docs.sparkSession
     with open(_store_meta_path(store_path)) as fh:
@@ -911,37 +933,46 @@ def minhash_lsh_pairs_incremental(
     ))
     new_keyed = _persist(new_sigs.select(
         F.col(id_col).alias("id_new"),
-        F.col("sig").alias("_sig_new"),
         F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
-    ).select("id_new", "_sig_new", F.col("bk.key").alias("key")))
+    ).select("id_new", F.col("bk.key").alias("key")))
     new_key_set = new_keyed.select("key").distinct()
 
     store_keys = spark.read.parquet(
         os.path.join(store_path.rstrip("/"), "_keys")
     )
     # matched store keys only (broadcast filter), counted map-side: the
-    # skew guard never materializes a hot key's pair explosion
+    # skew guard never materializes a hot key's pair explosion. The
+    # guard bounds the TOTAL bucket (corpus + new entries), matching the
+    # batch operator's _candidate_pairs semantics exactly.
     matched = store_keys.join(F.broadcast(new_key_set), "key")
+    new_counts = new_keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_nn"))
     hot = (
-        matched.groupBy("key").count()
-        .filter(F.col("count") > max_bucket)
+        matched.groupBy("key").agg(F.count(F.lit(1)).alias("_nc"))
+        .join(F.broadcast(new_counts), "key")
+        .filter(F.col("_nc") + F.col("_nn") > max_bucket)
         .select("key")
     )
     cand_ids = (
         matched.join(F.broadcast(hot), "key", "left_anti")
         .withColumnRenamed(id_col, "id_corpus")
-        .join(F.broadcast(new_keyed.select("id_new", "key")), "key")
+        .join(F.broadcast(new_keyed), "key")
+        # a batch re-probed after its own store append must not pair
+        # docs with themselves (the batch operator's b > a exclusion)
+        .filter(F.col("id_new") != F.col("id_corpus"))
         .select("id_new", "id_corpus")
         .dropDuplicates(["id_new", "id_corpus"])
     )
     # signature screen before any text moves (same margin rationale as
     # minhash_lsh_pairs); corpus sigs pruned to candidate ids via the
-    # broadcast join — one narrow scan of the sigs table
+    # broadcast join — one narrow scan of the sigs table. LEFT join: a
+    # candidate whose sig is missing (orphaned keys from a crashed
+    # append) skips the screen and is settled by exact verify.
     corpus_sigs = spark.read.parquet(store_path).select(
         F.col(id_col).alias("id_corpus"), F.col("sig").alias("_sig_corpus")
     )
     cand = (
-        corpus_sigs.join(F.broadcast(cand_ids), "id_corpus")
+        F.broadcast(cand_ids)
+        .join(corpus_sigs, "id_corpus", "left")
         .join(F.broadcast(new_sigs.select(
             F.col(id_col).alias("id_new"), F.col("sig").alias("_sig_new")
         )), "id_new")
@@ -953,21 +984,27 @@ def minhash_lsh_pairs_incremental(
             lambda m: m,
         )
     ) / F.lit(float(n_hashes))
-    cand = cand.filter(est >= screen).select("id_new", "id_corpus")
+    # persisted: consumed twice below (corpus text fetch + pair assembly)
+    # — without it each consumer re-runs the store scans
+    cand = _persist(cand.filter(
+        F.col("_sig_corpus").isNull() | (est >= screen)
+    ).select("id_new", "id_corpus"))
 
-    # exact verify: texts for candidates only. Join order matters at
-    # scale: the candidate set (tiny) gathers its new-side texts first,
-    # then BROADCASTS into the corpus text scan — the corpus streams one
-    # narrow pass, never shuffles (without the hint Spark picks a
-    # sort-merge join and shuffles the whole corpus per batch).
+    # exact verify: texts for candidates only, in two bounded fetches —
+    # the corpus text scan streams once against the broadcast candidate
+    # ID set (never the per-pair texts: broadcasting pair×text would
+    # replicate each new doc's text once per candidate and can blow the
+    # broadcast limit on candidate-heavy batches), then the small
+    # fetched corpus texts broadcast into the pair assembly.
+    corpus_cand_texts = corpus_texts.select(
+        F.col(id_col).alias("id_corpus"), F.col(text_col).alias("_tb")
+    ).join(F.broadcast(cand.select("id_corpus").distinct()), "id_corpus")
     with_new = cand.join(
         new_docs.select(F.col(id_col).alias("id_new"),
                         F.col(text_col).alias("_ta")),
         "id_new",
     )
-    paired = corpus_texts.select(
-        F.col(id_col).alias("id_corpus"), F.col(text_col).alias("_tb")
-    ).join(F.broadcast(with_new), "id_corpus")
+    paired = with_new.join(F.broadcast(corpus_cand_texts), "id_corpus")
     id_type = new_docs.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -990,7 +1027,7 @@ def minhash_lsh_pairs_incremental(
             if pdf.empty:
                 continue
             jac = [
-                (len(a & b) / len(a | b)) if (a or b) else 1.0
+                round((len(a & b) / len(a | b)) if (a or b) else 1.0, 6)
                 for a, b in (
                     (sset(("n", i), ta), sset(("c", j), tb))
                     for i, j, ta, tb in zip(

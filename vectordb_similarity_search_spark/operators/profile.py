@@ -39,6 +39,10 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    if not cols:
+        raise ValueError("no columns to profile")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {sorted(set(c for c in cols if cols.count(c) > 1))}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"))

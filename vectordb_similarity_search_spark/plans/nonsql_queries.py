@@ -757,9 +757,17 @@ def v_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell assignment pinned by the committed-centers fixture)."""
     from ..operators.ann import _index_scan
 
-    _, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+    n_cells = 16
+    _, index_path = _ivf_index_for(spark, sf_dir, n_cells=n_cells)
     idx = _index_scan(spark, index_path)
     per_cell = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # EVERY cell gets a row: an empty cell writes no partition directory,
+    # so the bare groupBy would silently omit exactly the starved cell
+    # this report exists to surface
+    all_cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    per_cell = all_cells.join(per_cell, "cell", "left").select(
+        "cell", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
+    )
     tot = per_cell.agg(F.sum("n_vectors").alias("_tot"))
     return (
         per_cell.crossJoin(F.broadcast(tot))
