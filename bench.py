@@ -64,6 +64,7 @@ PIPELINE = [
     "t_decontaminate",       # benchmark-suite n-gram decontamination
     "t_bm25_phrase",         # phrase-boosted BM25 retrieval
     "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
+    "t_nb_quality",          # closed-form trained quality classifier
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the

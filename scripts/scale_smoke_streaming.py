@@ -219,10 +219,61 @@ def main() -> None:
             len(b) > 0 and a == b,
             f"stream_rows={len(a)} batch_rows={len(b)}",
         )
+        # ---- 4. vector ingest stream: live index == batch-built ----
+        from vectordb_similarity_search_spark.operators.ann import (
+            ivf_fit,
+            ivf_search_index,
+            ivf_write_index,
+        )
+        from vectordb_similarity_search_spark.streaming.vectors import (
+            vector_ingest_stream,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        model = ivf_fit(emb, n_cells=8, seed=5)
+        vec_idx = os.path.join(work, "vecidx")
+        ivf_write_index(model, emb.filter(F.col("vec_id") < 100), vec_idx)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+        vsrc = os.path.join(work, "vec_chunks")
+        os.makedirs(vsrc)
+        # batch 1: insert 100-299; batch 2: insert the rest + delete 2 ids
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)).withColumn(
+            "_del", F.lit(False)
+        ).coalesce(1).write.mode("append").parquet(vsrc)
+        q = vector_ingest_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int, _del boolean"
+            ).parquet(vsrc),
+            model, vec_idx, os.path.join(work, "vec_chk"),
+            delete_col="_del", compact_every=2, target_rows_per_file=100_000,
+        )
+        try:
+            q.processAllAvailable()
+            emb.filter(F.col("vec_id") >= 300).withColumn(
+                "_del", F.lit(False)
+            ).unionByName(
+                emb.filter(F.col("vec_id").isin([7, 11])).withColumn(
+                    "_del", F.lit(True)
+                )
+            ).coalesce(1).write.mode("append").parquet(vsrc)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        batch_idx = os.path.join(work, "vecidx_batch")
+        ivf_write_index(model, emb.filter(~F.col("vec_id").isin([7, 11])), batch_idx)
+        live = ivf_search_index(spark, vec_idx, model, qv, k=10, nprobe=8).collect()
+        want = ivf_search_index(spark, batch_idx, model, qv, k=10, nprobe=8).collect()
+        check(
+            "vector_ingest_stream_matches_batch_index",
+            [(r.vec_id, r.score) for r in live] == [(r.vec_id, r.score) for r in want]
+            and not os.path.isdir(os.path.join(vec_idx, "_tombstones")),
+            f"live_top={[r.vec_id for r in live][:3]}",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(f"{'OK' if not failures else 'FAILED'} ({3 - len(failures)}/3)")
+    print(f"{'OK' if not failures else 'FAILED'} ({4 - len(failures)}/4)")
     sys.exit(1 if failures else 0)
 
 
