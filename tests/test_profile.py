@@ -44,3 +44,40 @@ def test_degenerate_column_lists_rejected(spark, sf_dir):
         profile_table(orders, [])
     with pytest.raises(ValueError, match="duplicate columns"):
         profile_table(orders, ["o_custkey", "o_custkey"])
+
+
+def test_psi_zero_for_identical_populations(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.profile import (
+        population_stability,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = F.element_at("embedding", 1).cast("double")
+    rows = population_stability(emb, emb, feat).collect()
+    assert len(rows) == 8
+    assert all(r.psi_term == 0.0 for r in rows)
+    assert sum(r.n_ref for r in rows) == emb.count()
+
+
+def test_psi_detects_a_shifted_population(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.profile import (
+        population_stability,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = F.element_at("embedding", 1).cast("double")
+    shifted = emb.select(
+        (F.element_at("embedding", 1).cast("double") + 0.5).alias("x")
+    )
+    rows = population_stability(emb.select(feat.alias("x")), shifted, F.col("x")).collect()
+    assert sum(r.psi_term for r in rows) > 0.25  # "shifted" threshold
+
+
+def test_psi_validates_bins(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.profile import (
+        population_stability,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="n_bins"):
+        population_stability(emb, emb, F.lit(0.0), n_bins=1)

@@ -70,3 +70,67 @@ def profile_table(
         ).alias("p")
     )
     return stacked.select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    feature,
+    *,
+    n_bins: int = 8,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    population over one scalar feature — the standard drift monitor
+    (PSI < 0.1 stable, > 0.25 shifted; credit-scoring folklore, public).
+
+    ``feature``: a Column expression evaluated on both frames. Fixed
+    equal-width bins over [lo, hi] (out-of-range values clamp to the edge
+    bins), +1 Laplace smoothing so empty bins never divide by zero, and
+    EVERY bin gets a row (an empty bin is signal, not absence — same
+    lesson as v_index_stats). Two partial-aggregate counts + an
+    ``n_bins``-row join: nothing corpus-sized shuffles.
+
+    Output: ``(bin, n_ref, n_cur, psi_term)``; total PSI = sum(psi_term).
+    """
+    if n_bins < 2 or not hi > lo:
+        raise ValueError("need n_bins >= 2 and hi > lo")
+    width = (hi - lo) / n_bins
+    spark = ref.sparkSession
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((feature - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        bins.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p - q) * (F.log(p) - F.log(q)), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -69,6 +69,10 @@ DRIVER_WINDOW = [
     # new this round: one-pass table profiler (displaces r2-era
     # r_intersect_except into TAIL — rotate back next round)
     "r_table_profile",
+    # new this round: PSI drift monitor (displaces r1-era r_date_funcs2 —
+    # near-twin of r_date_funcs, which keeps its window slot; rotate the
+    # twin back next round with r_string_funcs2)
+    "v_embedding_drift",
     # last driver row r2 (5)
     "r_pricing_summary",
     "r_market_revenue",
@@ -101,7 +105,6 @@ DRIVER_WINDOW = [
     "r_union_parties",
     "r_scalar_math",
     "r_corr_stats",
-    "r_date_funcs2",
     "r_having",
     "r_nested_agg",
     "r_first_last_window",
@@ -131,6 +134,7 @@ TAIL = [
     "r_range_join",
     "t_ngram_jaccard_pairs",
     "r_intersect_except",
+    "r_date_funcs2",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

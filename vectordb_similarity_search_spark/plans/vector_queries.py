@@ -521,3 +521,51 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr_score", 6).alias("mmr_score"),
         "mmr_rank",
     )
+
+
+@query(
+    "v_embedding_drift",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS pop,
+         CAST(embedding[1] AS DOUBLE) AS x
+  FROM embeddings),
+binned AS (
+  SELECT pop,
+         CAST(least(greatest(floor((x - (-1.0)) / 0.25), 0), 7) AS INTEGER) AS bin,
+         count(*) AS n
+  FROM f GROUP BY pop, bin),
+bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 8)),
+c AS (
+  SELECT bins.bin,
+         coalesce((SELECT n FROM binned WHERE pop = 0 AND binned.bin = bins.bin), 0) AS n_ref,
+         coalesce((SELECT n FROM binned WHERE pop = 1 AND binned.bin = bins.bin), 0) AS n_cur
+  FROM bins),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+SELECT c.bin, CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_cur AS BIGINT) AS n_cur,
+       (round((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE)
+               - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+              * (ln(CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE))
+                 - ln(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))), 6) + 0)
+         AS psi_term
+FROM c, tot ORDER BY c.bin
+""",
+)
+def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: Population Stability Index of the first
+    embedding component between the label<5 (reference) and label>=5
+    (current) populations — the distribution-shift check a production
+    embedding pipeline runs before trusting a new corpus snapshot or
+    re-trained encoder (no counterpart in the reference). Fixed 8-bin
+    histogram over [-1, 1], +1 smoothing, every bin reported (an empty
+    bin is signal). Two partial-agg counts + an 8-row join; integer
+    sufficient statistics → bit-stable, fully SQL-twinned."""
+    from ..operators.profile import population_stability
+
+    emb = t(spark, sf_dir, "embeddings")
+    return population_stability(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        F.element_at("embedding", 1).cast("double"),
+        n_bins=8, lo=-1.0, hi=1.0,
+    )
