@@ -188,3 +188,25 @@ def test_domain_mixture_one_window_two_exchanges(spark, sf_dir):
     # count detail headers only, like _n_exchanges
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     assert _n_exchanges(plan) == 2
+
+
+def test_nb_quality_no_smj_and_bounded_scans(spark, sf_dir):
+    """The NB trainer must stay broadcast-joined (vocab/weights are tiny)
+    and must not multiply corpus scans: corpus totals ride a window over
+    the vocab-sized count frame, not an agg+crossJoin that re-evaluates
+    the token explosion per reference."""
+    plan = plan_of(REGISTRY["t_nb_quality"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_embedding_drift_no_smj_and_bounded_scans(spark, sf_dir):
+    plan = plan_of(REGISTRY["v_embedding_drift"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_index_stats_single_index_pass(spark, sf_dir):
+    plan = plan_of(REGISTRY["v_index_stats"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2

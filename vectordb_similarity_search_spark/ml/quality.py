@@ -219,11 +219,21 @@ def nb_quality_log_odds(
         F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
     )
-    tot = cnt.agg(
-        F.sum("c1").alias("n1"), F.sum("c0").alias("n0"),
-        F.count(F.lit(1)).alias("v"),
+    # corpus totals as WINDOW sums over the vocab-sized count frame — an
+    # agg + crossJoin here would re-evaluate cnt (and so re-scan + re-
+    # explode the corpus) once per reference; the window pays one
+    # single-partition exchange of vocab rows instead (integer sums, so
+    # the values are bit-identical either way)
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy()
+    cnt = cnt.select(
+        "tok", "c1", "c0",
+        F.sum("c1").over(_w).alias("n1"),
+        F.sum("c0").over(_w).alias("n0"),
+        F.count(F.lit(1)).over(_w).alias("v"),
     )
-    w = cnt.crossJoin(F.broadcast(tot)).select(
+    w = cnt.select(
         "tok",
         F.round(
             F.log((F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v")).cast("double"))

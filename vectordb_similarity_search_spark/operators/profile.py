@@ -119,14 +119,20 @@ def population_stability(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tot = counts.agg(
-        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    # totals via window sums over the n_bins-row frame (an agg+crossJoin
+    # would re-evaluate both count subtrees — re-scanning both inputs)
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy()
+    counts = counts.select(
+        "bin", "n_ref", "n_cur",
+        F.sum("n_ref").over(_w).alias("_tr"),
+        F.sum("n_cur").over(_w).alias("_tc"),
     )
     p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins).cast("double")
     q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins).cast("double")
     return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
+        counts.select(
             "bin",
             F.col("n_ref").cast("long").alias("n_ref"),
             F.col("n_cur").cast("long").alias("n_cur"),

@@ -768,9 +768,15 @@ def v_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cell = all_cells.join(per_cell, "cell", "left").select(
         "cell", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
     )
-    tot = per_cell.agg(F.sum("n_vectors").alias("_tot"))
+    from pyspark.sql import Window as _W
+
+    # total via a window sum over the 16-row frame (agg + crossJoin would
+    # re-evaluate per_cell and re-scan the index once per reference)
+    per_cell = per_cell.withColumn(
+        "_tot", F.sum("n_vectors").over(_W.partitionBy())
+    )
     return (
-        per_cell.crossJoin(F.broadcast(tot))
+        per_cell
         .select(
             F.col("cell").cast("int").alias("cell"),
             F.col("n_vectors").cast("long").alias("n_vectors"),
