@@ -98,6 +98,10 @@ def rrf_fuse(
     Deterministic tie-break (rrf desc, id asc)."""
     fa = a.select(F.col(id_col), F.col(rank_col_a).alias("_ra"))
     fb = b.select(F.col(id_col), F.col(rank_col_b).alias("_rb"))
+    # full_outer ignores broadcast hints (same Spark behavior the MERGE
+    # path works around, operators/merge.py) so this plans as a sort-merge
+    # join — acceptable HERE because both sides are bounded top-N rank
+    # lists, never corpus-sized; the exchanges move at most 2N rows
     both = fa.join(fb, id_col, "full_outer")
     rrf = F.coalesce(1.0 / (F.lit(c) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
         1.0 / (F.lit(c) + F.col("_rb")), F.lit(0.0)
