@@ -198,3 +198,60 @@ def test_mmr_drops_null_relevance_candidates(spark, sf_dir):
     ids = {r.vec_id for r in out}
     assert 999_999 not in ids
     assert len(out) == 5  # the 5 real candidates survive
+
+
+# ------------------------------------------------------- late interaction
+
+
+def test_late_interaction_matches_manual_sum_of_max(spark, sf_dir):
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.topk import (
+        late_interaction_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [r.embedding for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    chunks = emb.filter(F.col("vec_id") >= 3)
+    got = late_interaction_topk(chunks, qvs, k=3, doc_col="label").collect()
+
+    rows = chunks.select("label", "embedding").collect()
+    Q = np.asarray(qvs, dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    scores = {}
+    for lbl in {r.label for r in rows}:
+        X = np.asarray([r.embedding for r in rows if r.label == lbl], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        scores[lbl] = float((X @ Q.T).max(axis=0).sum())
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [r.label for r in got] == [lbl for lbl, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.score - s) < 1e-9
+
+
+def test_late_interaction_single_exchange_plan(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.topk import (
+        late_interaction_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [[0.1] * 8 * (len(emb.head().embedding) // 8)][:1]
+    qvs = [list(emb.head().embedding)]
+    import re
+
+    plan = plan_of(late_interaction_topk(emb, qvs, k=5, doc_col="label"))
+    # one partial-aggregated groupBy: exactly one exchange NODE (formatted
+    # output prints each node twice: tree + detail), then TakeOrdered
+    assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_interaction_empty_queries_raise(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.topk import (
+        late_interaction_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="query vector"):
+        late_interaction_topk(emb, [], k=3)

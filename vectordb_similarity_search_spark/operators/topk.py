@@ -424,3 +424,46 @@ def mmr_rerank(
         .groupBy("_g")
         .applyInPandas(lambda _key, pdf: rerank(pdf), out_schema)
     )
+
+
+def late_interaction_topk(
+    chunks: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 5,
+    *,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style, Khattab & Zaharia 2020) retrieval
+    over multi-vector documents: each document is a GROUP of chunk/token
+    vectors; score(doc) = Σ_q max_chunk cos(q, chunk) — every query
+    vector picks its best-matching chunk, matches sum.
+
+    Plan, sized for 100 TB: the Q query vectors fold into the projection
+    as literals (like :func:`knn` — no broadcast table, no shuffle of
+    the corpus), each chunk row emits Q scores, and a single partial-
+    aggregated ``groupBy(doc)`` computes the per-query MAX and their SUM
+    in one exchange of |docs| rows. TakeOrdered finishes. Nothing
+    quadratic, no Python.
+
+    NULL chunk scores (zero-norm vectors) are ignored by MAX; a document
+    whose every chunk is degenerate for some query contributes 0 for
+    that query (sum of the remaining terms — standard maxsim practice).
+    """
+    if not query_vecs:
+        raise ValueError("need at least one query vector")
+    maxes = [
+        F.max(cosine_similarity(vec_col, array_lit(qv))).alias(f"_m{i}")
+        for i, qv in enumerate(query_vecs)
+    ]
+    per_doc = chunks.groupBy(doc_col).agg(*maxes)
+    total = None
+    for i in range(len(query_vecs)):
+        term = F.coalesce(F.col(f"_m{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    return (
+        per_doc.select(doc_col, total.alias(score_col))
+        .orderBy(F.col(score_col).desc(), F.col(doc_col).asc())
+        .limit(k)
+    )

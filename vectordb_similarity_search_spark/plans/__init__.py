@@ -73,6 +73,10 @@ DRIVER_WINDOW = [
     # near-twin of r_date_funcs, which keeps its window slot; rotate the
     # twin back next round with r_string_funcs2)
     "v_embedding_drift",
+    # new this round: ColBERT-style sum-of-max retrieval (displaces
+    # r1-era w_lead_gap_days — the lead/lag family keeps w_lag_delta;
+    # rotate back next round)
+    "v_late_interaction",
     # last driver row r2 (5)
     "r_pricing_summary",
     "r_market_revenue",
@@ -111,7 +115,6 @@ DRIVER_WINDOW = [
     "w_lag_delta",
     "w_running_sum",
     "w_share_of_customer",
-    "w_lead_gap_days",
     "t_quality_buckets",
 ]
 
@@ -135,6 +138,7 @@ TAIL = [
     "t_ngram_jaccard_pairs",
     "r_intersect_except",
     "r_date_funcs2",
+    "w_lead_gap_days",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",

@@ -569,3 +569,36 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double"),
         n_bins=8, lo=-1.0, hi=1.0,
     )
+
+
+@query(
+    "v_late_interaction",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+), chunks AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 3
+), pm AS (
+  SELECT c.label, q.q_id, max(list_cosine_similarity(c.cv, q.qv)) AS m
+  FROM chunks c CROSS JOIN q GROUP BY c.label, q.q_id
+)
+SELECT label, (round(sum(m), 6) + 0) AS score
+FROM pm GROUP BY label ORDER BY sum(m) DESC, label LIMIT 5
+""",
+)
+def v_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style sum-of-max) as a catalog
+    query: vecs 0-2 act as the query's token vectors, labels group the
+    remaining vectors into multi-vector "documents"; top-5 documents by
+    Σ_q max_chunk cosine. One scan, one partial-aggregated groupBy —
+    the multi-vector serving shape modern retrieval stacks add after
+    single-vector ANN (operators/topk.late_interaction_topk)."""
+    from ..operators.topk import late_interaction_topk
+
+    qvs = [_query_vec(spark, sf_dir, i) for i in range(3)]
+    chunks = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 3)
+    return late_interaction_topk(
+        chunks, qvs, k=5, doc_col="label"
+    ).select("label", F.round("score", 6).alias("score"))
