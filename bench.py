@@ -79,6 +79,7 @@ ANN = [
     "v_filtered_knn",        # exact filtered search (semi-join allow-list)
     "v_search_docs",         # top-k + broadcast payload hydration
     "v_mmr_rerank",          # top-25 retrieve + MMR diversity rerank
+    "v_late_interaction",    # ColBERT-style sum-of-max, multi-vector docs
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -76,6 +76,15 @@ def main() -> None:
     )
 
     work = tempfile.mkdtemp(prefix="smoke_incr_")
+    # materialize to parquet and read back: generated (range-derived)
+    # frames under-report sizeInBytes, which can trick Catalyst into
+    # BROADCASTING a corpus-sized text side (observed as a broadcast OOM
+    # in the full re-pair comparison at 1.6M docs); parquet stats are
+    # honest and match the production shape
+    corpus.write.parquet(os.path.join(work, "corpus"))
+    corpus = spark.read.parquet(os.path.join(work, "corpus"))
+    batch.write.parquet(os.path.join(work, "batch"))
+    batch = spark.read.parquet(os.path.join(work, "batch"))
     store = os.path.join(work, "sigs")
     t0 = time.perf_counter()
     write_signature_store(corpus, store, shingle_n=3, shingle_mode="word")
