@@ -123,6 +123,14 @@ DRIVER_WINDOW = [
 # and ALL are re-verified every test run by the local oracle parity
 # replica (tests/test_oracle_parity.py).
 TAIL = [
+    # New in the round-4 third continuation session. The window was frozen
+    # earlier this round (census: STOP displacing — 12 rotate-backs are
+    # already owed), so these start in TAIL under the local oracle replica
+    # (tests/test_oracle_parity.py) and take window slots in the round-5
+    # rotation together with the displaced twelve.
+    "t_heavy_hitters",
+    "e_gapfill_locf",
+    "r_fuzzy_name_pairs",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -382,3 +382,81 @@ def e_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "e_gapfill_locf",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+         count(*) AS n,
+         (round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) + 0) AS tot
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h FROM span)
+SELECT g.event_type,
+       g.h AS hour_start,
+       CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events,
+       last_value(hh.tot IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid g LEFT JOIN hourly hh ON hh.event_type = g.event_type AND hh.h = g.h
+""",
+)
+def e_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: dense per-type hourly grid with
+    last-observation-carried-forward interpolation — the resample step
+    every downstream forecasting/feature job needs over irregular event
+    data. Spark shape: hourly agg -> per-key [min,max] span ->
+    ``sequence``/``explode`` grid (per-key array bounded by span/step;
+    chunk the span per key if a single series spans decades at
+    sub-second steps) -> co-partitioned left join on (key, bucket) ->
+    ``last(ignorenulls)`` ordered window per key. Empty buckets report 0
+    events and carry the last seen hourly total. Two shuffles total
+    (agg, window — the join reuses the window's key exchange), state
+    bounded per key; no driver-side calendar materialization."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double"), 2
+            ).alias("tot"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("h"),
+            "n",
+            "tot",
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))
+            ).alias("hour_start"),
+        )
+    )
+    joined = grid.join(
+        hourly.withColumnRenamed("h", "hour_start"),
+        ["event_type", "hour_start"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("tot", ignorenulls=True).over(w).alias("locf_value"),
+    )

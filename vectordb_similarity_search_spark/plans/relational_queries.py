@@ -995,3 +995,32 @@ def r_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nulls").cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+@query(
+    "r_fuzzy_name_pairs",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+b AS (
+  SELECT name, string_split(name, ' ')[1] AS blk FROM names)
+SELECT a.name AS name_a, c.name AS name_b,
+       CAST(levenshtein(a.name, c.name) AS INTEGER) AS edit_dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+WHERE levenshtein(a.name, c.name) <= 8
+""",
+)
+def r_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over part names: blocked edit-distance pairing
+    (operators/linkage.py). Blocking on the first name word bounds the
+    candidate set; the exact levenshtein filter runs JVM-side on in-block
+    pairs only — one shuffle of (name, block), never an N x N join. The
+    oracle twin is the same blocked self-join in DuckDB (identical plain
+    edit-distance semantics), so the blocking-correctness is checked too:
+    a pair crossing blocks is excluded on BOTH sides by construction."""
+    from ..operators.linkage import fuzzy_self_pairs
+
+    p = t(spark, sf_dir, "part")
+    return fuzzy_self_pairs(
+        p, "p_name", F.substring_index(F.col("name"), " ", 1), 8
+    )

@@ -1236,3 +1236,36 @@ def t_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20).select(
         "doc_id", "label", F.round("nb_log_odds", 6).alias("nb_log_odds")
     )
+
+
+@query(
+    "t_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS tok FROM documents),
+counts AS (
+  SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+ranked AS (
+  SELECT tok, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS rank
+  FROM counts)
+SELECT tok, n, rank FROM ranked WHERE rank <= 20
+""",
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-20 tokens via the Misra-Gries + exact-recount
+    operator (operators/heavyhitters.py): one bounded-memory candidate
+    scan (<= capacity counters per task, no shuffle over the token
+    domain), then a broadcast-semi-joined exact recount of candidates
+    only. The plan CERTIFIES exactness (k-th count > n/(capacity+1)) and
+    raises rather than under-report — so this query's oracle twin is the
+    plain exact SQL, not an approximation contract. The scale win over
+    t_top_tokens' groupBy: the exchange here is bounded by capacity *
+    partitions however large the vocabulary (URLs/n-grams/user-ids), the
+    classic sketch->verify shape for 100 TB frequency reports."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    res = heavy_hitters(toks, "tok", 20, capacity=512)
+    return res.select("tok", F.col("cnt").cast("long").alias("n"), "rank")
