@@ -131,6 +131,8 @@ TAIL = [
     "t_heavy_hitters",
     "e_gapfill_locf",
     "r_fuzzy_name_pairs",
+    "r_data_checks",
+    "e_rolling_anomaly",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

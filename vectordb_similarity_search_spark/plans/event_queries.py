@@ -460,3 +460,58 @@ def e_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.last("tot", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+@query(
+    "e_rolling_anomaly",
+    oracle="""
+WITH scored AS (
+  SELECT event_id, event_type, value,
+         avg(value)         OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(value)       OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, event_type, (round((value - mu) / sd, 6) + 0) AS zscore
+FROM scored
+WHERE n >= 5 AND sd > 0 AND abs(value - mu) > 3 * sd
+""",
+)
+def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection in batch form: each event is
+    scored against the TRAILING window of its own series (20 preceding
+    rows, current row excluded — no self-contamination), flagged when it
+    sits more than 3 rolling sigmas from the rolling mean. One shuffle
+    (the per-type window exchange), state bounded by the frame length —
+    the same plan shape Structured Streaming would run with a
+    transformWithState rolling buffer. Warm-up guard (n >= 5) and
+    constant-series guard (sd > 0) are explicit, not NaN-driven."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n"),
+    )
+    return (
+        scored.where(
+            (F.col("n") >= 5)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias(
+                "zscore"
+            ),
+        )
+    )

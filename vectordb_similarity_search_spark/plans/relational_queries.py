@@ -1024,3 +1024,77 @@ def r_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(
         p, "p_name", F.substring_index(F.col("name"), " ", 1), 8
     )
+
+
+@query(
+    "r_data_checks",
+    oracle="""
+SELECT 'not_null(o_custkey)' AS check_name,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) - count(DISTINCT o_orderkey) = 0 FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice,0..)',
+       CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT),
+       count(*) FILTER (WHERE o_totalprice < 0) = 0 FROM orders
+UNION ALL
+SELECT 'values_in(o_orderstatus)',
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+       count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O','F','P')) = 0 FROM orders
+UNION ALL
+SELECT 'row_count_between(1,None)',
+       CAST(CASE WHEN count(*) < 1 THEN 1 - count(*) ELSE 0 END AS BIGINT),
+       count(*) >= 1 FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL AND c_custkey IS NULL) AS BIGINT),
+       count(*) FILTER (WHERE o_custkey IS NOT NULL AND c_custkey IS NULL) = 0
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+""",
+)
+def r_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/validate.py — the
+    Deequ/Great-Expectations pattern): completeness, key uniqueness,
+    range, accepted values, and table-size checks compile into ONE
+    aggregate job per table scan; referential integrity (orders.o_custkey
+    -> customer) is a broadcast anti-join unioned into the same report.
+    The lineitem primary-key check FAILS by design — the fixture's
+    (l_orderkey, l_linenumber) is not unique (ROUND_NOTES round-4
+    learning #3), exactly the defect such a suite exists to catch; the
+    oracle twin pins the violation count, proving failing checks report
+    the metric instead of aborting the pipeline."""
+    from ..operators.validate import (
+        check_suite,
+        foreign_key,
+        in_range,
+        not_null,
+        row_count_between,
+        unique,
+        values_in,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    suite = check_suite(
+        o,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", lo=0),
+            values_in("o_orderstatus", ["O", "F", "P"]),
+            row_count_between(1),
+        ],
+    )
+    fk = foreign_key(o, "o_custkey", t(spark, sf_dir, "customer"), "c_custkey")
+    li_pk = check_suite(
+        t(spark, sf_dir, "lineitem"), [unique("l_orderkey", "l_linenumber")]
+    )
+    return suite.unionByName(fk).unionByName(li_pk)
