@@ -76,32 +76,35 @@ def mg_partition_candidates(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        # Counters live in a pandas Series (value -> count): the per-batch
+        # merge is an index-aligned add in C, not a Python dict loop —
+        # ~10x the throughput at 4k-counter capacity over ~10k-row Arrow
+        # batches (measured in scripts/scale_smoke_heavyhitters.py).
+        acc: pd.Series | None = None
         n_rows = 0
         for pdf in batches:
             s = pdf[col]
             n_rows += len(s)
             vc = s.dropna().value_counts()  # C-speed per-batch pre-agg
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            excess = len(counters) - capacity
+            if acc is None:
+                acc = vc.astype("int64")
+            else:
+                acc = acc.add(vc, fill_value=0).astype("int64")
+            excess = len(acc) - capacity
             if excess > 0:
-                vals = np.fromiter(
-                    counters.values(), dtype=np.int64, count=len(counters)
-                )
+                vals = acc.to_numpy()
                 delta = int(np.partition(vals, excess - 1)[excess - 1])
-                counters = {v: c - delta for v, c in counters.items() if c > delta}
+                acc = acc[vals > delta] - delta
         if n_rows == 0:
             return
+        keys = [] if acc is None else list(acc.index)
         # dtype=object keeps integer keys exact (a default float64 column
         # would NaN-pad the marker row and round large int64 keys).
         yield pd.DataFrame(
             {
-                "key": pd.Series(
-                    list(counters.keys()) + [None], dtype="object"
-                ),
+                "key": pd.Series(keys + [None], dtype="object"),
                 "part_rows": pd.Series(
-                    [None] * len(counters) + [n_rows], dtype="object"
+                    [None] * len(keys) + [n_rows], dtype="object"
                 ),
             }
         )
