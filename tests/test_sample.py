@@ -192,3 +192,61 @@ def test_balanced_sample_hashed_is_partition_independent(spark, sf_dir):
     }
     for lbl, n in got.items():
         assert abs(n - floor) < max(0.5 * floor, 10), (lbl, n, floor)
+
+
+def test_weighted_hash_sample_layout_independent(spark, sf_dir):
+    """A-ES membership is a pure function of content: identical sample
+    under any repartitioning, exactly k rows, no invalid-weight rows."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = [r[0] for r in weighted_hash_sample(o, 25, "o_totalprice", ["o_orderkey"]).collect()]
+    b = [
+        r[0]
+        for r in weighted_hash_sample(
+            o.repartition(13), 25, "o_totalprice", ["o_orderkey"]
+        ).collect()
+    ]
+    assert sorted(a) == sorted(b) and len(set(a)) == 25
+
+
+def test_weighted_hash_sample_weight_semantics(spark):
+    """A dominant weight is (near-)always selected at k=1; zero/NULL
+    weights are never drawn."""
+    import pyspark.sql.functions as F
+    from vectordb_similarity_search_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, 1e9)
+        .when(F.col("id") % 10 == 0, F.lit(None))
+        .when(F.col("id") % 10 == 1, -1.0)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    # dominant weight wins across many seeds: u^(1/1e9) ~ 1 for any u
+    wins = sum(
+        weighted_hash_sample(df, 1, "w", ["id"], seed=s).collect()[0]["id"] == 7
+        for s in range(10)
+    )
+    assert wins == 10
+    # invalid weights excluded even with k = full table
+    got = {r["id"] for r in weighted_hash_sample(df, 200, "w", ["id"]).collect()}
+    assert all(i % 10 not in (0, 1) or i == 7 for i in got)
+
+
+def test_weighted_hash_sample_validation(spark):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    with _pytest.raises(ValueError):
+        weighted_hash_sample(None, 0, "w", ["id"])
+    with _pytest.raises(ValueError):
+        weighted_hash_sample(None, 5, "w", [])

@@ -146,3 +146,47 @@ def hash_split(
             )
         out.append(df.where((h >= lo) & (h < hi)))
     return out
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    on: list[str],
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement, hash-deterministic: the
+    Efraimidis–Spirakis A-ES scheme. Each row draws a content-keyed
+    uniform ``u`` (same xxhash64 bucket family as ``hash_sample``, center
+    offset so u is never 0/1) and scores ``u^(1/w)``; the ``k`` largest
+    scores ARE a weighted sample without replacement — inclusion odds
+    proportional to weight, exactly (Efraimidis & Spirakis 2006).
+
+    Scale shape: the score is a narrow column expression; selection is
+    ``orderBy(score).limit(k)`` → TakeOrderedAndProject (per-partition
+    top-k then a k-row merge on one reducer — no global sort shuffle).
+    Determinism: membership is a pure function of key bytes + seed +
+    weight, independent of partition layout and session confs, so the
+    draw replays bit-identically anywhere (unlike rand-stream samplers).
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability); ties in score (quantized u) break on
+    the key columns to keep the result a function of content alone.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not on:
+        raise ValueError("weighted_hash_sample requires key columns (on)")
+    u = (_hash_bucket(on, seed) + F.lit(0.5)) / F.lit(1_000_000.0)
+    w = F.col(weight_col).cast("double")
+    scored = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "_aes_score", F.pow(u, F.lit(1.0) / w)
+    )
+    return (
+        scored.orderBy(
+            F.col("_aes_score").desc(), *[F.col(c) for c in on]
+        )
+        .limit(k)
+        .drop("_aes_score")
+    )

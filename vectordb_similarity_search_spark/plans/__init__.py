@@ -133,6 +133,7 @@ TAIL = [
     "r_fuzzy_name_pairs",
     "r_data_checks",
     "e_rolling_anomaly",
+    "s_sample_weighted",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

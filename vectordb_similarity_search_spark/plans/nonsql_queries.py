@@ -786,3 +786,25 @@ def v_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "s_sample_weighted",
+    oracle=_expected_oracle("s_sample_weighted", sf_bound=True),
+)
+def s_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES, operators/sampling.py
+    ::weighted_hash_sample): 50 orders drawn with probability
+    proportional to o_totalprice. Content-keyed u (xxhash64 of the order
+    key + seed) makes the draw a pure function of row bytes — replayable
+    across partition layouts and session confs, which is what makes the
+    expected-parquet oracle stable by construction (same property as
+    s_sample_stratified). Selection is per-partition top-k + k-row merge
+    (TakeOrderedAndProject), never a global sort. No SQL twin: DuckDB
+    lacks xxhash64."""
+    from ..operators.sampling import weighted_hash_sample
+
+    o = t(spark, sf_dir, "orders")
+    return weighted_hash_sample(
+        o, 50, "o_totalprice", ["o_orderkey"], seed=42
+    ).select("o_orderkey", "o_totalprice")
