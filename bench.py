@@ -75,6 +75,7 @@ ANN = [
     "v_ivf_knn_batch",       # 100 queries, one pruned scan + grouped rank
     "v_sq8_knn",             # 4x-compressed screen + exact rescore
     "v_pq_knn",              # 16x-compressed ADC screen + exact rescore
+    "v_bq_knn",              # 10.7x thermometer-bit JVM popcount screen
     "v_ivf_knn_filtered",    # metadata-filtered pruned probe
     "v_filtered_knn",        # exact filtered search (semi-join allow-list)
     "v_search_docs",         # top-k + broadcast payload hydration

@@ -250,3 +250,78 @@ def test_weighted_hash_sample_validation(spark):
         weighted_hash_sample(None, 0, "w", ["id"])
     with _pytest.raises(ValueError):
         weighted_hash_sample(None, 5, "w", [])
+
+
+def test_grouped_cap_sample_matches_direct_window(spark, sf_dir):
+    """Two-stage top-n == the textbook single window, under hostile
+    partitioning (many small partitions; groups split across them)."""
+    from pyspark.sql import Window
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    got = grouped_cap_sample(
+        docs.repartition(13), ["source"], 5, on=["doc_id"], rank_col="rank"
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    want = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    a = sorted(
+        (r.source, r.rank, r.doc_id, r.n_chars) for r in got.collect()
+    )
+    b = sorted(
+        (r.source, r.rank, r.doc_id, r.n_chars) for r in want.collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_grouped_cap_sample_keeps_null_groups(spark):
+    """NULL group is a real stratum (stage 1 must not drop it — pandas
+    groupby defaults to dropna=True)."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(10)] + [("a", i) for i in range(10, 14)],
+        "g string, id int",
+    )
+    out = grouped_cap_sample(df.repartition(3), ["g"], 2, on=["id"]).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.id)
+    assert len(by_g.get(None, [])) == 2
+    assert len(by_g.get("a", [])) == 2
+
+
+def test_grouped_cap_sample_small_groups_survive_whole(spark):
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("solo", 1), ("big", 2), ("big", 3), ("big", 4)], "g string, id int"
+    )
+    out = grouped_cap_sample(df, ["g"], 2, on=["id"]).collect()
+    assert sorted(r.g for r in out) == ["big", "big", "solo"]
+
+
+def test_grouped_cap_sample_validation(spark):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, id int")
+    with _pytest.raises(ValueError, match="n must be"):
+        grouped_cap_sample(df, ["g"], 0, on=["id"])
+    with _pytest.raises(ValueError, match="key columns"):
+        grouped_cap_sample(df, ["g"], 1, on=[])

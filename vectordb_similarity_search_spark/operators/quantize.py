@@ -103,6 +103,148 @@ class Sq8Model:
         return knn(subset, list(query_vec), k, id_col=id_col, vec_col=vec_col)
 
 
+class BqModel:
+    """Thermometer-coded binary quantizer: each dimension is cut by L
+    per-dim quantile thresholds into L+1 levels, encoded UNARY (bit l of
+    dim j is set iff x[j] > threshold[l][j]) and packed into int64 words.
+
+    The unary coding is the point: Hamming distance between thermometer
+    codes EQUALS the L1 distance between quantized levels, so a plain
+    ``bit_count(code XOR query_code)`` — a pure JVM whole-stage-codegen
+    expression over packed longs, zero Python, zero floats — ranks
+    candidates by a real geometric distance, not a sign sketch. At L=3
+    that is 3 bits/dim: ~10.7x smaller than float32, and the screen's
+    shuffle carries only (id, small-int distance). The "binary
+    quantization" tier of Milvus/Qdrant lineage, with the thermometer
+    trick lifting 1-bit sign recall to 2-bit-level recall.
+
+    Search keeps the repo's quantized-search contract: approximate
+    Hamming screen to top-C, exact float rescore of the C candidates,
+    served top-k EXACT (tests/test_quantize.py pins the screen-depth
+    margin at >=2x on every fixture sf).
+    """
+
+    def __init__(self, thresholds: np.ndarray):
+        # (L, dim): thresholds[l][j] cuts level l of dimension j
+        self.thresholds = np.asarray(thresholds, dtype=np.float64)
+        if self.thresholds.ndim != 2:
+            raise ValueError("thresholds must be (levels, dim)")
+        self.levels, self.dim = self.thresholds.shape
+        self.n_bits = self.levels * self.dim
+        self.n_words = (self.n_bits + 63) // 64
+
+    def _pack(self, X: np.ndarray) -> np.ndarray:
+        """(n, dim) floats -> (n, n_words) int64 thermometer words. Bit
+        (j*L + l) of the flat code = x[j] > thresholds[l][j]; tail bits of
+        the last word stay 0."""
+        # (n, L, dim) -> (n, dim, L) -> (n, dim*L), dim-major so each
+        # dimension's unary run is contiguous
+        bits = (
+            (X[:, None, :] > self.thresholds[None, :, :])
+            .transpose(0, 2, 1)
+            .reshape(X.shape[0], self.n_bits)
+            .astype(np.uint64)
+        )
+        words = np.zeros((X.shape[0], self.n_words), dtype=np.uint64)
+        for b in range(self.n_bits):
+            words[:, b // 64] |= bits[:, b] << np.uint64(b % 64)
+        return words.view(np.int64)
+
+    def encode_vec(self, q: Sequence[float]) -> list[int]:
+        return [
+            int(w)
+            for w in self._pack(np.asarray(q, dtype=np.float64)[None, :])[0]
+        ]
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding",
+               code_col: str = "bq") -> DataFrame:
+        bc = df.sparkSession.sparkContext.broadcast(self.thresholds)
+        schema = T.StructType(
+            [f for f in df.schema.fields if f.name != vec_col]
+            + [T.StructField(code_col, T.ArrayType(T.LongType()))]
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = BqModel(bc.value)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out = pdf.drop(columns=[vec_col]).copy()
+                out[code_col] = list(model._pack(X))
+                yield out
+
+        return df.mapInPandas(enc, schema)
+
+    def hamming_to(self, code_col: str, query_vec: Sequence[float]):
+        """JVM Hamming-distance expression between a packed code column and
+        the query's packed words — ``aggregate(zip_with(code, qwords,
+        bit_count(xor)))``. One xor+popcount per 64 bits, all codegen; by
+        the thermometer identity this IS the L1 level distance."""
+        qwords = F.array(*[F.lit(w) for w in self.encode_vec(query_vec)])
+        return F.aggregate(
+            F.zip_with(
+                F.col(code_col),
+                qwords,
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    def search(
+        self,
+        codes: DataFrame,
+        floats: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        *,
+        rescore: int = 100,
+        id_col: str = "vec_id",
+        code_col: str = "bq",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Two-phase search: Hamming top-``rescore`` (JVM expression +
+        TakeOrderedAndProject — per-partition top-C, C-row merge), exact
+        knn over just those candidates (broadcast semi-join)."""
+        cand = (
+            codes.select(
+                id_col, self.hamming_to(code_col, query_vec).alias("_ham")
+            )
+            .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+            .limit(rescore)
+        )
+        subset = floats.join(F.broadcast(cand.select(id_col)), id_col)
+        return knn(subset, list(query_vec), k, id_col=id_col, vec_col=vec_col)
+
+
+def fit_bq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    *,
+    levels: int = 3,
+) -> tuple[BqModel, int]:
+    """Per-dim EXACT quantile thresholds (levels cuts at 1/(L+1) ..
+    L/(L+1)) from one aggregate — the same moments→driver split as
+    fit_sq8 / PCA, and exact (not approx_percentile) so the fit is a pure
+    content function of the corpus, independent of partition layout.
+    Returns (model, corpus_count): the count rides the same aggregate job
+    and lets callers size the screen depth without a second scan."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    ps = F.array(*[F.lit((l + 1) / (levels + 1)) for l in range(levels)])
+    row = df.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.percentile(F.element_at(vec_col, j + 1), ps).alias(f"t{j}")
+            for j in range(dim)
+        ],
+    ).head()
+    thr = np.array([row[f"t{j}"] for j in range(dim)], dtype=np.float64).T
+    return BqModel(thr), int(row["_n"])
+
+
 def fit_sq8(df: DataFrame, vec_col: str = "embedding", dim: int | None = None) -> Sq8Model:
     """Per-dim min/max from one aggregate over zipped array positions.
 

@@ -148,6 +148,81 @@ def hash_split(
     return out
 
 
+def grouped_cap_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    on: list[str],
+    *,
+    key=None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group cap: keep the ``n`` rows with the smallest content key in
+    each group — the domain-capping step of corpus curation ("at most N
+    documents per source/domain"), made deterministic: membership is a
+    pure function of row content (default key: md5 over the ``on``
+    columns), never of partition layout or arrival order, so the capped
+    corpus replays bit-identically anywhere and any row keeps a stable
+    fate under appends of OTHER keys.
+
+    Scale shape — two-stage exact top-n (per-group min-n is
+    distributive, like global TakeOrdered):
+
+    1. per-PARTITION per-group top-n via one Arrow pass whose running
+       prune keeps at most groups×n rows in memory per task. Output is
+       bounded by partitions × groups_in_partition × n — candidate-sized.
+    2. a row_number window over just those candidates picks the final n.
+
+    A direct window over the full table (the textbook form, and what the
+    SQL oracle twin runs) shuffles EVERY row to its group's reducer and
+    sorts there — one hot domain with 30% of a 100 TB corpus becomes one
+    task sorting 30 TB. Stage 1 caps what the exchange carries regardless
+    of group skew. Equality with the direct window is pinned in
+    tests/test_sample.py.
+
+    ``key`` overrides the ranking expression (any deterministic column);
+    ``rank_col`` additionally emits the within-group rank (1-based).
+    NULL groups are real groups (kept as their own stratum — pandas
+    ``dropna=False`` in stage 1 to match the window's NULL partition).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not on:
+        raise ValueError("grouped_cap_sample requires key columns (on)")
+    if key is None:
+        key = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+        )
+    import pandas as pd  # deferred: Arrow path only
+
+    work = df.withColumn("_gk", key)
+    order_cols = ["_gk", *on]
+
+    def prune(batches):
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if acc is None else pd.concat([acc, pdf])
+            cur = cur.sort_values(order_cols, kind="mergesort")
+            acc = cur.groupby(group_cols, sort=False, dropna=False).head(n)
+        if acc is not None and not acc.empty:
+            yield acc
+
+    cand = work.mapInPandas(prune, work.schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    ranked = cand.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= n
+    )
+    if rank_col is not None:
+        ranked = ranked.withColumn(rank_col, F.col("_rn"))
+    return ranked.drop("_gk", "_rn")
+
+
 def weighted_hash_sample(
     df: DataFrame,
     k: int,

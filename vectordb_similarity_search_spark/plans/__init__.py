@@ -134,6 +134,8 @@ TAIL = [
     "r_data_checks",
     "e_rolling_anomaly",
     "s_sample_weighted",
+    "v_bq_knn",
+    "s_group_sample",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

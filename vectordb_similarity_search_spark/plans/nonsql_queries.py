@@ -568,6 +568,49 @@ def v_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v_bq_knn",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, (round(s, 6) + 0) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+""",
+)
+def v_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 search through the BINARY-QUANTIZED store (operators/
+    quantize.BqModel: thermometer-coded 3 bits/dim → ~10.7x compression;
+    the candidate screen is a pure JVM ``bit_count(code XOR query)``
+    expression over packed int64 words — zero Python, zero floats, and by
+    the unary-coding identity the popcount IS the L1 distance between
+    quantized levels). Same contract and exact-kNN SQL twin as
+    v_sq8_knn / v_pq_knn: approximate screen, exact rescore of the
+    candidates, served top-k EXACT. Screen depth is corpus-calibrated
+    (max(200, 40% of n), >=2x the measured worst-rank at every fixture
+    sf — these near-random fixture embeddings are the worst case for
+    coarse quantization; real embedding manifolds screen at 1-5%). Fit
+    (per-dim exact quantiles, one aggregate that also carries the corpus
+    count) + encode are memoized per session like the other model
+    builds."""
+    from ..operators.quantize import fit_bq
+
+    qv = _vq(spark, sf_dir)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    key = _model_key(spark, sf_dir, "bq")
+    if key not in _MODEL_CACHE:
+        model, n = fit_bq(corpus, "embedding", dim=len(qv))
+        _MODEL_CACHE[key] = (model, model.encode(corpus), n)
+    model, codes, n = _MODEL_CACHE[key]
+    res = model.search(codes, corpus, qv, k=10, rescore=max(200, (2 * n) // 5))
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
     "v_lsh_knn",
     oracle=_expected_oracle("v_lsh_knn", sf_bound=True),
 )
@@ -808,3 +851,39 @@ def s_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(
         o, 50, "o_totalprice", ["o_orderkey"], seed=42
     ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "s_group_sample",
+    oracle="""
+SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+)
+def s_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-capped sampling (operators/sampling.grouped_cap_sample): at
+    most 5 documents per source, chosen by smallest md5 content key — the
+    "cap every domain at N docs" curation step, deterministic by content
+    alone. The Spark plan is the two-stage exact top-n (per-partition
+    Arrow prune bounds the exchange at groups×n rows per task — one hot
+    domain never becomes one giant sorted reducer); the SQL twin is the
+    textbook single window, and they agree exactly because per-group
+    min-n is distributive. Full SQL oracle: Spark's md5 and DuckDB's md5
+    produce identical hex over identical bytes."""
+    from ..operators.sampling import grouped_cap_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return grouped_cap_sample(
+        docs.select("source", "doc_id", "n_chars"),
+        ["source"],
+        5,
+        on=["doc_id"],
+        rank_col="rank",
+    ).select("source", "rank", "doc_id", "n_chars")
