@@ -111,3 +111,63 @@ def test_validation():
         mg_partition_candidates(None, "v", 0)
     with pytest.raises(ValueError):
         heavy_hitters(None, "v", 0)
+
+
+def test_shortfall_raises_instead_of_truncating(spark):
+    # Round-4 review repro: 1 hot key + 50 singletons with capacity 4 —
+    # MG eviction leaves fewer than k candidates. The old plan returned
+    # 1 row silently; the contract is raise.
+    rows = [("hot",)] * 100 + [(f"s_{i:02d}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    with pytest.raises((PythonException, SparkRuntimeException, Exception)) as ei:
+        heavy_hitters(df, "v", 3, capacity=4).collect()
+    assert "not certified" in str(ei.value)
+
+
+def test_all_evicted_raises_instead_of_empty(spark):
+    # Uniform singletons, capacity far below the domain: the batched
+    # decrement can kill EVERY counter. The result frame would be empty,
+    # so the raise must ride the broadcast-side marker rows.
+    rows = [(f"s_{i:03d}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    with pytest.raises((PythonException, SparkRuntimeException, Exception)) as ei:
+        heavy_hitters(df, "v", 3, capacity=4).collect()
+    assert "not certified" in str(ei.value)
+
+
+def test_small_domain_returns_whole_domain_without_raise(spark):
+    # 2 distinct keys, k=5, no eviction (capacity >> domain): exact answer
+    # is the whole domain — must NOT raise even though counts can sit far
+    # below n/(capacity+1) (the old per-row threshold check would have).
+    rows = [("a",)] * 7 + [("b",)] * 3 + [(None,)] * 990
+    df = spark.createDataFrame(rows, "v string").repartition(3)
+    got = [
+        (r["v"], r["cnt"], r["rank"])
+        for r in heavy_hitters(df, "v", 5, capacity=64).orderBy("rank").collect()
+    ]
+    assert got == [("a", 7, 1), ("b", 3, 2)]
+
+
+def test_no_eviction_certifies_below_threshold_counts(spark):
+    # 1M-dominated shape: tail counts of 1 are far below n/(capacity+1)
+    # yet exact because nothing was ever evicted.
+    rows = [("big",)] * 5000 + [(f"t_{i:02d}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "v string").repartition(2)
+    got = [
+        (r["v"], r["cnt"])
+        for r in heavy_hitters(df, "v", 5, capacity=128).orderBy("rank").collect()
+    ]
+    assert got == _exact_topk(df, 5)
+
+
+def test_single_mg_scan_in_plan(spark):
+    # The MG Arrow stage must appear exactly once in the physical plan
+    # (round-4 review: the separate 1-row total broadcast re-ran it).
+    df = _skewed(spark)
+    plan = (
+        heavy_hitters(df, "v", 5, capacity=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan

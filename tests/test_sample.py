@@ -267,7 +267,7 @@ def test_grouped_cap_sample_matches_direct_window(spark, sf_dir):
     got = grouped_cap_sample(
         docs.repartition(13), ["source"], 5, on=["doc_id"], rank_col="rank"
     )
-    key = F.md5(F.col("doc_id").cast("string"))
+    key = F.md5(F.concat(F.lit("\x01"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
     want = (
         docs.withColumn("rank", F.row_number().over(w))
@@ -325,3 +325,55 @@ def test_grouped_cap_sample_validation(spark):
         grouped_cap_sample(df, ["g"], 0, on=["id"])
     with _pytest.raises(ValueError, match="key columns"):
         grouped_cap_sample(df, ["g"], 1, on=[])
+
+
+def test_grouped_cap_sample_null_keys_do_not_collide(spark):
+    """('x', NULL) and (NULL, 'x') must rank under DIFFERENT content keys
+    (concat_ws alone would silently skip the NULL and collide both onto
+    md5('x')) — and a NULL-keyed row's fate must be stable under appends
+    of other rows."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "x", None), ("g", None, "x"), ("g", "x", "")],
+        "grp string, a string, b string",
+    )
+    out = grouped_cap_sample(
+        df, ["grp"], 3, on=["a", "b"], rank_col="rank"
+    ).collect()
+    # all three distinct key tuples survive with distinct ranks 1..3
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+    ranks = {(r.a, r.b): r.rank for r in out}
+    # determinism: the rank of ('x', NULL) stays put when unrelated rows
+    # are appended (its content key didn't change)
+    df2 = df.unionByName(
+        spark.createDataFrame([("g", "zzz", "zzz")], df.schema)
+    )
+    out2 = grouped_cap_sample(df2, ["grp"], 4, on=["a", "b"], rank_col="rank")
+    ranks2 = {(r.a, r.b): r.rank for r in out2.collect()}
+    rel = sorted(ranks, key=ranks.get)
+    rel2 = [t for t in sorted(ranks2, key=ranks2.get) if t in ranks]
+    assert rel == rel2
+
+
+def test_weighted_hash_sample_u_resolution(spark):
+    """The A-ES uniform must be full-range (~2^53 values), not 1e6-bucket
+    quantized: over 50k equal-weight rows a 1e6-bucket u would collide
+    ~2.5k times and resolve ties by ascending key — here scores must be
+    (near-)unique so selection is the hash order, not the key order."""
+    from vectordb_similarity_search_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(50_000).select(
+        F.col("id"), F.lit(1.0).alias("w")
+    )
+    got = weighted_hash_sample(df, 500, "w", ["id"], seed=1).collect()
+    ids = sorted(r.id for r in got)
+    assert len(ids) == 500
+    # a tie-broken-by-key draw would be heavily biased toward small ids;
+    # a uniform draw's mean id sits near 25k (std ~ 645 for n=500)
+    mean = sum(ids) / len(ids)
+    assert 22_000 < mean < 28_000, mean

@@ -12,21 +12,40 @@ Shape here (two narrow passes, no wide shuffle over the key domain):
 
 1. **Candidate generation** — one scan, per-partition Misra–Gries summaries
    with ``capacity`` counters inside an Arrow ``mapInPandas`` stage. Each
-   partition emits at most ``capacity`` candidate keys plus one row-count
-   marker row, so the stage's output is ``<= partitions * (capacity + 1)``
-   rows regardless of input size or key cardinality.
-2. **Exact recount** — second scan, filtered by a **broadcast semi join**
+   partition emits at most ``capacity`` candidate keys plus one marker row
+   carrying (partition row count, decrement-event count), so the stage's
+   output is ``<= partitions * (capacity + 1)`` rows regardless of input
+   size or key cardinality.
+2. **Exact recount** — second scan, filtered by a **broadcast join**
    against the candidate set, then an ordinary partial+final count
-   aggregation over only the candidate keys.
+   aggregation over only the candidate keys. The MG subtree is referenced
+   exactly once (as the broadcast side), so the expensive Arrow scan runs
+   once per action — the corpus totals and eviction counts ride the
+   candidate rows as window-sum constants instead of a second MG-derived
+   broadcast (round-4 review: the old separate 1-row ``total`` subplan did
+   not canonicalize with the candidate subplan and re-ran the full MG scan).
 
-Guarantee (classic MG bound, proved per partition with the batched
-decrement below): any key with global frequency ``> n / (capacity + 1)``
-survives in at least one partition's summary. The final plan therefore
-certifies exactness lazily: if the k-th returned count is not strictly
-above ``n / (capacity + 1)``, the returned top-k could in principle miss a
-key, and the plan raises instead of returning possibly-wrong rows
-(``F.raise_error`` under the certificate predicate — same lazy-failure
-discipline as ml/quality.py).
+Exactness contract — the returned top-k is **provably exact, or the plan
+raises**; it never silently under-reports. Three certificates cover every
+case (classic MG bound: any key with global frequency ``> n/(capacity+1)``
+survives in at least one partition's summary):
+
+- **No evictions anywhere** (``sum(part_evict) == 0``): the candidate set
+  is ALL distinct keys, the recount is a complete groupBy — exact by
+  construction, including when the domain has fewer than ``k`` keys (the
+  full domain is returned, like the plain groupBy would).
+- **Evictions happened, >= k candidates survive**: each returned row must
+  beat the MG threshold ``n/(capacity+1)`` (ranks 1..k-1 dominate rank k,
+  so the per-row check is equivalent to checking rank k) — an omitted key
+  can have count at most the threshold, so nothing can displace the
+  returned set. Violations ``raise_error`` in the plan.
+- **Evictions happened, fewer than k candidates survive** (the silent-
+  truncation case the round-4 review caught empirically): a shortfall row
+  count cannot be certified, so the plan raises — via the per-row
+  ``max(rank) >= k`` check when candidates exist, and via a raise folded
+  into the broadcast-side marker filter when MG evicted *everything*
+  (marker rows are always present for non-empty input, so the raise has a
+  row to fire on even though the result would be empty).
 
 Batched MG decrement correctness: when a partition's counter table exceeds
 ``capacity`` by ``e`` entries, we subtract ``delta`` (the ``e``-th smallest
@@ -53,12 +72,14 @@ def mg_partition_candidates(
 ) -> DataFrame:
     """Per-partition Misra–Gries pass.
 
-    Returns a small DataFrame with columns ``(key, part_rows)``:
-    - one row per surviving counter, ``key`` = candidate value,
-      ``part_rows`` NULL;
+    Returns a small DataFrame with columns ``(key, part_rows, part_evict)``:
+    - one row per surviving counter, ``key`` = candidate value, marker
+      columns NULL;
     - exactly one marker row per non-empty partition, ``key`` NULL,
-      ``part_rows`` = number of input rows in that partition (so the total
-      input size is recoverable downstream without a second scan).
+      ``part_rows`` = number of input rows in that partition and
+      ``part_evict`` = number of decrement events it performed (so both
+      the total input size and whether ANY counter was ever evicted are
+      recoverable downstream without a second scan).
 
     NULL input keys are counted into ``part_rows`` (they are rows) but are
     never candidates — a NULL key cannot be distinguished from the marker
@@ -72,6 +93,7 @@ def mg_partition_candidates(
         [
             StructField("key", key_field.dataType, True),
             StructField("part_rows", LongType(), True),
+            StructField("part_evict", LongType(), True),
         ]
     )
 
@@ -82,6 +104,7 @@ def mg_partition_candidates(
         # batches (measured in scripts/scale_smoke_heavyhitters.py).
         acc: pd.Series | None = None
         n_rows = 0
+        n_evict = 0
         for pdf in batches:
             s = pdf[col]
             n_rows += len(s)
@@ -92,6 +115,7 @@ def mg_partition_candidates(
                 acc = acc.add(vc, fill_value=0).astype("int64")
             excess = len(acc) - capacity
             if excess > 0:
+                n_evict += 1
                 vals = acc.to_numpy()
                 delta = int(np.partition(vals, excess - 1)[excess - 1])
                 acc = acc[vals > delta] - delta
@@ -106,6 +130,9 @@ def mg_partition_candidates(
                 "part_rows": pd.Series(
                     [None] * len(keys) + [n_rows], dtype="object"
                 ),
+                "part_evict": pd.Series(
+                    [None] * len(keys) + [n_evict], dtype="object"
+                ),
             }
         )
 
@@ -116,61 +143,107 @@ def heavy_hitters(
     df: DataFrame, col: str, k: int, *, capacity: int = 4096
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``df[col]`` — or a runtime
-    error if exactness cannot be certified.
+    error if exactness cannot be certified (see the module docstring for
+    the three certificates; raise ``capacity`` on a certification failure —
+    memory per task is ``O(capacity)``).
 
     Returns ``(col, cnt, rank)`` ordered by ``(cnt desc, col asc)`` with a
-    deterministic tie-break. The result is **provably exact** whenever the
-    k-th count exceeds ``n / (capacity + 1)``; the certificate is evaluated
-    inside the plan and violations raise rather than under-report (raise
-    ``capacity`` if that happens — memory per task is ``O(capacity)``).
+    deterministic tie-break. When the key domain has fewer than ``k``
+    distinct values and no eviction occurred, the whole (exact) domain is
+    returned, like the plain groupBy it replaces.
 
-    One lazy plan, two source scans, nothing driver-side.
+    One lazy plan, two source scans (one MG, one recount), nothing
+    driver-side.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    key_field = df.schema[col]
     mg = mg_partition_candidates(df, col, capacity)
     # Window totals over the tiny MG output (<= partitions*(capacity+1)
     # rows): one single-partition exchange, no re-scan of the source per
-    # reference (plan-audit learning #1 in ROUND_NOTES). The same bound is
-    # what makes the final global rank window below safe: it runs over the
-    # candidate-only recount, never the raw key domain.
+    # reference (plan-audit learning #1 in ROUND_NOTES). Attaching the
+    # totals to every candidate row keeps the MG subtree referenced
+    # exactly once below.
     w_all = Window.partitionBy()
     mg = mg.select(
         "key",
-        F.sum("part_rows").over(w_all).alias("_n_total"),
+        F.sum("part_rows").over(w_all).alias("_n"),
+        F.sum("part_evict").over(w_all).alias("_evict"),
+        F.count("key").over(w_all).alias("_n_cand"),
     )
-    cand = mg.where(F.col("key").isNotNull()).dropDuplicates(["key"])
+    # All-evicted tripwire: marker rows (key NULL) exist for every
+    # non-empty partition, so if MG evicted every counter (_n_cand == 0)
+    # while input existed, the raise must fire — otherwise an empty
+    # candidate set would flow through joins into a silently-empty
+    # "top-k". The raise is folded into the key PROJECTION (a poisoned
+    # key value), not the filter: the inner join below makes Catalyst
+    # infer `isnotnull(join key)` and push it beneath any filter we wrote,
+    # which would prune the marker rows before a filter-side raise ever
+    # evaluated (observed in the round-4 review repro). With the raise
+    # inside the key expression, every null check on the join key has to
+    # evaluate it — on the all-evicted marker row that evaluation IS the
+    # error.
+    all_evicted = (
+        (F.col("_n_cand") == 0)
+        & (F.col("_evict") > 0)
+        & F.col("key").isNull()
+    )
+    key_or_raise = F.when(
+        all_evicted,
+        F.raise_error(
+            F.lit(
+                "heavy_hitters: top-k not certified exact — MG "
+                "evicted every counter (no candidate survived); "
+                "raise capacity"
+            )
+        ).cast(key_field.dataType.simpleString()),
+    ).otherwise(F.col("key"))
+    cand = (
+        mg.select(
+            key_or_raise.alias("key"), "_n", "_evict"
+        )
+        .where(F.col("key").isNotNull())
+        .dropDuplicates(["key"])
+        .withColumnRenamed("key", col)
+    )
     exact = (
         df.select(F.col(col))
-        .join(
-            F.broadcast(cand.withColumnRenamed("key", col)),
-            on=col,
-            how="left_semi",
-        )
+        .join(F.broadcast(cand), on=col, how="inner")
         .groupBy(col)
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_n").alias("_n"),
+            F.first("_evict").alias("_evict"),
+        )
     )
-    # Re-attach n (constant) for the certificate: broadcast the 1-row total.
-    total = cand.select(F.col("_n_total").alias("_n")).limit(1)
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col(col).asc())
     ranked = (
-        exact.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        exact.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .withColumn("_m", F.max("rank").over(w_all))
         .where(F.col("rank") <= k)
     )
     threshold = F.col("_n").cast("double") / F.lit(float(capacity + 1))
-    certified_cnt = F.when(
-        F.col("cnt").cast("double") > threshold, F.col("cnt")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "heavy_hitters: top-k not certified exact — rank-"
-                ),
-                F.col("rank").cast("string"),
-                F.lit(" count "),
-                F.col("cnt").cast("string"),
-                F.lit(" <= n/(capacity+1); raise capacity"),
+    certified_cnt = (
+        # no eviction anywhere -> candidates are ALL keys, recount complete
+        F.when(F.col("_evict") == 0, F.col("cnt"))
+        # evictions happened: need a full k rows, each above the MG bound
+        .when(
+            (F.col("_m") >= k) & (F.col("cnt").cast("double") > threshold),
+            F.col("cnt"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "heavy_hitters: top-k not certified exact — rank-"
+                    ),
+                    F.col("rank").cast("string"),
+                    F.lit(" count "),
+                    F.col("cnt").cast("string"),
+                    F.lit(" (candidates "),
+                    F.col("_m").cast("string"),
+                    F.lit(" of k, threshold n/(capacity+1)); raise capacity"),
+                )
             )
         )
     )

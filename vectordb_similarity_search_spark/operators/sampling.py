@@ -184,6 +184,13 @@ def grouped_cap_sample(
     ``rank_col`` additionally emits the within-group rank (1-based).
     NULL groups are real groups (kept as their own stratum — pandas
     ``dropna=False`` in stage 1 to match the window's NULL partition).
+
+    The default key NULL-encodes each column before hashing (NULL →
+    ``\\x00``, value → ``\\x01`` + string) — a bare ``concat_ws`` silently
+    SKIPS NULL columns, so ('x', NULL) and (NULL, 'x') would collide onto
+    one md5 and a NULL-keyed row's rank would depend on which colliding
+    rows happen to be present (round-4 review). SQL-twin form:
+    ``md5(chr(1) || CAST(c AS VARCHAR))`` per non-null column.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -191,7 +198,15 @@ def grouped_cap_sample(
         raise ValueError("grouped_cap_sample requires key columns (on)")
     if key is None:
         key = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                        F.concat(F.lit("\x01"), F.col(c).cast("string"))
+                    )
+                    for c in on
+                ],
+            )
         )
     import pandas as pd  # deferred: Arrow path only
 
@@ -233,8 +248,9 @@ def weighted_hash_sample(
 ) -> DataFrame:
     """Weighted sampling without replacement, hash-deterministic: the
     Efraimidis–Spirakis A-ES scheme. Each row draws a content-keyed
-    uniform ``u`` (same xxhash64 bucket family as ``hash_sample``, center
-    offset so u is never 0/1) and scores ``u^(1/w)``; the ``k`` largest
+    uniform ``u`` (full-range xxhash64 of the same (keys, seed) input as
+    ``hash_sample``, offset so u is never exactly 0 or 1) and scores
+    ``u^(1/w)``; the ``k`` largest
     scores ARE a weighted sample without replacement — inclusion odds
     proportional to weight, exactly (Efraimidis & Spirakis 2006).
 
@@ -246,14 +262,24 @@ def weighted_hash_sample(
     draw replays bit-identically anywhere (unlike rand-stream samplers).
 
     Rows with NULL or non-positive weight are excluded (they have no
-    defined inclusion probability); ties in score (quantized u) break on
-    the key columns to keep the result a function of content alone.
+    defined inclusion probability). The uniform ``u`` uses the FULL
+    xxhash64 range (~2^53 distinct doubles after the cast), not the
+    1e6-bucket family of ``hash_sample``: A-ES needs a (near-)continuous
+    uniform — at corpus scale a 1e6-quantized u collides constantly and
+    the orderBy tie-break would resolve those collisions by ascending
+    key, silently biasing the draw toward small keys (round-4 review).
+    Residual ties at 2^-53 are broken on the key columns to keep the
+    result a function of content alone.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not on:
         raise ValueError("weighted_hash_sample requires key columns (on)")
-    u = (_hash_bucket(on, seed) + F.lit(0.5)) / F.lit(1_000_000.0)
+    # map int64 → (0, 1): (h + 2^63 + 0.5) / 2^64
+    h = F.xxhash64(*[F.col(c) for c in on], F.lit(seed)).cast("double")
+    u = (h + F.lit(9.2233720368547758e18) + F.lit(0.5)) / F.lit(
+        1.8446744073709552e19
+    )
     w = F.col(weight_col).cast("double")
     scored = df.where(w.isNotNull() & (w > 0)).withColumn(
         "_aes_score", F.pow(u, F.lit(1.0) / w)

@@ -415,9 +415,15 @@ def e_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk the span per key if a single series spans decades at
     sub-second steps) -> co-partitioned left join on (key, bucket) ->
     ``last(ignorenulls)`` ordered window per key. Empty buckets report 0
-    events and carry the last seen hourly total. Two shuffles total
-    (agg, window — the join reuses the window's key exchange), state
-    bounded per key; no driver-side calendar materialization."""
+    events and carry the last seen hourly total. Movement (verified in
+    the executed plan): the hourly-agg exchange, the span-agg exchange on
+    event_type — whose partitioning the exploded grid inherits and the
+    LOCF window REUSES (no extra window shuffle) — and a broadcast of the
+    post-agg hourly side into the grid join (bounded by types x hours,
+    not events). If hourly ever outgrew broadcast, repartitioning both
+    sides by event_type alone still co-locates the 2-key join (subset of
+    join keys) AND the window. No driver-side calendar
+    materialization."""
     e = t(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -861,7 +861,7 @@ FROM (
   SELECT source, doc_id, n_chars,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5(chr(1) || CAST(doc_id AS VARCHAR)), doc_id
          ) AS rn
   FROM documents
 ) WHERE rn <= 5
@@ -876,7 +876,8 @@ def s_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain never becomes one giant sorted reducer); the SQL twin is the
     textbook single window, and they agree exactly because per-group
     min-n is distributive. Full SQL oracle: Spark's md5 and DuckDB's md5
-    produce identical hex over identical bytes."""
+    produce identical hex over identical bytes (the chr(1) prefix is the
+    operator's NULL-safe per-column encoding of a non-null value)."""
     from ..operators.sampling import grouped_cap_sample
 
     docs = t(spark, sf_dir, "documents")
