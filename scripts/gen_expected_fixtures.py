@@ -33,7 +33,7 @@ FIXTURE_QUERIES = [
     "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
     "d_dedup_keep", "v_ivf_knn", "v_lsh_knn", "r_approx_distinct",
     "v_ivf_knn_batch", "t_bpe_train", "v_mmr_rerank", "v_ivf_knn_filtered",
-    "v_index_stats", "s_sample_weighted",
+    "v_index_stats", "s_sample_weighted", "t_bpe_apply",
 ]
 
 

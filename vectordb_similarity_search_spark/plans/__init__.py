@@ -136,6 +136,7 @@ TAIL = [
     "s_sample_weighted",
     "v_bq_knn",
     "s_group_sample",
+    "t_bpe_apply",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

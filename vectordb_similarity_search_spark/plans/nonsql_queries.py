@@ -468,6 +468,18 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-independence pinned in tests/test_bpe.py); no SQL twin (the
     loop is iterative). Fit memoized per session (model build, not query
     work)."""
+    merges = _bpe_model(spark, sf_dir).merges[:20]
+    rows = [
+        (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, unit string"
+    )
+
+
+def _bpe_model(spark: SparkSession, sf_dir: str):
+    """The corpus BPE model shared by t_bpe_train / t_bpe_apply (one fit,
+    memoized per session — model build, not query work)."""
     from ..ml.bpe import fit_bpe
 
     key = _model_key(spark, sf_dir, "bpe")
@@ -475,12 +487,45 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MODEL_CACHE[key] = fit_bpe(
             t(spark, sf_dir, "documents"), "text", n_merges=40, top_words=50_000
         )
-    merges = _MODEL_CACHE[key].merges[:20]
-    rows = [
-        (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, unit string"
+    return _MODEL_CACHE[key]
+
+
+@query(
+    "t_bpe_apply",
+    oracle=_expected_oracle("t_bpe_apply", sf_bound=True),
+)
+def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the LEARNED tokenizer (ml/bpe:
+    BpeModel.encode — Arrow-batched mapInPandas with a per-executor word
+    cache; the merge table rides the closure, broadcast-sized): per-lang
+    token accounting — docs, total subword tokens, tokens/doc, and
+    fertility (subword tokens per whitespace word, the
+    tokenizer-efficiency metric multilingual pipelines track). One
+    distributed encode pass + one partial-agg groupBy; the model fit is
+    the memoized t_bpe_train build. Oracle: expected-output parquet —
+    the encoded stream is a pure content function of the corpus (same
+    determinism argument as t_bpe_train: lexicographic tie-breaks,
+    bounded deterministic cap); no SQL twin (the merge loop is
+    iterative)."""
+    model = _bpe_model(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    enc = model.encode(docs, "text", out_col="toks")
+    per_doc = enc.select(
+        "lang",
+        F.size("toks").alias("n_toks"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 2).alias("tokens_per_doc"),
+            F.round(
+                F.sum("n_toks") / F.sum("n_words"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
     )
 
 
