@@ -255,3 +255,52 @@ def test_late_interaction_empty_queries_raise(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="query vector"):
         late_interaction_topk(emb, [], k=3)
+
+
+def test_mine_triplets_semantics_and_single_scan(spark, sf_dir):
+    """Positive == true nearest neighbour; negatives are the best-ranked
+    candidates >= margin below it; the whole mining runs in ONE corpus
+    scan (role windows reuse the rank exchange)."""
+    from vectordb_similarity_search_spark.operators.topk import (
+        knn,
+        mine_triplets,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = mine_triplets(
+        queries, emb.select("vec_id", "embedding"), n_neg=2, margin=0.05
+    )
+    rows = out.collect()
+    by_anchor: dict = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, {"positive": [], "negative": []})[
+            r.role
+        ].append((r.cand_id, r.score))
+    for a, d in by_anchor.items():
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == a).head()["embedding"]
+        ]
+        top = knn(emb.filter(F.col("vec_id") != a), qv, 1).head()
+        assert d["positive"] == [(top["vec_id"], round(top["score"], 6))]
+        pos_s = d["positive"][0][1]
+        assert len(d["negative"]) <= 2
+        for _, s in d["negative"]:
+            assert s <= round(pos_s - 0.05, 6) + 1e-9
+    # two scans total (broadcast anchors + corpus): mining must not branch
+    # into per-role re-scans of the similarity join
+    from .conftest import plan_of
+
+    plan = plan_of(
+        mine_triplets(
+            queries, emb.select("vec_id", "embedding"), n_neg=2, margin=0.05
+        )
+    )
+    # tree lines look like "+- Scan parquet  (1)" (the detail section
+    # repeats each node, so count tree occurrences only)
+    assert plan.count("Scan parquet  (") == 2, plan

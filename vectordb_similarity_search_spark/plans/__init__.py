@@ -137,6 +137,7 @@ TAIL = [
     "v_bq_knn",
     "s_group_sample",
     "t_bpe_apply",
+    "v_triplet_mining",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -134,6 +134,64 @@ def v_sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v_triplet_mining",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, s,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rk,
+         max(s) OVER (PARTITION BY qid) AS ps
+  FROM scored
+), staged AS (
+  SELECT qid, vec_id, (round(s, 6) + 0) AS s6, rk,
+         (round(s, 6) + 0) <= (round(ps, 6) + 0) - 0.05 AS is_neg,
+         sum(CASE WHEN (round(s, 6) + 0) <= (round(ps, 6) + 0) - 0.05
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY qid ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nr
+  FROM ranked WHERE rk <= 20
+)
+SELECT qid AS anchor_id,
+       CASE WHEN rk = 1 THEN 'positive' ELSE 'negative' END AS role,
+       vec_id AS cand_id, s6 AS score
+FROM staged
+WHERE rk = 1 OR (is_neg AND nr <= 2)
+""",
+)
+def v_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (operators/topk.mine_triplets):
+    for each of 10 anchors, the nearest neighbour as the POSITIVE plus up
+    to 2 semi-hard NEGATIVES — the best-scoring candidates at least 0.05
+    cosine below the positive (FaceNet-style: close enough to teach the
+    margin, far enough to be real negatives). One broadcast-anchors
+    corpus scan; role assignment is windows over the rank's own anchor
+    exchange (no second scan — plan-audit learning #1). Full SQL twin:
+    margin predicates evaluate on round-6 scores in BOTH engines so the
+    boundary is engine-robust. At 100 TB the candidate source swaps to
+    the batch ANN probe (ivf_search_index_batch); the mining frame is
+    unchanged."""
+    from ..operators.topk import mine_triplets
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mine_triplets(
+        queries,
+        emb.select("vec_id", "embedding"),
+        n_neg=2,
+        margin=0.05,
+        depth=20,
+    )
+
+
+@query(
     "v_query_cohort_stats",
     oracle="""
 WITH q AS (
