@@ -304,3 +304,35 @@ def test_mine_triplets_semantics_and_single_scan(spark, sf_dir):
     # tree lines look like "+- Scan parquet  (1)" (the detail section
     # repeats each node, so count tree occurrences only)
     assert plan.count("Scan parquet  (") == 2, plan
+
+
+def test_grouped_knn_one_scan_with_group_limit(spark, sf_dir):
+    """grouped_knn == per-group filtered knn, in ONE scan with the
+    WindowGroupLimit pushdown (partial group-top-k before the exchange)."""
+    from vectordb_similarity_search_spark.operators.topk import (
+        grouped_knn,
+        knn,
+    )
+    from vectordb_similarity_search_spark.plans.vector_queries import (
+        _query_vec,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    from .conftest import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    out = grouped_knn(corpus, qv, "label", k=2)
+    got = {
+        (r.label, r.rank): (r.vec_id, round(r.score, 6))
+        for r in out.collect()
+    }
+    labels = {r.label for r in corpus.select("label").distinct().collect()}
+    for lbl in labels:
+        want = knn(corpus.filter(F.col("label") == lbl), qv, 2).collect()
+        for i, r in enumerate(want):
+            assert got[(lbl, i + 1)] == (r.vec_id, round(r.score, 6))
+    plan = plan_of(grouped_knn(corpus, qv, "label", k=2))
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "WindowGroupLimit" in plan, plan

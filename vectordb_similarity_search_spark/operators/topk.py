@@ -139,6 +139,41 @@ def similarity_join(
     )
 
 
+def grouped_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    group_col: str,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Group-by search: top-``k`` nearest rows PER GROUP for one query —
+    the "group results by payload field" feature of vector stores
+    (diversify results across labels/namespaces/sources in one pass
+    instead of one filtered search per group).
+
+    Shape: the scored scan is the same shuffle-free projection as
+    :func:`knn`; the per-group rank compiles to WindowGroupLimit
+    (partial per-partition group-top-k BEFORE the exchange, since Spark
+    3.5), so the shuffle carries at most groups x k x partitions rows —
+    never the corpus. One scan regardless of group count; G filtered
+    knn() calls would be G scans.
+    """
+    score, desc = _score(vec_col, array_lit(query_vec), metric)
+    order = F.col(score_col).desc() if desc else F.col(score_col).asc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    keep = [c for c in corpus.columns if c != vec_col]
+    return (
+        corpus.withColumn(score_col, score)
+        .select(*keep, score_col)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def mine_triplets(
     queries: DataFrame,
     corpus: DataFrame,

@@ -138,6 +138,7 @@ TAIL = [
     "s_group_sample",
     "t_bpe_apply",
     "v_triplet_mining",
+    "v_grouped_knn",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

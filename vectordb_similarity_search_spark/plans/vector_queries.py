@@ -192,6 +192,43 @@ def v_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v_grouped_knn",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings e WHERE e.vec_id <> 0
+), ranked AS (
+  SELECT label, vec_id, s,
+         CAST(row_number() OVER (
+           PARTITION BY label ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT label, rank, vec_id, (round(s, 6) + 0) AS score
+FROM ranked WHERE rank <= 3
+""",
+)
+def v_grouped_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by search (operators/topk.grouped_knn): top-3 neighbours of
+    query vec 0 within EVERY label — the "group results by payload
+    field" feature of vector stores, one scan for all groups instead of
+    one filtered search per group. The scored scan is the same
+    shuffle-free projection as v_knn_cosine; the per-label rank compiles
+    to WindowGroupLimit (partial group-top-k before the exchange), so
+    the shuffle carries at most labels x k x partitions rows. Full SQL
+    twin (rank window partitioned by label)."""
+    from ..operators.topk import grouped_knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return grouped_knn(
+        emb.filter(F.col("vec_id") != 0), qv, "label", k=3
+    ).select("label", "rank", "vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
     "v_query_cohort_stats",
     oracle="""
 WITH q AS (
