@@ -139,6 +139,7 @@ TAIL = [
     "t_bpe_apply",
     "v_triplet_mining",
     "v_grouped_knn",
+    "e_retention_cohorts",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

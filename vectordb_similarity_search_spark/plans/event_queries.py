@@ -521,3 +521,71 @@ def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "e_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY 1),
+activity AS (
+  SELECT DISTINCT f.w0,
+         CAST(datediff('day', f.w0, date_trunc('week', e.ts)) / 7 AS INTEGER)
+           AS week_offset,
+         e.user_id
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id),
+counts AS (
+  SELECT w0, week_offset, CAST(count(*) AS BIGINT) AS active_users
+  FROM activity GROUP BY 1, 2)
+SELECT CAST(CAST(w0 AS DATE) AS VARCHAR) AS cohort_week, week_offset, active_users,
+       (round(CAST(active_users AS DOUBLE) / max(CASE WHEN week_offset = 0
+          THEN active_users END) OVER (PARTITION BY w0), 4) + 0)
+         AS retention
+FROM counts
+""",
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the product-analytics staple): users
+    bucketed by first-seen week; for every (cohort, week-offset) cell,
+    distinct active users and retention vs the cohort's week-0 size.
+    Spark shape: first-seen is one partial-agg groupBy(user); the
+    activity join re-uses that user-hashed exchange (both sides keyed on
+    user_id); DISTINCT collapses (cohort, offset, user) before the
+    count — so the widest exchange carries one row per user-week, never
+    raw events; the week-0 denominator is a window over the tiny counts
+    frame (no re-scan). Weeks via date_trunc (Monday start in BOTH
+    engines); cohort exported as string per the date-parity discipline."""
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "w0",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    counts = activity.groupBy("w0", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
+    w = Window.partitionBy("w0")
+    return counts.select(
+        F.to_date("w0").cast("string").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        F.round(
+            F.col("active_users")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("active_users"))
+            ).over(w),
+            4,
+        ).alias("retention"),
+    )
