@@ -65,6 +65,7 @@ PIPELINE = [
     "t_bm25_phrase",         # phrase-boosted BM25 retrieval
     "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
     "t_nb_quality",          # closed-form trained quality classifier
+    "t_bpe_apply",           # learned-tokenizer corpus encode + fertility
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the
@@ -81,6 +82,8 @@ ANN = [
     "v_search_docs",         # top-k + broadcast payload hydration
     "v_mmr_rerank",          # top-25 retrieve + MMR diversity rerank
     "v_late_interaction",    # ColBERT-style sum-of-max, multi-vector docs
+    "v_triplet_mining",      # NN positive + semi-hard negatives, one scan
+    "v_grouped_knn",         # top-k per payload group, WindowGroupLimit
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
