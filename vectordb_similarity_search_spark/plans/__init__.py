@@ -140,6 +140,7 @@ TAIL = [
     "v_triplet_mining",
     "v_grouped_knn",
     "e_retention_cohorts",
+    "e_funnel_conversion",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -589,3 +589,97 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("retention"),
     )
+
+
+@query(
+    "e_funnel_conversion",
+    oracle="""
+WITH t1s AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+t2s AS (
+  SELECT user_id, ts, event_type, t1,
+         min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM t1s),
+t3s AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM t2s),
+per_user AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM t3s GROUP BY user_id),
+tot AS (
+  SELECT CAST(count(t1) AS BIGINT) AS u1, CAST(count(t2) AS BIGINT) AS u2,
+         CAST(count(t3) AS BIGINT) AS u3
+  FROM per_user)
+SELECT s.step, s.users,
+       (round(CAST(s.users AS DOUBLE) / u1, 4) + 0) AS conversion
+FROM tot, LATERAL (VALUES (1, 'view', u1), (2, 'click_after_view', u2),
+                          (3, 'purchase_after_click', u3)) AS s(ord, step, users)
+ORDER BY s.ord
+""",
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (the other product-analytics staple next to
+    e_retention_cohorts): users reaching view -> click-after-view ->
+    purchase-after-click, with strict per-user event ordering. Spark
+    shape: the three step timestamps are STACKED windows over ONE
+    user-hashed exchange (each step's min is conditional on the previous
+    step's timestamp — expressible as window-over-window on the same
+    partitioning, no joins, no re-scan); per-user reduction reuses the
+    same exchange; the final 3-row report is one tiny global aggregate
+    exploded into steps. Full SQL twin (identical window cascade)."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    s1 = e.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    s2 = s1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    s3 = s2.select("user_id", "t1", "t2", t3.alias("t3"))
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    tot = per_user.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+    )
+    steps = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("step"), F.col("u1").alias("users")
+                ),
+                F.struct(
+                    F.lit("click_after_view").alias("step"),
+                    F.col("u2").alias("users"),
+                ),
+                F.struct(
+                    F.lit("purchase_after_click").alias("step"),
+                    F.col("u3").alias("users"),
+                ),
+            )
+        ).alias("s"),
+        "u1",
+    )
+    return steps.select(
+        F.col("s.step").alias("step"),
+        F.col("s.users").alias("users"),
+        F.round(F.col("s.users") / F.col("u1"), 4).alias("conversion"),
+    )
