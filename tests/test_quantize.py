@@ -128,3 +128,26 @@ def test_bq_encode_layout_independent(spark, emb, bq):
     assert np.allclose(model2.thresholds, model.thresholds)
     again = {r.vec_id: list(r.bq) for r in model2.encode(shuffled).collect()}
     assert again == base
+
+
+def test_bq_sampled_fit_still_exact(spark, emb):
+    """sample_fraction bounds the percentile aggregate's state (the 100 TB
+    lever) while the served top-k stays exact by the rescore contract;
+    the returned count stays the exact corpus count."""
+    from vectordb_similarity_search_spark.operators.quantize import fit_bq
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    model, n = fit_bq(corpus, dim=64, sample_fraction=0.5)
+    assert n == corpus.count()  # count is exact even when fit is sampled
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    codes = model.encode(corpus)
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in model.search(
+            codes, corpus, qv, k=10, rescore=max(200, (2 * n) // 5)
+        ).collect()
+    ]
+    want = [(r.vec_id, round(r.score, 6)) for r in knn(corpus, qv, 10).collect()]
+    assert got == want
+    with pytest.raises(ValueError, match="sample_fraction"):
+        fit_bq(corpus, dim=64, sample_fraction=0.0)

@@ -377,3 +377,35 @@ def test_weighted_hash_sample_u_resolution(spark):
     # a uniform draw's mean id sits near 25k (std ~ 645 for n=500)
     mean = sum(ids) / len(ids)
     assert 22_000 < mean < 28_000, mean
+
+
+def test_grouped_cap_sample_custom_key_with_nulls_matches_window(spark):
+    """A custom ranking key with NULLs: stage-1 pandas pruning must use
+    NULLS-FIRST like the stage-2 Spark window (pandas defaults to
+    NaN-last, which would prune the window's true top-n; review fix)."""
+    from pyspark.sql import Window
+    from vectordb_similarity_search_spark.operators.sampling import (
+        grouped_cap_sample,
+    )
+
+    rows = [("g", i, None if i % 3 == 0 else float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, id int, priority double")
+    got = sorted(
+        (r.grp, r.id)
+        for r in grouped_cap_sample(
+            df.repartition(5), ["grp"], 4, on=["id"], key=F.col("priority")
+        ).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("priority").asc(), F.col("id").asc()
+    )
+    want = sorted(
+        (r.grp, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .collect()
+    )
+    assert got == want
+    # NULL priorities rank first under ASC NULLS FIRST, so all four picks
+    # must be NULL-priority rows
+    assert all(i % 3 == 0 for _, i in got)

@@ -336,3 +336,16 @@ def test_grouped_knn_one_scan_with_group_limit(spark, sf_dir):
     plan = plan_of(grouped_knn(corpus, qv, "label", k=2))
     assert plan.count("Scan parquet  (") == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_mine_triplets_rejects_nonpositive_margin(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.topk import mine_triplets
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="margin"):
+        mine_triplets(queries, emb, margin=0.0)

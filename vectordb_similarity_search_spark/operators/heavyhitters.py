@@ -43,9 +43,12 @@ survives in at least one partition's summary):
   truncation case the round-4 review caught empirically): a shortfall row
   count cannot be certified, so the plan raises — via the per-row
   ``max(rank) >= k`` check when candidates exist, and via a raise folded
-  into the broadcast-side marker filter when MG evicted *everything*
-  (marker rows are always present for non-empty input, so the raise has a
-  row to fire on even though the result would be empty).
+  into the broadcast-side KEY PROJECTION (a poisoned key value) when MG
+  evicted *everything*: marker rows are always present for non-empty
+  input, and putting the raise inside the key expression — NOT in a
+  filter, which the join's inferred ``isnotnull(key)`` pushdown would
+  defeat — guarantees it evaluates even though the result would be
+  empty.
 
 Batched MG decrement correctness: when a partition's counter table exceeds
 ``capacity`` by ``e`` entries, we subtract ``delta`` (the ``e``-th smallest

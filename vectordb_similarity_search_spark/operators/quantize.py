@@ -224,22 +224,45 @@ def fit_bq(
     dim: int | None = None,
     *,
     levels: int = 3,
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> tuple[BqModel, int]:
-    """Per-dim EXACT quantile thresholds (levels cuts at 1/(L+1) ..
-    L/(L+1)) from one aggregate — the same moments→driver split as
-    fit_sq8 / PCA, and exact (not approx_percentile) so the fit is a pure
-    content function of the corpus, independent of partition layout.
-    Returns (model, corpus_count): the count rides the same aggregate job
-    and lets callers size the screen depth without a second scan."""
+    """Per-dim quantile thresholds (levels cuts at 1/(L+1) .. L/(L+1))
+    from one aggregate over one scan. Exact ``F.percentile`` keeps the
+    fit a pure content function of the corpus (layout-independent),
+    BUT — unlike fit_sq8's constant-state min/max — it buffers one
+    (value, count) entry per DISTINCT value per dimension, so over
+    continuous embeddings the aggregate state is O(rows x dims). Fine at
+    fixture/model-build scale; at a 100 TB corpus pass
+    ``sample_fraction``: thresholds then fit on a CONTENT-KEYED hash
+    sample (xxhash64 of the vector bytes — still layout-independent and
+    replayable) folded into the same single-scan aggregate via
+    ``when(bucket < cutoff, elem)``, bounding percentile state by the
+    sample while the returned corpus count stays exact. Quantiles of a
+    few-percent sample are well within the screen's >=2x depth margin —
+    thresholds are model parameters, and the served top-k is exact by
+    the rescore contract regardless.
+
+    Returns (model, corpus_count): the count rides the same aggregate
+    job and lets callers size the screen depth without a second scan."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
+    elem = lambda j: F.element_at(vec_col, j + 1)  # noqa: E731
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        cutoff = int(sample_fraction * 1_000_000)
+        bucket = F.pmod(
+            F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000)
+        )
+        base = elem
+        elem = lambda j: F.when(bucket < cutoff, base(j))  # noqa: E731
     ps = F.array(*[F.lit((l + 1) / (levels + 1)) for l in range(levels)])
     row = df.agg(
         F.count("*").alias("_n"),
-        *[
-            F.percentile(F.element_at(vec_col, j + 1), ps).alias(f"t{j}")
-            for j in range(dim)
-        ],
+        *[F.percentile(elem(j), ps).alias(f"t{j}") for j in range(dim)],
     ).head()
     thr = np.array([row[f"t{j}"] for j in range(dim)], dtype=np.float64).T
     return BqModel(thr), int(row["_n"])

@@ -219,7 +219,14 @@ def grouped_cap_sample(
             if pdf.empty:
                 continue
             cur = pdf if acc is None else pd.concat([acc, pdf])
-            cur = cur.sort_values(order_cols, kind="mergesort")
+            # na_position='first' mirrors Spark's ASC NULLS FIRST: a NULL
+            # custom key (or NULL tie-break column) must survive stage 1
+            # exactly when the stage-2 window would rank it on top —
+            # pandas' default NaN-last would prune the window's true
+            # top-n (round-4 review)
+            cur = cur.sort_values(
+                order_cols, kind="mergesort", na_position="first"
+            )
             acc = cur.groupby(group_cols, sort=False, dropna=False).head(n)
         if acc is not None and not acc.empty:
             yield acc
@@ -275,10 +282,16 @@ def weighted_hash_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     if not on:
         raise ValueError("weighted_hash_sample requires key columns (on)")
-    # map int64 → (0, 1): (h + 2^63 + 0.5) / 2^64
+    # map int64 → (0, 1): (h + 2^63 + 0.5) / 2^64, clamped below 1 —
+    # for h within ~1024 of int64 max the double rounding lands on
+    # exactly 1.0 (u=1 ⇒ score 1 regardless of weight, breaking the
+    # A-ES inclusion guarantee for that row; round-4 review, verified
+    # numerically)
     h = F.xxhash64(*[F.col(c) for c in on], F.lit(seed)).cast("double")
-    u = (h + F.lit(9.2233720368547758e18) + F.lit(0.5)) / F.lit(
-        1.8446744073709552e19
+    u = F.least(
+        (h + F.lit(9.2233720368547758e18) + F.lit(0.5))
+        / F.lit(1.8446744073709552e19),
+        F.lit(1.0 - 2.0**-53),
     )
     w = F.col(weight_col).cast("double")
     scored = df.where(w.isNotNull() & (w > 0)).withColumn(

@@ -213,6 +213,11 @@ def mine_triplets(
     """
     if n_neg < 0:
         raise ValueError(f"n_neg must be >= 0, got {n_neg}")
+    if margin <= 0:
+        # at margin <= 0 the rank-1 positive itself satisfies the
+        # negative predicate and consumes a negative slot — the caller
+        # would silently get n_neg-1 negatives per anchor
+        raise ValueError(f"margin must be > 0, got {margin}")
     hits = similarity_join(
         queries,
         corpus,

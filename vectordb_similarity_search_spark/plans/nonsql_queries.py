@@ -513,7 +513,12 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = enc.select(
         "lang",
         F.size("toks").alias("n_toks"),
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        # count NON-EMPTY tokens: split() on a string with leading/
+        # trailing \s (or an empty doc) yields '' entries that a bare
+        # size() would count as words, understating fertility
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_words"),
     )
     return (
         per_doc.groupBy("lang")
