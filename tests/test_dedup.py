@@ -311,3 +311,52 @@ class TestSemanticPrune:
         canon_ids = {r["cluster_id"] for r in labels.collect()}
         kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
         assert canon_ids <= kept_ids
+
+
+def test_cross_neardup_flags_matches_bruteforce(spark, sf_dir):
+    """Arrow-matmul flags == per-row brute force (best ref, threshold),
+    and the corpus pass is shuffle-free."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.dedup import (
+        cross_neardup_flags,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    from .conftest import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    refs = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    out = cross_neardup_flags(corpus.repartition(5), refs, 0.3)
+    got = {r.vec_id: (r.eval_id, round(r.score, 6)) for r in out.collect()}
+
+    R = {r.vec_id: np.array(r.embedding, float) for r in refs.collect()}
+    want = {}
+    for r in corpus.collect():
+        v = np.array(r.embedding, float)
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            continue
+        best = max(
+            (
+                (float(v @ w) / (nv * np.linalg.norm(w)), -rid)
+                for rid, w in R.items()
+            ),
+        )
+        s, rid = best[0], -best[1]
+        if s >= 0.3:
+            want[r.vec_id] = (rid, round(s, 6))
+    assert got == want and len(got) > 0
+    assert "Exchange" not in plan_of(cross_neardup_flags(corpus, refs, 0.3))
+
+
+def test_cross_neardup_flags_rejects_empty_refs(spark, sf_dir):
+    from vectordb_similarity_search_spark.operators.dedup import (
+        cross_neardup_flags,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="empty reference"):
+        cross_neardup_flags(emb, emb.filter(F.col("vec_id") < 0), 0.3)

@@ -1041,3 +1041,83 @@ def minhash_lsh_pairs_incremental(
 
     verified = paired.mapInPandas(verify_pairs, out_schema)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def cross_neardup_flags(
+    corpus: DataFrame,
+    refs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level decontamination: flag every corpus vector whose
+    cosine to ANY reference vector reaches ``threshold``, reporting the
+    best-matching reference — the semantic twin of t_decontaminate's
+    n-gram screen (evals leak into training corpora as paraphrases, not
+    verbatim text; WMDP/GSM8k-style contamination audits run exactly
+    this scan).
+
+    Scale shape: the reference set (an eval benchmark — thousands of
+    rows, not corpus-sized) collects to a BROADCAST matrix; the corpus
+    pass is one shuffle-free Arrow stage computing an (batch x refs)
+    BLAS matmul + row argmax — no crossJoin row blowup, no exchange, no
+    per-pair Python. Output is bounded by the flagged subset. For
+    corpus-sized reference sets use semantic_neardup_pairs (cell-blocked)
+    instead.
+
+    Ties on the best score break toward the smallest reference id
+    (deterministic, oracle-matchable). NULL/zero-norm corpus vectors are
+    never flagged (cosine undefined).
+    """
+    if ref_id_col is None:
+        ref_id_col = id_col
+    ref_rows = sorted(
+        (r[ref_id_col], list(r[vec_col])) for r in refs.collect()
+    )
+    if not ref_rows:
+        raise ValueError("cross_neardup_flags: empty reference set")
+    ref_ids = np.array([i for i, _ in ref_rows])
+    R = np.array([v for _, v in ref_rows], dtype=np.float64)
+    Rn = R / np.maximum(np.linalg.norm(R, axis=1)[:, None], 1e-300)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ref_ids, Rn))
+    out_schema = T.StructType(
+        [
+            corpus.schema[id_col],
+            T.StructField("eval_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def scan(batches):
+        import pandas as pd
+
+        ids, Rn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            Xn = X[ok] / norms[ok][:, None]
+            S = Xn @ Rn_.T
+            best = S.argmax(axis=1)  # first max -> smallest ref id (sorted)
+            bs = S[np.arange(len(best)), best]
+            keep = bs >= thr
+            if not keep.any():
+                continue
+            cid = pdf[id_col].to_numpy()[ok][keep]
+            yield pd.DataFrame(
+                {
+                    id_col: cid,
+                    "eval_id": ids[best[keep]],
+                    "score": bs[keep],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)

@@ -141,6 +141,7 @@ TAIL = [
     "v_grouped_knn",
     "e_retention_cohorts",
     "e_funnel_conversion",
+    "d_cross_decontaminate",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",
