@@ -1,0 +1,87 @@
+"""Keyed table diff / reconciliation (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.diff import (
+    diff_summary,
+    table_diff,
+)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),
+            (3, "c", 30.0),
+            (4, "d", 40.0),
+        ],
+        "k int, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # same
+            (2, "b", None),      # same (NULL-safe)
+            (3, "c", 31.0),      # changed (v)
+            (5, "e", 50.0),      # added
+        ],
+        "k int, s string, v double",
+    )
+    return left, right
+
+
+def test_table_diff_statuses(spark):
+    left, right = _sides(spark)
+    rows = {r.k: r["_diff_status"] for r in table_diff(left, right, ["k"]).collect()}
+    assert rows == {1: "same", 2: "same", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_diff_summary_counts(spark):
+    left, right = _sides(spark)
+    got = {r.metric: r.n for r in diff_summary(left, right, ["k"]).collect()}
+    assert got == {
+        "rows_added": 1,
+        "rows_removed": 1,
+        "rows_changed": 1,
+        "rows_same": 2,
+        "col_changed_s": 0,
+        "col_changed_v": 1,
+    }
+
+
+def test_table_diff_null_vs_value_is_changed(spark):
+    left = spark.createDataFrame([(1, None)], "k int, v double")
+    right = spark.createDataFrame([(1, 0.0)], "k int, v double")
+    assert table_diff(left, right, ["k"]).head()["_diff_status"] == "changed"
+
+
+def test_table_diff_duplicate_keys_raise(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b")], "k int, s string")
+    right = spark.createDataFrame([(1, "a")], "k int, s string")
+    with pytest.raises(Exception) as ei:
+        table_diff(left, right, ["k"]).collect()
+    assert "duplicate key" in str(ei.value)
+
+
+def test_table_diff_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    other = spark.createDataFrame([(1, 2)], "k int, n int")
+    with pytest.raises(ValueError, match="key columns"):
+        table_diff(df, df, [])
+    with pytest.raises(ValueError, match="schemas differ"):
+        table_diff(df, other, ["k"])
+
+
+def test_diff_summary_is_single_sort_merge_join(spark):
+    """Reconciliation plan shape: one SortMergeJoin FullOuter, no
+    broadcast of either side, one aggregate."""
+    left, right = _sides(spark)
+    from .conftest import plan_of
+
+    plan = plan_of(diff_summary(left, right, ["k"]))
+    # tree lines look like "SortMergeJoin FullOuter (12)" (the detail
+    # section repeats each node, so count tree occurrences only)
+    assert plan.count("SortMergeJoin FullOuter (") == 1, plan

@@ -142,6 +142,7 @@ TAIL = [
     "e_retention_cohorts",
     "e_funnel_conversion",
     "d_cross_decontaminate",
+    "r_snapshot_diff",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1098,3 +1098,93 @@ def r_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), [unique("l_orderkey", "l_linenumber")]
     )
     return suite.unionByName(fk).unionByName(li_pk)
+
+
+@query(
+    "r_snapshot_diff",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderstatus
+  FROM orders),
+r AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2))
+           + CASE WHEN o_orderkey % 101 = 0 THEN CAST(1.50 AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus
+  FROM orders WHERE o_orderkey % 103 = 0),
+d AS (
+  SELECT coalesce(l.o_orderkey, r.o_orderkey) AS k,
+         CASE WHEN l.o_orderkey IS NULL THEN 'added'
+              WHEN r.o_orderkey IS NULL THEN 'removed'
+              WHEN (l.o_custkey IS NOT DISTINCT FROM r.o_custkey)
+               AND (l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice)
+               AND (l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus)
+                   THEN 'same' ELSE 'changed' END AS st,
+         CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+               AND NOT (l.o_custkey IS NOT DISTINCT FROM r.o_custkey)
+              THEN 1 ELSE 0 END AS ch_cust,
+         CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+               AND NOT (l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice)
+              THEN 1 ELSE 0 END AS ch_price,
+         CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+               AND NOT (l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus)
+              THEN 1 ELSE 0 END AS ch_status
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+SELECT metric, n FROM (
+  SELECT 'rows_added' AS metric,
+         CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT) AS n FROM d
+  UNION ALL SELECT 'rows_removed',
+         CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) FROM d
+  UNION ALL SELECT 'rows_changed',
+         CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT) FROM d
+  UNION ALL SELECT 'rows_same',
+         CAST(count(*) FILTER (WHERE st = 'same') AS BIGINT) FROM d
+  UNION ALL SELECT 'col_changed_o_custkey', CAST(sum(ch_cust) AS BIGINT) FROM d
+  UNION ALL SELECT 'col_changed_o_totalprice',
+         CAST(sum(ch_price) AS BIGINT) FROM d
+  UNION ALL SELECT 'col_changed_o_orderstatus',
+         CAST(sum(ch_status) AS BIGINT) FROM d)
+""",
+)
+def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table reconciliation (operators/diff.diff_summary — the
+    dbt-audit/Datafold primitive): diff the orders snapshot against a
+    deterministically mutated version (keys %97 removed, %101 price
+    +1.50, %103 re-added under shifted keys) and report rows added /
+    removed / changed / same plus per-column change counts. ONE
+    full-outer sort-merge join on the key (the correct big-to-big
+    reconciliation plan — broadcast hints are ignored on full_outer) +
+    one aggregate; NULL-safe column equality; duplicate keys on either
+    side raise in-plan rather than pairing rows arbitrarily. Full SQL
+    twin (IS NOT DISTINCT FROM mirrors eqNullSafe; DECIMAL keeps the
+    +1.50 mutation exact in both engines)."""
+    from ..operators.diff import diff_summary
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    kept = base.where(F.col("o_orderkey") % 97 != 0)
+    mutated = kept.withColumn(
+        "o_totalprice",
+        (
+            F.col("o_totalprice")
+            + F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.lit("1.50").cast("decimal(18,2)"),
+            ).otherwise(F.lit("0").cast("decimal(18,2)"))
+        ).cast("decimal(18,2)"),
+    )
+    readded = base.where(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    right = mutated.unionByName(readded)
+    return diff_summary(base, right, ["o_orderkey"])
