@@ -1,0 +1,106 @@
+"""Snapshot versioning / time travel (operators/timetravel.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.diff import diff_summary
+from vectordb_similarity_search_spark.operators.merge import merge_parquet
+from vectordb_similarity_search_spark.operators.timetravel import (
+    list_versions,
+    read_version,
+    recover_history,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(100)],
+        "k int, s string, v double",
+    ).coalesce(2).write.parquet(path)
+    return path
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k int, s string, v double")
+
+
+def test_versions_accumulate_and_read_back(spark, table):
+    v0 = {(r.k, r.s, r.v) for r in spark.read.parquet(table).collect()}
+    merge_parquet(
+        spark, table, _batch(spark, [(1, "s1", 99.0)]), ["k"],
+        retain_history=5,
+    )
+    merge_parquet(
+        spark, table, _batch(spark, [(200, "new", 1.0)]), ["k"],
+        retain_history=5,
+    )
+    assert list_versions(table) == [1, 2]
+    # v1 is the ORIGINAL table; v2 has the first merge applied
+    got1 = {(r.k, r.s, r.v) for r in read_version(spark, table, 1).collect()}
+    assert got1 == v0
+    got2 = {r.v for r in read_version(spark, table, 2).filter(F.col("k") == 1).collect()}
+    assert got2 == {99.0}
+    # current has both
+    cur = spark.read.parquet(table)
+    assert cur.count() == 101
+    # _history is invisible to current-table reads (underscore dir)
+    assert cur.filter(F.col("k") == 1).head().v == 99.0
+
+
+def test_diff_against_version_reports_the_merge(spark, table):
+    merge_parquet(
+        spark, table,
+        _batch(spark, [(1, "s1", 99.0), (300, "add", 3.0)]),
+        ["k"], retain_history=5,
+    )
+    rep = {
+        r.metric: r.n
+        for r in diff_summary(
+            read_version(spark, table, 1), spark.read.parquet(table), ["k"]
+        ).collect()
+    }
+    assert rep["rows_added"] == 1
+    assert rep["rows_changed"] == 1
+    assert rep["rows_removed"] == 0
+    assert rep["rows_same"] == 99
+    assert rep["col_changed_v"] == 1 and rep["col_changed_s"] == 0
+
+
+def test_retention_prunes_oldest(spark, table):
+    for i in range(4):
+        merge_parquet(
+            spark, table, _batch(spark, [(i, "x", -1.0)]), ["k"],
+            retain_history=2,
+        )
+    assert list_versions(table) == [3, 4]
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, table, 1)
+
+
+def test_crash_between_swap_and_archive_recovers(spark, table):
+    """Simulate the documented crash window: table live, previous
+    snapshot still parked at __old_*. recover_history (run by the next
+    versioned merge on entry) must archive it as the next version."""
+    park = table + "__old_deadbeef"
+    shutil.copytree(table, park)
+    assert recover_history(table)
+    assert list_versions(table) == [1]
+    assert not os.path.exists(park)
+    # and a subsequent versioned merge numbers itself after it
+    merge_parquet(
+        spark, table, _batch(spark, [(1, "s1", 99.0)]), ["k"],
+        retain_history=5,
+    )
+    assert list_versions(table) == [1, 2]
+
+
+def test_unversioned_merge_keeps_no_history(spark, table):
+    merge_parquet(spark, table, _batch(spark, [(1, "s1", 99.0)]), ["k"])
+    assert list_versions(table) == []

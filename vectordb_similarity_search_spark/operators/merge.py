@@ -62,16 +62,27 @@ def merge_parquet(
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
     broadcast_updates: bool = True,
+    retain_history: int | None = None,
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``table_path`` by key.
 
     ``delete_col``: optional boolean column in ``updates`` marking
     tombstones — matching target rows are removed (and such updates never
     insert). The column itself is not written.
+
+    ``retain_history``: when set, the pre-merge snapshot is RETAINED as a
+    queryable version under ``<table>/_history`` (keeping the newest N —
+    operators/timetravel.py: ``read_version`` for as-of reads,
+    ``diff_summary`` against it for merge audits) instead of deleted at
+    swap time.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     restore_snapshot(table_path)  # recover a crashed previous swap, if any
+    if retain_history is not None:
+        from .timetravel import recover_history
+
+        recover_history(table_path)  # finish an interrupted archive
     target = spark.read.parquet(table_path)
     upd = _resolve_updates(target, updates, key_cols, delete_col)
     merged = _merged_frame(target, upd, key_cols, broadcast_updates)
@@ -81,7 +92,12 @@ def merge_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    swap_snapshot(table_path, tmp)
+    if retain_history is not None:
+        from .timetravel import archive_swap
+
+        archive_swap(table_path, tmp, retain=retain_history)
+    else:
+        swap_snapshot(table_path, tmp)
     _invalidate_foreign_scan_caches(table_path)
 
 

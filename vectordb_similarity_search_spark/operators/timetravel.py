@@ -1,0 +1,132 @@
+"""Snapshot versioning ("time travel lite") for swap-rewritten tables.
+
+Delta/Iceberg keep every table version behind a transaction log; the
+plain-parquet writers here (operators/merge.py) historically deleted the
+previous snapshot at swap time. This module retains it instead: the old
+snapshot's files move under ``<table>/_history/v{NNNNNN}/`` — an
+underscore-prefixed directory, so Spark's file listing and partition
+discovery ignore it for current-table reads (the same visibility trick
+as the ANN index's ``_tombstones``) — giving
+
+- ``read_version``: query the table AS OF any retained version,
+- ``diff_summary(read_version(...), current)``: what did that merge
+  actually change (operators/diff.py composes directly),
+- bounded retention (``retain`` newest versions; older pruned at the
+  next swap).
+
+Crash honesty (extends util.swap_snapshot's contract): the swap itself
+still has the documented park-and-rename window, recovered by
+``restore_snapshot``. Archiving happens strictly AFTER the new snapshot
+is live; a crash mid-archive leaves the old snapshot parked at
+``<table>__old_*`` and :func:`recover_history` (run by versioned writers
+on entry) finishes moving it into ``_history``. Data is never lost in
+any window; at worst a version is archived late.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+HISTORY_DIR = "_history"
+_V_RE = re.compile(r"v(\d{6})$")
+
+
+def _hist(table_path: str) -> str:
+    return os.path.join(table_path.rstrip("/"), HISTORY_DIR)
+
+
+def list_versions(table_path: str) -> list[int]:
+    """Retained version numbers, oldest first (empty when none)."""
+    d = _hist(table_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _V_RE.fullmatch(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int
+) -> DataFrame:
+    """The table AS OF ``version`` (see :func:`list_versions`)."""
+    path = os.path.join(_hist(table_path), f"v{version:06d}")
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"version {version} not retained at {table_path} "
+            f"(have {list_versions(table_path)})"
+        )
+    return spark.read.parquet(path)
+
+
+def _archive_park(table_path: str, park: str, version: int) -> None:
+    """Move a parked previous snapshot into ``_history/v{version}``.
+
+    The park may carry its own ``_history`` (it WAS the table): that
+    history is hoisted into the new table first, so versions chain
+    across swaps instead of nesting."""
+    old_hist = os.path.join(park, HISTORY_DIR)
+    new_hist = _hist(table_path)
+    if os.path.isdir(old_hist):
+        if os.path.isdir(new_hist):
+            # both exist only in a crash-recovery replay: merge entries
+            for name in os.listdir(old_hist):
+                dst = os.path.join(new_hist, name)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(old_hist, name), dst)
+            shutil.rmtree(old_hist, ignore_errors=True)
+        else:
+            os.rename(old_hist, new_hist)
+    os.makedirs(new_hist, exist_ok=True)
+    os.rename(park, os.path.join(new_hist, f"v{version:06d}"))
+
+
+def recover_history(table_path: str) -> bool:
+    """Finish an interrupted archive: if the table is live but parked
+    ``__old_`` snapshots remain (crash between swap and archive), move
+    them into ``_history``. Returns True if anything was recovered.
+    (A crash BEFORE the swap completed — table missing — is
+    ``util.restore_snapshot``'s case, which writers run first.)"""
+    import glob
+
+    if not os.path.isdir(table_path):
+        return False
+    parks = sorted(glob.glob(f"{table_path.rstrip('/')}__old_*"))
+    done = False
+    for park in parks:
+        versions = list_versions(table_path)
+        nxt = (versions[-1] + 1) if versions else 1
+        _archive_park(table_path, park, nxt)
+        done = True
+    return done
+
+
+def archive_swap(
+    table_path: str, new_path: str, *, retain: int = 5
+) -> int:
+    """Like ``util.swap_snapshot`` but the previous snapshot is retained
+    as the next version under ``_history`` (pruned to the ``retain``
+    newest). Returns the version number the previous snapshot received.
+    """
+    import uuid
+
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    recover_history(table_path)
+    versions = list_versions(table_path)
+    nxt = (versions[-1] + 1) if versions else 1
+    park = f"{table_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, park)
+    os.rename(new_path, table_path)
+    _archive_park(table_path, park, nxt)
+    for v in list_versions(table_path)[:-retain]:
+        shutil.rmtree(
+            os.path.join(_hist(table_path), f"v{v:06d}"), ignore_errors=True
+        )
+    return nxt
