@@ -311,6 +311,7 @@ def cdc_merge_stream(
     order_col: str | None = None,
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
+    retain_history: int | None = None,
 ):
     """Streaming upsert: each micro-batch of CDC rows MERGEs into the
     parquet table at ``table_path`` — the streaming twin of
@@ -326,6 +327,10 @@ def cdc_merge_stream(
     is not a table column) — after resolution it is dropped when the
     target table does not carry it.
 
+    ``retain_history`` (flat path only): keep the newest N pre-batch
+    snapshots queryable via operators/timetravel.read_version — per-batch
+    table versions for as-of debugging of a live ingest.
+
     Replay safety, unlike ``rollup_ingest_stream``: an upsert/delete
     MERGE is naturally IDEMPOTENT — re-applying a batch overwrites the
     same keys with the same values — so foreachBatch's at-least-once
@@ -335,6 +340,12 @@ def cdc_merge_stream(
     """
     from ..operators.merge import merge_parquet, merge_parquet_partitioned
 
+    if retain_history is not None and partition_by:
+        raise ValueError(
+            "retain_history requires the flat (non-partitioned) merge "
+            "path: pruned applies rewrite only touched partition dirs, "
+            "so there is no whole-table snapshot to retain"
+        )
     target_cols: set[str] = set()  # memoized across batches (stable schema)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -374,7 +385,8 @@ def cdc_merge_stream(
             )
         else:
             merge_parquet(
-                spark, table_path, batch, key_cols, delete_col=delete_col
+                spark, table_path, batch, key_cols, delete_col=delete_col,
+                retain_history=retain_history,
             )
 
     return (
