@@ -143,6 +143,7 @@ TAIL = [
     "e_funnel_conversion",
     "d_cross_decontaminate",
     "r_snapshot_diff",
+    "r_market_basket",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

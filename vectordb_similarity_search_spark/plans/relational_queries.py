@@ -1188,3 +1188,88 @@ def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = mutated.unionByName(readded)
     return diff_summary(base, right, ["o_orderkey"])
+
+
+@query(
+    "r_market_basket",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+pc AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+  GROUP BY 1, 2),
+ic AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS o FROM op)
+SELECT part_a, part_b, n_both,
+       (round(CAST(n_both AS DOUBLE) * o / (ia.n * ib.n), 4) + 0) AS lift
+FROM pc, tot
+JOIN ic ia ON ia.p = pc.part_a
+JOIN ic ib ON ib.p = pc.part_b
+ORDER BY n_both DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def r_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (the association-rules
+    staple): top part pairs ordered together, lift = P(ab)/(P(a)P(b))
+    over order baskets. Spark shape: ONE shuffle builds per-order
+    baskets (collect_set, avg 4 / max 13 parts per order here), pairs
+    generate IN-ARRAY (the linkage/dedup idiom — no self-join, pair
+    blowup bounded by basket size squared), pair counts partial-agg;
+    item counts and the order total are separate cheap aggregates whose
+    results BROADCAST into the bounded pair frame (at 100 TB you'd
+    derive all three from one cached basket pass; the catalog keeps the
+    pure-lazy form — every shuffle carries aggregates, never line
+    items). Lift divides exact BIGINT counts in double — bit-identical
+    across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.where(F.size("parts") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a: F.transform(
+                        F.filter(F.col("parts"), lambda b: b > a),
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    pc = pairs.groupBy("pr.part_a", "pr.part_b").agg(
+        F.count("*").alias("n_both")
+    )
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ic = op.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("o"))
+    out = (
+        pc.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ic.withColumnRenamed("l_partkey", "part_a")).withColumnRenamed("n", "n_a"),
+            "part_a",
+        )
+        .join(
+            F.broadcast(ic.withColumnRenamed("l_partkey", "part_b")).withColumnRenamed("n", "n_b"),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("o")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    return out
