@@ -548,13 +548,16 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix (the product-analytics staple): users
     bucketed by first-seen week; for every (cohort, week-offset) cell,
     distinct active users and retention vs the cohort's week-0 size.
-    Spark shape: first-seen is one partial-agg groupBy(user); the
-    activity join re-uses that user-hashed exchange (both sides keyed on
-    user_id); DISTINCT collapses (cohort, offset, user) before the
-    count — so the widest exchange carries one row per user-week, never
-    raw events; the week-0 denominator is a window over the tiny counts
-    frame (no re-scan). Weeks via date_trunc (Monday start in BOTH
-    engines); cohort exported as string per the date-parity discipline."""
+    Spark shape (verified in the executed plan): first-seen is one
+    partial-agg groupBy(user) whose POST-AGG one-row-per-user result
+    BROADCASTS into the events scan (no events shuffle for the join;
+    with a user dimension too big to broadcast the same plan co-shuffles
+    both sides on user_id); DISTINCT map-side-dedupes (cohort, offset,
+    user) before its exchange, so the widest shuffle carries ~one row
+    per user-week per map partition, never raw events; the week-0
+    denominator is a window over the tiny counts frame (no re-scan).
+    Weeks via date_trunc (Monday start in BOTH engines); cohort exported
+    as string per the date-parity discipline."""
     e = t(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("w0")
