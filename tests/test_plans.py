@@ -210,3 +210,19 @@ def test_index_stats_single_index_pass(spark, sf_dir):
     plan = plan_of(REGISTRY["v_index_stats"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_market_basket_reuses_item_count_broadcast(spark, sf_dir):
+    """The two item-count joins (n_a, n_b) must be served by ONE
+    broadcast: identical subtrees reuse at runtime (AQE ReusedExchange),
+    so the source is scanned 3x (baskets, item counts, order total),
+    not 4x. Runtime check: AQE decides reuse at execution, so this
+    asserts on the POST-EXECUTION final plan."""
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    df = REGISTRY["r_market_basket"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE prints final + initial
+    assert "ReusedExchange" in final, final
+    assert final.count("FileScan") == 3, final

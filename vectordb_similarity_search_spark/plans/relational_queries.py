@@ -1246,18 +1246,21 @@ def r_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_both")
     )
     op = li.select("l_orderkey", "l_partkey").distinct()
-    ic = op.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    # ONE item-count subtree referenced by both joins: keeping the plan
+    # identical (renames applied AFTER the join, not inside the broadcast
+    # side) lets ReusedExchange serve the second join from the first
+    # broadcast — 3 source scans, not 4 (plan-pinned in tests)
+    ic = F.broadcast(op.groupBy("l_partkey").agg(F.count("*").alias("n")))
     tot = li.agg(F.countDistinct("l_orderkey").alias("o"))
+    ia, ib = ic.alias("ia"), ic.alias("ib")
     out = (
         pc.crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(ic.withColumnRenamed("l_partkey", "part_a")).withColumnRenamed("n", "n_a"),
-            "part_a",
-        )
-        .join(
-            F.broadcast(ic.withColumnRenamed("l_partkey", "part_b")).withColumnRenamed("n", "n_b"),
-            "part_b",
-        )
+        .join(ia, F.col("part_a") == F.col("ia.l_partkey"))
+        .withColumnRenamed("n", "n_a")
+        .drop(F.col("ia.l_partkey"))
+        .join(ib, F.col("part_b") == F.col("ib.l_partkey"))
+        .withColumnRenamed("n", "n_b")
+        .drop(F.col("ib.l_partkey"))
         .select(
             "part_a",
             "part_b",
