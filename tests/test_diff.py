@@ -85,3 +85,35 @@ def test_diff_summary_is_single_sort_merge_join(spark):
     # tree lines look like "SortMergeJoin FullOuter (12)" (the detail
     # section repeats each node, so count tree occurrences only)
     assert plan.count("SortMergeJoin FullOuter (") == 1, plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_diff_reports_exactly_the_applied_edits(spark, data):
+    """Property: apply a random known edit set (adds / removes / value
+    changes) to a random base table — diff_summary must report exactly
+    those edits, nothing else."""
+    n = data.draw(st.integers(min_value=5, max_value=40))
+    keys = list(range(n))
+    removed = set(data.draw(st.sets(st.sampled_from(keys), max_size=n // 3)))
+    remaining = [k for k in keys if k not in removed]
+    changed = set(
+        data.draw(st.sets(st.sampled_from(remaining or [0]), max_size=n // 3))
+    ) - removed if remaining else set()
+    n_added = data.draw(st.integers(min_value=0, max_value=5))
+    base_rows = [(k, float(k)) for k in keys]
+    right_rows = [
+        (k, float(k) + (1.0 if k in changed else 0.0)) for k in remaining
+    ] + [(1000 + i, -1.0) for i in range(n_added)]
+    left = spark.createDataFrame(base_rows, "k int, v double")
+    right = spark.createDataFrame(right_rows, "k int, v double")
+    rep = {r.metric: r.n for r in diff_summary(left, right, ["k"]).collect()}
+    assert rep["rows_removed"] == len(removed)
+    assert rep["rows_changed"] == len(changed)
+    assert rep["rows_added"] == n_added
+    assert rep["rows_same"] == len(remaining) - len(changed)
+    assert rep["col_changed_v"] == len(changed)
