@@ -144,6 +144,7 @@ TAIL = [
     "d_cross_decontaminate",
     "r_snapshot_diff",
     "r_market_basket",
+    "t_mixture_sample",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1269,3 +1269,67 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(tokens("text")).alias("tok"))
     res = heavy_hitters(toks, "tok", 20, capacity=512)
     return res.select("tok", F.col("cnt").cast("long").alias("n"), "rank")
+
+
+@query(
+    "t_mixture_sample",
+    oracle=expected_oracle("t_mixture_sample", sf_bound=True),
+)
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END domain-mixture materialization: the per-source sampling
+    fractions t_domain_mixture derives (DoReMi target shares against a
+    50% token budget) actually DRAW the sample — fraction table
+    broadcast onto the documents scan, membership decided by the
+    content-keyed xxhash64 bucket (operators/sampling's shared family:
+    reproducible across layouts/sessions/appends) — and the report shows
+    the achieved mixture: sampled docs/tokens per domain and the
+    achieved share vs target. Fully lazy (fractions are a lazy aggregate
+    broadcast back; two passes over documents total, the
+    stratified-sampler shape). Oracle: expected-parquet (content-keyed
+    draw has no DuckDB replay; sf-bound, hostile-conf verified)."""
+    from ..operators.sampling import _hash_bucket
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(n_tokens("text")).cast("long").alias("n_tokens")
+    )
+    tot = F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+    m = F.create_map(
+        *[x for s, w in _MIX_TARGETS.items() for x in (F.lit(s), F.lit(w))]
+    )
+    t_share = m[F.col("source")]
+    frac = F.least(
+        F.lit(1.0),
+        t_share
+        * (F.lit(0.5) * F.col("tot_tokens"))
+        / F.col("n_tokens").cast("double"),
+    )
+    fracs = (
+        per.withColumn("tot_tokens", tot)
+        .filter(t_share.isNotNull())
+        .select(
+            "source",
+            F.round(t_share, 6).alias("target_share"),
+            frac.alias("_frac"),
+        )
+    )
+    sampled = d.join(F.broadcast(fracs), "source").where(
+        _hash_bucket(["doc_id"], 7)
+        < (F.col("_frac") * F.lit(1_000_000.0)).cast("long")
+    )
+    rep = sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("sampled_docs"),
+        F.sum(n_tokens("text")).cast("long").alias("sampled_tokens"),
+        F.first("target_share").alias("target_share"),
+    )
+    stot = F.sum("sampled_tokens").over(Window.partitionBy()).cast("double")
+    return rep.withColumn("_stot", stot).select(
+        "source",
+        "sampled_docs",
+        "sampled_tokens",
+        "target_share",
+        F.round(
+            F.col("sampled_tokens").cast("double") / F.col("_stot"), 4
+        ).alias("achieved_share"),
+    )
