@@ -29,6 +29,9 @@ def main() -> int:
         args.remove("--hostile")
     if "--tz" in args:
         i = args.index("--tz")
+        if i + 1 >= len(args):
+            print("usage: drive_replica.py [--hostile] [--tz TZ] [sf_dir] …")
+            return 2
         os.environ["TZ"] = args[i + 1]
         del args[i : i + 2]
         import time as _time

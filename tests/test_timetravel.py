@@ -140,3 +140,34 @@ def test_cdc_stream_retains_per_batch_versions(spark, tmp_path):
             batches, path, ["k"], str(tmp_path / "chk"),
             partition_by=["k"], retain_history=3,
         )
+
+
+def test_crash_recovery_with_retained_versions_keeps_chronology(spark, table):
+    """Round-4 review repro: a crash after swap leaves the park CARRYING
+    the retained history. Recovery must hoist that history BEFORE
+    numbering — the old code restarted at v1 and either crashed
+    (ENOTEMPTY) or archived the newest snapshot under the lowest
+    number, inverting read_version chronology and making retention
+    prune the newest data first."""
+    # build v1 via a normal versioned merge
+    merge_parquet(
+        spark, table, _batch(spark, [(1, "s1", 99.0)]), ["k"],
+        retain_history=5,
+    )
+    assert list_versions(table) == [1]
+    # simulate the crash window: park the CURRENT table (which carries
+    # _history/v1) and put a newer snapshot in its place
+    park = table + "__old_cafebabe"
+    os.rename(table, park)
+    shutil.copytree(park, table)
+    # the park still holds _history; the live copy got it too — strip the
+    # live one so the layout matches the real crash (new snapshot has no
+    # history until hoist)
+    shutil.rmtree(os.path.join(table, "_history"))
+    assert recover_history(table)
+    # hoisted v1 kept its number; the park became v2 — chronology intact
+    assert list_versions(table) == [1, 2]
+    v1 = read_version(spark, table, 1)
+    assert v1.filter(F.col("k") == 1).head().v == 1.0  # the ORIGINAL state
+    v2 = read_version(spark, table, 2)
+    assert v2.filter(F.col("k") == 1).head().v == 99.0  # post-merge state

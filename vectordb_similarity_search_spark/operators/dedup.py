@@ -1074,7 +1074,9 @@ def cross_neardup_flags(
     if ref_id_col is None:
         ref_id_col = id_col
     ref_rows = sorted(
-        (r[ref_id_col], list(r[vec_col])) for r in refs.collect()
+        (r[ref_id_col], list(r[vec_col]))
+        for r in refs.collect()
+        if r[vec_col] is not None
     )
     if not ref_rows:
         raise ValueError("cross_neardup_flags: empty reference set")
@@ -1097,6 +1099,9 @@ def cross_neardup_flags(
 
         ids, Rn_ = bc.value
         for pdf in batches:
+            # NULL embeddings have no cosine: drop them BEFORE vstack
+            # (None rows would break the stack, not reach the norm mask)
+            pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -96,8 +96,9 @@ def diff_summary(
     """One-pass reconciliation report over :func:`table_diff`: a row per
     status with its key count, plus — for 'changed' — one row per value
     column that differs, with the number of keys where it differs.
-    Returns (metric, n) sorted by metric name; the whole report is one
-    aggregate over the diff frame (single action at 100 TB)."""
+    Returns (metric, n): the four ``rows_*`` metrics first, then
+    ``col_changed_<col>`` in the table's column order; the whole report
+    is one aggregate over the diff frame (single action at 100 TB)."""
     val_cols = [c for c in left.columns if c not in keys]
     d = table_diff(left, right, keys)
     changed = F.col("_diff_status") == "changed"

@@ -78,6 +78,10 @@ def merge_parquet(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if retain_history is not None and retain_history < 1:
+        # validate BEFORE the merge job runs: archive_swap's own check
+        # would fire only after the tmp snapshot is written, stranding it
+        raise ValueError(f"retain_history must be >= 1, got {retain_history}")
     restore_snapshot(table_path)  # recover a crashed previous swap, if any
     if retain_history is not None:
         from .timetravel import recover_history

@@ -65,12 +65,13 @@ def read_version(
     return spark.read.parquet(path)
 
 
-def _archive_park(table_path: str, park: str, version: int) -> None:
-    """Move a parked previous snapshot into ``_history/v{version}``.
-
-    The park may carry its own ``_history`` (it WAS the table): that
-    history is hoisted into the new table first, so versions chain
-    across swaps instead of nesting."""
+def _hoist_history(table_path: str, park: str) -> None:
+    """Move the park's own ``_history`` (it WAS the table) into the new
+    table, so versions chain across swaps instead of nesting. MUST run
+    before the next version number is computed: the new table has no
+    history of its own until the hoist, so numbering first would restart
+    at v1 and collide with (or mis-order against) the hoisted versions
+    (round-4 review, verified by simulation)."""
     old_hist = os.path.join(park, HISTORY_DIR)
     new_hist = _hist(table_path)
     if os.path.isdir(old_hist):
@@ -83,6 +84,12 @@ def _archive_park(table_path: str, park: str, version: int) -> None:
             shutil.rmtree(old_hist, ignore_errors=True)
         else:
             os.rename(old_hist, new_hist)
+
+
+def _archive_park(table_path: str, park: str, version: int) -> None:
+    """Move a parked previous snapshot (history already hoisted) into
+    ``_history/v{version}``."""
+    new_hist = _hist(table_path)
     os.makedirs(new_hist, exist_ok=True)
     os.rename(park, os.path.join(new_hist, f"v{version:06d}"))
 
@@ -100,6 +107,10 @@ def recover_history(table_path: str) -> bool:
     parks = sorted(glob.glob(f"{table_path.rstrip('/')}__old_*"))
     done = False
     for park in parks:
+        # hoist BEFORE numbering: the live table has no _history until
+        # the park's is moved in, so numbering first would collide with
+        # or sort below the retained versions
+        _hoist_history(table_path, park)
         versions = list_versions(table_path)
         nxt = (versions[-1] + 1) if versions else 1
         _archive_park(table_path, park, nxt)
@@ -119,11 +130,12 @@ def archive_swap(
     if retain < 1:
         raise ValueError(f"retain must be >= 1, got {retain}")
     recover_history(table_path)
-    versions = list_versions(table_path)
-    nxt = (versions[-1] + 1) if versions else 1
     park = f"{table_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(table_path, park)
     os.rename(new_path, table_path)
+    _hoist_history(table_path, park)
+    versions = list_versions(table_path)
+    nxt = (versions[-1] + 1) if versions else 1
     _archive_park(table_path, park, nxt)
     for v in list_versions(table_path)[:-retain]:
         shutil.rmtree(

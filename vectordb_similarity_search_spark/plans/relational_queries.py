@@ -1115,7 +1115,7 @@ r AS (
          o_orderstatus
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey,
+  SELECT -o_orderkey, o_custkey,
          CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus
   FROM orders WHERE o_orderkey % 103 = 0),
 d AS (
@@ -1183,8 +1183,11 @@ def r_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("0").cast("decimal(18,2)"))
         ).cast("decimal(18,2)"),
     )
+    # negated keys can never collide with real TPC-H keys (positive at
+    # EVERY scale factor — a +10M shift would collide from sf2 up and
+    # trip the duplicate-key guard; round-4 review)
     readded = base.where(F.col("o_orderkey") % 103 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        "o_orderkey", -F.col("o_orderkey")
     )
     right = mutated.unionByName(readded)
     return diff_summary(base, right, ["o_orderkey"])

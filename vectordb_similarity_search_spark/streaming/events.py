@@ -340,6 +340,10 @@ def cdc_merge_stream(
     """
     from ..operators.merge import merge_parquet, merge_parquet_partitioned
 
+    if retain_history is not None and retain_history < 1:
+        raise ValueError(
+            f"retain_history must be >= 1, got {retain_history}"
+        )
     if retain_history is not None and partition_by:
         raise ValueError(
             "retain_history requires the flat (non-partitioned) merge "
