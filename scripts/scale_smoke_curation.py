@@ -183,6 +183,11 @@ def main() -> None:
     nB = exact_kept.count()
     funnel.append(("exact_dedup", nB, time.time() - t0))
     assert nB == nA - counts["exact_dup"], (nA, nB)
+    # linear funnel: each stage's cache is only needed to build the next
+    # — release eagerly or the persisted copies of a 2M-doc corpus pile
+    # up past the driver heap (the 100 TB-relevant hygiene too)
+    qual.unpersist()
+    corpus.unpersist()
 
     # -- stage C: near-dup dedup (word MinHash-LSH + keep canonical) ------
     t0 = time.time()
@@ -197,6 +202,7 @@ def main() -> None:
     near_kept = dedup_keep_canonical(exact_kept, pairs).persist()
     nC = near_kept.count()
     funnel.append(("near_dedup", nC, time.time() - t0))
+    exact_kept.unpersist()
     kinds_C = {
         r.kind: r.c
         for r in near_kept.groupBy("kind")
@@ -229,6 +235,7 @@ def main() -> None:
     clean = near_kept.join(flagged, "doc_id", "left_anti").persist()
     nD = clean.count()
     funnel.append(("decontaminate", nD, time.time() - t0))
+    near_kept.unpersist()
     kinds_D = {
         r.kind: r.c
         for r in clean.groupBy("kind").agg(F.count("*").alias("c")).collect()
@@ -241,6 +248,7 @@ def main() -> None:
     cap = (n_base // 5) // 2  # keep ~half of each domain
     capped = grouped_cap_sample(clean, ["source"], cap, on=["doc_id"]).persist()
     nE = capped.count()
+    clean.unpersist()
     funnel.append(("domain_cap", nE, time.time() - t0))
     assert nE == 5 * cap, nE
 
