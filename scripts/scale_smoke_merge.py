@@ -97,8 +97,35 @@ def main() -> None:
     t_pruned = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    merge_parquet(spark, ftbl, cdc, ["k", "bucket"])
+    merge_parquet(spark, ftbl, cdc, ["k", "bucket"], retain_history=3)
     t_full = time.perf_counter() - t0
+
+    # time travel at scale: the pre-merge snapshot stayed queryable, and
+    # diffing it against the live table reports EXACTLY the CDC batch
+    from vectordb_similarity_search_spark.operators.diff import diff_summary
+    from vectordb_similarity_search_spark.operators.timetravel import (
+        list_versions,
+        read_version,
+    )
+
+    t0 = time.perf_counter()
+    assert list_versions(ftbl) == [1]
+    rep = {
+        r.metric: r.n
+        for r in diff_summary(
+            read_version(spark, ftbl, 1),
+            spark.read.parquet(ftbl),
+            ["k", "bucket"],
+        ).collect()
+    }
+    t_diff = time.perf_counter() - t0
+    tt_ok = (
+        rep["rows_changed"] == n_cdc
+        and rep["rows_added"] == 0
+        and rep["rows_removed"] == 0
+        and rep["col_changed_val"] == n_cdc
+        and rep["col_changed_s"] == 0
+    )
 
     after = {
         f: os.stat(f).st_mtime_ns
@@ -122,6 +149,7 @@ def main() -> None:
         and merged_rows == flat_rows == N_ROWS
         and applied == n_cdc
         and t_pruned < t_full
+        and tt_ok
     )
     print(
         {
@@ -134,6 +162,8 @@ def main() -> None:
             "speedup": round(t_full / t_pruned, 1),
             "cdc_applied_exactly": applied == n_cdc,
             "untouched_files_identical": untouched_ok,
+            "asof_diff_reports_cdc_exactly": tt_ok,
+            "wall_asof_diff_s": round(t_diff, 2),
             "ok": ok,
         }
     )
