@@ -75,20 +75,18 @@ class PqModel:
 
         return df.mapInPandas(enc, schema)
 
-    def search(
+    def screen(
         self,
         codes: DataFrame,
-        floats: DataFrame,
         query_vec: Sequence[float],
-        k: int = 10,
+        depth: int,
         *,
-        rescore: int = 100,
         id_col: str = "vec_id",
         code_col: str = "pq_code",
-        vec_col: str = "embedding",
         metric: str = "cosine",
     ) -> DataFrame:
-        """ADC top-``rescore`` → exact knn over the candidates. The lookup
+        """ADC top-``depth`` candidates (id, _adc) — the screen half of
+        :meth:`search`, exposed for recall audits. The lookup
         table matches the metric: dot product (desc) for ``cosine`` — the
         corpus must have been encoded from normalized vectors (see fit_pq
         ``normalize``) — or squared subspace distance (asc) for ``l2``; a
@@ -125,11 +123,31 @@ class PqModel:
         order = (
             F.col("_adc").desc() if metric == "cosine" else F.col("_adc").asc()
         )
-        cand = (
+        return (
             codes.select(id_col, code_col)
             .mapInPandas(adc, out_schema)
             .orderBy(order, F.col(id_col).asc())
-            .limit(rescore)
+            .limit(depth)
+        )
+
+    def search(
+        self,
+        codes: DataFrame,
+        floats: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        *,
+        rescore: int = 100,
+        id_col: str = "vec_id",
+        code_col: str = "pq_code",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """ADC screen → exact knn over the candidates (broadcast
+        semi-join into the float table)."""
+        cand = self.screen(
+            codes, query_vec, rescore,
+            id_col=id_col, code_col=code_col, metric=metric,
         )
         subset = floats.join(F.broadcast(cand.select(id_col)), id_col)
         return knn(subset, list(query_vec), k, id_col=id_col, vec_col=vec_col,

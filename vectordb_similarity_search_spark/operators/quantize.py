@@ -56,21 +56,18 @@ class Sq8Model:
 
         return df.mapInPandas(enc, schema)
 
-    def search(
+    def screen(
         self,
         codes: DataFrame,
-        floats: DataFrame,
         query_vec: Sequence[float],
-        k: int = 10,
+        depth: int,
         *,
-        rescore: int = 50,
         id_col: str = "vec_id",
         code_col: str = "code",
-        vec_col: str = "embedding",
     ) -> DataFrame:
-        """Two-phase search: approximate top-``rescore`` over dequantized
-        codes (Arrow), exact knn over just those candidates (broadcast
-        semi-join into the float table)."""
+        """Approximate top-``depth`` candidates (id, _approx) over the
+        dequantized codes — the screen half of :meth:`search`, exposed so
+        recall audits (v_recall_matrix) can measure candidate quality."""
         bc = codes.sparkSession.sparkContext.broadcast(
             (self.lo, self.scale, np.asarray(query_vec, dtype=np.float64))
         )
@@ -93,11 +90,30 @@ class Sq8Model:
                 s = (X / norms[:, None]) @ qn
                 yield pd.DataFrame({id_col: pdf[id_col], "_approx": s})
 
-        cand = (
+        return (
             codes.select(id_col, code_col)
             .mapInPandas(approx, out_schema)
             .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
-            .limit(rescore)
+            .limit(depth)
+        )
+
+    def search(
+        self,
+        codes: DataFrame,
+        floats: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        *,
+        rescore: int = 50,
+        id_col: str = "vec_id",
+        code_col: str = "code",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Two-phase search: approximate top-``rescore`` screen (Arrow),
+        exact knn over just those candidates (broadcast semi-join into
+        the float table)."""
+        cand = self.screen(
+            codes, query_vec, rescore, id_col=id_col, code_col=code_col
         )
         subset = floats.join(F.broadcast(cand.select(id_col)), id_col)
         return knn(subset, list(query_vec), k, id_col=id_col, vec_col=vec_col)
@@ -192,6 +208,25 @@ class BqModel:
             lambda acc, x: acc + x,
         )
 
+    def screen(
+        self,
+        codes: DataFrame,
+        query_vec: Sequence[float],
+        depth: int,
+        *,
+        id_col: str = "vec_id",
+        code_col: str = "bq",
+    ) -> DataFrame:
+        """Hamming top-``depth`` candidates (id, _ham) — JVM expression +
+        TakeOrderedAndProject (per-partition top-C, C-row merge)."""
+        return (
+            codes.select(
+                id_col, self.hamming_to(code_col, query_vec).alias("_ham")
+            )
+            .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+            .limit(depth)
+        )
+
     def search(
         self,
         codes: DataFrame,
@@ -204,15 +239,10 @@ class BqModel:
         code_col: str = "bq",
         vec_col: str = "embedding",
     ) -> DataFrame:
-        """Two-phase search: Hamming top-``rescore`` (JVM expression +
-        TakeOrderedAndProject — per-partition top-C, C-row merge), exact
-        knn over just those candidates (broadcast semi-join)."""
-        cand = (
-            codes.select(
-                id_col, self.hamming_to(code_col, query_vec).alias("_ham")
-            )
-            .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
-            .limit(rescore)
+        """Two-phase search: Hamming screen, exact knn over just those
+        candidates (broadcast semi-join)."""
+        cand = self.screen(
+            codes, query_vec, rescore, id_col=id_col, code_col=code_col
         )
         subset = floats.join(F.broadcast(cand.select(id_col)), id_col)
         return knn(subset, list(query_vec), k, id_col=id_col, vec_col=vec_col)

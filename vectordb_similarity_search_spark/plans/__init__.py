@@ -145,6 +145,7 @@ TAIL = [
     "r_snapshot_diff",
     "r_market_basket",
     "t_mixture_sample",
+    "v_recall_matrix",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -542,6 +542,82 @@ def _bpe_model(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "v_recall_matrix",
+    oracle=_expected_oracle("v_recall_matrix", sf_bound=True),
+)
+def v_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-advisor report: recall@10 of EVERY candidate-generation tier
+    at a fixed screen depth (100) for query vec 0 — thermometer-binary
+    Hamming, SQ8 dequantized cosine, PQ ADC, SRP-LSH bucket, IVF
+    nprobe=2 — against the exact top-10. This is the table an operator
+    consults before picking a tier for a corpus: compression buys scan
+    cost, this shows what each tier's screen gives up BEFORE the exact
+    rescore hides it. All models are the memoized session builds the
+    serving queries use (same codes, same committed IVF centers), the
+    per-method screens run via the operators' screen()/probe surface,
+    and the recall arithmetic is one union + broadcast join + groupBy.
+    Oracle: expected-parquet (seeded planes / committed centers /
+    content-pure fits — session-independent; sf-bound)."""
+    from ..operators.pq import fit_pq, l2_normalized
+    from ..operators.quantize import fit_bq, fit_sq8
+    from ..operators.topk import knn
+
+    qv = _vq(spark, sf_dir)
+    corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    depth = 100
+
+    key = _model_key(spark, sf_dir, "sq8")
+    if key not in _MODEL_CACHE:
+        model = fit_sq8(corpus, "embedding", dim=len(qv))
+        _MODEL_CACHE[key] = (model, model.encode(corpus))
+    sq8, sq8_codes = _MODEL_CACHE[key]
+    key = _model_key(spark, sf_dir, "pq")
+    if key not in _MODEL_CACHE:
+        model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
+        _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))
+    pq, pq_codes = _MODEL_CACHE[key]
+    key = _model_key(spark, sf_dir, "bq")
+    if key not in _MODEL_CACHE:
+        model, n = fit_bq(corpus, "embedding", dim=len(qv))
+        _MODEL_CACHE[key] = (model, model.encode(corpus), n)
+    bq, bq_codes, _n = _MODEL_CACHE[key]
+    model_ivf, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+
+    cands = {
+        "bq_thermometer": bq.screen(bq_codes, qv, depth),
+        "sq8": sq8.screen(sq8_codes, qv, depth),
+        "pq_adc": pq.screen(pq_codes, qv, depth),
+        "lsh_srp": lsh_bucket_topk(
+            corpus, qv, k=depth, dim=len(qv), n_planes=6
+        ),
+        "ivf_nprobe2": ivf_search_index(
+            spark, index_path, model_ivf, qv, k=depth, nprobe=2
+        ),
+    }
+    unioned = None
+    for name, frame in cands.items():
+        tagged = frame.select(
+            F.lit(name).alias("method"), F.col("vec_id")
+        )
+        unioned = tagged if unioned is None else unioned.unionByName(tagged)
+    exact = (
+        knn(corpus, qv, 10)
+        .select("vec_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        unioned.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.lit(depth).alias("depth"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / 10.0, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("method")
+    )
+
+
+@query(
     "t_bpe_apply",
     oracle=_expected_oracle("t_bpe_apply", sf_bound=True),
 )
