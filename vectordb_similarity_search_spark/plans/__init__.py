@@ -146,6 +146,7 @@ TAIL = [
     "r_market_basket",
     "t_mixture_sample",
     "v_recall_matrix",
+    "r_target_encoding",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1279,3 +1279,91 @@ def r_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+@query(
+    "r_target_encoding",
+    oracle="""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS y
+  FROM customer),
+g AS (
+  SELECT seg, y,
+         sum(y) OVER (PARTITION BY seg) AS s_cat,
+         count(*) OVER (PARTITION BY seg) AS n_cat,
+         sum(y) OVER () AS s_all,
+         count(*) OVER () AS n_all
+  FROM base),
+enc AS (
+  SELECT seg, n_cat,
+         CAST(s_cat AS DOUBLE) / n_cat AS cat_mean,
+         (CAST(s_cat AS DOUBLE)
+            + 20.0 * CAST(s_all AS DOUBLE) / n_all) / (n_cat + 20.0)
+           AS enc_smooth,
+         (CAST(s_cat - y AS DOUBLE)
+            + 20.0 * CAST(s_all AS DOUBLE) / n_all) / (n_cat - 1 + 20.0)
+           AS loo
+  FROM g)
+SELECT seg, CAST(n_cat AS BIGINT) AS n,
+       (round(min(cat_mean), 4) + 0) AS cat_mean,
+       (round(min(enc_smooth), 4) + 0) AS enc_smooth,
+       (round(min(loo), 4) + 0) AS loo_min,
+       (round(max(loo), 4) + 0) AS loo_max
+FROM enc GROUP BY seg, n_cat
+""",
+)
+def r_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding (the categorical feature-
+    engineering staple): encode c_mktsegment against account balance with
+    m=20 smoothing toward the global mean, plus the per-row LOO variant
+    (each row's own target excluded — the anti-leakage form actually fed
+    to models). One category-hashed window exchange computes the
+    category sums, the global sums ride an unpartitioned window over the
+    SAME frame, and the per-category report (mean / smoothed / LOO
+    spread) is one groupBy that reuses the exchange. DECIMAL sums keep
+    both engines bit-exact; the divisions happen in double on identical
+    inputs."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast(DEC).alias("y"),
+    )
+    w_cat = Window.partitionBy("seg")
+    w_all = Window.partitionBy()
+    g = base.select(
+        "seg",
+        "y",
+        F.sum("y").over(w_cat).alias("s_cat"),
+        F.count("*").over(w_cat).alias("n_cat"),
+        F.sum("y").over(w_all).alias("s_all"),
+        F.count("*").over(w_all).alias("n_all"),
+    )
+    mu = F.lit(20.0) * F.col("s_all").cast("double") / F.col("n_all")
+    enc = g.select(
+        "seg",
+        "n_cat",
+        (F.col("s_cat").cast("double") / F.col("n_cat")).alias("cat_mean"),
+        (
+            (F.col("s_cat").cast("double") + mu)
+            / (F.col("n_cat") + F.lit(20.0))
+        ).alias("enc_smooth"),
+        (
+            ((F.col("s_cat") - F.col("y")).cast("double") + mu)
+            / (F.col("n_cat") - 1 + F.lit(20.0))
+        ).alias("loo"),
+    )
+    return enc.groupBy("seg", "n_cat").agg(
+        F.round(F.min("cat_mean"), 4).alias("cat_mean"),
+        F.round(F.min("enc_smooth"), 4).alias("enc_smooth"),
+        F.round(F.min("loo"), 4).alias("loo_min"),
+        F.round(F.max("loo"), 4).alias("loo_max"),
+    ).select(
+        "seg",
+        F.col("n_cat").cast("long").alias("n"),
+        "cat_mean",
+        "enc_smooth",
+        "loo_min",
+        "loo_max",
+    )
