@@ -109,7 +109,7 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    assert list_versions(ftbl) == [1]
+    versions_ok = list_versions(ftbl) == [1]
     rep = {
         r.metric: r.n
         for r in diff_summary(
@@ -120,7 +120,8 @@ def main() -> None:
     }
     t_diff = time.perf_counter() - t0
     tt_ok = (
-        rep["rows_changed"] == n_cdc
+        versions_ok
+        and rep["rows_changed"] == n_cdc
         and rep["rows_added"] == 0
         and rep["rows_removed"] == 0
         and rep["col_changed_val"] == n_cdc

@@ -488,20 +488,14 @@ def v_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .withColumn("_hit", F.lit(1))
     )
-    probes = None
-    for nprobe in (1, 2, 4, 8):
-        hits = ivf_search_index(
+    cands = {
+        nprobe: ivf_search_index(
             spark, index_path, model, qv, k=10, nprobe=nprobe
-        ).select(F.lit(nprobe).alias("nprobe"), "vec_id")
-        probes = hits if probes is None else probes.unionByName(hits)
-    return (
-        probes.join(F.broadcast(exact), "vec_id", "left")
-        .groupBy("nprobe")
-        .agg(
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / 10.0, 6
-            ).alias("recall_at_10")
         )
+        for nprobe in (1, 2, 4, 8)
+    }
+    return _recall_report(
+        spark, cands, exact, tag_col="nprobe", tag_type="int"
     )
 
 
@@ -558,29 +552,15 @@ def v_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the recall arithmetic is one union + broadcast join + groupBy.
     Oracle: expected-parquet (seeded planes / committed centers /
     content-pure fits — session-independent; sf-bound)."""
-    from ..operators.pq import fit_pq, l2_normalized
-    from ..operators.quantize import fit_bq, fit_sq8
     from ..operators.topk import knn
 
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     depth = 100
 
-    key = _model_key(spark, sf_dir, "sq8")
-    if key not in _MODEL_CACHE:
-        model = fit_sq8(corpus, "embedding", dim=len(qv))
-        _MODEL_CACHE[key] = (model, model.encode(corpus))
-    sq8, sq8_codes = _MODEL_CACHE[key]
-    key = _model_key(spark, sf_dir, "pq")
-    if key not in _MODEL_CACHE:
-        model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
-        _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))
-    pq, pq_codes = _MODEL_CACHE[key]
-    key = _model_key(spark, sf_dir, "bq")
-    if key not in _MODEL_CACHE:
-        model, n = fit_bq(corpus, "embedding", dim=len(qv))
-        _MODEL_CACHE[key] = (model, model.encode(corpus), n)
-    bq, bq_codes, _n = _MODEL_CACHE[key]
+    sq8, sq8_codes = _sq8_state(spark, sf_dir, corpus, len(qv))
+    pq, pq_codes = _pq_state(spark, sf_dir, corpus)
+    bq, bq_codes, _n = _bq_state(spark, sf_dir, corpus, len(qv))
     model_ivf, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
 
     cands = {
@@ -594,25 +574,12 @@ def v_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, index_path, model_ivf, qv, k=depth, nprobe=2
         ),
     }
-    unioned = None
-    for name, frame in cands.items():
-        tagged = frame.select(
-            F.lit(name).alias("method"), F.col("vec_id")
-        )
-        unioned = tagged if unioned is None else unioned.unionByName(tagged)
-    exact = (
-        knn(corpus, qv, 10)
-        .select("vec_id", F.lit(1).alias("_hit"))
-    )
+    exact = knn(corpus, qv, 10).select("vec_id", F.lit(1).alias("_hit"))
     return (
-        unioned.join(F.broadcast(exact), "vec_id", "left")
-        .groupBy("method")
-        .agg(
-            F.lit(depth).alias("depth"),
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / 10.0, 6
-            ).alias("recall_at_10"),
+        _recall_report(
+            spark, cands, exact, tag_col="method", tag_type="string"
         )
+        .select("method", F.lit(depth).alias("depth"), "recall_at_10")
         .orderBy("method")
     )
 
@@ -686,15 +653,9 @@ def v_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact answer (screen-depth recall properties in
     tests/test_quantize.py). Model fit (per-dim min/max) is one aggregate,
     memoized per session like the other model builds."""
-    from ..operators.quantize import fit_sq8
-
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    key = _model_key(spark, sf_dir, "sq8")
-    if key not in _MODEL_CACHE:
-        model = fit_sq8(corpus, "embedding", dim=len(qv))
-        _MODEL_CACHE[key] = (model, model.encode(corpus))
-    model, codes = _MODEL_CACHE[key]
+    model, codes = _sq8_state(spark, sf_dir, corpus, len(qv))
     res = model.search(codes, corpus, qv, k=10, rescore=50)
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 
@@ -703,6 +664,76 @@ def _vq(spark: SparkSession, sf_dir: str) -> list:
     from .vector_queries import _query_vec
 
     return _query_vec(spark, sf_dir, 0)
+
+
+def _sq8_state(spark: SparkSession, sf_dir: str, corpus, dim: int):
+    """ONE fit spec per quantizer, shared by the serving query and the
+    recall audit: two call sites hard-coding the same cache key with
+    independently copied fit params would let the first runner poison
+    the cache for the other (round-4 review)."""
+    from ..operators.quantize import fit_sq8
+
+    key = _model_key(spark, sf_dir, "sq8")
+    if key not in _MODEL_CACHE:
+        model = fit_sq8(corpus, "embedding", dim=dim)
+        _MODEL_CACHE[key] = (model, model.encode(corpus))
+    return _MODEL_CACHE[key]
+
+
+def _pq_state(spark: SparkSession, sf_dir: str, corpus):
+    from ..operators.pq import fit_pq, l2_normalized
+
+    key = _model_key(spark, sf_dir, "pq")
+    if key not in _MODEL_CACHE:
+        model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
+        _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))
+    return _MODEL_CACHE[key]
+
+
+def _bq_state(spark: SparkSession, sf_dir: str, corpus, dim: int):
+    from ..operators.quantize import fit_bq
+
+    key = _model_key(spark, sf_dir, "bq")
+    if key not in _MODEL_CACHE:
+        model, n = fit_bq(corpus, "embedding", dim=dim)
+        _MODEL_CACHE[key] = (model, model.encode(corpus), n)
+    return _MODEL_CACHE[key]
+
+
+def _recall_report(
+    spark: SparkSession,
+    cands: dict,
+    exact,
+    *,
+    tag_col: str,
+    tag_type: str,
+    denom: int = 10,
+):
+    """Per-tier recall@denom: union the tagged candidate frames, left-join
+    the broadcast exact set, group per tag — then LEFT-join the result
+    back onto the literal tag list so a tier whose screen returned ZERO
+    candidates still reports 0.0 instead of silently vanishing from the
+    advisory (same starved-row guard as v_index_stats)."""
+    unioned = None
+    for tag, frame in cands.items():
+        tagged = frame.select(F.lit(tag).alias(tag_col), F.col("vec_id"))
+        unioned = tagged if unioned is None else unioned.unionByName(tagged)
+    per = (
+        unioned.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy(tag_col)
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / float(denom), 6
+            ).alias("recall_at_10")
+        )
+    )
+    tags = spark.createDataFrame(
+        [(t,) for t in cands], f"{tag_col} {tag_type}"
+    )
+    return tags.join(per, tag_col, "left").select(
+        tag_col,
+        F.coalesce(F.col("recall_at_10"), F.lit(0.0)).alias("recall_at_10"),
+    )
 
 
 @query(
@@ -731,15 +762,9 @@ def v_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks train on a vec_id-SORTED sample so the fit is partition-
     layout independent (limit over an unordered scan is not); fit +
     encode memoized per session like the other model builds."""
-    from ..operators.pq import fit_pq, l2_normalized
-
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    key = _model_key(spark, sf_dir, "pq")
-    if key not in _MODEL_CACHE:
-        model = fit_pq(corpus.orderBy("vec_id"), m=16, k=32, seed=42)
-        _MODEL_CACHE[key] = (model, model.encode(l2_normalized(corpus)))
-    model, codes = _MODEL_CACHE[key]
+    model, codes = _pq_state(spark, sf_dir, corpus)
     res = model.search(codes, corpus, qv, k=10, rescore=200)
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 
@@ -774,15 +799,9 @@ def v_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-dim exact quantiles, one aggregate that also carries the corpus
     count) + encode are memoized per session like the other model
     builds."""
-    from ..operators.quantize import fit_bq
-
     qv = _vq(spark, sf_dir)
     corpus = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    key = _model_key(spark, sf_dir, "bq")
-    if key not in _MODEL_CACHE:
-        model, n = fit_bq(corpus, "embedding", dim=len(qv))
-        _MODEL_CACHE[key] = (model, model.encode(corpus), n)
-    model, codes, n = _MODEL_CACHE[key]
+    model, codes, n = _bq_state(spark, sf_dir, corpus, len(qv))
     res = model.search(codes, corpus, qv, k=10, rescore=max(200, (2 * n) // 5))
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 

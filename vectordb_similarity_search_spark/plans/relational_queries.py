@@ -1319,11 +1319,13 @@ def r_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=20 smoothing toward the global mean, plus the per-row LOO variant
     (each row's own target excluded — the anti-leakage form actually fed
     to models). One category-hashed window exchange computes the
-    category sums, the global sums ride an unpartitioned window over the
-    SAME frame, and the per-category report (mean / smoothed / LOO
-    spread) is one groupBy that reuses the exchange. DECIMAL sums keep
-    both engines bit-exact; the divisions happen in double on identical
-    inputs."""
+    category sums; the GLOBAL sums come from a separate tiny aggregate
+    broadcast-crossJoined onto the frame (an unpartitioned window here
+    would funnel every row through ONE task — the single-reducer
+    anti-pattern; the broadcast costs one extra cheap scan instead,
+    the r_market_basket idiom). The per-category report is one groupBy
+    that reuses the category exchange. DECIMAL sums keep both engines
+    bit-exact; the divisions happen in double on identical inputs."""
     from pyspark.sql import Window
 
     base = t(spark, sf_dir, "customer").select(
@@ -1331,15 +1333,15 @@ def r_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast(DEC).alias("y"),
     )
     w_cat = Window.partitionBy("seg")
-    w_all = Window.partitionBy()
+    glob = base.agg(
+        F.sum("y").alias("s_all"), F.count("*").alias("n_all")
+    )
     g = base.select(
         "seg",
         "y",
         F.sum("y").over(w_cat).alias("s_cat"),
         F.count("*").over(w_cat).alias("n_cat"),
-        F.sum("y").over(w_all).alias("s_all"),
-        F.count("*").over(w_all).alias("n_all"),
-    )
+    ).crossJoin(F.broadcast(glob))
     mu = F.lit(20.0) * F.col("s_all").cast("double") / F.col("n_all")
     enc = g.select(
         "seg",
