@@ -66,6 +66,7 @@ PIPELINE = [
     "d_semantic_prune",      # SemDeDup-style within-cell semantic dedup
     "t_nb_quality",          # closed-form trained quality classifier
     "t_bpe_apply",           # learned-tokenizer corpus encode + fertility
+    "d_substring_spans",     # ExactSubstr duplicated-span report
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the

@@ -1126,3 +1126,140 @@ def cross_neardup_flags(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_freq: int = 2,
+    scope: str = "cross_doc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr operator family of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal token span covered by word ``k``-grams that
+    occur in at least ``min_freq`` distinct documents (``scope=
+    'cross_doc'``) or at least ``min_freq`` times anywhere including
+    within one document (``scope='any'``).
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` with 1-based
+    inclusive token positions; documents shorter than ``k`` tokens and
+    documents with no duplicated gram produce no rows.
+
+    Scale shape (the suffix-array build of the paper is a single-machine
+    construction; this is the distributed equivalent over k-gram anchors):
+    ONE pass over the token stream emits ``(doc_id, pos, xxhash64(gram))``
+    — the shuffle carries ~20-byte rows, never text — and ONE exchange on
+    the gram hash serves both the frequency count and the duplicate
+    marking (``collect_set`` / ``count`` over a gram-partitioned window,
+    no second scan, no self-join). Span assembly is a per-document
+    gaps-and-islands window: because all intervals share length ``k``,
+    a lag on the sorted start positions is sufficient (the running-max
+    interval-merge degenerates), and its state is bounded by the
+    document's duplicated positions. Hot grams (boilerplate) concentrate
+    one hash cell like any exact group-by; the 64-bit hash keeps false
+    duplicate pairs at ~n²/2⁶⁵ — the DuckDB oracle twin groups by the
+    gram STRING, so the driver's hash-compare cross-checks the hashed
+    plan against the exact one on every run.
+    """
+    if k < 2:
+        raise ValueError(f"substring_dup_spans: k must be >= 2, got {k}")
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"substring_dup_spans: unknown scope {scope!r}")
+    from pyspark.sql import Window
+
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("l"))
+    # explode(NULL) emits nothing: docs shorter than k vanish here
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("l") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(l) - {k} + 1), "
+                    f"p -> struct(p AS pos, "
+                    f"xxhash64(array_join(slice(l, p, {k}), ' ')) AS gh))"
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+    wg = Window.partitionBy("gh")
+    freq = (
+        F.size(F.collect_set(id_col).over(wg))
+        if scope == "cross_doc"
+        else F.count(F.lit(1)).over(wg)
+    )
+    marked = grams.withColumn("freq", freq).filter(
+        F.col("freq") >= int(min_freq)
+    )
+
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    lag_pos = F.lag("pos").over(wd)
+    new_island = F.when(
+        lag_pos.isNull() | (F.col("pos") > lag_pos + k), 1
+    ).otherwise(0)
+    return (
+        marked.select(id_col, "pos")
+        .withColumn("island", F.sum(new_island).over(wd))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_freq: int = 2,
+    scope: str = "cross_doc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring report over substring_dup_spans:
+    ``(id_col, n_tokens, dup_spans, dup_tokens, dup_frac)`` for EVERY
+    input document (zero rows for clean docs; the left join keys on the
+    document id, so at scale both sides hash-exchange id-keyed rows —
+    token counts and span counts, never text). ``dup_frac`` is the
+    span-covered fraction of the document's tokens — the quantity
+    curation pipelines threshold on to drop boilerplate-heavy docs."""
+    spans = substring_dup_spans(
+        docs,
+        k=k,
+        min_freq=min_freq,
+        scope=scope,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

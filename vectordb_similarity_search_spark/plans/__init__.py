@@ -147,6 +147,8 @@ TAIL = [
     "t_mixture_sample",
     "v_recall_matrix",
     "r_target_encoding",
+    # fifth continuation session (window still frozen — census)
+    "d_substring_spans",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

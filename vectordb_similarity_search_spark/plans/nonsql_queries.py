@@ -1084,3 +1084,63 @@ def s_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["doc_id"],
         rank_col="rank",
     ).select("source", "rank", "doc_id", "n_chars")
+
+
+@query(
+    "d_substring_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), grams AS (
+  SELECT doc_id, p.pos, array_to_string(l[p.pos:p.pos+7], ' ') AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - 6, 1))) AS pos) p
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS nf
+  FROM marked
+), isl2 AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl2 GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       p.dup_spans, p.dup_tokens,
+       (round(CAST(p.dup_tokens AS DOUBLE)
+              / len(string_split(d.text, ' ')), 6) + 0) AS dup_frac
+FROM documents d JOIN per_doc p USING (doc_id)
+""",
+)
+def d_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring report (ExactSubstr family, Lee et al.
+    2021): every document containing a maximal token span covered by word
+    8-grams occurring in >= 2 distinct documents, with its span count,
+    span-covered token count and covered fraction — the signal curation
+    pipelines threshold to strip injected boilerplate that document-level
+    MinHash (d_minhash_lsh_pairs) cannot see when the host documents
+    differ. Served by operators/dedup.substring_dup_spans: one token-
+    stream pass, one gram-hash exchange shared by frequency count and
+    marking (~20-byte shuffle rows, never text), per-doc gaps-and-islands
+    span merge. The Spark plan groups xxhash64(gram); the DuckDB twin
+    groups the gram STRING — the driver's hash-compare cross-checks the
+    hashed plan against the exact one."""
+    from ..operators.dedup import substring_dup_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, k=8, min_freq=2).filter(
+        F.col("dup_tokens") > 0
+    )
