@@ -304,3 +304,93 @@ def weighted_hash_sample(
         .limit(k)
         .drop("_aes_score")
     )
+
+
+def split_bounds_hex(weights: dict[str, float], *, digits: int = 12) -> list[tuple[str, str]]:
+    """Cumulative-weight thresholds as fixed-width lowercase hex strings —
+    the split routing used by :func:`cluster_aware_split`. Returned as
+    ``[(split_name, upper_bound_hex), ...]`` in declaration order; a row
+    whose key prefix sorts below a bound (and not below the previous one)
+    lands in that split. Hex-string comparison is identical in Spark and
+    DuckDB, so the same thresholds replay in the SQL oracle twin without
+    any hex→int conversion (DuckDB has no xxhash64/conv)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"weights must be non-empty and strictly positive, got {weights}"
+        )
+    total = float(sum(weights.values()))
+    space = 16**digits
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    prev = 0
+    for name, w in weights.items():
+        cum += w / total
+        bound = space if cum > 1 - 1e-12 else int(cum * space)
+        if bound <= prev:
+            raise ValueError(
+                f"weight {w} for split {name!r} is below the hex-bucket "
+                f"resolution (16^-{digits}); use coarser weights"
+            )
+        # the final bound must sort ABOVE every possible hex key ('g' >
+        # 'f' lexicographically), making the ranges exhaustive
+        hex_bound = "g" * digits if bound >= space else format(bound, f"0{digits}x")
+        out.append((name, hex_bound))
+        prev = bound
+    return out
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Leakage-free train/val/test split: near-duplicate CLUSTERS are the
+    unit of assignment, so two near-dup documents can never straddle a
+    split boundary — the standard guard against test-set contamination
+    through paraphrases/templates that a plain row-hash split
+    (:func:`hash_split`) cannot give. Input ``pairs`` is any near-dup
+    pair source (MinHash, SimHash, embedding-cosine, substring spans).
+
+    Returns ``(id_col, cluster_key, split)`` for every input row:
+    ``cluster_key`` is the cluster's canonical (min) id — its own id for
+    singletons — and ``split`` is routed by an md5 content hash of
+    ``seed:cluster_key``, compared as a hex-string prefix against the
+    cumulative-weight thresholds of :func:`split_bounds_hex`. Membership
+    is a pure function of content: reproducible across partition
+    layouts, cluster sizes and re-runs, and a document keeps its split
+    when unrelated documents are appended (only a NEW near-dup edge can
+    re-home a cluster — which is exactly the semantics you want).
+
+    Scale shape: clustering is min-label propagation over the
+    candidate-sized pair set (iterative BUILD work, like the ANN index
+    fits — not query-path); the assignment itself is one id-keyed left
+    join of labels onto the corpus ids plus a stateless hash projection.
+    The md5 (not xxhash64) keying is deliberate: it replays bit-for-bit
+    in the DuckDB oracle twin via a recursive-CTE connected components.
+    """
+    from .dedup import dedup_clusters
+
+    bounds = split_bounds_hex(weights)
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    base = df.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    canonical = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    key_hex = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), canonical.cast("string"))), 1, 12
+    )
+    # first-match-wins CASE chain: the smallest bound is tested first
+    split = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        split = F.when(key_hex < F.lit(bound), name).otherwise(split)
+    return base.select(
+        F.col(id_col),
+        canonical.cast("long").alias("cluster_key"),
+        split.alias("split"),
+    )

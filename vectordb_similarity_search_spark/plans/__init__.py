@@ -149,6 +149,7 @@ TAIL = [
     "r_target_encoding",
     # fifth continuation session (window still frozen — census)
     "d_substring_spans",
+    "s_cluster_split",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

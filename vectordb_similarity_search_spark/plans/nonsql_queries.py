@@ -1144,3 +1144,68 @@ def d_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_stats(docs, k=8, min_freq=2).filter(
         F.col("dup_tokens") > 0
     )
+
+
+def _split_oracle() -> str:
+    from ..operators.sampling import split_bounds_hex
+
+    b = dict(split_bounds_hex({"train": 0.8, "val": 0.1, "test": 0.1}))
+    return f"""
+WITH RECURSIVE pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT ia AS s, ib AS d FROM pr UNION SELECT ib, ia FROM pr
+), reach AS (
+  SELECT s AS node, d AS lbl FROM edges
+  UNION
+  SELECT r.node, e.d AS lbl FROM reach r JOIN edges e ON e.s = r.lbl
+), labels AS (
+  SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT v.vec_id,
+         CAST(coalesce(l.cluster_id, v.vec_id) AS BIGINT) AS cluster_key
+  FROM embeddings v LEFT JOIN labels l ON l.node = v.vec_id
+)
+SELECT vec_id, cluster_key,
+       CASE WHEN substr(md5('42:' || CAST(cluster_key AS VARCHAR)), 1, 12)
+                 < '{b["train"]}' THEN 'train'
+            WHEN substr(md5('42:' || CAST(cluster_key AS VARCHAR)), 1, 12)
+                 < '{b["val"]}' THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@query("s_cluster_split", oracle=_split_oracle())
+def s_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (80/10/10): exact embedding
+    near-dup pairs (cosine >= 0.4, the d_embedding_neardup operating
+    point) are clustered by connected components, and the CLUSTER — not
+    the row — is the unit of split assignment, so near-duplicates can
+    never straddle a split boundary and contaminate evaluation. Routing
+    is an md5 hex-prefix threshold on the canonical id (pure content
+    function — reproducible across layouts/sessions, stable under
+    appends). Served by operators/sampling.cluster_aware_split; the
+    label propagation is iterative build work over the candidate-sized
+    pair set, memoized per session like the ANN model fits. The DuckDB
+    twin recomputes the connected components independently via a
+    recursive-CTE transitive closure — the driver cross-checks the
+    distributed min-label propagation against an exact closure on every
+    run."""
+    from ..operators.dedup import embedding_neardup_blocked
+    from ..operators.sampling import cluster_aware_split
+
+    emb = t(spark, sf_dir, "embeddings")
+    key = _model_key(spark, sf_dir, "cluster_split")
+    if key not in _MODEL_CACHE:
+        pairs = embedding_neardup_blocked(emb, threshold=0.4)
+        _MODEL_CACHE[key] = cluster_aware_split(
+            emb,
+            pairs,
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            id_col="vec_id",
+        )
+    return _MODEL_CACHE[key]
