@@ -1,0 +1,62 @@
+"""Registry-WIDE physical-plan invariants — the 100 TB discipline,
+enforced structurally instead of query-by-query:
+
+- no ``BatchEvalPython`` anywhere: row-at-a-time Python UDFs are banned
+  from every catalog path (Python appears only as Arrow-batched
+  mapInPandas/applyInPandas, which print as ArrowEvalPython/MapInPandas
+  nodes);
+- no ``CartesianProduct`` anywhere: an unbounded non-broadcast cross
+  join would be a scale-killer on any path;
+- ``BroadcastNestedLoopJoin`` only where the broadcast side is a
+  bounded scalar/stats frame (single-row totals, top-N rank lists,
+  fraction tables) — the explicit whitelist below. A new query landing
+  a BNLJ must either justify itself here (with the bounded side named)
+  or restructure.
+
+One sweep, one failure list — so a regression in any of the 131 plans
+names every offender at once.
+"""
+
+from __future__ import annotations
+
+from vectordb_similarity_search_spark.plans import REGISTRY
+
+from .conftest import plan_of
+
+# broadcast side is a bounded aggregate (grand totals, corpus stats,
+# query-side top-N lists) — single-row or k-row, never corpus-sized
+BNLJ_BOUNDED_BROADCAST = {
+    "s_sample_stratified",   # per-stratum fraction table (strata-sized)
+    "t_nb_quality",          # class prior row + vocab log-ratio totals
+    "t_exact_dedup",         # grand-count row
+    "v_triplet_mining",      # anchor-set rank bounds (k rows)
+    "r_market_basket",       # item-count total row
+    "r_target_encoding",     # global target mean row
+    "r_intersect_except",    # branch-count rows
+    "v_sim_join_topk",       # query-side top-k list
+    "v_hybrid_rrf",          # two bounded top-N rank lists
+    "t_bm25_topk",           # corpus stats row (N, avgdl)
+    "t_idf_common",          # doc-count row
+    "t_bm25_phrase",         # corpus stats row
+    "t_bigram_logprob",      # corpus token-total row
+}
+
+
+def test_registry_plan_invariants(spark, sf_dir):
+    offenders: dict[str, list[str]] = {
+        "BatchEvalPython": [],
+        "CartesianProduct": [],
+        "BroadcastNestedLoopJoin": [],
+    }
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders["BatchEvalPython"].append(name)
+        if "CartesianProduct" in plan:
+            offenders["CartesianProduct"].append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BOUNDED_BROADCAST
+        ):
+            offenders["BroadcastNestedLoopJoin"].append(name)
+    assert not any(offenders.values()), offenders
