@@ -95,3 +95,54 @@ def test_bm25_matches_python_reference_on_random_corpora(spark):
         # top-k ordering respects the reference scores
         ordered = sorted(got, key=lambda i: (-got[i], i))
         assert ordered == sorted(want, key=lambda i: (-want[i], i))[: len(got)]
+
+
+def test_alpha_fuse_normalization_and_missing_sides(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from vectordb_similarity_search_spark.operators.bm25 import alpha_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, sa double"
+    )
+    b = spark.createDataFrame(
+        [(2, 1.0), (3, 3.0), (4, 2.0)], "doc_id long, sb double"
+    )
+    rows = {
+        r.doc_id: r.fused
+        for r in alpha_fuse(
+            a, b, id_col="doc_id", score_col_a="sa", score_col_b="sb",
+            alpha=0.75, k=10,
+        ).collect()
+    }
+    # a-normalized: 1:1.0 2:0.5 3:0.0 ; b-normalized: 2:0.0 3:1.0 4:0.5
+    assert rows[1] == 0.75          # only side a
+    assert rows[2] == 0.375         # 0.75*0.5 + 0.25*0.0
+    assert rows[3] == 0.25          # 0.75*0.0 + 0.25*1.0
+    assert rows[4] == 0.125         # only side b: 0.25*0.5
+
+
+def test_alpha_fuse_degenerate_list_normalizes_to_zero(spark):
+    from vectordb_similarity_search_spark.operators.bm25 import alpha_fuse
+
+    a = spark.createDataFrame([(1, 7.0), (2, 7.0)], "doc_id long, sa double")
+    b = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, sb double")
+    rows = {
+        r.doc_id: r.fused
+        for r in alpha_fuse(
+            a, b, id_col="doc_id", score_col_a="sa", score_col_b="sb",
+            alpha=0.5, k=10,
+        ).collect()
+    }
+    assert rows[1] == 0.0 and rows[2] == 0.5
+
+
+def test_alpha_fuse_validates_alpha(spark):
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.bm25 import alpha_fuse
+
+    a = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    with pytest.raises(ValueError, match="alpha"):
+        alpha_fuse(a, a, id_col="doc_id", score_col_a="s", score_col_b="s",
+                   alpha=1.5)

@@ -197,3 +197,53 @@ def bm25_phrase_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def alpha_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    id_col: str,
+    score_col_a: str,
+    score_col_b: str,
+    alpha: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """Convex score fusion of two retrieval lists — the OTHER standard
+    hybrid combiner next to :func:`rrf_fuse`: each side's scores are
+    min-max normalized over its own candidate list (BM25 and cosine live
+    on incomparable scales), then ``alpha·norm_a + (1-alpha)·norm_b``;
+    an id missing from one list contributes 0 from that side. A
+    degenerate list (all scores equal) normalizes to 0 rather than
+    dividing by zero.
+
+    Scale shape: both inputs are bounded top-N candidate lists, so the
+    min/max window is a single-partition exchange of N tiny rows and the
+    full-outer union join moves at most 2N rows (the same deliberate SMJ
+    as rrf_fuse — full_outer ignores broadcast hints). Nothing here
+    touches the corpus; candidate generation upstream owns that cost.
+    Deterministic tie-break (fused desc, id asc)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from pyspark.sql import Window
+
+    def _norm(df: DataFrame, score_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy()
+        mn = F.min(score_col).over(w)
+        mx = F.max(score_col).over(w)
+        norm = F.when(mx > mn, (F.col(score_col) - mn) / (mx - mn)).otherwise(
+            F.lit(0.0)
+        )
+        return df.select(F.col(id_col), norm.alias(out))
+
+    fa = _norm(a, score_col_a, "_na")
+    fb = _norm(b, score_col_b, "_nb")
+    both = fa.join(fb, id_col, "full_outer")
+    fused = F.lit(float(alpha)) * F.coalesce("_na", F.lit(0.0)) + F.lit(
+        1.0 - float(alpha)
+    ) * F.coalesce("_nb", F.lit(0.0))
+    return (
+        both.select(id_col, F.round(fused, 6).alias("fused"))
+        .orderBy(F.col("fused").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

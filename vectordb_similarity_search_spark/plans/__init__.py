@@ -150,6 +150,7 @@ TAIL = [
     # fifth continuation session (window still frozen — census)
     "d_substring_spans",
     "s_cluster_split",
+    "v_hybrid_alpha",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -697,3 +697,97 @@ def v_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_interaction_topk(
         chunks, qvs, k=5, doc_col="label"
     ).select("label", F.round("score", 6).alias("score"))
+
+
+@query(
+    "v_hybrid_alpha",
+    oracle="""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cos50 AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qv FROM q)) AS s
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY s DESC, vec_id ASC LIMIT 50
+), cos_norm AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 0.0 END AS na
+  FROM cos50
+), toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl,
+         CAST(len(list_filter(t, x -> x = 'table')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'scan')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) AS tf2
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl,
+         CAST(count(CASE WHEN tf0 > 0 THEN 1 END) AS DOUBLE) AS df0,
+         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2
+  FROM tf
+), bm AS (
+  SELECT doc_id,
+         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         AS s
+  FROM tf, stats
+), bm50 AS (
+  SELECT doc_id, round(s, 6) AS s
+  FROM bm ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50
+), bm_norm AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 0.0 END AS nb
+  FROM bm50
+), fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         0.75 * coalesce(b.nb, 0.0) + 0.25 * coalesce(c.na, 0.0) AS f
+  FROM bm_norm b FULL OUTER JOIN cos_norm c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, (round(f, 6) + 0) AS fused
+FROM fused ORDER BY fused DESC, doc_id ASC LIMIT 10
+""",
+)
+def v_hybrid_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by convex score fusion (alpha-blend, the
+    score-level combiner next to v_hybrid_rrf's rank-level one): the
+    BM25 top-50 and cosine top-50 candidate lists are each min-max
+    normalized over their own list, then fused 0.75·lexical +
+    0.25·dense. Alpha 0.75 is deliberate: exactly representable in
+    binary, so the Spark plan's 1-alpha and the oracle's 0.25 literal
+    are the same double (bit-parity discipline). Served by
+    operators/bm25.alpha_fuse — the min/max windows are
+    single-partition exchanges over 50-row candidate lists and the
+    fusion join moves at most 100 rows; candidate generation upstream
+    owns the corpus cost."""
+    from pyspark.sql import Window  # noqa: F401  (parity with rrf twin)
+
+    from ..operators.bm25 import alpha_fuse, bm25_topk
+    from ..operators.topk import knn
+
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cos50 = knn(emb, qv, 50).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    bm50 = bm25_topk(
+        t(spark, sf_dir, "documents"), ["table", "scan", "window"], k=50
+    )
+    return alpha_fuse(
+        bm50,
+        cos50,
+        id_col="doc_id",
+        score_col_a="bm25",
+        score_col_b="score",
+        alpha=0.75,
+        k=10,
+    ).select("doc_id", "fused")
