@@ -30,8 +30,10 @@ from vectordb_similarity_search_spark.functions.text import tokens  # noqa: E402
 from vectordb_similarity_search_spark.operators.dedup import (  # noqa: E402
     dedup_keep_canonical,
     minhash_lsh_pairs,
+    substring_dup_stats,
 )
 from vectordb_similarity_search_spark.operators.sampling import (  # noqa: E402
+    cluster_aware_split,
     grouped_cap_sample,
 )
 from vectordb_similarity_search_spark.session import get_spark  # noqa: E402
@@ -202,6 +204,44 @@ def main() -> None:
     near_kept = dedup_keep_canonical(exact_kept, pairs).persist()
     nC = near_kept.count()
     funnel.append(("near_dedup", nC, time.time() - t0))
+
+    # -- detector: leakage-free split over the SAME near-dup pair graph --
+    # (runs on the pre-dedup corpus: the split is what you'd use if you
+    # kept near-dups but needed them quarantined inside one split)
+    t0 = time.time()
+    asg = cluster_aware_split(
+        exact_kept,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id",
+    ).persist()
+    shares = {
+        r.split: r.c
+        for r in asg.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    straddle = (
+        pairs.join(
+            asg.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            asg.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    n_asg = sum(shares.values())
+    assert straddle == 0, straddle
+    assert abs(shares["train"] / n_asg - 0.8) < 0.01, shares
+    assert abs(shares["val"] / n_asg - 0.1) < 0.005, shares
+    assert abs(shares["test"] / n_asg - 0.1) < 0.005, shares
+    print(
+        f"  cluster_split: {shares} straddling_pairs=0  "
+        f"{time.time()-t0:.1f}s",
+        flush=True,
+    )
+    asg.unpersist()
     exact_kept.unpersist()
     kinds_C = {
         r.kind: r.c
@@ -211,6 +251,43 @@ def main() -> None:
     }
     assert "near_dup" not in kinds_C, kinds_C
     assert kinds_C["base"] == counts["base"], kinds_C
+
+    # -- detector: exact substring spans must isolate the contaminated
+    # docs whose 10-token eval span recurs verbatim in ANOTHER doc
+    # (contam doc i carries eval span i % EVAL_DOCS, so an eval id used
+    # by >= 2 docs produces cross-doc 8-gram duplication the base corpus
+    # cannot; eval ids used once are invisible to a cross-doc detector —
+    # at the default 500k scale every eval id is used 5x, so the whole
+    # slice is flagged; small runs double as the negative control) -------
+    t0 = time.time()
+    from collections import Counter
+
+    reuse = Counter(i % EVAL_DOCS for i in range(counts["contaminated"]))
+    expected_flagged = sum(v for v in reuse.values() if v >= 2)
+    span_stats = substring_dup_stats(near_kept, k=8).where(
+        F.col("dup_tokens") > 0
+    )
+    span_kinds = {
+        r.kind: r.c
+        for r in span_stats.join(near_kept.select("doc_id", "kind"), "doc_id")
+        .groupBy("kind")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    bad_shape = (
+        span_stats.where(
+            (F.col("dup_spans") != 1) | (F.col("dup_tokens") != 10)
+        ).count()
+    )
+    expected = {"contaminated": expected_flagged} if expected_flagged else {}
+    assert span_kinds == expected, (span_kinds, expected)
+    assert bad_shape == 0, bad_shape
+    print(
+        f"  substring_spans: flagged exactly the expected "
+        f"{expected_flagged:,} cross-doc-contaminated docs "
+        f"(1 span x 10 tokens each)  {time.time()-t0:.1f}s",
+        flush=True,
+    )
 
     # -- stage D: benchmark decontamination (word-5-gram collision) -------
     t0 = time.time()
