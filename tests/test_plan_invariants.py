@@ -35,6 +35,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "r_intersect_except",    # branch-count rows
     "v_sim_join_topk",       # query-side top-k list
     "v_hybrid_rrf",          # two bounded top-N rank lists
+    "v_hybrid_alpha",        # same two bounded top-50 lists + stats row
     "t_bm25_topk",           # corpus stats row (N, avgdl)
     "t_idf_common",          # doc-count row
     "t_bm25_phrase",         # corpus stats row

@@ -1263,3 +1263,72 @@ def substring_dup_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    *,
+    line_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus-level line deduplication: segment each
+    document into non-overlapping ``line_tokens``-token "lines" (the fixture
+    corpus has no newlines, so fixed token windows stand in for lines; the
+    trailing partial window is a line too), keep only the FIRST occurrence
+    of every repeated line across the whole corpus (ordered by
+    ``(id, line index)``), and rewrite each document from its surviving
+    lines.
+
+    Output: one row per input document —
+    ``(id_col, n_lines, dropped_lines, clean_tokens, clean_text)``.
+
+    Scale shape (100 TB): the global keep-first pass shuffles
+    ``(md5(line), id, idx)`` rows — 16-byte digests, never text — for one
+    hash-partitioned ``row_number`` window. Dropped occurrences (rn > 1)
+    aggregate to per-doc index lists whose total size is proportional to the
+    corpus' duplicated-line mass, typically a small fraction of the corpus,
+    so the rebuild join's right side is small and AQE plans it as a
+    broadcast; document text itself is never exchanged. Line equality is
+    md5-keyed (same contract as the exact-dedup op above: a 128-bit digest
+    stands in for text equality).
+    """
+    tk = F.split(F.col(text_col), r"\s+")
+    nseg = F.ceil(F.size("_tk") / F.lit(float(line_tokens))).cast("int")
+
+    def _seg(i: Column) -> Column:
+        return F.array_join(
+            F.slice(F.col("_tk"), i * line_tokens + 1, line_tokens), " "
+        )
+
+    segs = F.transform(F.sequence(F.lit(0), nseg - 1), _seg)
+    base = docs.select(F.col(id_col), tk.alias("_tk"))
+    occ = base.select(
+        F.col(id_col), F.posexplode(segs).alias("_cidx", "_chunk")
+    ).select(id_col, "_cidx", F.md5(F.col("_chunk").cast("binary")).alias("_h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_h").orderBy(
+        F.col(id_col).asc(), F.col("_cidx").asc()
+    )
+    dropped = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("_cidx").alias("_drop"))
+    )
+    joined = base.join(dropped, id_col, "left")
+    kept = F.when(F.col("_drop").isNull(), segs).otherwise(
+        F.filter(segs, lambda c, i: ~F.array_contains(F.col("_drop"), i))
+    )
+    clean_text = F.array_join(kept, " ")
+    return joined.select(
+        F.col(id_col),
+        F.size(segs).cast("long").alias("n_lines"),
+        F.coalesce(F.size("_drop"), F.lit(0)).cast("long").alias("dropped_lines"),
+        F.when(clean_text == "", F.lit(0))
+        .otherwise(F.size(F.split(clean_text, " ")))
+        .cast("long")
+        .alias("clean_tokens"),
+        clean_text.alias("clean_text"),
+    )

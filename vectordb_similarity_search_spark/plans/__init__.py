@@ -151,6 +151,8 @@ TAIL = [
     "d_substring_spans",
     "s_cluster_split",
     "v_hybrid_alpha",
+    # sixth continuation session (window still frozen — census)
+    "t_line_dedup",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

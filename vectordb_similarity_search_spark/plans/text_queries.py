@@ -1333,3 +1333,52 @@ def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sampled_tokens").cast("double") / F.col("_stot"), 4
         ).alias("achieved_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 sixth-session additions.
+# ---------------------------------------------------------------------------
+
+_LINE_L = 5  # tokens per "line" segment for corpus line dedup
+
+
+@query(
+    "t_line_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+), seg AS (
+  SELECT doc_id, u.i - 1 AS cidx,
+         array_to_string(tk[((u.i-1)*{_LINE_L}+1):(u.i*{_LINE_L})], ' ') AS chunk
+  FROM toks, unnest(range(1, CAST(ceil(len(tk)/{_LINE_L}.0) AS BIGINT)+1)) u(i)
+), ranked AS (
+  SELECT doc_id, cidx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+  FROM seg
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_lines,
+         coalesce(array_to_string(
+           list(chunk ORDER BY cidx) FILTER (WHERE rn = 1), ' '), '') AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_lines, dropped_lines,
+       CAST(CASE WHEN clean_text = '' THEN 0
+                 ELSE len(string_split(clean_text, ' ')) END AS BIGINT)
+         AS clean_tokens,
+       clean_text
+FROM agg
+""",
+)
+def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus-level line dedup (north-star pretraining
+    op the doc-granularity family doesn't cover): every repeated
+    {_LINE_L}-token line keeps only its first occurrence corpus-wide and
+    each document is REWRITTEN from its surviving lines — the rewrite form,
+    vs d_substring_spans' report form. One md5-keyed window exchange
+    (digests + ids, never text) + a small dropped-index join; operator scale
+    notes in operators/dedup.line_dedup."""
+    from ..operators.dedup import line_dedup
+
+    return line_dedup(t(spark, sf_dir, "documents"), line_tokens=_LINE_L)
