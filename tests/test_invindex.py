@@ -1,0 +1,93 @@
+"""Materialized inverted index (operators/invindex.py): bucket-hash
+parity, bit-identity with the scan-path BM25, pruned-probe plan shape,
+and the zero-match caveat."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_similarity_search_spark.operators.bm25 import bm25_topk
+from vectordb_similarity_search_spark.operators.invindex import (
+    _jvm_bucket,
+    _py_bucket,
+    bm25_topk_indexed,
+    text_index_write,
+)
+from vectordb_similarity_search_spark.sources.tables import load_table
+
+from .conftest import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tidx") / "index")
+    text_index_write(
+        load_table(spark, SF, "documents"), path, num_buckets=16
+    )
+    return path
+
+
+def test_bucket_hash_python_jvm_parity(spark):
+    terms = ["table", "scan", "window", "agg", "", "µ-unicode", "a b"]
+    jvm = {
+        r.t: r.b
+        for r in spark.createDataFrame([(t,) for t in terms], "t string")
+        .select("t", _jvm_bucket(F.col("t"), 16).alias("b"))
+        .collect()
+    }
+    assert jvm == {t: _py_bucket(t, 16) for t in terms}
+
+
+def test_indexed_topk_bit_identical_to_scan_path(spark, index_path):
+    docs = load_table(spark, SF, "documents")
+    terms = ["table", "scan", "window"]
+    scan = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=10).collect()]
+    idx = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, index_path, terms, k=10).collect()
+    ]
+    assert idx == scan
+
+
+def test_probe_plan_prunes_buckets_and_pushes_terms(spark, index_path):
+    terms = ["table", "scan"]
+    plan = plan_of(bm25_topk_indexed(spark, index_path, terms, k=10))
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in part), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and "In(" in ln for ln in pushed), plan
+    # exactly one postings scan feeds the probe (stats scans are the two
+    # tiny _stats relations)
+    assert plan.count("Scan parquet  (") <= 4, plan
+
+
+def test_zero_match_terms_return_empty_not_padded(spark, index_path):
+    # the documented inverted-index caveat: no zero-score padding
+    assert bm25_topk_indexed(spark, index_path, ["zzz_nope"], k=5).count() == 0
+
+
+def test_missing_terms_mixed_with_present_score_like_scan_path(
+    spark, index_path
+):
+    docs = load_table(spark, SF, "documents")
+    terms = ["table", "zzz_nope"]
+    scan = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=5).collect()]
+    idx = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, index_path, terms, k=5).collect()
+    ]
+    assert idx == scan
+
+
+def test_sidecar_is_commit_marker(spark, index_path):
+    assert os.path.exists(os.path.join(index_path, "_meta.json"))
+
+
+def test_empty_terms_raise(spark, index_path):
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(spark, index_path, [], k=5)

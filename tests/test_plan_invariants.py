@@ -37,6 +37,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "v_hybrid_rrf",          # two bounded top-N rank lists
     "v_hybrid_alpha",        # same two bounded top-50 lists + stats row
     "t_bm25_topk",           # corpus stats row (N, avgdl)
+    "t_bm25_indexed",        # index meta row (N, avgdl) + per-term df row
     "t_idf_common",          # doc-count row
     "t_bm25_phrase",         # corpus stats row
     "t_bigram_logprob",      # corpus token-total row

@@ -21,6 +21,34 @@ from pyspark.sql import functions as F
 from ..functions.text import n_tokens, tokens
 
 
+def bm25_score_expr(n_terms: int, k1: float = 1.2, b: float = 0.75):
+    """Fixed-order folded BM25 sum over ``_tf{i}``/``_df{i}``/``_len``/
+    ``_n``/``_avgdl`` columns. Shared by the scan path (:func:`bm25_topk`)
+    and the inverted-index path (operators/invindex.py) so both build the
+    SAME expression tree — the bit-parity discipline the DuckDB twins
+    mirror (same parse tree → same doubles), and the reason the indexed
+    query can share the scan query's oracle verbatim. Term i's part is
+    exactly ``idf_i · tf_i·(k1+1) / (tf_i + k1·(1−b+b·dl/avgdl))`` with
+    Lucene idf, summed left-to-right in term order (a groupBy sum would
+    reassociate the float adds and drift in the last bits)."""
+    score = None
+    for i in range(n_terms):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        part = (
+            idf
+            * (F.col(f"_tf{i}") * (k1 + 1.0))
+            / (
+                F.col(f"_tf{i}")
+                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return score
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -60,21 +88,7 @@ def bm25_topk(
         ],
     )
     scored = toks.crossJoin(F.broadcast(stats))
-    score = None
-    for i in range(len(query_terms)):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
-        )
-        part = (
-            idf
-            * (F.col(f"_tf{i}") * (k1 + 1.0))
-            / (
-                F.col(f"_tf{i}")
-                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
-            )
-        )
-        score = part if score is None else score + part
+    score = bm25_score_expr(len(query_terms), k1, b)
     return (
         scored.select(id_col, F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())

@@ -153,6 +153,7 @@ TAIL = [
     "v_hybrid_alpha",
     # sixth continuation session (window still frozen — census)
     "t_line_dedup",
+    "t_bm25_indexed",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

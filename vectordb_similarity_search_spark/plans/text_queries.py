@@ -1382,3 +1382,43 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import line_dedup
 
     return line_dedup(t(spark, sf_dir, "documents"), line_tokens=_LINE_L)
+
+
+def _text_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/probe-many inverted index for the documents fixture
+    (same offline-build contract as nonsql_queries._ivf_index_for: index
+    construction is an offline job, not query work). Cached per source
+    (mtime, size) under the system tmp dir; the json sidecar is the
+    build's commit marker, so a half-built store is never probed."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|tidx16|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vss_tidx_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        from ..operators.invindex import text_index_write
+
+        text_index_write(t(spark, sf_dir, "documents"), path, num_buckets=16)
+    return path
+
+
+@query("t_bm25_indexed", oracle=_sql_bm25(_BM25_TERMS))
+def t_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the PREBUILT inverted index — the serving
+    twin of t_bm25_topk, sharing its oracle VERBATIM because the shared
+    fixed-order score fold (operators/bm25.bm25_score_expr) makes the
+    indexed result bit-identical to the scan path's. The probe reads only
+    the query terms' hash buckets (bucket IN (...) PartitionFilters, term
+    IN (...) PushedFilters — pinned in tests/test_invindex.py) instead of
+    re-tokenizing the corpus; operator scale notes in
+    operators/invindex.py."""
+    from ..operators.invindex import bm25_topk_indexed
+
+    return bm25_topk_indexed(
+        spark, _text_index_for(spark, sf_dir), _BM25_TERMS, k=10
+    )
