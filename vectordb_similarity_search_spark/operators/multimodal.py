@@ -209,3 +209,128 @@ def media_fingerprint(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", "kind", F.sha2(F.col("data"), 256).alias("sha256")
     )
+
+
+def perturb_media(
+    media: DataFrame,
+    *,
+    id_offset: int,
+    noise_bytes: int = 2,
+    window: int = FRAME_BYTES,
+    seed: int = 7,
+) -> DataFrame:
+    """Simulated re-encode: a copy of each input blob with ``noise_bytes``
+    payload bytes (seeded per media_id, within the first ``window`` payload
+    bytes) bumped by ±1-8 — the lossy-compression stand-in that gives the
+    perceptual-hash dedup path genuine near-but-not-exact duplicates to
+    find. Copies get ``media_id + id_offset``."""
+
+    def perturb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data, meta in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["data"].to_numpy(),
+                pdf["meta"],
+            ):
+                blob = bytearray(bytes(data))
+                rng = np.random.default_rng(seed + int(mid))
+                span = min(window, len(blob) - 16)
+                for pos in rng.choice(span, size=noise_bytes, replace=False):
+                    delta = int(rng.integers(8, 33)) * (
+                        1 if rng.integers(0, 2) else -1
+                    )
+                    blob[16 + pos] = (blob[16 + pos] + delta) % 256
+                rows.append(
+                    {
+                        "media_id": int(mid) + id_offset,
+                        "kind": kind,
+                        "data": bytes(blob),
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(perturb, MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("bits", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def phash_bits(media: DataFrame) -> DataFrame:
+    """Perceptual hash of each blob's first frame: the 64 payload bytes are
+    read as an 8×8 grayscale grid and median-thresholded into 64 bits
+    (average-hash family; a production pHash adds a DCT in front of the
+    SAME thresholding+packing, so swapping the transform leaves the Spark
+    shape untouched). Median thresholding makes the code robust to uniform
+    brightness shifts and splits the grid 32/32, maximizing Hamming
+    discrimination. Output bits are the 0/1 array the SimHash LSH helpers
+    consume (functions/hashing.simhash_block_keys / hamming_distance), so
+    the text and image near-dup paths share one blocking engine."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["data"].to_numpy(),
+            ):
+                frame = np.frombuffer(
+                    bytes(data)[16 : 16 + FRAME_BYTES], dtype=np.uint8
+                )
+                bits = (frame > np.median(frame)).astype(np.int32)
+                out.append((int(mid), kind, bits.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "bits"])
+
+    return media.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    media: DataFrame,
+    *,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Image/media near-dup pairs by perceptual hash: phash → block-key LSH
+    candidates → exact Hamming verify, the same pigeonhole contract as the
+    text SimHash path (recall exact for max_hamming < n_blocks). Scale
+    shape: blobs stay in their scan; only (id, 64-bit-as-bits) rows and
+    block keys shuffle; candidate generation is bucket-bounded
+    (``max_bucket``) exactly like operators/dedup._candidate_pairs
+    documents."""
+    from pyspark.sql import functions as FF
+
+    from ..functions.hashing import hamming_distance, simhash_block_keys
+    from .dedup import _candidate_pairs, _persist
+
+    hashed = _persist(phash_bits(media).select("media_id", "bits"))
+    keyed = hashed.select(
+        "media_id",
+        FF.explode(
+            simhash_block_keys(FF.col("bits"), n_blocks, 64)
+        ).alias("bk"),
+    ).select(
+        "media_id",
+        (FF.col("bk.key") * n_blocks + FF.col("bk.block")).alias("key"),
+    )
+    cand = _candidate_pairs(keyed, "media_id", max_bucket)
+    a = hashed.select(FF.col("media_id").alias("id_a"), FF.col("bits").alias("ba"))
+    b = hashed.select(FF.col("media_id").alias("id_b"), FF.col("bits").alias("bb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming", hamming_distance(FF.col("ba"), FF.col("bb")).cast("int")
+        )
+        .filter(FF.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -154,6 +154,7 @@ TAIL = [
     # sixth continuation session (window still frozen — census)
     "t_line_dedup",
     "t_bm25_indexed",
+    "m_phash_neardup",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1209,3 +1209,30 @@ def s_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id",
         )
     return _MODEL_CACHE[key]
+
+
+@query("m_phash_neardup", oracle=_expected_oracle("m_phash_neardup"))
+def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the binary media column —
+    the multimodal member of the dedup family (image re-encodes are the
+    media analogue of text near-dups): seeded 48-blob corpus + 12
+    simulated re-encodes (operators/multimodal.perturb_media), 8×8
+    median-threshold perceptual hash, block-key LSH candidates, exact
+    Hamming verify ≤ 3 (pigeonhole-exact recall at n_blocks=4 — one
+    injected re-encode deliberately drifts past the threshold and must
+    NOT appear; pinned in tests/test_phash.py). Corpus is per-id seeded →
+    independent of partitioning and sf_dir. Oracle: precomputed
+    expected-output parquet."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.multimodal import (
+        perturb_media,
+        phash_neardup_pairs,
+        synth_media,
+    )
+
+    base = synth_media(spark, n=48, seed=42)
+    dups = perturb_media(base.filter(FF.col("media_id") < 12), id_offset=1000)
+    return phash_neardup_pairs(
+        base.unionByName(dups), n_blocks=4, max_hamming=3
+    )
