@@ -67,6 +67,7 @@ PIPELINE = [
     "t_nb_quality",          # closed-form trained quality classifier
     "t_bpe_apply",           # learned-tokenizer corpus encode + fertility
     "d_substring_spans",     # ExactSubstr duplicated-span report
+    "t_line_dedup",          # corpus line dedup (keep-first rewrite)
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the
@@ -85,6 +86,7 @@ ANN = [
     "v_late_interaction",    # ColBERT-style sum-of-max, multi-vector docs
     "v_triplet_mining",      # NN positive + semi-hard negatives, one scan
     "v_grouped_knn",         # top-k per payload group, WindowGroupLimit
+    "t_bm25_indexed",        # BM25 from the written inverted index
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
