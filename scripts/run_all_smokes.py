@@ -30,6 +30,7 @@ SMOKES = [
     ("scale_smoke_search.py", True),      # 1M-vector filtered/range/MMR/delete
     ("scale_smoke_incremental.py", True), # 400k-corpus incremental dedup
     ("scale_smoke_text.py", True),        # 100k/500k-doc dedup pipeline
+    ("scale_smoke_invindex.py", True),    # 500k-doc inverted-index serving
     ("scale_smoke_curation.py", True),    # 500k-doc end-to-end curation
     ("scale_smoke.py", True),             # 1M vectors + 5M patients
 ]
