@@ -1,0 +1,121 @@
+"""operators/ranking.py: distributed global row_number + snake shards.
+
+The contract under test: global_row_number produces EXACTLY the ranks a
+single-window ``row_number() OVER (ORDER BY ...)`` would — while never
+funneling the frame through one partition — and stays stable under
+adversarial input partitioning (the determinism the t_token_shards oracle
+relies on).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vectordb_similarity_search_spark.operators.ranking import (
+    global_row_number,
+    snake_shards,
+)
+
+from .conftest import plan_of
+
+
+@pytest.fixture(scope="module")
+def frame(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tok"))
+
+
+def _reference_ranks(frame, descending):
+    order = [
+        F.col("n_tok").desc() if descending else F.col("n_tok").asc(),
+        F.col("doc_id").asc(),
+    ]
+    w = Window.orderBy(*order)
+    return {
+        r["doc_id"]: r["rn"]
+        for r in frame.withColumn("rn", F.row_number().over(w)).collect()
+    }
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_matches_single_window_row_number(frame, descending):
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in global_row_number(
+            frame,
+            ["n_tok", "doc_id"],
+            descending=[descending, False],
+            buckets=8,
+        ).collect()
+    }
+    assert got == _reference_ranks(frame, descending)
+
+
+def test_partitioning_invariance(frame):
+    base = global_row_number(
+        frame, ["n_tok", "doc_id"], descending=[True, False], buckets=8
+    )
+    shuffled = global_row_number(
+        frame.repartition(13, "doc_id"),
+        ["n_tok", "doc_id"],
+        descending=[True, False],
+        buckets=8,
+    )
+    a = {r["doc_id"]: r["rn"] for r in base.collect()}
+    b = {r["doc_id"]: r["rn"] for r in shuffled.collect()}
+    assert a == b
+
+
+def test_no_single_partition_exchange(frame):
+    plan = plan_of(
+        global_row_number(
+            frame, ["n_tok", "doc_id"], descending=[True, False], buckets=8
+        )
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_heavy_ties_stay_correct(spark):
+    # one value dominates: quantile bounds collapse, ties must all share a
+    # bucket and ranks still match the reference
+    rows = [(i, 5 if i % 10 else i) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long").repartition(7)
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in global_row_number(
+            df, ["n_tok", "doc_id"], descending=[False, False], buckets=8
+        ).collect()
+    }
+    assert got == _reference_ranks(df, descending=False)
+
+
+def test_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "doc_id: long, n_tok: long")
+    assert global_row_number(empty, ["n_tok"]).count() == 0
+    with pytest.raises(ValueError):
+        global_row_number(empty, [])
+    with pytest.raises(ValueError):
+        global_row_number(empty, ["n_tok"], descending=[True, False])
+    with pytest.raises(ValueError):
+        snake_shards(empty, "n_tok", "doc_id", 0)
+
+
+def test_snake_shards_balance_and_cover(frame):
+    n = 8
+    shards = snake_shards(frame, "n_tok", "doc_id", n, buckets=8)
+    per = (
+        shards.groupBy("shard")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tok"))
+        .collect()
+    )
+    assert sorted(r["shard"] for r in per) == list(range(n))
+    docs = [r["docs"] for r in per]
+    assert max(docs) - min(docs) <= 1  # snake deals one row per block
+    toks = [r["tok"] for r in per]
+    # LPT-style balance: within 2% of even token mass on the fixture corpus
+    assert max(toks) / (sum(toks) / n) < 1.02
+    # every doc assigned exactly once
+    assert shards.count() == frame.count()
+    assert shards.select("doc_id").distinct().count() == frame.count()

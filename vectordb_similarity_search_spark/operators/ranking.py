@@ -1,0 +1,152 @@
+"""Distributed global ranking — ``row_number`` over a total order WITHOUT
+a single-reducer sort, plus the token-balanced shard assignment built on it.
+
+Why this exists: ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY
+compiles to a single-partition Exchange — the entire table funnels through
+one task. Fine at fixture scale, a wall at 100 TB. ``global_row_number``
+produces the identical ranks with bounded per-task state:
+
+1. one stats pass computes approximate quantiles of the leading sort key
+   (``percentile_approx`` — deterministic for a given dataset, unlike
+   ``repartitionByRange``'s random sampling, so recomputations of the plan
+   agree on bucket assignment without a persist);
+2. every row gets a bucket from those bounds via a pure expression —
+   rows EQUAL on the leading key always share a bucket, so bucket order
+   extends to the full sort order;
+3. one exchange on the bucket id; ``row_number`` runs per bucket;
+4. per-bucket counts (a tiny aggregate, ≤ ``buckets`` rows) are collected
+   and turned into cumulative offsets shipped back as a literal map —
+   global rank = bucket offset + local rank.
+
+The shuffle carries only the projected frame (callers should select the
+key/payload columns they need first — for shard planning that is two
+columns, ~16 bytes/row). Skew caveat: a leading-key value heavier than
+``rows/buckets`` concentrates in one bucket (ties cannot be split without
+breaking rank correctness); pick a high-cardinality leading key.
+
+Build cost: two tiny driver jobs over the projected frame (quantile stats,
+bucket counts) before the ranked plan itself — an OFFLINE planning
+primitive like ``measure_key_skew``, not a serving-path operator; callers
+on the hot path should reuse the returned frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
+    """0-based bucket index in SORT order: number of quantile bounds the
+    row has passed. Equal keys → equal bucket, always."""
+    arr = F.array(*[F.lit(b) for b in bounds])
+    cmp = (lambda b: key < b) if descending else (lambda b: key > b)
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(cmp(b), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    buckets: int = 32,
+    col_name: str = "rn",
+) -> DataFrame:
+    """Append 1-based global ``row_number`` under the total order given by
+    ``keys``/``descending`` — identical output to a bare
+    ``row_number() OVER (ORDER BY ...)``, but P-way parallel
+    (tests/test_ranking.py pins the parity and the no-single-exchange plan).
+
+    ``keys`` must form a total order (ties make ranks nondeterministic in
+    ANY engine); the leading key drives bucketing, the rest break ties.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one order column")
+    desc = descending or [False] * len(keys)
+    if len(desc) != len(keys):
+        raise ValueError("descending must match keys length")
+
+    k0 = F.col(keys[0])
+    fracs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(keys[0], fracs, 10_000).alias("q")
+    ).first()
+    qs = row["q"] or []
+    # dedupe (heavy ties collapse adjacent quantiles) and order the bounds
+    # in SORT direction so bucket index increases along the output order
+    bounds = sorted(set(qs), reverse=desc[0])
+    if not bounds:  # constant / empty leading key: degenerate single bucket
+        bucket = F.lit(0)
+    else:
+        bucket = _bucket_expr(k0, bounds, descending=desc[0])
+
+    bucketed = df.withColumn("_grn_bucket", bucket)
+    counts = {
+        r["_grn_bucket"]: r["n"]
+        for r in bucketed.groupBy("_grn_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        off_map = F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])
+        offset = F.coalesce(
+            F.element_at(off_map, F.col("_grn_bucket")), F.lit(0)
+        )
+    else:  # empty input: no offsets to add
+        offset = F.lit(0)
+
+    order = [
+        F.col(k).desc() if d else F.col(k).asc() for k, d in zip(keys, desc)
+    ]
+    w = Window.partitionBy("_grn_bucket").orderBy(*order)
+    return (
+        bucketed.withColumn(
+            col_name,
+            (F.row_number().over(w) + offset).cast("long"),
+        )
+        .drop("_grn_bucket")
+    )
+
+
+def snake_shards(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    *,
+    buckets: int = 32,
+    col_name: str = "shard",
+) -> DataFrame:
+    """Weight-balanced shard assignment (training-shard planning): rank rows
+    by ``weight_col`` DESC (``id_col`` breaks ties), then deal ranks into
+    ``n_shards`` boustrophedon ("snake") order — shard 0..N-1 forward on even
+    blocks, N-1..0 backward on odd blocks. For heavy-tailed weights this is
+    the classic one-pass approximation to longest-processing-time balancing:
+    every shard receives exactly one row per block, alternating which shard
+    gets the block's heaviest row.
+
+    Rank comes from :func:`global_row_number`, so the only wide exchange is
+    the bucketed (projected) frame — no single-reducer sort. The caller
+    joins the (id, shard) result back to the full-width table; shuffling
+    document text through the rank was never needed.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ranked = global_row_number(
+        df.select(id_col, weight_col),
+        [weight_col, id_col],
+        descending=[True, False],
+        buckets=buckets,
+        col_name="_rank",
+    )
+    block = ((F.col("_rank") - 1) / n_shards).cast("long")
+    pos = ((F.col("_rank") - 1) % n_shards).cast("long")
+    shard = F.when(block % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn(col_name, shard.cast("int")).drop("_rank")

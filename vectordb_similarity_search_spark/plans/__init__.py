@@ -155,6 +155,11 @@ TAIL = [
     "t_line_dedup",
     "t_bm25_indexed",
     "m_phash_neardup",
+    # seventh continuation session (window still frozen — census)
+    "e_attribution",
+    "e_ab_test",
+    "e_markov_transitions",
+    "t_token_shards",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -686,3 +686,246 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.users").alias("users"),
         F.round(F.col("s.users") / F.col("u1"), 4).alias("conversion"),
     )
+
+
+@query(
+    "e_attribution",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events),
+credited AS (
+  SELECT coalesce(touch, 'unattributed') AS channel, value
+  FROM touched WHERE event_type = 'purchase')
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS conversions,
+       (round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) + 0)
+         AS credited_value,
+       (round(CAST(count(*) AS DOUBLE)
+              / CAST(sum(count(*)) OVER () AS DOUBLE), 6) + 0) AS share
+FROM credited
+GROUP BY 1
+""",
+)
+def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (the revenue-credit staple next to funnels):
+    each purchase is credited to the user's most recent PRIOR touch event
+    (view/click); purchases with no prior touch report as 'unattributed'.
+
+    Spark shape: one conditional ``last(..., ignorenulls)`` over the same
+    user-hashed exchange every per-user query here rides (frame ends at the
+    preceding row, so a purchase never credits itself); the credit report is
+    a tiny grouped aggregate; channel shares come from a window over the
+    ≤4-row grouped frame. ``ts`` is globally unique in the fixture, so the
+    per-user order is total and the credit assignment deterministic."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    credited = (
+        e.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch"), F.lit("unattributed")).alias("channel"),
+            "value",
+        )
+    )
+    per = credited.groupBy("channel").agg(
+        F.count("*").alias("conversions"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+            "credited_value"
+        ),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "channel",
+        "conversions",
+        "credited_value",
+        F.round(
+            F.col("conversions").cast("double")
+            / F.sum("conversions").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@query(
+    "e_ab_test",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM per_user),
+per_variant AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS users,
+         CAST(sum(converted) AS BIGINT) AS converters
+  FROM assigned GROUP BY variant),
+stats AS (
+  SELECT variant, users, converters,
+         CAST(coalesce(sum(CASE WHEN variant = 'A' THEN users END) OVER (), 0)
+              AS DOUBLE) AS na,
+         CAST(coalesce(sum(CASE WHEN variant = 'A' THEN converters END) OVER (), 0)
+              AS DOUBLE) AS ca,
+         CAST(coalesce(sum(CASE WHEN variant = 'B' THEN users END) OVER (), 0)
+              AS DOUBLE) AS nb,
+         CAST(coalesce(sum(CASE WHEN variant = 'B' THEN converters END) OVER (), 0)
+              AS DOUBLE) AS cb
+  FROM per_variant)
+SELECT variant, users, converters,
+       (round(CAST(converters AS DOUBLE) / CAST(users AS DOUBLE), 6) + 0)
+         AS conversion_rate,
+       (CASE WHEN na > 0 AND nb > 0
+                  AND (ca + cb) / (na + nb) > 0 AND (ca + cb) / (na + nb) < 1
+             THEN round((ca / na - cb / nb)
+                        / sqrt(((ca + cb) / (na + nb))
+                               * (1 - (ca + cb) / (na + nb))
+                               * (1 / na + 1 / nb)), 6) + 0
+        END) AS z_stat
+FROM stats
+""",
+)
+def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically split into two
+    variants by a CONTENT-KEYED hash of user_id (md5 — replays bit-for-bit
+    in the oracle and across sessions/layouts, the same keying discipline as
+    hash_sample); conversion = "heavy buyer" (>= 14 purchases, the fixture's
+    median split — every user purchases at least once, so >=1 would be a
+    degenerate 100% rate with zero pooled variance); the report carries the
+    pooled two-proportion z statistic (same value on both rows), guarded to
+    NULL when a variant is empty or the pooled rate is 0/1 (the z is
+    undefined there — and ANSI mode would raise on the division).
+
+    Spark shape: one user-hashed partial-agg groupBy collapses events to a
+    per-user conversion bit; variant derives from user_id AFTER the
+    collapse (hash of the group key, zero extra exchange); the z arithmetic
+    runs as conditional window sums over the 2-row variant frame."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            >= 14,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted")
+    )
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    per_variant = (
+        per_user.select(variant.alias("variant"), "converted")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("converted").cast("long").alias("converters"),
+        )
+    )
+    wall = Window.partitionBy()
+
+    def _tot(v: str, c: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("variant") == v, F.col(c))).over(wall),
+                F.lit(0),
+            )
+        ).cast("double")
+
+    stats = per_variant.select(
+        "variant", "users", "converters",
+        _tot("A", "users").alias("na"), _tot("A", "converters").alias("ca"),
+        _tot("B", "users").alias("nb"), _tot("B", "converters").alias("cb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    z_guarded = F.when(
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (pooled > 0)
+        & (pooled < 1),
+        F.round(z, 6),
+    )
+    return stats.select(
+        "variant",
+        "users",
+        "converters",
+        F.round(
+            F.col("converters").cast("double") / F.col("users").cast("double"), 6
+        ).alias("conversion_rate"),
+        z_guarded.alias("z_stat"),
+    )
+
+
+@query(
+    "e_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       (round(CAST(n_transitions AS DOUBLE)
+              / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                     AS DOUBLE), 6) + 0) AS prob
+FROM pairs
+""",
+)
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov counts +
+    row-normalized probabilities) — the session-path analysis primitive
+    behind "what do users do after X".
+
+    Spark shape: one ``lag`` window over the user-hashed exchange, one
+    grouped aggregate over the (from, to) pairs (bounded by #types², here
+    25 rows), probabilities from a window over that tiny frame. ``ts`` is
+    globally unique, so the per-user sequence is total-ordered and the
+    matrix deterministic."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wrow).cast("double"),
+            6,
+        ).alias("prob"),
+    )

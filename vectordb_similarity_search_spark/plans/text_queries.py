@@ -1422,3 +1422,62 @@ def t_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(
         spark, _text_index_for(spark, sf_dir), _BM25_TERMS, k=10
     )
+
+
+@query(
+    "t_token_shards",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, {SQL_NTOK} AS n_tok,
+         row_number() OVER (ORDER BY {SQL_NTOK} DESC, doc_id) AS r
+  FROM documents),
+assigned AS (
+  SELECT CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+                   ELSE 7 - ((r - 1) % 8) END AS INTEGER) AS shard,
+         n_tok
+  FROM ranked),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+  FROM assigned GROUP BY shard)
+SELECT shard, n_docs, shard_tokens,
+       (round(CAST(shard_tokens AS DOUBLE)
+              / avg(CAST(shard_tokens AS DOUBLE)) OVER (), 6) + 0)
+         AS balance_ratio
+FROM per_shard
+""",
+)
+def t_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard plan: documents dealt into 8 shards in
+    snake order of descending token count (one-pass LPT approximation), so
+    every shard ends up with ~equal token mass — the step that decides which
+    docs land in which training files before a corpus write-out.
+
+    Spark shape: ranks come from operators/ranking.global_row_number —
+    quantile-bucketed, P-way-parallel row_number over a (doc_id, n_tok)
+    projection, NOT a single-reducer global sort; text never shuffles. The
+    oracle replays the identical total order with a plain row_number (same
+    ranks by construction), so the parity also pins the distributed-rank
+    implementation against the single-window semantics at sf0.01."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import snake_shards
+
+    d = t(spark, sf_dir, "documents")
+    frame = d.select("doc_id", n_tokens("text").alias("n_tok"))
+    assigned = snake_shards(frame, "n_tok", "doc_id", 8)
+    per = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(
+            F.col("shard_tokens").cast("double")
+            / F.avg(F.col("shard_tokens").cast("double")).over(wall),
+            6,
+        ).alias("balance_ratio"),
+    )
