@@ -68,6 +68,8 @@ PIPELINE = [
     "t_bpe_apply",           # learned-tokenizer corpus encode + fertility
     "d_substring_spans",     # ExactSubstr duplicated-span report
     "t_line_dedup",          # corpus line dedup (keep-first rewrite)
+    "t_token_shards",        # balanced-shard plan on distributed ranks
+    "e_attribution",         # last-touch credit over the user exchange
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the

@@ -160,6 +160,9 @@ TAIL = [
     "e_ab_test",
     "e_markov_transitions",
     "t_token_shards",
+    "r_rfm_segments",
+    "e_gini_users",
+    "t_chisq_lang_source",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

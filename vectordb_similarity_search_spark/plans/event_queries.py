@@ -929,3 +929,61 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     )
+
+
+@query(
+    "e_gini_users",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT n_events,
+         CAST(row_number() OVER (ORDER BY n_events, user_id) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(n_events) OVER () AS BIGINT) AS tot
+  FROM per_user)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(tot) AS BIGINT) AS total_events,
+       (round(2.0 * CAST(sum(i * n_events) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))
+              - (CAST(max(n) AS DOUBLE) + 1) / CAST(max(n) AS DOUBLE),
+              6) + 0) AS gini
+FROM ranked
+""",
+)
+def e_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of activity concentration across users ("do 20% of
+    users generate 80% of events?") via the exact rank formula
+    G = 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n over ascending-sorted per-user
+    counts — the inequality diagnostic behind power-user and hot-key
+    analyses (a high Gini on a join key is the r_skew_report warning in
+    distribution form).
+
+    Determinism: the weighted sum uses exact BIGINT arithmetic over a
+    total order (count, then user_id); doubles appear only in the final
+    scalar expression, which both engines evaluate with an identical tree.
+    The window frame is the per-user AGGREGATE (users << events); the wide
+    pass is the grouped count."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("n_events", "user_id")
+    wall = Window.partitionBy()
+    ranked = per.select(
+        "n_events",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("n_events").over(wall).cast("long").alias("tot"),
+    )
+    n_d = F.max("n").cast("double")
+    tot_d = F.max("tot").cast("double")
+    gini = (
+        F.lit(2.0) * F.sum(F.col("i") * F.col("n_events")).cast("double")
+        / (n_d * tot_d)
+        - (n_d + 1) / n_d
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("tot").cast("long").alias("total_events"),
+        F.round(gini, 6).alias("gini"),
+    )

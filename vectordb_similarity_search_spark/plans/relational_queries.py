@@ -1369,3 +1369,74 @@ def r_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loo_min",
         "loo_max",
     )
+
+
+@query(
+    "r_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT spend,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m_score
+  FROM per_cust)
+SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       (round(CAST(sum(spend) AS DOUBLE) / count(*), 6) + 0) AS avg_spend
+FROM scored
+GROUP BY 1
+""",
+)
+def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the CRM staple): quartile scores for
+    recency (last order date), frequency (order count) and monetary value
+    (DECIMAL-exact spend), concatenated into a segment code; the report
+    aggregates customer count and average spend per segment (<= 64 rows).
+
+    Ordering discipline: every ntile ranks a TOTAL order (metric then
+    o_custkey), so the quartile boundaries are deterministic and the SQL
+    twin reproduces them exactly — both engines implement SQL-standard
+    ntile (larger buckets first).
+
+    Scale note: the three ntile windows are unpartitioned — a global sort
+    of the per-customer AGGREGATE frame (3 narrow columns, dimension-sized
+    — fine far past fixture scale, and the aggregate itself is the wide
+    work). Past single-reducer territory the ranks would come from
+    operators/ranking.global_row_number with the ntile arithmetic on top;
+    t_token_shards exercises exactly that path."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    w_f = Window.orderBy(F.col("n_orders").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    scored = per.select(
+        "spend",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("spend").cast("double") / F.count("*"), 6).alias(
+            "avg_spend"
+        ),
+    )

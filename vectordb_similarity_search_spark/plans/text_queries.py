@@ -1481,3 +1481,106 @@ def t_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balance_ratio"),
     )
+
+
+@query(
+    "t_chisq_lang_source",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT lang, source, o,
+         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS ct,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT lang, source, n,
+         CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) AS term
+  FROM tot),
+folded AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_source,
+         CAST(list_reduce(list(CAST(term AS DOUBLE) ORDER BY lang, source),
+                          (a, b) -> a + b) AS DOUBLE) AS s
+  FROM terms)
+SELECT n_docs,
+       (n_lang - 1) * (n_source - 1) AS dof,
+       (round(CAST(n_docs AS DOUBLE) * s - CAST(n_docs AS DOUBLE), 6) + 0)
+         AS chi2,
+       (round(sqrt((CAST(n_docs AS DOUBLE) * s - CAST(n_docs AS DOUBLE))
+                   / (CAST(n_docs AS DOUBLE)
+                      * CAST(least(n_lang - 1, n_source - 1) AS DOUBLE))),
+              6) + 0) AS cramers_v
+FROM folded
+""",
+)
+def t_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and source
+    (is the corpus mix uniform across providers?) plus Cramér's V effect
+    size — the categorical-association readout next to e_ab_test's
+    two-proportion z.
+
+    Uses the identity chi2 = N * sum(o²/(rt*ct)) - N so every input to the
+    float stage is an exact BIGINT; the float per-cell terms are then summed
+    by a FIXED-ORDER fold over the (lang, source)-sorted cell list — the
+    bm25_score_expr discipline — because a parallel float sum reassociates
+    the adds and drifts in the last bits run-to-run. All windows/folds run
+    on the contingency frame (#langs × #sources rows); the wide pass is one
+    grouped count."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    tot = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).cast("long").alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).cast("long").alias("ct"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    terms = tot.select(
+        "lang",
+        "source",
+        "n",
+        (
+            F.col("o").cast("double")
+            * F.col("o").cast("double")
+            / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+        ).alias("term"),
+    )
+    folded = terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+        F.countDistinct("source").cast("long").alias("n_source"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("lang", "source", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("s"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    chi2 = n_d * F.col("s") - n_d
+    return folded.select(
+        "n_docs",
+        ((F.col("n_lang") - 1) * (F.col("n_source") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    n_d
+                    * F.least(
+                        F.col("n_lang") - 1, F.col("n_source") - 1
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
