@@ -270,10 +270,76 @@ def main() -> None:
             and not os.path.isdir(os.path.join(vec_idx, "_tombstones")),
             f"live_top={[r.vec_id for r in live][:3]}",
         )
+        # ---- 5. stateful last-touch attribution: replaying the fixture
+        # log in time order must emit exactly the batch twin's per-purchase
+        # credits (state carries touches across micro-batch boundaries) ----
+        from pyspark.sql import Window
+
+        from vectordb_similarity_search_spark.streaming.events import (
+            attribution_stream,
+        )
+
+        attr = attribution_stream(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        q5 = (
+            attr.writeStream.format("memory")
+            .queryName("smoke_attr")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck_attr"))
+            .start()
+        )
+        q5.processAllAvailable()
+        q5.stop()
+        got_credits = {
+            r.event_id: (r.channel, round(r.value, 6))
+            for r in spark.sql(
+                "SELECT event_id, channel, value FROM smoke_attr"
+            ).collect()
+        }
+        wtouch = (
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        touch = F.last(
+            F.when(
+                F.col("event_type").isin("view", "click"), F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(wtouch)
+        want_credits = {
+            r.event_id: (r.channel, round(r.value, 6))
+            for r in events.select(
+                "event_id", "event_type", "value", touch.alias("touch")
+            )
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                F.coalesce("touch", F.lit("unattributed")).alias("channel"),
+                "value",
+            )
+            .collect()
+        }
+        bad = {
+            k: (v, want_credits.get(k))
+            for k, v in got_credits.items()
+            if want_credits.get(k) != v
+        }
+        check(
+            "attribution_stream_matches_batch_twin",
+            len(want_credits) > 0
+            and len(got_credits) == len(want_credits)
+            and not bad,
+            f"purchases={len(want_credits)} emitted={len(got_credits)} "
+            f"mismatches={len(bad)}",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(f"{'OK' if not failures else 'FAILED'} ({4 - len(failures)}/4)")
+    print(f"{'OK' if not failures else 'FAILED'} ({5 - len(failures)}/5)")
     sys.exit(1 if failures else 0)
 
 

@@ -609,3 +609,85 @@ def test_vector_ingest_stream_rejects_delete_plus_insert(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_attribution_stream_matches_batch_twin(spark, stream_env):
+    """Replaying a time-ordered event log through micro-batches must emit
+    exactly the per-purchase credits the batch e_attribution query
+    aggregates: state carries the last touch ACROSS batch boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.streaming.events import (
+        attribution_stream,
+    )
+
+    _, src, chk, name, reader = stream_env
+    # user 1: touch in batch1 credits purchase in batch2 (cross-batch);
+    # user 2: purchase before any touch -> unattributed; later click wins
+    # over the earlier view (last touch, not first)
+    rows1 = [
+        (1, _t(9, 0), 1, "view", 0.0),
+        (2, _t(9, 5), 2, "purchase", 10.0),
+        (3, _t(9, 10), 2, "view", 0.0),
+        (4, _t(9, 20), 2, "click", 0.0),
+    ]
+    rows2 = [
+        (5, _t(10, 0), 1, "purchase", 20.0),
+        (6, _t(10, 5), 2, "purchase", 30.0),
+        (7, _t(10, 10), 1, "signup", 0.0),
+        (8, _t(10, 20), 1, "purchase", 40.0),
+    ]
+    _write_batch(src, rows1, "b1")
+    q = (
+        attribution_stream(reader())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, rows2, "b2")
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.channel, r.value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        2: ("unattributed", 10.0),
+        5: ("view", 20.0),      # credited across the batch boundary
+        6: ("click", 30.0),     # click displaced the earlier view
+        8: ("view", 40.0),      # signup is not a touch channel
+    }
+
+    # batch twin on the same rows: identical per-purchase credits
+    pdf = pd.DataFrame(
+        rows1 + rows2,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    e = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    batch = {
+        r.event_id: (r.channel, r.value)
+        for r in e.select(
+            "event_id", "event_type", "value", touch.alias("touch")
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.coalesce("touch", F.lit("unattributed")).alias("channel"),
+            "value",
+        )
+        .collect()
+    }
+    assert got == batch

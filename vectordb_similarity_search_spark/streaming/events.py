@@ -440,3 +440,64 @@ def stream_stream_interval_join(
         "click_id",
         "click_ts",
     )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of the batch
+    ``e_attribution`` query (plans/event_queries.py): every purchase emits
+    one credit row naming the user's most recent PRIOR touch (view/click),
+    'unattributed' when none has been seen yet.
+
+    State per user = (channel, ts_us) of the latest touch — O(users),
+    independent of event volume. Rows inside a micro-batch are sorted by
+    ts before replay (``applyInPandasWithState`` groups but does not
+    order), so as long as each user's events arrive in timestamp order
+    ACROSS batches — the replay-a-log shape — the emitted credits equal
+    the batch twin exactly (tests/test_streaming.py pins it). Late
+    cross-batch touches do not retro-credit earlier purchases; last-touch
+    attribution over out-of-order streams needs watermarked buffering,
+    which the batch query is for.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, event_id BIGINT, channel STRING, value DOUBLE"
+    )
+    state_schema = "touch STRING, ts_us BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        touch, ts_us = state.get if state.exists else (None, None)
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "channel": [], "value": [],
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us_arr = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for eid, etype, val, t_us in zip(
+                pdf["event_id"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+                pdf["value"].to_numpy(),
+                ts_us_arr.to_numpy(),
+            ):
+                if etype == "purchase":
+                    out["user_id"].append(key[0])
+                    out["event_id"].append(int(eid))
+                    out["channel"].append(
+                        touch if touch is not None else "unattributed"
+                    )
+                    out["value"].append(float(val))
+                elif etype in ("view", "click"):
+                    touch = etype
+                    ts_us = int(t_us)
+        state.update((touch, ts_us))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
