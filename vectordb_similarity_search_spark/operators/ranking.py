@@ -55,6 +55,7 @@ def global_row_number(
     descending: list[bool] | None = None,
     buckets: int = 32,
     col_name: str = "rn",
+    persist: bool = False,
 ) -> DataFrame:
     """Append 1-based global ``row_number`` under the total order given by
     ``keys``/``descending`` — identical output to a bare
@@ -63,12 +64,22 @@ def global_row_number(
 
     ``keys`` must form a total order (ties make ranks nondeterministic in
     ANY engine); the leading key drives bucketing, the rest break ties.
+
+    ``persist=True`` caches the input frame across the three consumers
+    (quantile stats, bucket counts, the ranked plan itself) — pass it when
+    ``df`` is derived by non-trivial work (e.g. tokenizing text), so the
+    derivation runs once, not three times. The cache is the PROJECTED
+    frame the caller built (keys + payload), not the source table; it
+    stays session-lived like the other per-session memos. Correctness
+    never depends on it: bucket assignment is a pure function of the row.
     """
     if not keys:
         raise ValueError("keys must name at least one order column")
     desc = descending or [False] * len(keys)
     if len(desc) != len(keys):
         raise ValueError("descending must match keys length")
+    if persist:
+        df = df.persist()
 
     k0 = F.col(keys[0])
     fracs = [i / buckets for i in range(1, buckets)]
@@ -123,6 +134,7 @@ def snake_shards(
     *,
     buckets: int = 32,
     col_name: str = "shard",
+    persist: bool = False,
 ) -> DataFrame:
     """Weight-balanced shard assignment (training-shard planning): rank rows
     by ``weight_col`` DESC (``id_col`` breaks ties), then deal ranks into
@@ -145,6 +157,7 @@ def snake_shards(
         descending=[True, False],
         buckets=buckets,
         col_name="_rank",
+        persist=persist,
     )
     block = ((F.col("_rank") - 1) / n_shards).cast("long")
     pos = ((F.col("_rank") - 1) % n_shards).cast("long")
