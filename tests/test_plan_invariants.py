@@ -41,6 +41,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_idf_common",          # doc-count row
     "t_bm25_phrase",         # corpus stats row
     "t_bigram_logprob",      # corpus token-total row
+    "r_winsorized_mean",     # global p01/p99 percentile row
 }
 
 

@@ -163,6 +163,9 @@ TAIL = [
     "r_rfm_segments",
     "e_gini_users",
     "t_chisq_lang_source",
+    "e_audience_overlap",
+    "t_readability_ari",
+    "r_winsorized_mean",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

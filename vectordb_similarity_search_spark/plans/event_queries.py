@@ -987,3 +987,83 @@ def e_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tot").cast("long").alias("total_events"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+@query(
+    "e_audience_overlap",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+pop AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT type_a, type_b, n_both,
+       pa.n AS n_a, pb.n AS n_b,
+       (round(CAST(n_both AS DOUBLE)
+              / CAST(pa.n + pb.n - n_both AS DOUBLE), 6) + 0) AS jaccard
+FROM pairs
+JOIN pop pa ON pa.event_type = type_a
+JOIN pop pb ON pb.event_type = type_b
+""",
+)
+def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users did BOTH, plus per-type audience sizes and the Jaccard overlap —
+    the segment-intersection readout ad/analytics stacks run constantly.
+
+    Spark shape: the r_market_basket idiom — per-user sorted type sets
+    (bounded by #types), ordered pairs generated IN-ARRAY (no self-join of
+    the user-type frame), pair counts on a #types²-bounded frame, audience
+    sizes broadcast back onto it. The oracle replays it as the distinct
+    self-join, which at fixture scale is exact and cheap — the in-array
+    form is the one that survives 100 TB (shuffle carries user→set rows,
+    never user×user pairs)."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    per_user = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.where(F.size("types") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda a: F.transform(
+                        F.filter(F.col("types"), lambda b: b > a),
+                        lambda b: F.struct(
+                            a.alias("type_a"), b.alias("type_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    pc = pairs.groupBy("pr.type_a", "pr.type_b").agg(
+        F.count("*").alias("n_both")
+    )
+    pop = F.broadcast(
+        ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    joined = (
+        pc.join(pop, pc.type_a == pop.event_type)
+        .select("type_a", "type_b", "n_both", F.col("n").alias("n_a"))
+        .join(pop, F.col("type_b") == pop.event_type)
+        .select("type_a", "type_b", "n_both", "n_a", F.col("n").alias("n_b"))
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1440,3 +1440,77 @@ def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_spend"
         ),
     )
+
+
+@query(
+    "r_winsorized_mean",
+    oracle="""
+WITH st AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem),
+flagged AS (
+  SELECT l_returnflag,
+         CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END AS is_low,
+         CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END AS is_high,
+         CASE WHEN l_extendedprice >= p01 AND l_extendedprice <= p99
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) END AS mid_price,
+         p01, p99
+  FROM lineitem, st)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(is_low) AS BIGINT) AS n_clamped_low,
+       CAST(sum(is_high) AS BIGINT) AS n_clamped_high,
+       (round((CAST(coalesce(sum(mid_price), 0) AS DOUBLE)
+               + CAST(sum(is_low) AS DOUBLE) * max(p01)
+               + CAST(sum(is_high) AS DOUBLE) * max(p99))
+              / count(*), 6) + 0) AS winsorized_mean
+FROM flagged
+GROUP BY l_returnflag
+""",
+)
+def r_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: prices clamped at the corpus-wide
+    exact p01/p99 percentiles — the robust-statistics step before means
+    feed dashboards or features, reported with how many rows each tail
+    clamped.
+
+    Float discipline: the winsorized mean is DECOMPOSED —
+    (exact DECIMAL sum of unclamped prices + n_low*p01 + n_high*p99) / n —
+    so the only floats are the two interpolated percentile scalars and the
+    final scalar arithmetic; no float accumulates across rows in partition
+    order. The percentile pair is a 1-row aggregate broadcast-crossJoined
+    onto the scan (bounded-broadcast BNLJ, whitelisted in
+    tests/test_plan_invariants.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    flagged = li.crossJoin(F.broadcast(st)).select(
+        "l_returnflag",
+        F.when(F.col("l_extendedprice") < F.col("p01"), 1)
+        .otherwise(0)
+        .alias("is_low"),
+        F.when(F.col("l_extendedprice") > F.col("p99"), 1)
+        .otherwise(0)
+        .alias("is_high"),
+        F.when(
+            (F.col("l_extendedprice") >= F.col("p01"))
+            & (F.col("l_extendedprice") <= F.col("p99")),
+            F.col("l_extendedprice").cast("decimal(18,2)"),
+        ).alias("mid_price"),
+        "p01",
+        "p99",
+    )
+    win_mean = (
+        F.coalesce(F.sum("mid_price"), F.lit(0)).cast("double")
+        + F.sum("is_low").cast("double") * F.max("p01")
+        + F.sum("is_high").cast("double") * F.max("p99")
+    ) / F.count("*")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum("is_low").cast("long").alias("n_clamped_low"),
+        F.sum("is_high").cast("long").alias("n_clamped_high"),
+        F.round(win_mean, 6).alias("winsorized_mean"),
+    )

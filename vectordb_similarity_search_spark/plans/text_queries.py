@@ -1584,3 +1584,90 @@ def t_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# Sentence segmentation shared by the readability query and its oracle:
+# non-empty segments between sentence-ending punctuation runs. Both
+# engines trim the same whitespace and clamp to >= 1 so a fragment with
+# no terminator still counts as one sentence (and empty text cannot
+# divide by zero under ANSI).
+SQL_NSENT = (
+    "greatest(len(list_filter(string_split_regex(text, '[.!?]+'), "
+    "s -> len(trim(s)) > 0)), 1)"
+)
+
+
+def _n_sentences() -> "F.Column":
+    return F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+
+
+@query(
+    "t_readability_ari",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS c,
+         CAST({SQL_NTOK} AS BIGINT) AS w,
+         CAST({SQL_NSENT} AS BIGINT) AS s
+  FROM documents),
+scored AS (
+  SELECT lang, c, w, s,
+         4.71 * (CAST(c AS DOUBLE) / CAST(w AS DOUBLE))
+           + 0.5 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 21.43 AS ari
+  FROM per_doc)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s) AS BIGINT) AS total_sentences,
+       (round(4.71 * (CAST(sum(c) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+              + 0.5 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+              - 21.43, 6) + 0) AS corpus_ari,
+       (round(min(ari), 6) + 0) AS min_ari,
+       (round(max(ari), 6) + 0) AS max_ari
+FROM scored
+GROUP BY lang
+""",
+)
+def t_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per language — the quality-filter
+    signal reading-level heuristics feed (Flesch-family scores need
+    syllables; ARI needs only chars/words/sentences, all countable as
+    pure JVM expressions).
+
+    Float discipline: the corpus-level ARI comes from exact BIGINT sums
+    (sum chars / sum words / sum sentences) so no float accumulates across
+    rows in arbitrary order; per-doc ARIs appear only under min/max, which
+    are order-independent. One scan, one grouped aggregate."""
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("c"),
+        n_tokens("text").cast("long").alias("w"),
+        _n_sentences().cast("long").alias("s"),
+    )
+    ari = (
+        4.71 * (F.col("c").cast("double") / F.col("w").cast("double"))
+        + 0.5 * (F.col("w").cast("double") / F.col("s").cast("double"))
+        - 21.43
+    )
+    scored = per_doc.withColumn("ari", ari)
+    sum_ari = (
+        4.71
+        * (F.sum("c").cast("double") / F.sum("w").cast("double"))
+        + 0.5 * (F.sum("w").cast("double") / F.sum("s").cast("double"))
+        - 21.43
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("s").cast("long").alias("total_sentences"),
+        F.round(sum_ari, 6).alias("corpus_ari"),
+        F.round(F.min("ari"), 6).alias("min_ari"),
+        F.round(F.max("ari"), 6).alias("max_ari"),
+    )
