@@ -119,3 +119,41 @@ def test_snake_shards_balance_and_cover(frame):
     # every doc assigned exactly once
     assert shards.count() == frame.count()
     assert shards.select("doc_id").distinct().count() == frame.count()
+
+
+def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
+    import glob
+    import json
+
+    from vectordb_similarity_search_spark.operators.ranking import (
+        write_training_shards,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(d, path, "n_tok", "doc_id", 4)
+
+    # exactly one parquet file per shard dir
+    for k in range(4):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+
+    # manifest matches a read-back accounting, and the sidecar is valid
+    back = spark.read.parquet(path)
+    per = {
+        r["shard"]: (r["rows"], r["tok"])
+        for r in back.groupBy("shard")
+        .agg(F.count("*").alias("rows"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    assert {m["shard"]: (m["rows"], m["weight"]) for m in manifest} == per
+    side = json.load(open(f"{path}/_shard_manifest.json"))
+    assert side["total_rows"] == d.count()
+    assert side["shards"] == manifest
+
+    # no doc lost or duplicated, and weight mass is balanced
+    assert back.select("doc_id").distinct().count() == d.count()
+    toks = [m["weight"] for m in manifest]
+    assert max(toks) / (sum(toks) / 4) < 1.02

@@ -163,3 +163,88 @@ def snake_shards(
     pos = ((F.col("_rank") - 1) % n_shards).cast("long")
     shard = F.when(block % 2 == 0, pos).otherwise(n_shards - 1 - pos)
     return ranked.withColumn(col_name, shard.cast("int")).drop("_rank")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    *,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> list[dict]:
+    """Materialize the :func:`snake_shards` plan: write ``df`` as
+    ``shard=K`` hive directories with EXACTLY ONE parquet file per shard
+    (each shard's rows are co-located by a shard-keyed repartition before
+    ``partitionBy``), plus a ``_shard_manifest.json`` sidecar recording
+    per-shard row counts and weight mass — the file-per-shard layout
+    training loaders consume, with the manifest standing in for a listing
+    pass.
+
+    Data movement: the rank runs on the projected (id, weight) frame
+    (persisted — see :func:`global_row_number`); the full-width payload
+    moves exactly twice — the assignment join's id-hash exchange and the
+    shard-keyed exchange feeding the write. Returns the manifest rows.
+
+    The manifest is written AFTER the parquet commit (commit-marker
+    pattern shared with the inverted index's ``_meta.json``): a reader
+    that requires the manifest never sees half-written shards.
+    """
+    import json
+    import os
+
+    from pyspark.sql.functions import col
+
+    assigned = snake_shards(
+        df.select(id_col, weight_col),
+        weight_col,
+        id_col,
+        n_shards,
+        buckets=buckets,
+        persist=True,
+    )
+    full = df.join(assigned.select(id_col, "shard"), id_col)
+    (
+        full.repartition(n_shards, col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    # stats come from the narrow assignment frame (its persisted
+    # projection), not another scan of the full-width table
+    stats = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(weight_col).alias("weight"),
+        )
+        .collect()
+    )
+
+    def _num(x):
+        return int(x) if float(x).is_integer() else float(x)
+
+    manifest = sorted(
+        (
+            {
+                "shard": int(r["shard"]),
+                "rows": int(r["rows"]),
+                "weight": _num(r["weight"]),
+            }
+            for r in stats
+        ),
+        key=lambda m: m["shard"],
+    )
+    sidecar = {
+        "n_shards": n_shards,
+        "weight_col": weight_col,
+        "id_col": id_col,
+        "total_rows": sum(m["rows"] for m in manifest),
+        "total_weight": sum(m["weight"] for m in manifest),
+        "shards": manifest,
+    }
+    with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    return manifest

@@ -166,6 +166,7 @@ TAIL = [
     "e_audience_overlap",
     "t_readability_ari",
     "r_winsorized_mean",
+    "e_funnel_latency",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

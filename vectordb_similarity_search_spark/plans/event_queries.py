@@ -1067,3 +1067,74 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+@query(
+    "e_funnel_latency",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), gaps AS (
+  SELECT p.event_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(gap_us) AS BIGINT) AS n_matched,
+       (round(quantile_cont(gap_us, 0.5) / 1e6, 6) + 0) AS p50_gap_s,
+       (round(quantile_cont(gap_us, 0.9) / 1e6, 6) + 0) AS p90_gap_s,
+       (round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) + 0) AS max_gap_s
+FROM gaps
+""",
+)
+def e_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution (the "how long does conversion
+    take" readout on top of the funnel): each purchase pairs with the
+    latest click at-or-before it (the e_asof_join idiom — tagged union +
+    one carry-forward window per user, no range-join explosion), then
+    exact interpolated percentiles over the gap.
+
+    Gaps stay exact BIGINT microseconds until the final percentile
+    scalars; both engines interpolate with the same definition
+    (quantile_cont ≡ F.percentile, the r_percentiles contract)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "ts",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    gaps = carried.filter(F.col("purchase_id").isNotNull()).select(
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us")
+    )
+    return gaps.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("gap_us").alias("n_matched"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias(
+            "p90_gap_s"
+        ),
+        F.round(F.max("gap_us").cast("double") / 1e6, 6).alias("max_gap_s"),
+    )
