@@ -91,6 +91,22 @@ ANN = [
     "t_bm25_indexed",        # BM25 from the written inverted index
 ]
 
+# Fifth group (round-4 seventh session): the product-analytics surface —
+# attribution/experiment/inequality/association/robust-stats reports.
+# Small plans by design; benched so regressions in the window/aggregate
+# machinery they share show up as a group-total drift.
+ANALYTICS = [
+    "e_ab_test",             # hash-split experiment + z statistic
+    "e_markov_transitions",  # event-type transition matrix
+    "e_funnel_latency",      # asof pairing + exact gap percentiles
+    "e_audience_overlap",    # in-array pair gen + jaccard
+    "e_gini_users",          # exact rank-formula inequality
+    "r_rfm_segments",        # three total-order ntile quartiles
+    "r_winsorized_mean",     # percentile clamp, decomposed exact mean
+    "t_chisq_lang_source",   # fixed-order fold chi-square
+    "t_readability_ari",     # BIGINT-sum corpus readability
+]
+
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
 # round-4 grading VM (local[32], 128 GiB). Committed so later rounds can
 # compute machine_factor = calibration_now / this. Re-pin ONLY when the
@@ -293,6 +309,7 @@ def main() -> None:
     timings = run_group(spark, sf_dir, HEADLINE)
     pipeline = run_group(spark, sf_dir, PIPELINE)
     ann = run_group(spark, sf_dir, ANN)
+    analytics = run_group(spark, sf_dir, ANALYTICS)
 
     import tempfile
 
@@ -314,6 +331,8 @@ def main() -> None:
                 "pipeline_total_wall": round(sum(pipeline.values()), 3),
                 "ann_queries": ann,
                 "ann_total_wall": round(sum(ann.values()), 3),
+                "analytics_queries": analytics,
+                "analytics_total_wall": round(sum(analytics.values()), 3),
                 "write_queries": writes,
                 "write_total_wall": round(sum(writes.values()), 3),
                 "calibration_sec": calibration,
