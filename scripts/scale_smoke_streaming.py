@@ -293,12 +293,15 @@ def main() -> None:
         )
         q5.processAllAvailable()
         q5.stop()
+        emitted_rows = spark.sql(
+            "SELECT event_id, channel, value FROM smoke_attr"
+        ).collect()
         got_credits = {
-            r.event_id: (r.channel, round(r.value, 6))
-            for r in spark.sql(
-                "SELECT event_id, channel, value FROM smoke_attr"
-            ).collect()
+            r.event_id: (r.channel, round(r.value, 6)) for r in emitted_rows
         }
+        # a dict would silently collapse a double-emit (replay regression);
+        # count rows BEFORE keying
+        n_dup_emits = len(emitted_rows) - len(got_credits)
         wtouch = (
             Window.partitionBy("user_id")
             .orderBy("ts")
@@ -331,10 +334,11 @@ def main() -> None:
         check(
             "attribution_stream_matches_batch_twin",
             len(want_credits) > 0
+            and n_dup_emits == 0
             and len(got_credits) == len(want_credits)
             and not bad,
-            f"purchases={len(want_credits)} emitted={len(got_credits)} "
-            f"mismatches={len(bad)}",
+            f"purchases={len(want_credits)} emitted={len(emitted_rows)} "
+            f"dup_emits={n_dup_emits} mismatches={len(bad)}",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

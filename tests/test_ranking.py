@@ -157,3 +157,18 @@ def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
     assert back.select("doc_id").distinct().count() == d.count()
     toks = [m["weight"] for m in manifest]
     assert max(toks) / (sum(toks) / 4) < 1.02
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_null_leading_keys_match_window_order(spark, descending):
+    # NULLs sort first under asc, last under desc — the bucket assignment
+    # must agree with the single-window form in both directions
+    rows = [(i, None if i % 7 == 0 else (i * 37) % 101) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long").repartition(5)
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in global_row_number(
+            df, ["n_tok", "doc_id"], descending=[descending, False], buckets=8
+        ).collect()
+    }
+    assert got == _reference_ranks(df, descending)

@@ -691,3 +691,48 @@ def test_attribution_stream_matches_batch_twin(spark, stream_env):
         .collect()
     }
     assert got == batch
+
+
+def test_attribution_stream_orders_across_arrow_chunks(spark, stream_env):
+    """A user's micro-batch rows can arrive split across Arrow chunks in
+    arbitrary order; the operator must sort the CONCATENATED batch, not
+    each chunk (regression: per-chunk sorting credited 'unattributed'
+    when the purchase chunk preceded the click chunk)."""
+    from vectordb_similarity_search_spark.streaming.events import (
+        attribution_stream,
+    )
+
+    _, src, chk, name, reader = stream_env
+    # file order is reverse time order: with 1-record Arrow chunks the
+    # purchase is delivered in a chunk BEFORE its click
+    rows = [
+        (1, _t(12, 0), 1, "purchase", 5.0),
+        (2, _t(11, 0), 1, "click", 0.0),
+        (3, _t(10, 0), 1, "view", 0.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), f"{src}/b1.parquet"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        q = (
+            attribution_stream(reader())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").option("checkpointLocation", chk).start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.event_id: r.channel
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == {1: "click"}

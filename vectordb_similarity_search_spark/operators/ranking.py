@@ -35,6 +35,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import evict_other_apps
+
+# Per-session memo for the two planning artifacts (quantile bounds,
+# cumulative bucket offsets) keyed by (applicationId, caller key): the
+# SECOND build of a rank-backed catalog query must run zero jobs (the
+# tests/test_lazy_build.py contract shared with _query_vec and the model
+# caches). Only used when the caller passes ``memo_key`` — ad-hoc frames
+# have no stable identity to key on.
+_PLAN_STATS_CACHE: dict[tuple, tuple[list, dict[int, int]]] = {}
+
 
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
     """0-based bucket index in SORT order: number of quantile bounds the
@@ -56,6 +66,7 @@ def global_row_number(
     buckets: int = 32,
     col_name: str = "rn",
     persist: bool = False,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """Append 1-based global ``row_number`` under the total order given by
     ``keys``/``descending`` — identical output to a bare
@@ -72,6 +83,12 @@ def global_row_number(
     frame the caller built (keys + payload), not the source table; it
     stays session-lived like the other per-session memos. Correctness
     never depends on it: bucket assignment is a pure function of the row.
+
+    ``memo_key``: stable identity of the input (e.g. ``(sf_dir,)``) —
+    when given, the two planning artifacts (bounds, offsets) memoize per
+    session so a REBUILD of the same plan runs zero driver jobs (the
+    lazy-build contract catalog queries follow). Callers mutating the
+    underlying data between builds must not pass it.
     """
     if not keys:
         raise ValueError("keys must name at least one order column")
@@ -82,29 +99,51 @@ def global_row_number(
         df = df.persist()
 
     k0 = F.col(keys[0])
-    fracs = [i / buckets for i in range(1, buckets)]
-    row = df.select(
-        F.percentile_approx(keys[0], fracs, 10_000).alias("q")
-    ).first()
-    qs = row["q"] or []
-    # dedupe (heavy ties collapse adjacent quantiles) and order the bounds
-    # in SORT direction so bucket index increases along the output order
-    bounds = sorted(set(qs), reverse=desc[0])
-    if not bounds:  # constant / empty leading key: degenerate single bucket
-        bucket = F.lit(0)
-    else:
-        bucket = _bucket_expr(k0, bounds, descending=desc[0])
 
-    bucketed = df.withColumn("_grn_bucket", bucket)
-    counts = {
-        r["_grn_bucket"]: r["n"]
-        for r in bucketed.groupBy("_grn_bucket").agg(F.count("*").alias("n")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
+    def _bucket_of(bounds: list) -> Column:
+        if not bounds:  # constant/empty leading key: one bucket
+            nonnull = F.lit(0)
+        else:
+            nonnull = _bucket_expr(k0, bounds, descending=desc[0])
+        # NULL leading keys sort FIRST under asc and LAST under desc in
+        # Spark's default ordering; the bucket must agree or ranks break
+        # bit-parity with the single-window form (tests pin both)
+        null_bucket = F.lit(len(bounds)) if desc[0] else F.lit(-1)
+        return F.when(k0.isNull(), null_bucket).otherwise(nonnull)
+
+    cache_key = None
+    if memo_key is not None:
+        app = df.sparkSession.sparkContext.applicationId
+        cache_key = (app, tuple(keys), tuple(desc), buckets, *memo_key)
+        evict_other_apps(_PLAN_STATS_CACHE, app)
+    if cache_key is not None and cache_key in _PLAN_STATS_CACHE:
+        bounds, offsets = _PLAN_STATS_CACHE[cache_key]
+    else:
+        fracs = [i / buckets for i in range(1, buckets)]
+        row = df.select(
+            F.percentile_approx(keys[0], fracs, 10_000).alias("q")
+        ).first()
+        qs = row["q"] or []
+        # dedupe (heavy ties collapse adjacent quantiles) and order the
+        # bounds in SORT direction so bucket index increases along the
+        # output order
+        bounds = sorted(set(qs), reverse=desc[0])
+        counts = {
+            r["_grn_bucket"]: r["n"]
+            for r in df.withColumn("_grn_bucket", _bucket_of(bounds))
+            .groupBy("_grn_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        if cache_key is not None:
+            _PLAN_STATS_CACHE[cache_key] = (bounds, offsets)
+
+    bucketed = df.withColumn("_grn_bucket", _bucket_of(bounds))
     if offsets:
         off_map = F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])
         offset = F.coalesce(
@@ -135,6 +174,7 @@ def snake_shards(
     buckets: int = 32,
     col_name: str = "shard",
     persist: bool = False,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """Weight-balanced shard assignment (training-shard planning): rank rows
     by ``weight_col`` DESC (``id_col`` breaks ties), then deal ranks into
@@ -158,6 +198,7 @@ def snake_shards(
         buckets=buckets,
         col_name="_rank",
         persist=persist,
+        memo_key=memo_key,
     )
     block = ((F.col("_rank") - 1) / n_shards).cast("long")
     pos = ((F.col("_rank") - 1) % n_shards).cast("long")
@@ -197,6 +238,17 @@ def write_training_shards(
 
     from pyspark.sql.functions import col
 
+    if mode != "overwrite":
+        # append would stack a second file into each shard=K dir and the
+        # manifest would describe only the new rows — both violate the
+        # layout contract readers rely on
+        raise ValueError(
+            "write_training_shards writes a complete layout; mode="
+            f"{mode!r} is not supported (re-shard the unioned input)"
+        )
+    # persist the RANKED assignment (not just the input projection): the
+    # write join and the manifest stats both consume it, so the bucketed
+    # exchange + per-bucket row_number run once, not twice
     assigned = snake_shards(
         df.select(id_col, weight_col),
         weight_col,
@@ -204,7 +256,7 @@ def write_training_shards(
         n_shards,
         buckets=buckets,
         persist=True,
-    )
+    ).persist()
     full = df.join(assigned.select(id_col, "shard"), id_col)
     (
         full.repartition(n_shards, col("shard"))

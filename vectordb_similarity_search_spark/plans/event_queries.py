@@ -716,13 +716,18 @@ def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     each purchase is credited to the user's most recent PRIOR touch event
     (view/click); purchases with no prior touch report as 'unattributed'.
 
-    Spark shape: one conditional ``last(..., ignorenulls)`` over the same
-    user-hashed exchange every per-user query here rides (frame ends at the
-    preceding row, so a purchase never credits itself); the credit report is
-    a tiny grouped aggregate; channel shares come from a window over the
-    ≤4-row grouped frame. ``ts`` is globally unique in the fixture, so the
-    per-user order is total and the credit assignment deterministic."""
-    e = t(spark, sf_dir, "events")
+    Spark shape: the scan filters to the three PARTICIPATING types before
+    the window (other types are neither touches nor credited — shipping
+    them through the user-hashed exchange would be pure shuffle waste, and
+    the filter pushes down to the parquet scan); then one conditional
+    ``last(..., ignorenulls)`` window (frame ends at the preceding row, so
+    a purchase never credits itself); the credit report is a tiny grouped
+    aggregate; channel shares come from a window over the ≤4-row grouped
+    frame. ``ts`` is globally unique in the fixture, so the per-user order
+    is total and the credit assignment deterministic."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts")

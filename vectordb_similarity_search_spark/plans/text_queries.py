@@ -1465,7 +1465,9 @@ def t_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     frame = d.select("doc_id", n_tokens("text").alias("n_tok"))
-    assigned = snake_shards(frame, "n_tok", "doc_id", 8, persist=True)
+    assigned = snake_shards(
+        frame, "n_tok", "doc_id", 8, persist=True, memo_key=(sf_dir,)
+    )
     per = assigned.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("shard_tokens"),

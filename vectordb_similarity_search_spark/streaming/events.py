@@ -448,15 +448,18 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     one credit row naming the user's most recent PRIOR touch (view/click),
     'unattributed' when none has been seen yet.
 
-    State per user = (channel, ts_us) of the latest touch — O(users),
-    independent of event volume. Rows inside a micro-batch are sorted by
-    ts before replay (``applyInPandasWithState`` groups but does not
-    order), so as long as each user's events arrive in timestamp order
-    ACROSS batches — the replay-a-log shape — the emitted credits equal
-    the batch twin exactly (tests/test_streaming.py pins it). Late
-    cross-batch touches do not retro-credit earlier purchases; last-touch
-    attribution over out-of-order streams needs watermarked buffering,
-    which the batch query is for.
+    State per user = the latest touch channel — O(users), independent of
+    event volume. A micro-batch's rows for a user are CONCATENATED across
+    Arrow chunks and then sorted by ts before replay
+    (``applyInPandasWithState`` groups but neither orders rows nor
+    guarantees one chunk per group — sorting chunks independently would
+    mis-credit any user whose batch rows span chunks), so as long as each
+    user's events arrive in timestamp order ACROSS batches — the
+    replay-a-log shape — the emitted credits equal the batch twin exactly
+    (tests/test_streaming.py and scale_smoke_streaming section 5 pin it).
+    Late cross-batch touches do not retro-credit earlier purchases;
+    last-touch attribution over out-of-order streams needs watermarked
+    buffering, which the batch query is for.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -464,33 +467,32 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     out_schema = (
         "user_id BIGINT, event_id BIGINT, channel STRING, value DOUBLE"
     )
-    state_schema = "touch STRING, ts_us BIGINT"
+    state_schema = "touch STRING"
 
     def update(key, pdfs, state: GroupState):
-        touch, ts_us = state.get if state.exists else (None, None)
+        (touch,) = state.get if state.exists else (None,)
         out: dict[str, list] = {
             "user_id": [], "event_id": [], "channel": [], "value": [],
         }
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            ts_us_arr = pdf["ts"].astype("datetime64[us]").astype("int64")
-            for eid, etype, val, t_us in zip(
-                pdf["event_id"].to_numpy(),
-                pdf["event_type"].to_numpy(),
-                pdf["value"].to_numpy(),
-                ts_us_arr.to_numpy(),
-            ):
-                if etype == "purchase":
-                    out["user_id"].append(key[0])
-                    out["event_id"].append(int(eid))
-                    out["channel"].append(
-                        touch if touch is not None else "unattributed"
-                    )
-                    out["value"].append(float(val))
-                elif etype in ("view", "click"):
-                    touch = etype
-                    ts_us = int(t_us)
-        state.update((touch, ts_us))
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values("ts")
+        for eid, etype, val in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            pdf["value"].to_numpy(),
+        ):
+            if etype == "purchase":
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["channel"].append(
+                    touch if touch is not None else "unattributed"
+                )
+                out["value"].append(float(val))
+            elif etype in ("view", "click"):
+                touch = etype
+        state.update((touch,))
         if out["user_id"]:
             yield pd.DataFrame(out)
 
