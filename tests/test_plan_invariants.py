@@ -42,6 +42,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_bm25_phrase",         # corpus stats row
     "t_bigram_logprob",      # corpus token-total row
     "r_winsorized_mean",     # global p01/p99 percentile row
+    "r_pareto_revenue",      # 3-row tier-percentage table
 }
 
 

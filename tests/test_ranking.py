@@ -172,3 +172,66 @@ def test_null_leading_keys_match_window_order(spark, descending):
         ).collect()
     }
     assert got == _reference_ranks(df, descending)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_random_frames_match_window_ranks(spark, data):
+    """Property: on random frames — duplicate-heavy weights, NULLs, random
+    bucket counts, both sort directions — global_row_number equals the
+    single-window reference exactly."""
+    n = data.draw(st.integers(min_value=1, max_value=120))
+    weights = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=8)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    buckets = data.draw(st.sampled_from([2, 3, 8, 64]))
+    descending = data.draw(st.booleans())
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long").repartition(
+        data.draw(st.sampled_from([1, 3, 7]))
+    )
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in global_row_number(
+            df,
+            ["n_tok", "doc_id"],
+            descending=[descending, False],
+            buckets=buckets,
+        ).collect()
+    }
+    assert got == _reference_ranks(df, descending)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_snake_balance_bound_random_weights(spark, data):
+    """Property: for ANY positive weights, each snake shard's total is
+    within (max single weight) of the even split — the per-block deal
+    guarantees no shard ever trails by more than one row's weight."""
+    n = data.draw(st.integers(min_value=8, max_value=150))
+    n_shards = data.draw(st.sampled_from([2, 4, 8]))
+    weights = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=1000), min_size=n, max_size=n
+        )
+    )
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long")
+    per = {
+        r["shard"]: r["tok"]
+        for r in snake_shards(df, "n_tok", "doc_id", n_shards, buckets=4)
+        .groupBy("shard")
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    even = sum(weights) / n_shards
+    slack = max(weights) * 2  # one block's worth of deal asymmetry
+    assert all(abs(v - even) <= slack for v in per.values()), (per, even)

@@ -167,6 +167,8 @@ TAIL = [
     "t_readability_ari",
     "r_winsorized_mean",
     "e_funnel_latency",
+    "e_session_stats",
+    "r_pareto_revenue",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

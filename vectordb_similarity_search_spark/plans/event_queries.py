@@ -635,8 +635,16 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     step's timestamp — expressible as window-over-window on the same
     partitioning, no joins, no re-scan); per-user reduction reuses the
     same exchange; the final 3-row report is one tiny global aggregate
-    exploded into steps. Full SQL twin (identical window cascade)."""
-    e = t(spark, sf_dir, "events")
+    exploded into steps. Full SQL twin (identical window cascade).
+
+    The scan filters to the three step types before the window — other
+    types match no step predicate and the per-user max() ignores them,
+    so shipping them through the user exchange was pure shuffle waste
+    (same discipline as e_attribution; the twin is unchanged because the
+    filter is semantics-preserving)."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     wu = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
     s1 = e.select("user_id", "ts", "event_type", t1.alias("t1"))
@@ -1142,4 +1150,76 @@ def e_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_s"
         ),
         F.round(F.max("gap_us").cast("double") / 1e6, 6).alias("max_gap_s"),
+    )
+
+
+@query(
+    "e_session_stats",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sessions GROUP BY user_id, session_id)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       (round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) + 0) AS bounce_rate,
+       (round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) + 0)
+         AS avg_events,
+       (round(quantile_cont(dur_us, 0.5) / 1e6, 6) + 0) AS p50_dur_s,
+       (round(quantile_cont(dur_us, 0.9) / 1e6, 6) + 0) AS p90_dur_s
+FROM per_session
+""",
+)
+def e_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality report on top of gap-based sessionization: session
+    count, bounce rate (single-event sessions), events per session, and
+    exact duration percentiles — the engagement readout next to
+    e_session_windows' raw window list.
+
+    Spark side uses the native ``session_window`` operator (the same one
+    the streaming job runs); window end includes the 30-minute gap, so
+    duration = last event − first event comes from min/max inside the
+    group, exact BIGINT microseconds. The oracle replays sessionization
+    as gaps-and-islands (the e_session_windows twin) and the same
+    aggregate; percentiles follow the quantile_cont ≡ F.percentile
+    contract."""
+    e = t(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dur_us"
+            ),
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events").cast("double") / F.count("*"), 6).alias(
+            "avg_events"
+        ),
+        F.round(F.percentile("dur_us", F.lit(0.5)) / 1e6, 6).alias(
+            "p50_dur_s"
+        ),
+        F.round(F.percentile("dur_us", F.lit(0.9)) / 1e6, 6).alias(
+            "p90_dur_s"
+        ),
     )

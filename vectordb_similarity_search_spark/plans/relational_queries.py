@@ -1520,3 +1520,87 @@ def r_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_high").cast("long").alias("n_clamped_high"),
         F.round(win_mean, 6).alias("winsorized_mean"),
     )
+
+
+@query(
+    "r_pareto_revenue",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT spend,
+         CAST(row_number() OVER (ORDER BY spend DESC, o_custkey) AS BIGINT)
+           AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         sum(spend) OVER () AS total_spend,
+         sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_spend
+  FROM per_cust),
+tiers AS (
+  SELECT t.pct,
+         CAST(max(CASE WHEN r * 100 <= n * t.pct THEN r END) AS BIGINT)
+           AS n_customers,
+         max(CASE WHEN r * 100 <= n * t.pct THEN cum_spend END) AS tier_spend,
+         max(total_spend) AS total_spend
+  FROM ranked
+  CROSS JOIN (SELECT unnest([1, 10, 20]) AS pct) t
+  GROUP BY t.pct)
+SELECT pct AS top_pct, n_customers,
+       (round(CAST(tier_spend AS DOUBLE), 2) + 0) AS tier_revenue,
+       (round(CAST(tier_spend AS DOUBLE) / CAST(total_spend AS DOUBLE), 6)
+          + 0) AS revenue_share
+FROM tiers
+""",
+)
+def r_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto / "80-20") report: what share of total
+    revenue comes from the top 1% / 10% / 20% of customers — the
+    distribution readout next to e_gini_users' single coefficient.
+
+    All accumulation is DECIMAL-exact over a total order (spend desc,
+    custkey): the cumulative-spend window and the grand total are exact
+    sums, so every tier's share divides two exact decimals in double. The
+    tier membership test (r*100 <= n*pct) is pure BIGINT arithmetic — no
+    float percent thresholds. Windows run on the per-customer AGGREGATE
+    frame (dimension-sized; operators/ranking.global_row_number is the
+    documented past-single-reducer path, as in r_rfm_segments)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    order = [F.col("spend").desc(), F.col("o_custkey").asc()]
+    wall = Window.partitionBy()
+    wcum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.select(
+        "spend",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("r"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("spend").over(wall).alias("total_spend"),
+        F.sum("spend").over(wcum).alias("cum_spend"),
+    )
+    tiers = ranked.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(1,), (10,), (20,)], "pct: int")
+        )
+    )
+    in_tier = F.col("r") * 100 <= F.col("n") * F.col("pct")
+    agg = tiers.groupBy("pct").agg(
+        F.max(F.when(in_tier, F.col("r"))).cast("long").alias("n_customers"),
+        F.max(F.when(in_tier, F.col("cum_spend"))).alias("tier_spend"),
+        F.max("total_spend").alias("total_spend"),
+    )
+    return agg.select(
+        F.col("pct").alias("top_pct"),
+        "n_customers",
+        F.round(F.col("tier_spend").cast("double"), 2).alias("tier_revenue"),
+        F.round(
+            F.col("tier_spend").cast("double")
+            / F.col("total_spend").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
