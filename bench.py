@@ -105,6 +105,9 @@ ANALYTICS = [
     "r_winsorized_mean",     # percentile clamp, decomposed exact mean
     "t_chisq_lang_source",   # fixed-order fold chi-square
     "t_readability_ari",     # BIGINT-sum corpus readability
+    "e_session_stats",       # session_window + duration percentiles
+    "r_pareto_revenue",      # DECIMAL cumulative concentration tiers
+    "e_seasonal_profile",    # dow x hod exact seasonal baseline
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -169,6 +169,7 @@ TAIL = [
     "e_funnel_latency",
     "e_session_stats",
     "r_pareto_revenue",
+    "e_seasonal_profile",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

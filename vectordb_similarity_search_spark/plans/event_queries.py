@@ -1223,3 +1223,60 @@ def e_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_dur_s"
         ),
     )
+
+
+@query(
+    "e_seasonal_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY 1),
+keyed AS (
+  SELECT ((hour_idx // 24) + 4) % 7 AS dow,
+         hour_idx % 24 AS hod,
+         total
+  FROM hourly)
+SELECT CAST(dow AS INTEGER) AS dow,
+       CAST(hod AS INTEGER) AS hod,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       (round(CAST(sum(total) AS DOUBLE) / count(*), 6) + 0) AS avg_total,
+       (round(CAST(max(total) AS DOUBLE), 2) + 0) AS max_total,
+       (round(CAST(min(total) AS DOUBLE), 2) + 0) AS min_total
+FROM keyed
+GROUP BY 1, 2
+""",
+)
+def e_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal baseline (the profile a seasonal
+    anomaly detector subtracts before flagging — complements
+    e_rolling_anomaly's trailing-window form): per (dow, hod) cell, how
+    many such hours the fixture spans and the exact average/extremes of
+    hourly value totals.
+
+    Determinism/TZ discipline: dow/hod come from pure integer arithmetic
+    on the epoch hour index ((days+4)%7 — 1970-01-01 was a Thursday) —
+    no calendar functions whose week-start or timezone conventions could
+    diverge between engines or sessions; hourly totals are DECIMAL-exact
+    before any double appears. Two partial-agg groupBys (events→hourly,
+    hourly→168-cell profile); nothing corpus-sized shuffles twice."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("total"))
+    keyed = hourly.select(
+        (F.expr("hour_idx div 24") + 4) % 7,
+        (F.col("hour_idx") % 24),
+        "total",
+    ).toDF("dow", "hod", "total")
+    return keyed.groupBy(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hod").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.sum("total").cast("double") / F.count("*"), 6).alias(
+            "avg_total"
+        ),
+        F.round(F.max("total").cast("double"), 2).alias("max_total"),
+        F.round(F.min("total").cast("double"), 2).alias("min_total"),
+    )
