@@ -213,9 +213,10 @@ def test_random_frames_match_window_ranks(spark, data):
 @settings(max_examples=5, deadline=None)
 @given(data=st.data())
 def test_snake_balance_bound_random_weights(spark, data):
-    """Property: for ANY positive weights, each snake shard's total is
-    within (max single weight) of the even split — the per-block deal
-    guarantees no shard ever trails by more than one row's weight."""
+    """Property: for ANY positive weights, each snake shard's total stays
+    within two rows' worth (2x the max single weight) of the even split —
+    the per-block deal hands every shard one row per block, and the
+    forward/backward alternation bounds the cumulative asymmetry."""
     n = data.draw(st.integers(min_value=8, max_value=150))
     n_shards = data.draw(st.sampled_from([2, 4, 8]))
     weights = data.draw(

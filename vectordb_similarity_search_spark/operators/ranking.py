@@ -248,14 +248,18 @@ def write_training_shards(
         )
     # persist the RANKED assignment (not just the input projection): the
     # write join and the manifest stats both consume it, so the bucketed
-    # exchange + per-bucket row_number run once, not twice
+    # exchange + per-bucket row_number run once, not twice. Both caches
+    # are released after the last consumer (the stats collect) — a write
+    # is a one-shot operation, not a session-lived query build, so
+    # leaving them pinned would leak executor memory across repeated
+    # shard writes in one process.
+    proj = df.select(id_col, weight_col).persist()
     assigned = snake_shards(
-        df.select(id_col, weight_col),
+        proj,
         weight_col,
         id_col,
         n_shards,
         buckets=buckets,
-        persist=True,
     ).persist()
     full = df.join(assigned.select(id_col, "shard"), id_col)
     (
@@ -274,6 +278,8 @@ def write_training_shards(
         )
         .collect()
     )
+    assigned.unpersist()
+    proj.unpersist()
 
     def _num(x):
         return int(x) if float(x).is_integer() else float(x)

@@ -475,6 +475,11 @@ def attribution_stream(events: DataFrame) -> DataFrame:
             "user_id": [], "event_id": [], "channel": [], "value": [],
         }
         chunks = list(pdfs)
+        if not chunks:
+            # state-only invocation (e.g. a timed-out key if a timeout is
+            # ever configured): nothing to replay, keep state as-is
+            state.update((touch,))
+            return
         pdf = (
             pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         ).sort_values("ts")
