@@ -108,6 +108,9 @@ ANALYTICS = [
     "e_session_stats",       # session_window + duration percentiles
     "r_pareto_revenue",      # DECIMAL cumulative concentration tiers
     "e_seasonal_profile",    # dow x hod exact seasonal baseline
+    "e_dau_wau",             # one distinct exchange, DAU/WAU stickiness
+    "r_monthly_growth",      # DECIMAL lag growth trend
+    "w_percentile_rank",     # percent_rank/cume_dist/decile trio
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -170,6 +170,9 @@ TAIL = [
     "e_session_stats",
     "r_pareto_revenue",
     "e_seasonal_profile",
+    "w_percentile_rank",
+    "r_monthly_growth",
+    "e_dau_wau",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

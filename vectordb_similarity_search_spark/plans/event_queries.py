@@ -1280,3 +1280,62 @@ def e_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total").cast("double"), 2).alias("max_total"),
         F.round(F.min("total").cast("double"), 2).alias("min_total"),
     )
+
+
+@query(
+    "e_dau_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         user_id
+  FROM events),
+dau AS (
+  SELECT day_idx, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT (day_idx + 3) // 7 AS week_idx,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ud GROUP BY 1),
+dau_w AS (
+  SELECT (day_idx + 3) // 7 AS week_idx,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY 1)
+SELECT CAST(w.week_idx AS BIGINT) AS week_idx, w.wau, d.n_days,
+       (round(CAST(d.dau_sum AS DOUBLE) / d.n_days, 6) + 0) AS avg_dau,
+       (round(CAST(d.dau_sum AS DOUBLE) / d.n_days / w.wau, 6) + 0)
+         AS stickiness
+FROM wau w JOIN dau_w d ON w.week_idx = d.week_idx
+""",
+)
+def e_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement: distinct daily actives, weekly actives, and the
+    stickiness ratio avg(DAU)/WAU per Monday-start epoch week — the
+    growth-analytics headline metric.
+
+    Day/week indices are pure integer epoch arithmetic ((day+3)//7 —
+    1970-01-01 was a Thursday), timezone-free like e_seasonal_profile.
+    Shape: ONE (day, user) distinct exchange feeds both the daily counts
+    and the weekly distincts; everything after is day- or week-sized."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+        "user_id",
+    ).distinct()
+    dau = ud.groupBy("day_idx").agg(F.count("*").alias("dau"))
+    week = F.expr("(day_idx + 3) div 7")
+    wau = ud.groupBy(week.alias("week_idx")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau_w = dau.groupBy(week.alias("week_idx")).agg(
+        F.count("*").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    joined = wau.join(dau_w, "week_idx")
+    avg_dau = F.col("dau_sum").cast("double") / F.col("n_days")
+    return joined.select(
+        F.col("week_idx").cast("long").alias("week_idx"),
+        "wau",
+        "n_days",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(avg_dau / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -1604,3 +1604,47 @@ def r_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "r_monthly_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+           AS ym,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1)
+SELECT ym,
+       (round(CAST(revenue AS DOUBLE), 2) + 0) AS revenue,
+       (round(CAST(revenue - lag(revenue) OVER (ORDER BY ym) AS DOUBLE)
+              / CAST(lag(revenue) OVER (ORDER BY ym) AS DOUBLE), 6) + 0)
+         AS mom_growth
+FROM monthly
+""",
+)
+def r_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI trend staple: monthly
+    DECIMAL-exact revenue, lag window, growth ratio. The delta is an exact
+    DECIMAL subtraction; doubles appear only in the final ratio (NULL on
+    the first month via lag's NULL propagating through +0). year()/month()
+    on DATE are timezone-free in both engines (the r_date_funcs family
+    contract). The window frame is the ~84-row monthly aggregate."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "ym",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_growth"),
+    )

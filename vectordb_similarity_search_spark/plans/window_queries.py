@@ -184,3 +184,43 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_avg3"
         ),
     )
+
+
+@query(
+    "w_percentile_rank",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1)
+SELECT o_custkey,
+       (round(CAST(spend AS DOUBLE), 2) + 0) AS spend,
+       (round(percent_rank() OVER (ORDER BY spend, o_custkey), 6) + 0)
+         AS pct_rank,
+       (round(cume_dist() OVER (ORDER BY spend, o_custkey), 6) + 0)
+         AS cume,
+       CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER)
+         AS decile
+FROM per_cust
+""",
+)
+def w_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window surface (percent_rank / cume_dist / ntile
+    deciles) over per-customer spend — the remaining rank-family trio next
+    to w_rank_orders' rank/dense_rank/row_number.
+
+    Total order (spend, custkey) makes all three deterministic; both
+    engines share the SQL-standard definitions ((rank-1)/(n-1),
+    rows<=current/n, larger-buckets-first). Windows run on the
+    per-customer aggregate; the wide work is the grouped sum."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return per.select(
+        "o_custkey",
+        F.round(F.col("spend").cast("double"), 2).alias("spend"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
