@@ -111,6 +111,10 @@ ANALYTICS = [
     "e_dau_wau",             # one distinct exchange, DAU/WAU stickiness
     "r_monthly_growth",      # DECIMAL lag growth trend
     "w_percentile_rank",     # percent_rank/cume_dist/decile trio
+    "e_ewma_smooth",         # unrolled 12-term EWMA, one window exchange
+    "r_benford",             # first-digit audit, 9-group aggregate
+    "r_corr_matrix",         # one-scan sufficient-stats correlation matrix
+    "t_keyword_tfidf",       # corpus df + broadcast tf, WindowGroupLimit
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -39,6 +39,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_bm25_topk",           # corpus stats row (N, avgdl)
     "t_bm25_indexed",        # index meta row (N, avgdl) + per-term df row
     "t_idf_common",          # doc-count row
+    "t_keyword_tfidf",       # doc-count row (tf side is a bounded hash join)
     "t_bm25_phrase",         # corpus stats row
     "t_bigram_logprob",      # corpus token-total row
     "r_winsorized_mean",     # global p01/p99 percentile row

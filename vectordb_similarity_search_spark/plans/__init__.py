@@ -173,6 +173,11 @@ TAIL = [
     "w_percentile_rank",
     "r_monthly_growth",
     "e_dau_wau",
+    # eighth continuation session (window still frozen — census)
+    "e_ewma_smooth",
+    "r_benford",
+    "r_corr_matrix",
+    "t_keyword_tfidf",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

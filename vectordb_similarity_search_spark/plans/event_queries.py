@@ -1339,3 +1339,83 @@ def e_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_dau, 6).alias("avg_dau"),
         F.round(avg_dau / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# Exact-binary EWMA weights, alpha = 1/4 over a 12-observation memory:
+# w_j = alpha*(1-alpha)^j for j=0..10 plus (1-alpha)^11 on the oldest
+# point — the closed form of the textbook recursion s_t = a*x_t +
+# (1-a)*s_{t-1} seeded 11 steps back, so the weights sum to exactly 1.
+# Every weight is 3^j / 4^(j+1): a dyadic-denominator rational, hence an
+# EXACT double whose repr() round-trips bit-for-bit through both Spark's
+# and DuckDB's literal parsers.
+_EWMA_W = [0.25 * 0.75**j for j in range(11)] + [0.75**11]
+
+
+@query(
+    "e_ewma_smooth",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx, event_type,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, hour_idx, CAST(total AS DOUBLE) AS x0,
+         {", ".join(f"lag(CAST(total AS DOUBLE), {j}) OVER w AS x{j}" for j in range(1, 12))},
+         row_number() OVER w AS rn
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx))
+SELECT event_type, CAST(hour_idx * 3600 AS BIGINT) AS hour_start,
+       (round(x0, 2) + 0) AS total,
+       (round({" + ".join(f"{w!r} * x{j}" for j, w in enumerate(_EWMA_W))}, 6) + 0)
+         AS ewma
+FROM lagged WHERE rn >= 12
+""",
+)
+def e_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event-type hourly series —
+    the smoothing baseline an alerting pipeline plots next to the raw
+    series (complements e_rolling_anomaly's 3-sigma flags and
+    e_seasonal_profile's dow x hod baseline).
+
+    Determinism: the recursive EWMA is unrolled into its exact 12-term
+    closed form (weights alpha*(1-alpha)^j + tail, alpha=1/4 — all
+    dyadic-exact doubles) and evaluated as ONE fixed left-to-right sum of
+    lag() products, the identical parse shape on both engines — so the
+    doubles match bit-for-bit (the BM25 folded-expression discipline).
+    Warm-up rows (fewer than 12 prior observations) are excluded rather
+    than renormalized.
+
+    Scale shape: one partial-agg groupBy events -> hourly, then one
+    window exchange partitioned by the series key; lag(j) for j=1..11
+    and row_number share the SAME window frame, so the plan has exactly
+    one WindowExec over one exchange. Per-series state is 12 rows."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+            "event_type",
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    x = F.col("total").cast("double")
+    xs = [x] + [F.lag(x, j).over(w) for j in range(1, 12)]
+    ewma = F.lit(_EWMA_W[0]) * xs[0]
+    for j in range(1, 12):
+        ewma = ewma + F.lit(_EWMA_W[j]) * xs[j]
+    return (
+        hourly.select(
+            "event_type",
+            (F.col("hour_idx") * 3600).cast("long").alias("hour_start"),
+            F.round(x, 2).alias("total"),
+            ewma.alias("_ewma"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") >= 12)
+        .select(
+            "event_type",
+            "hour_start",
+            "total",
+            F.round("_ewma", 6).alias("ewma"),
+        )
+    )

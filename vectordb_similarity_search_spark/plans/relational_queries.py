@@ -1648,3 +1648,178 @@ def r_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_growth"),
     )
+
+
+# First-digit expected shares under Benford's law, log10(1 + 1/d) rounded
+# to the house 6 decimals in Python so BOTH engines parse the same literal
+# (no reliance on cross-engine libm log10 agreement).
+_BENFORD = {d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+@query(
+    "r_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit
+  FROM orders),
+counts AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+shares AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / sum(n) OVER () AS obs_raw,
+         CASE digit {" ".join(f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items())}
+         END AS benford_share
+  FROM counts)
+SELECT CAST(digit AS INTEGER) AS digit, CAST(n AS BIGINT) AS n,
+       (round(obs_raw, 6) + 0) AS obs_share,
+       benford_share,
+       (round(abs(obs_raw - benford_share), 6) + 0) AS abs_dev
+FROM shares
+""",
+)
+def r_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/data-quality screen run over any money column at ingest:
+    observed first-significant-digit shares vs the log10(1+1/d)
+    expectation, with per-digit absolute deviation.
+
+    The first digit comes from integer arithmetic (floor -> BIGINT ->
+    string head), never float log10 of the value — Spark CAST truncates
+    doubles while DuckDB CAST rounds, so floor() runs before the cast on
+    both sides. Expected shares are Python-computed literals embedded in
+    both plans (identical parse, no cross-engine libm dependence); the
+    deviation is computed from the UNROUNDED observed share with the same
+    expression shape on both sides.
+
+    Scale shape: one scan -> partial-agg groupBy over <= 9 digit groups
+    -> a 9-row window for the grand total. Nothing but digit counts ever
+    shuffles."""
+    from pyspark.sql import Window
+
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = (
+        t(spark, sf_dir, "orders")
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    obs_raw = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy()
+    )
+    benford = F.when(F.col("digit") == 1, F.lit(_BENFORD[1]))
+    for d in range(2, 10):
+        benford = benford.when(F.col("digit") == d, F.lit(_BENFORD[d]))
+    return counts.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        obs_raw.alias("_obs"),
+        benford.alias("benford_share"),
+    ).select(
+        "digit",
+        "n",
+        F.round("_obs", 6).alias("obs_share"),
+        "benford_share",
+        F.round(F.abs(F.col("_obs") - F.col("benford_share")), 6).alias(
+            "abs_dev"
+        ),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    """DuckDB twin of r_corr_matrix with the identical expression shape
+    (exact DECIMAL sufficient statistics -> double formula) so the
+    doubles match bit-for-bit."""
+    cols = _CORR_COLS
+    dec = "DECIMAL(18,2)"
+    stats = ["CAST(count(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(cols):
+        stats.append(f"CAST(sum(CAST({c} AS {dec})) AS DOUBLE) AS s{i}")
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            stats.append(
+                f"CAST(sum(CAST({cols[i]} AS {dec}) * CAST({cols[j]} AS {dec}))"
+                f" AS DOUBLE) AS m{i}{j}"
+            )
+    arms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = f"(n * m{i}{j} - s{i} * s{j})"
+            di = f"(n * m{i}{i} - s{i} * s{i})"
+            dj = f"(n * m{j}{j} - s{j} * s{j})"
+            arms.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,\n"
+                f"       CAST(n AS BIGINT) AS n,\n"
+                f"       (round(CASE WHEN {di} * {dj} <= 0 THEN NULL\n"
+                f"              ELSE {num} / (sqrt({di}) * sqrt({dj}))\n"
+                f"              END, 6) + 0) AS corr_r\n"
+                f"FROM s"
+            )
+    return (
+        "WITH s AS (\n  SELECT " + ",\n         ".join(stats) + "\n  FROM lineitem)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+@query("r_corr_matrix", oracle=_corr_matrix_sql())
+def r_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the lineitem numeric columns in ONE
+    scan — the feature-screening pass a training pipeline runs before
+    model fitting, computed from sufficient statistics instead of
+    Spark's pairwise ``corr`` (which would rescan per pair).
+
+    Exactness: every sum and cross-product accumulates in DECIMAL (the
+    inputs are 2-decimal money/rate values, so the cast is exact and the
+    sums are order-independent); doubles appear only in the final
+    per-pair formula, whose shape matches the oracle token-for-token.
+    Degenerate (constant) columns yield NULL instead of a divide-by-zero.
+
+    Scale shape: one scan -> one partial-agg reduction to a single
+    15-stat row -> explode to the 6 pair rows. At 100 TB this is the
+    canonical map-side-combine aggregate; the DECIMAL(38,4) accumulators
+    hold ~1e34, far above any realistic sum of 1e10-scale products."""
+    cols = _CORR_COLS
+    dec = "decimal(18,2)"
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast(dec)).cast("double").alias(f"s{i}"))
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(F.col(cols[i]).cast(dec) * F.col(cols[j]).cast(dec))
+                .cast("double")
+                .alias(f"m{i}{j}")
+            )
+    stats = t(spark, sf_dir, "lineitem").agg(*aggs)
+
+    def pair(i: int, j: int):
+        n = F.col("n")
+        num = n * F.col(f"m{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+        di = n * F.col(f"m{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        dj = n * F.col(f"m{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+        corr = F.when(di * dj <= 0, F.lit(None).cast("double")).otherwise(
+            num / (F.sqrt(di) * F.sqrt(dj))
+        )
+        return F.struct(
+            F.lit(cols[i]).alias("col_a"),
+            F.lit(cols[j]).alias("col_b"),
+            F.round(corr, 6).alias("corr_r"),
+        )
+
+    pairs = [
+        pair(i, j)
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return stats.select(
+        F.col("n").cast("long").alias("n"), F.explode(F.array(*pairs)).alias("p")
+    ).select("p.col_a", "p.col_b", "n", "p.corr_r")

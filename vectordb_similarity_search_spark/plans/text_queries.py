@@ -1673,3 +1673,91 @@ def t_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ari"), 6).alias("min_ari"),
         F.round(F.max("ari"), 6).alias("max_ari"),
     )
+
+
+@query(
+    "t_keyword_tfidf",
+    oracle=f"""
+WITH dtok AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents),
+dfc AS (
+  SELECT tok, count(*) AS df FROM dtok GROUP BY tok),
+tfx AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS tok
+  FROM documents WHERE doc_id < 30),
+tfc AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tfx GROUP BY doc_id, tok),
+scored AS (
+  SELECT tfc.doc_id, tfc.tok, tfc.tf, dfc.df,
+         CAST(tf AS DOUBLE)
+           * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df)
+           AS score
+  FROM tfc JOIN dfc USING (tok)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok ASC) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INTEGER) AS rank,
+       tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       (round(score, 6) + 0) AS score
+FROM ranked WHERE rank <= 3
+""",
+)
+def t_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF for a
+    requested doc set (doc_id < 30), with document frequency computed over
+    the WHOLE corpus — the 'what is this document about' tagging query
+    (t_idf_common's per-document counterpart).
+
+    Score = tf * ln(N/df), the same idf shape t_idf_common pins across
+    engines; ties break (score DESC, token ASC), deterministic because
+    the doubles are bit-identical. Scale shape: the corpus pays one
+    distinct-token-per-doc exchange for df (partial agg absorbs the
+    explosion); the requested docs' tf table is tiny and BROADCAST into
+    the df aggregate — no corpus-sized sort-merge join; N rides a 1-row
+    broadcast crossJoin; top-3 per doc compiles to WindowGroupLimit, so
+    the rank filter prunes before any exchange."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("_n"))
+    dfc = (
+        d.select(F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    tfc = (
+        d.filter(F.col("doc_id") < 30)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        dfc.join(F.broadcast(tfc), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rank",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("score"),
+        )
+    )
