@@ -44,6 +44,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_bigram_logprob",      # corpus token-total row
     "r_winsorized_mean",     # global p01/p99 percentile row
     "r_pareto_revenue",      # 3-row tier-percentage table
+    "d_banding_curve",       # 1-row true-pair-count total + 4-row config table
 }
 
 

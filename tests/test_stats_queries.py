@@ -121,3 +121,41 @@ def test_keyword_tfidf_top3_per_doc(spark, sf_dir):
         rs = sorted(rs, key=lambda r: r["rank"])
         for i in range(len(rs) - 1):
             assert rs[i]["score"] >= rs[i + 1]["score"] - 1e-9
+
+
+def test_banding_curve_truth_matches_bruteforce(spark, sf_dir):
+    """The advisor's exact ground-truth pair count must equal a pure-Python
+    brute-force all-pairs Jaccard over the same capped doc set — the
+    inverted-index shortcut may not drop or double-count anything. Also
+    pins the basic report invariants (caught <= candidates, caught <=
+    true, rates in [0,1])."""
+    from itertools import combinations
+
+    from vectordb_similarity_search_spark.operators.dedup import _shingle_set
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    rows = REGISTRY["d_banding_curve"].fn(spark, sf_dir).collect()
+    assert [r["bands"] for r in sorted(rows, key=lambda r: r["bands"])] == [
+        4, 8, 16, 32,
+    ]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 500")
+        .select("doc_id", "text")
+        .collect()
+    }
+    sets = {i: _shingle_set(t, 5, "char") for i, t in texts.items()}
+    brute = 0
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.3:
+            brute += 1
+    for r in rows:
+        assert r["n_true"] == brute
+        assert 0 <= r["n_caught"] <= min(r["n_candidates"], r["n_true"])
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0

@@ -1332,3 +1332,184 @@ def line_dedup(
         .alias("clean_tokens"),
         clean_text.alias("clean_text"),
     )
+
+
+def banding_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 5,
+    n_hashes: int = 64,
+    configs: tuple[int, ...] = (4, 8, 16, 32),
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banding advisor (the dedup counterpart of the ANN index advisor
+    ``v_recall_matrix``): for every (bands, rows) split of ONE signature
+    build, measure candidate volume and exact precision/recall against the
+    true Jaccard >= ``threshold`` pair set — the table an operator consults
+    before picking a banding for a corpus, instead of trusting the
+    theoretical S-curve alone (whose threshold (1/b)^(1/r) is also
+    reported per row).
+
+    Honesty: ground truth is EXACT corpus-wide all-pairs Jaccard,
+    computed by a shingle-inverted-index join (pairs sharing >= 1
+    distinct shingle carry their exact intersection count out of one
+    groupBy — any pair with Jaccard > 0 shares a shingle, so nothing is
+    missed). That is quadratic in hot-shingle document frequency, which
+    is exactly why this is an ADVISOR to run on a bounded content-keyed
+    sample (the catalog query caps ids), not a production dedup path —
+    the production path is minhash_lsh_pairs with the banding this table
+    recommends.
+
+    One signature pass serves every config: per-config band keys are
+    tagged and unioned, so candidate generation for all configs rides a
+    single (cfg, key) exchange. ``max_bucket`` applies per config, same
+    guardrail semantics as minhash_lsh_pairs.
+    """
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sig = _persist(
+        minhash_signatures_batch(base, "id", "text", shingle_n=shingle_n,
+                                 n_hashes=n_hashes)
+    )
+
+    # ---- exact ground truth via shingle inverted index -------------------
+    sh = _persist(
+        widen(base).select("id", char_shingles("text", shingle_n).alias("sh"))
+    )
+    sizes = sh.select(F.col("id"), F.size("sh").alias("nsh"))
+    per_sgl = (
+        sh.select("id", F.explode("sh").alias("sgl"))
+        .select("id", F.xxhash64("sgl").alias("h"))
+        .groupBy("h")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter_pairs = per_sgl.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(
+                        F.filter(F.col("ids"), lambda b: b > a),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    ).agg(F.count("*").alias("inter"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    truth = (
+        inter_pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb")),
+            "id_b",
+        )
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+    )
+
+    # ---- candidates for every config off the one signature build ---------
+    parts = []
+    for b in configs:
+        if n_hashes % b:
+            raise ValueError(f"bands={b} does not divide n_hashes={n_hashes}")
+        r = n_hashes // b
+        parts.append(
+            sig.select(
+                F.lit(b).alias("cfg"),
+                "id",
+                F.explode(lsh_band_keys(F.col("sig"), b, r)).alias("bk"),
+            ).select("cfg", "id", F.col("bk.key").alias("key"))
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    buckets = (
+        keyed.groupBy("cfg", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(
+            "cfg",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.filter(F.col("ids"), lambda b: b > a),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("cfg", F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+    per_cfg = (
+        cand.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_caught"),
+        )
+    )
+    # a config whose banding catches nothing must still report its row
+    cfg_rows = spark.createDataFrame(
+        [(int(b), int(n_hashes // b)) for b in configs],
+        "bands int, rows_per_band int",
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    out = (
+        cfg_rows.join(
+            per_cfg.withColumnRenamed("cfg", "bands"), "bands", "left"
+        )
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("bands").cast("double"),
+                    F.lit(1.0) / F.col("rows_per_band").cast("double"),
+                ),
+                6,
+            ).alias("s_curve_thresh"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_caught"), F.lit(0))
+            .cast("long")
+            .alias("n_caught"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.coalesce(F.col("n_caught"), F.lit(0)).cast("double")
+                    / F.col("n_true"),
+                    6,
+                ),
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_candidates"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_caught"), F.lit(0)).cast("double")
+                    / F.col("n_candidates"),
+                    6,
+                ),
+            ).alias("precision"),
+        )
+    )
+    return out

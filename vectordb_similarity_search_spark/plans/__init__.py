@@ -178,6 +178,7 @@ TAIL = [
     "r_benford",
     "r_corr_matrix",
     "t_keyword_tfidf",
+    "d_banding_curve",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1236,3 +1236,26 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(
         base.unionByName(dups), n_blocks=4, max_hamming=3
     )
+
+
+@query(
+    "d_banding_curve",
+    oracle=_expected_oracle("d_banding_curve", sf_bound=True),
+)
+def d_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-blocking advisor (operators/dedup.banding_curve): for each
+    (bands x rows) split of one 64-hash MinHash signature build, the
+    measured candidate volume and EXACT precision/recall vs the true
+    Jaccard >= 0.3 pair set, next to the theoretical S-curve threshold
+    (1/b)^(1/r) — the table that picks d_minhash_lsh_pairs' banding for
+    a corpus instead of trusting the formula. Ground truth is exact
+    all-pairs Jaccard via a shingle-inverted-index join (nothing with
+    Jaccard > 0 escapes it), which is why the advisor runs on a bounded
+    id-keyed sample (doc_id < 500 — the whole corpus at the driver's
+    sf0.01) — the production path stays LSH-blocked. Oracle:
+    expected-parquet (seeded hash family, exact integer counts —
+    layout-independent; sf-bound)."""
+    from ..operators.dedup import banding_curve
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return banding_curve(docs).orderBy("bands")
