@@ -179,6 +179,9 @@ TAIL = [
     "r_corr_matrix",
     "t_keyword_tfidf",
     "d_banding_curve",
+    "r_k_anonymity",
+    "r_dp_counts",
+    "r_pagerank",
     "t_lang_guess_confusion",
     "v_knn_cosine",
     "r_string_funcs2",

@@ -1259,3 +1259,44 @@ def d_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return banding_curve(docs).orderBy("bands")
+
+
+@query(
+    "r_pagerank",
+    oracle=_expected_oracle("r_pagerank", sf_bound=True),
+)
+def r_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier importance by weighted PageRank over the customer→supplier
+    trade graph (operators/graph.pagerank: exact-int64 power iterations,
+    8 rounds, damping 0.85): edges are (customer, supplier) lineitem
+    counts via orders⋈lineitem, nodes namespaced 'c:'/'s:' so the two
+    key spaces can't collide. Suppliers are sinks (dangling), so their
+    accumulated mass is pure weighted in-trade centrality — the report
+    is the top-10 suppliers with a deterministic (rank desc, node asc)
+    cut.
+
+    Iterative BUILD work like d_dedup_keep (localCheckpoint per power
+    iteration — exempt from the zero-job-build sweep; result memoized
+    per session). Oracle: expected-parquet — integer arithmetic makes
+    the fixed-iteration result layout/session-independent (sf-bound;
+    pure-Python replica parity pinned in tests/test_graph.py)."""
+    from ..operators.graph import pagerank
+
+    key = _model_key(spark, sf_dir, "pagerank_suppliers")
+    if key not in _MODEL_CACHE:
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = o.join(
+            li, o.o_orderkey == li.l_orderkey
+        ).select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        _MODEL_CACHE[key] = pagerank(edges, n_iter=8)
+    return (
+        _MODEL_CACHE[key]
+        .filter(F.col("node").startswith("s:"))
+        .orderBy(F.col("rank_units").desc(), F.col("node").asc())
+        .limit(10)
+        .select("node", "rank_units", "rank")
+    )

@@ -1823,3 +1823,148 @@ def r_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("n").cast("long").alias("n"), F.explode(F.array(*pairs)).alias("p")
     ).select("p.col_a", "p.col_b", "n", "p.corr_r")
+
+
+@query(
+    "r_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         (c_acctbal < 0) AS neg
+  FROM customer),
+grp AS (
+  SELECT CASE WHEN GROUPING(neg) = 1 THEN 'generalized' ELSE 'full' END
+           AS qi_level,
+         count(*) AS k
+  FROM qi
+  GROUP BY GROUPING SETS ((nat, seg, neg), (nat, seg))),
+bucketed AS (
+  SELECT qi_level,
+         CASE WHEN k = 1 THEN '1'
+              WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9'
+              ELSE '10+' END AS k_bucket,
+         k
+  FROM grp)
+SELECT qi_level, k_bucket,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_k
+FROM bucketed GROUP BY 1, 2
+""",
+)
+def r_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier set — the re-identification
+    risk report a privacy reviewer runs before any release (the batch
+    sibling of the repo's cohort/federated privacy surface): group sizes
+    k over the full QI tuple (nation, segment, balance-sign) AND over the
+    generalized tuple with the most identifying attribute dropped, so
+    one table shows how much coarsening buys.
+
+    Both levels come from ONE GROUPING SETS aggregate (one exchange,
+    partial aggs absorb the scan); the k histogram is a second tiny
+    group-sized aggregate. Equivalence-class sizes are exact integers —
+    no float discipline needed anywhere."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "vss_customer_ka"
+    )
+    return spark.sql(
+        """
+        WITH qi AS (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 (c_acctbal < 0) AS neg
+          FROM vss_customer_ka),
+        grp AS (
+          SELECT CASE WHEN GROUPING(neg) = 1 THEN 'generalized'
+                      ELSE 'full' END AS qi_level,
+                 count(*) AS k
+          FROM qi
+          GROUP BY GROUPING SETS ((nat, seg, neg), (nat, seg))),
+        bucketed AS (
+          SELECT qi_level,
+                 CASE WHEN k = 1 THEN '1'
+                      WHEN k < 5 THEN '2-4'
+                      WHEN k < 10 THEN '5-9'
+                      ELSE '10+' END AS k_bucket,
+                 k
+          FROM grp)
+        SELECT qi_level, k_bucket,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(k) AS BIGINT) AS n_rows,
+               CAST(min(k) AS BIGINT) AS min_k
+        FROM bucketed GROUP BY 1, 2
+        """
+    )
+
+
+# Shared Laplace-release formula (inverse CDF over a content-keyed md5
+# uniform). The two engines differ ONLY in hex→integer parsing (Spark
+# conv(); DuckDB 0x-cast) — the 13 hex digits are 52 bits, exact in
+# double, so u and the noise expression match bit-for-bit.
+_DP_NOISE = (
+    "-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))"
+)
+
+
+@query(
+    "r_dp_counts",
+    oracle=f"""
+WITH cnt AS (
+  SELECT n.n_name, count(*) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name),
+keyed AS (
+  SELECT n_name, n,
+         (CAST(CAST(concat('0x', substr(md5(concat('dp1:', n_name)), 1, 13))
+                    AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+  FROM cnt)
+SELECT n_name, CAST(n AS BIGINT) AS n,
+       (round({_DP_NOISE}, 6) + 0) AS noise,
+       (round(CAST(n AS DOUBLE) + ({_DP_NOISE}), 6) + 0) AS noisy_n
+FROM keyed
+""",
+)
+def r_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, eps=1,
+    count sensitivity 1 -> scale b=1) over customers per nation — the
+    privacy-preserving publication form next to r_k_anonymity's audit
+    (and the aggregate-release counterpart of the repo's federated
+    training surface).
+
+    Determinism at scale: the Laplace draw is NOT rand(seed) — whose
+    stream is partition-keyed and therefore layout-dependent — but the
+    inverse CDF applied to a content-keyed uniform u derived from
+    md5('dp1:' || group key): reproducible across sessions, layouts and
+    cluster sizes (the hash_sample discipline), replayable bit-for-bit
+    by the oracle. The true count rides along for fixture-scale
+    auditability; a production release would project it away. One
+    broadcast join (25-row nation) + one partial-agg groupBy; noise is a
+    stateless projection over 25 rows."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "vss_customer_dp"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "vss_nation_dp"
+    )
+    return spark.sql(
+        f"""
+        WITH cnt AS (
+          SELECT n.n_name, count(*) AS n
+          FROM vss_customer_dp c
+          JOIN vss_nation_dp n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name),
+        keyed AS (
+          SELECT n_name, n,
+                 (CAST(conv(substr(md5(concat('dp1:', n_name)), 1, 13), 16, 10)
+                       AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+          FROM cnt)
+        SELECT n_name, CAST(n AS BIGINT) AS n,
+               round({_DP_NOISE}, 6) AS noise,
+               round(CAST(n AS DOUBLE) + ({_DP_NOISE}), 6) AS noisy_n
+        FROM keyed
+        """
+    )
