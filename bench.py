@@ -70,6 +70,7 @@ PIPELINE = [
     "t_line_dedup",          # corpus line dedup (keep-first rewrite)
     "t_token_shards",        # balanced-shard plan on distributed ranks
     "e_attribution",         # last-touch credit over the user exchange
+    "d_banding_curve",       # LSH banding advisor (exact truth + 4 configs)
 ]
 
 # Fourth group (round 4): the ANN serving paths. First warm run pays the
@@ -115,6 +116,8 @@ ANALYTICS = [
     "r_benford",             # first-digit audit, 9-group aggregate
     "r_corr_matrix",         # one-scan sufficient-stats correlation matrix
     "t_keyword_tfidf",       # corpus df + broadcast tf, WindowGroupLimit
+    "r_k_anonymity",         # one GROUPING SETS exchange, two QI levels
+    "r_dp_counts",           # content-keyed Laplace release
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
