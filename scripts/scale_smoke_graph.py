@@ -79,7 +79,7 @@ def main() -> None:
 
     check(
         "mass conserved",
-        abs(stats["s"] - stats["n"] * RANK_SCALE) < 6 * (100 + stats["n"]),
+        abs(stats["s"] - stats["n"] * RANK_SCALE) < 6 * 2 * stats["n"],
         f"drift={stats['s'] - stats['n'] * RANK_SCALE}",
     )
     check(

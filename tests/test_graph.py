@@ -67,8 +67,9 @@ def test_pagerank_conserves_mass(spark, small_edges):
     res = pagerank(df, weight="w", n_iter=4).agg(
         F.sum("rank_units").alias("s"), F.count("*").alias("n")
     ).first()
-    # conserved up to < (100 + n) int units lost per iteration
-    assert abs(res["s"] - res["n"] * RANK_SCALE) < 4 * (100 + res["n"])
+    # conserved up to < 2n int units lost per iteration (final div 100
+    # loses < 1 unit/node; the missing-share div loses < 1 unit/node)
+    assert abs(res["s"] - res["n"] * RANK_SCALE) < 4 * 2 * res["n"]
 
 
 def test_pagerank_unweighted_defaults(spark, small_edges):
@@ -93,6 +94,15 @@ def test_pagerank_validation(spark, small_edges):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=100)
+
+
+def test_pagerank_weighted_overflow_guard(spark, small_edges):
+    """A weight large enough that r*w could breach int64 must raise at
+    build time with a clear message, never wrap/throw mid-iteration."""
+    _, df = small_edges
+    huge = df.withColumn("w", F.lit(2_000_000_000))  # 5 nodes * 1e9 * 2e9 > 2^63
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(huge, weight="w")
 
 
 def test_pagerank_replica_parity_on_fixture_graph(spark, sf_dir):

@@ -80,29 +80,42 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def _pair_explode(ids_col):
+    """Ordered (a < b) pair structs exploded from an id-array column —
+    the in-bucket pair generator shared by every blocking path (LSH
+    candidates, banding advisor, exact inverted-index truth). One nested
+    HOF, no second shuffle."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ids_col,
+                lambda a: F.transform(
+                    F.filter(ids_col, lambda b: b > a),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+    )
+
+
 def _candidate_pairs(
-    keyed: DataFrame, id_col: str, max_bucket: int = 1000
+    keyed: DataFrame,
+    id_col: str,
+    max_bucket: int = 1000,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, key) → distinct candidate id pairs (a < b) via bucket self-join.
     Buckets larger than ``max_bucket`` are dropped (skew guardrail: a
-    degenerate bucket of B docs would emit B² pairs)."""
-    sized = keyed.groupBy("key").agg(F.collect_list(id_col).alias("ids"))
+    degenerate bucket of B docs would emit B² pairs). ``group_cols``
+    scope both the buckets and the distinct (e.g. per-config banding)."""
+    gb = [*group_cols, "key"]
+    sized = keyed.groupBy(*gb).agg(F.collect_list(id_col).alias("ids"))
     bounded = sized.filter(F.size("ids") <= max_bucket).filter(F.size("ids") > 1)
     # Pair generation inside the bucket array — no second shuffle.
-    pairs = bounded.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a: F.transform(
-                        F.filter(F.col("ids"), lambda b: b > a),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    pairs = bounded.select(*group_cols, _pair_explode(F.col("ids")).alias("p"))
+    return pairs.select(
+        *group_cols, F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    ).distinct()
 
 
 def minhash_signatures_batch(
@@ -1380,26 +1393,16 @@ def banding_curve(
         widen(base).select("id", char_shingles("text", shingle_n).alias("sh"))
     )
     sizes = sh.select(F.col("id"), F.size("sh").alias("nsh"))
+    # Grouped by the shingle STRING itself (not a 64-bit hash of it) so
+    # "exact" holds unconditionally — a hash collision would merge two
+    # shingles' buckets and fabricate intersection counts.
     per_sgl = (
         sh.select("id", F.explode("sh").alias("sgl"))
-        .select("id", F.xxhash64("sgl").alias("h"))
-        .groupBy("h")
+        .groupBy("sgl")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    inter_pairs = per_sgl.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a: F.transform(
-                        F.filter(F.col("ids"), lambda b: b > a),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).groupBy(
+    inter_pairs = per_sgl.select(_pair_explode(F.col("ids")).alias("p")).groupBy(
         F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
     ).agg(F.count("*").alias("inter"))
     jac = F.col("inter").cast("double") / (
@@ -1434,29 +1437,7 @@ def banding_curve(
     keyed = parts[0]
     for p in parts[1:]:
         keyed = keyed.unionByName(p)
-    buckets = (
-        keyed.groupBy("cfg", "key")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    cand = (
-        buckets.select(
-            "cfg",
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(
-                            F.filter(F.col("ids"), lambda b: b > a),
-                            lambda b: F.struct(a.alias("a"), b.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p"),
-        )
-        .select("cfg", F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
+    cand = _candidate_pairs(keyed, "id", max_bucket, group_cols=("cfg",))
 
     per_cfg = (
         cand.join(truth, ["id_a", "id_b"], "left")

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 # 1.0 rank unit in int64 units. 1e9 bounds the worst-case update term
 # (damping_pct * total_mass = 100 * n_nodes * RANK_SCALE) under int64
 # for graphs up to ~9e7 nodes; per-unit quantization is 1e-9 rank.
+# The link pass additionally computes r * w, bounded by
+# total_mass * max(out_w) — pagerank() validates that product fits
+# int64 at build time and raises instead of overflowing.
 RANK_SCALE = 1_000_000_000
+
+_INT64_MAX = (1 << 63) - 1
 
 
 def pagerank(
@@ -54,8 +59,10 @@ def pagerank(
       groupBy on the destination (the Pregel-style exchange);
     - ``missing = Σ_u r_u − Σ_v inbound(v)`` — dangling-node mass plus
       integer-division remainders, redistributed uniformly so total mass
-      is conserved up to the final div's remainder (< 100 + n_nodes
-      units per iteration, ≤ ~1e-7 rank at default scale);
+      is conserved up to per-node truncation: the final ``div 100`` loses
+      < 1 unit/node and the ``missing div N`` share loses < 1 unit/node,
+      so drift is < 2·n_nodes units per iteration (< 2e-9 rank/node at
+      default scale);
     - ``r'_v = (S·(100−p) + p·(inbound(v) + missing div N)) div 100``.
 
     All divisions are int64 ``div`` — deterministic under any layout, so
@@ -64,8 +71,8 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    if not (0 < damping_pct < 100):
-        raise ValueError("damping_pct must be in (1, 99)")
+    if not (isinstance(damping_pct, int) and 1 <= damping_pct <= 99):
+        raise ValueError("damping_pct must be an integer in [1, 99]")
 
     w_col = (
         F.col(weight).cast("long")
@@ -94,6 +101,20 @@ def pagerank(
     # scalar constants of the iteration (one tiny job each, off the
     # checkpointed 1-column frames — build work, not query work)
     n_nodes = ranks.count()
+    max_out_w = e.agg(F.max("out_w")).first()[0] or 1
+    # Worst-case int64 bounds, checked up front so a weighted graph
+    # raises instead of overflowing (ANSI) or wrapping (legacy):
+    # the link pass computes r * w with r <= total_mass and w <= out_w;
+    # the update term computes damping_pct * (inbound + share) <= 100 *
+    # total_mass.
+    total_mass = n_nodes * RANK_SCALE
+    if total_mass > _INT64_MAX // max(100, max_out_w):
+        raise ValueError(
+            f"pagerank int64 overflow risk: n_nodes={n_nodes} with "
+            f"max per-source weight {max_out_w} exceeds the exact-integer "
+            f"budget (need n_nodes * {RANK_SCALE} * max(100, max_out_w) "
+            "<= 2^63-1); rescale edge weights"
+        )
 
     for _ in range(n_iter):
         contrib = (
