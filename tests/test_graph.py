@@ -124,3 +124,109 @@ def test_pagerank_replica_parity_on_fixture_graph(spark, sf_dir):
         for r in pagerank(edges, n_iter=3).collect()
     }
     assert got == _python_pagerank(rows, n_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph: block-grid exact k-NN graph
+# ---------------------------------------------------------------------------
+
+
+def _brute_knn_edges(vecs: dict, k: int):
+    """Pure-Python exact k-NN edges (cosine desc, dst asc), sequential
+    left-to-right fold — the oracle association."""
+    def seq_dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    norms = {i: seq_dot(v, v) ** 0.5 for i, v in vecs.items()}
+    out = []
+    for s, vs in vecs.items():
+        if norms[s] == 0.0:
+            continue
+        scored = [
+            (seq_dot(vs, vecs[d]) / (norms[s] * norms[d]), d)
+            for d in vecs
+            if d != s and norms[d] != 0.0
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (c, d) in enumerate(scored[:k], start=1):
+            out.append((s, d, round(c, 6), r))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def knn_vecs():
+    import random
+
+    rng = random.Random(7)
+    return {i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(40)}
+
+
+def test_knn_graph_matches_bruteforce(spark, knn_vecs):
+    from vectordb_similarity_search_spark.operators.graph import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in knn_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["src"], r["dst"], round(r["cosine"], 6), r["rank"])
+        for r in knn_graph(df, k=5, n_blocks=4).collect()
+    )
+    assert got == _brute_knn_edges(knn_vecs, 5)
+
+
+def test_knn_graph_layout_and_blockcount_independent(spark, knn_vecs):
+    """Same edges whatever the partition layout or grid size (the local
+    top-k cut + 1e-9 ulp slack must never lose a true winner)."""
+    from vectordb_similarity_search_spark.operators.graph import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in knn_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    expect = _brute_knn_edges(knn_vecs, 3)
+    for n_blocks, parts in ((1, 1), (3, 7), (8, 2)):
+        got = sorted(
+            (r["src"], r["dst"], round(r["cosine"], 6), r["rank"])
+            for r in knn_graph(
+                df.repartition(parts), k=3, n_blocks=n_blocks
+            ).collect()
+        )
+        assert got == expect, (n_blocks, parts)
+
+
+def test_knn_graph_zero_vectors_and_small_cells(spark):
+    """Zero-norm rows contribute no edges in either direction; cells
+    smaller than k return everything they have."""
+    from vectordb_similarity_search_spark.operators.graph import knn_graph
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero vector
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_graph(df, k=10, n_blocks=3).collect()
+    ids = {(r["src"], r["dst"]) for r in rows}
+    assert all(3 not in pair for pair in ids)
+    # every surviving node ranks both other non-zero nodes
+    for s in (1, 2, 4):
+        assert sum(1 for a, b in ids if a == s) == 2
+
+
+def test_knn_graph_validation(spark):
+    from vectordb_similarity_search_spark.operators.graph import knn_graph
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        knn_graph(df, k=0)
+    with pytest.raises(ValueError):
+        knn_graph(df, k=1, n_blocks=0)

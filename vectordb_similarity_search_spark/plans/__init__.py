@@ -173,6 +173,11 @@ TAIL = [
     "w_percentile_rank",
     "r_monthly_growth",
     "e_dau_wau",
+    # ninth continuation session (window still frozen — census)
+    "v_mrl_recall",
+    "v_semantic_cache",
+    "v_knn_graph",
+    "t_ks_drift",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1761,3 +1761,84 @@ def t_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@query(
+    "t_ks_drift",
+    oracle="""
+WITH pts AS (
+  SELECT lang, n_chars AS x,
+         CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM documents
+), cdf AS (
+  SELECT lang,
+         sum(g) OVER (PARTITION BY lang ORDER BY x) AS ca,
+         sum(1 - g) OVER (PARTITION BY lang ORDER BY x) AS cb,
+         sum(g) OVER (PARTITION BY lang) AS ta,
+         sum(1 - g) OVER (PARTITION BY lang) AS tb
+  FROM pts
+), diffs AS (
+  SELECT lang, ta, tb,
+         CASE WHEN ta > 0 AND tb > 0
+              THEN abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+         END AS d
+  FROM cdf
+)
+SELECT lang, CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       (round(max(d), 6) + 0) AS ks
+FROM diffs GROUP BY lang ORDER BY lang
+""",
+)
+def t_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per language:
+    KS = max |F_A(x) − F_B(x)| over document lengths, comparing
+    even-numbered sources (group A) against odd (group B) — the
+    distribution-shift monitor for corpus refreshes (PSI's rank-free
+    sibling; v_embedding_drift covers the embedding column, this covers
+    a scalar). Returns (lang, n_a, n_b, ks); ks is NULL when a language
+    has only one group (statistic undefined).
+
+    Shape: empirical CDFs are cumulative RANGE windows (ties collapse —
+    the frame includes all equal x) over ONE per-lang sort exchange; the
+    sup-norm is a plain max aggregate on the same frame. Counts stay
+    integer until the final double division (identical IEEE quotient in
+    both engines), so no float-sum ordering is in play. One shuffle of
+    (lang, x, g) triples — never documents."""
+    from pyspark.sql import Window
+    docs = t(spark, sf_dir, "documents")
+    pts = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("g"),
+    )
+    w_cum = Window.partitionBy("lang").orderBy("x")
+    w_all = Window.partitionBy("lang")
+    cdf = pts.select(
+        "lang",
+        F.sum("g").over(w_cum).alias("ca"),
+        F.sum(F.lit(1) - F.col("g")).over(w_cum).alias("cb"),
+        F.sum("g").over(w_all).alias("ta"),
+        F.sum(F.lit(1) - F.col("g")).over(w_all).alias("tb"),
+    )
+    d = F.when(
+        (F.col("ta") > 0) & (F.col("tb") > 0),
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta").cast("double")
+            - F.col("cb").cast("double") / F.col("tb").cast("double")
+        ),
+    )
+    return (
+        cdf.withColumn("d", d)
+        .groupBy("lang")
+        .agg(
+            F.max("ta").cast("long").alias("n_a"),
+            F.max("tb").cast("long").alias("n_b"),
+            F.round(F.max("d"), 6).alias("ks"),
+        )
+        .orderBy("lang")
+    )

@@ -791,3 +791,217 @@ def v_hybrid_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.75,
         k=10,
     ).select("doc_id", "fused")
+
+
+@query(
+    "v_mrl_recall",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dims(dim) AS (VALUES (8),(16),(32),(64)),
+scored AS (
+  SELECT d.dim, e.vec_id,
+         list_cosine_similarity(list_slice(CAST(e.embedding AS DOUBLE[]), 1, d.dim),
+                                list_slice((SELECT qv FROM q), 1, d.dim)) AS s
+  FROM embeddings e CROSS JOIN dims d WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT dim, vec_id, row_number() OVER (PARTITION BY dim ORDER BY s DESC, vec_id) AS r
+  FROM scored
+),
+truth AS (SELECT vec_id FROM ranked WHERE dim = 64 AND r <= 10)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM truth)) AS INT) AS hits,
+       (round(CAST(count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM truth)) AS DOUBLE)
+              / 10.0, 6) + 0) AS recall
+FROM ranked WHERE r <= 10 GROUP BY dim ORDER BY dim
+""",
+)
+def v_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) dimension-truncation quality curve: recall@10 of
+    prefix-truncated cosine search at dim ∈ {8,16,32,64} vs the full-dim
+    exact top-10 for query vec 0 — the accuracy/cost trade-off behind
+    shortening stored vectors (beside the codebook compressions:
+    v_pq_knn / v_sq8_knn / v_bq_knn, this is the "just keep a prefix"
+    one; MRL-trained embeddings make the prefix meaningful).
+
+    ONE corpus scan: each row explodes to the 4 dims and scores
+    cosine(slice(v,1,d), slice(q,1,d)) in the shared JVM fold; a per-dim
+    rank window (WindowGroupLimit partials) keeps top-10 per dim, and the
+    dim-64 branch doubles as ground truth via a per-vec_id flag window
+    over the 40 surviving rows — no self-join, no second scan, no
+    collect. Oracle: full SQL twin (list_slice + list_cosine_similarity
+    share the fold association)."""
+    from ..functions.vector import array_lit, cosine_similarity
+
+    qv = _query_vec(spark, sf_dir, 0)
+    dims = [8, 16, 32, 64]
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cand = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+    ).select(
+        "dim",
+        "vec_id",
+        cosine_similarity(
+            F.slice(F.col("v"), F.lit(1), F.col("dim")),
+            F.slice(array_lit(qv), F.lit(1), F.col("dim")),
+        ).alias("s"),
+    )
+    w_rank = Window.partitionBy("dim").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    top = cand.withColumn("r", F.row_number().over(w_rank)).filter(
+        F.col("r") <= 10
+    )
+    w_vec = Window.partitionBy("vec_id")
+    hit = F.max(
+        F.when(F.col("dim") == 64, F.lit(1)).otherwise(F.lit(0))
+    ).over(w_vec)
+    return (
+        top.withColumn("_hit", hit)
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(F.sum("_hit").cast("int").alias("hits"))
+        .select(
+            "dim",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "v_semantic_cache",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS prior_id, b.vec_id AS q_id,
+         list_cosine_similarity(a.v, b.v) AS s
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+),
+hit AS (
+  SELECT q_id, prior_id AS cache_id, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY prior_id) AS rn
+  FROM pairs
+)
+SELECT e.vec_id, h.cache_id IS NOT NULL AS cache_hit, h.cache_id,
+       (round(h.s, 6) + 0) AS score
+FROM e LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h ON e.vec_id = h.q_id
+ORDER BY e.vec_id
+""",
+)
+def v_semantic_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cache audit: treating vec_id order as query arrival
+    order, for every query find the EARLIEST prior query within cosine
+    0.4 — the hit-rate analysis behind semantic response caches (serve
+    the cached answer when a sufficiently-similar query already ran).
+    Returns one row per query: (vec_id, cache_hit, cache_id, score).
+
+    Scale path: candidate (prior, later) pairs come from the block-grid
+    BLAS miner (operators/dedup.embedding_neardup_blocked — shuffle
+    N·√P vectors, never N² pairs; exact rescore in the oracle fold
+    association), then ONE rank window picks the min prior per query and
+    a left join back onto the id column marks misses. The threshold
+    deliberately matches d_embedding_neardup's 0.4 mining floor — below
+    it SRP-LSH banding can't prune (see the blocked miner's docstring).
+    Oracle: full SQL twin over the same exact pair predicate."""
+    from ..operators.dedup import embedding_neardup_blocked
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_blocked(emb, threshold=0.4).select(
+        F.col("id_b").alias("q_id"),
+        F.col("id_a").alias("prior_id"),
+        "cosine",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("prior_id").asc())
+    hit = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("prior_id").alias("cache_id"),
+            F.col("cosine").alias("score"),
+        )
+    )
+    base = emb.select("vec_id")
+    return (
+        base.join(hit, base.vec_id == hit.q_id, "left")
+        .select(
+            "vec_id",
+            F.col("cache_id").isNotNull().alias("cache_hit"),
+            "cache_id",
+            "score",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "v_knn_graph",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb, list_cosine_similarity(a.v, b.v) AS s
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT sa, sb, s,
+         row_number() OVER (PARTITION BY sa ORDER BY s DESC, sb) AS r
+  FROM scored
+),
+knn AS (SELECT * FROM ranked WHERE r <= 5)
+SELECT x.sa AS id_a, x.sb AS id_b, (round(x.s, 6) + 0) AS cosine,
+       CAST(x.r AS INT) AS rank_ab, CAST(y.r AS INT) AS rank_ba
+FROM knn x JOIN knn y ON x.sa = y.sb AND x.sb = y.sa
+WHERE x.sa < x.sb
+ORDER BY id_a, id_b
+""",
+)
+def v_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN edges (k=5) over the embedding corpus — the
+    reciprocal-neighbor graph kNN-clustering, graph-ANN index builds and
+    mutual-NN dedup start from (an edge survives only if BOTH endpoints
+    rank each other top-5; the classic noise filter for hubness).
+
+    Scale path: operators/graph.knn_graph — block-grid BLAS local top-k,
+    O(N·√P·k) candidate shuffle, global per-src rank. Mutuality needs NO
+    self-join of the edge list (which would run the grid twice): each
+    directed edge folds to its unordered key and one groupBy keeps keys
+    seen from both directions, with the direction ranks pivoted out of
+    the same aggregate. Exact rescore is direction-symmetric (same fold
+    over dims, commutative per-element products), so the pair's two
+    cosines are bit-identical and max() is a no-op choice. Oracle: full
+    SQL cross-join twin."""
+    from ..operators.graph import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=5)
+    folded = g.select(
+        F.least("src", "dst").alias("id_a"),
+        F.greatest("src", "dst").alias("id_b"),
+        F.when(F.col("src") < F.col("dst"), F.col("rank")).alias("r_fwd"),
+        F.when(F.col("src") > F.col("dst"), F.col("rank")).alias("r_rev"),
+        "cosine",
+    )
+    return (
+        folded.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("r_fwd").alias("rank_ab"),
+            F.max("r_rev").alias("rank_ba"),
+            F.max("cosine").alias("_cos"),
+        )
+        .filter(F.col("_n") == 2)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_cos", 6).alias("cosine"),
+            "rank_ab",
+            "rank_ba",
+        )
+        .orderBy("id_a", "id_b")
+    )
