@@ -178,6 +178,8 @@ TAIL = [
     "v_semantic_cache",
     "v_knn_graph",
     "t_ks_drift",
+    "v_rp_distortion",
+    "t_nb_calibration",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1842,3 +1842,108 @@ def t_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "t_nb_calibration",
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST({{marker}} AS DOUBLE)
+                   / CAST({{ntok}} AS DOUBLE) >= {{thresh}}
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+tok AS (SELECT doc_id, y, unnest({{tokens}}) AS tok FROM lab),
+cnt AS (
+  SELECT tok,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+  FROM tok GROUP BY tok),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+w AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                    - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)),
+                    9) AS DECIMAL(24,9)) AS wd
+  FROM cnt, tot),
+pri AS (
+  SELECT ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE)) AS prior
+  FROM lab),
+sc AS (
+  SELECT tok.doc_id, sum(w.wd) AS s
+  FROM tok JOIN w USING (tok) GROUP BY tok.doc_id),
+binned AS (
+  SELECT sc.doc_id, lab.y,
+         CAST(round(1.0 / (1.0 + exp(-(CAST(sc.s AS DOUBLE) + pri.prior)))
+                    * 1000000, 0) AS BIGINT) AS pm
+  FROM sc JOIN lab USING (doc_id), pri)
+SELECT CAST(least(pm // 100000, 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (round(CAST(sum(pm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) + 0) AS avg_pred,
+       (round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0) AS pos_rate
+FROM binned GROUP BY 1 ORDER BY 1
+""".format(
+        marker=_sql_marker_count(LANG_MARKERS["en"]),
+        ntok=SQL_NTOK,
+        thresh=_NB_THRESH,
+        tokens=SQL_TOKENS,
+    ),
+)
+def t_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the t_nb_quality classifier: predicted
+    probability (sigmoid of the NB log-odds) bucketed into deciles vs
+    the empirical positive rate per bucket — the calibration check every
+    trained quality filter needs before its scores gate data (a
+    well-calibrated bin has avg_pred ≈ pos_rate; NB is typically
+    over-confident at the extremes, visible here).
+
+    Engine-robust binning: the probability is quantized FIRST to integer
+    millionths (round(p·1e6) — one shared double op), and the decile is
+    INTEGER division of that, so no float ever meets a bin boundary; bin
+    means come from exact integer sums of the same millionths. Same
+    one-pass train+score plan as t_nb_quality (integer sufficient
+    statistics, DECIMAL per-doc sums) plus one decile groupBy."""
+    from ..functions.text import stopword_ratio
+    from ..ml.quality import nb_quality_log_odds
+
+    d = t(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "_lbl", stopword_ratio("text", LANG_MARKERS["en"]) >= _NB_THRESH
+    )
+    scored = nb_quality_log_odds(labeled, "_lbl")
+    binned = scored.select(
+        F.col("label").alias("y"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.col("nb_log_odds")))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("pm"),
+    )
+    return (
+        binned.select(
+            F.least(F.expr("pm div 100000"), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "y",
+            "pm",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("pm").cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_pred"),
+            F.round(
+                F.sum("y").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -1005,3 +1005,154 @@ def v_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_RP_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+@query(
+    "v_rp_distortion",
+    oracle="""
+WITH sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 40
+),
+proj AS (
+  SELECT vec_id, v,
+         list_transform(range(1, 33), j ->
+           list_reduce(
+             list_transform(range(1, 65), i ->
+               CASE WHEN substr(md5('rp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN v[i] ELSE -v[i] END),
+             (a, b) -> a + b)) AS y
+  FROM sub
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_reduce(list_transform(range(1, 65),
+                     i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (p, q) -> p + q) AS d2,
+         list_transform(range(1, 33), j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j])) AS dd
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+),
+ratios AS (
+  SELECT k,
+         (round(list_reduce(list_slice(dd, 1, k), (p, q) -> p + q) / (k * d2), 6) + 0) AS ratio
+  FROM pairs CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS k)
+  WHERE d2 > 0
+)
+SELECT CAST(k AS INT) AS k_proj, CAST(count(*) AS BIGINT) AS n_pairs,
+       (round(min(ratio), 6) + 0) AS min_ratio,
+       (round(max(ratio), 6) + 0) AS max_ratio,
+       (round(CAST(sum(CASE WHEN ratio BETWEEN 0.8 AND 1.2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) + 0) AS frac_within_20pct
+FROM ratios GROUP BY k ORDER BY k
+""",
+)
+def v_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss audit: squared-distance distortion of a
+    CONTENT-KEYED ±1 random projection at k ∈ {4,8,16,32} target dims,
+    measured on the 40-vector audit subset's 780 pairs — the
+    concentration curve that justifies sketch dimensionality choices
+    (SimHash/SRP-LSH's quality knob, quantified; the family's audit
+    query beside v_ivf_recall_curve and v_mrl_recall).
+
+    Determinism at scale: the projection matrix is NOT rand(seed) but
+    the parity of md5('rp:i:j')'s first hex char (the r_dp_counts /
+    hash_sample discipline) — reproducible across engines, sessions and
+    layouts, so the oracle replays it bit-for-bit. All folds (project,
+    distance, per-k prefix) accumulate strictly left-to-right in both
+    engines; only the 32-dim projection is computed and smaller k reuse
+    its prefix (one projection, four curve points). The audit subset is
+    deliberately bounded; at corpus scale the same projection expression
+    is a shuffle-free JVM map."""
+    emb = t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _signed(v, i, j):
+        key = F.concat(
+            F.lit("rp:"),
+            i.cast("string"),
+            F.lit(":"),
+            j.cast("string"),
+        )
+        return F.when(
+            F.substring(F.md5(key), 1, 1).isin(*_RP_EVEN_HEX),
+            F.element_at(v, i.cast("int")),
+        ).otherwise(-F.element_at(v, i.cast("int")))
+
+    proj = sub.withColumn(
+        "y",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(1), F.lit(64)),
+                F.lit(0.0),
+                lambda acc, i: acc + _signed(F.col("v"), i, j),
+            ),
+        ),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.aggregate(
+                F.zip_with(
+                    "va", "vb", lambda p, q: (p - q) * (p - q)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.zip_with(
+                "ya", "yb", lambda p, q: (p - q) * (p - q)
+            ).alias("dd"),
+        )
+        .filter(F.col("d2") > 0)
+    )
+    ratios = pairs.select(
+        F.explode(F.array(*[F.lit(k) for k in (4, 8, 16, 32)])).alias("k"),
+        F.col("d2"),
+        F.col("dd"),
+    ).select(
+        "k",
+        F.round(
+            F.aggregate(
+                F.slice(F.col("dd"), F.lit(1), F.col("k")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("k") * F.col("d2")),
+            6,
+        ).alias("ratio"),
+    )
+    return (
+        ratios.groupBy(F.col("k").cast("int").alias("k_proj"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ratio").between(0.8, 1.2), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_within_20pct"),
+        )
+        .orderBy("k_proj")
+    )
