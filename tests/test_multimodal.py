@@ -63,3 +63,48 @@ def test_frame_sample_only_video_and_stride(media):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     for mid, idxs in by_id.items():
         assert sorted(idxs) == list(range(0, metas[mid].n_frames, 2))
+
+
+def test_audio_energy_matches_python_replica(media):
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        audio_energy,
+    )
+
+    blobs = {
+        r["media_id"]: bytes(r["data"])
+        for r in media.filter(F.col("kind") == "audio").collect()
+    }
+    got = {
+        (r["media_id"], r["window_idx"]): (
+            r["n_samples"],
+            r["peak"],
+            round(r["rms"], 9),
+        )
+        for r in audio_energy(
+            media.filter(F.col("kind") == "audio"), window=10
+        ).collect()
+    }
+    expect = {}
+    for mid, blob in blobs.items():
+        samples = [b - 128 for b in blob[16:]]
+        for wi in range(0, len(samples), 10):
+            chunk = samples[wi : wi + 10]
+            ssq = sum(s * s for s in chunk)
+            expect[(mid, wi // 10)] = (
+                len(chunk),
+                max(abs(s) for s in chunk),
+                round((ssq / len(chunk)) ** 0.5, 9),
+            )
+    assert got == expect
+    # the synth audio payload is 64 bytes: a 10-sample window leaves a
+    # 4-sample remainder window — assert the ragged tail is emitted
+    assert any(n == 4 for n, _, _ in got.values())
+
+
+def test_audio_energy_validation(media):
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        audio_energy,
+    )
+
+    with pytest.raises(ValueError):
+        audio_energy(media, window=0)

@@ -334,3 +334,68 @@ def phash_neardup_pairs(
         .filter(FF.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_energy(media: DataFrame, window: int = 16) -> DataFrame:
+    """Windowed audio energy features over the binary column: the blob's
+    payload (past the 16-byte synth header) read as unsigned 8-bit PCM
+    centered at 128, cut into fixed ``window``-sample windows, each
+    reduced to peak |amplitude| and RMS — the frame-sample analog for the
+    AUDIO modality (VAD/silence trimming and loudness normalization start
+    from exactly this table). One Arrow-batched ``mapInPandas`` pass;
+    bytes never cross Python row-at-a-time; output is (media_id,
+    window_idx, n_samples, peak, rms) — O(samples/window) rows, never the
+    blobs.
+
+    Determinism: peak and the sum of squares are exact integers (numpy
+    int64); RMS is the one double op sqrt(ssq/n) — bit-stable across
+    layouts/sessions, so the catalog query can pin an expected-parquet
+    oracle. A real codec would replace the payload read behind the same
+    schema (see module docstring: decode is stubbed by design).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                payload = np.frombuffer(bytes(blob)[16:], dtype=np.uint8)
+                samples = payload.astype(np.int64) - 128
+                for wi in range(0, len(samples), window):
+                    chunk = samples[wi : wi + window]
+                    ssq = int(np.dot(chunk, chunk))
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "window_idx": wi // window,
+                            "n_samples": len(chunk),
+                            "peak": int(np.abs(chunk).max()),
+                            "rms": float(np.sqrt(ssq / len(chunk))),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "window_idx",
+                    "n_samples",
+                    "peak",
+                    "rms",
+                ],
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        energize, ENERGY_SCHEMA
+    )

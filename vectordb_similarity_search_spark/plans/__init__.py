@@ -180,6 +180,7 @@ TAIL = [
     "t_ks_drift",
     "v_rp_distortion",
     "t_nb_calibration",
+    "m_audio_energy",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1300,3 +1300,26 @@ def r_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("node", "rank_units", "rank")
     )
+
+
+@query("m_audio_energy", oracle=_expected_oracle("m_audio_energy"))
+def m_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction made driver-visible: the seeded
+    binary media corpus's audio blobs cut into 16-sample windows, each
+    reduced to peak amplitude and RMS energy
+    (operators/multimodal.audio_energy — real byte parsing + exact
+    integer sums over the synth container; the decode stays stubbed by
+    design, see the module docstring). The table VAD/loudness pipelines
+    start from. Oracle: precomputed expected-output parquet (per-id
+    seeded generation → sf- and session-independent; RMS is one
+    bit-stable sqrt per window)."""
+    from ..operators.multimodal import audio_energy, synth_media
+
+    media = synth_media(spark, n=120).filter(F.col("kind") == "audio")
+    return audio_energy(media, window=16).select(
+        "media_id",
+        "window_idx",
+        "n_samples",
+        "peak",
+        F.round("rms", 6).alias("rms"),
+    )
