@@ -97,7 +97,9 @@ def main() -> None:
     check("every src has ranks 1..k", badrank == 0, f"bad srcs={badrank}")
 
     # exactness on a 50-source sample vs the broadcast similarity_join
-    sample = vecs.filter(F.col("vec_id") % (N_VECTORS // 50) == 0).select(
+    sample = vecs.filter(
+        F.col("vec_id") % max(1, N_VECTORS // 50) == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )

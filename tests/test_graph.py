@@ -230,3 +230,21 @@ def test_knn_graph_validation(spark):
         knn_graph(df, k=0)
     with pytest.raises(ValueError):
         knn_graph(df, k=1, n_blocks=0)
+
+
+def test_knn_graph_zero_vector_never_evicts_negative_winner(spark):
+    """Regression (review find): a zero vector's 0.0 screening score must
+    not occupy the local top-k cut and evict a true negative-cosine
+    neighbor — zero-norm rows are removed from the slab BEFORE the cut."""
+    from vectordb_similarity_search_spark.operators.graph import knn_graph
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for n_blocks in (1, 3):
+        got = sorted(
+            (r["src"], r["dst"], round(r["cosine"], 6), r["rank"])
+            for r in knn_graph(df, k=1, n_blocks=n_blocks).collect()
+        )
+        assert got == [(1, 2, -1.0, 1), (2, 1, -1.0, 1)], n_blocks

@@ -45,6 +45,8 @@ BNLJ_BOUNDED_BROADCAST = {
     "r_winsorized_mean",     # global p01/p99 percentile row
     "r_pareto_revenue",      # 3-row tier-percentage table
     "d_banding_curve",       # 1-row true-pair-count total + 4-row config table
+    "v_rp_distortion",       # 40-row audit-subset non-equi self-join
+    "t_nb_calibration",      # class prior row (same NB stack as t_nb_quality)
 }
 
 

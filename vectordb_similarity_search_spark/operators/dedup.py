@@ -523,9 +523,10 @@ def embedding_neardup_blocked(
     round(·, 6) matches the oracle bit-for-bit (property test pins
     blocked == exact).
     """
-    from collections.abc import Iterator as _Iter
-
     import pandas as pd
+
+    from ._blockgrid import grid_replicate
+    from ._blockgrid import seq_dot as _seq_dot
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -536,31 +537,7 @@ def embedding_neardup_blocked(
         ]
     )
 
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-    )
-    grid = rows.select(
-        "_id",
-        "_v",
-        "_blk",
-        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("_other"),
-    ).select(
-        "_id",
-        "_v",
-        "_blk",
-        F.least("_blk", "_other").alias("_ga"),
-        F.greatest("_blk", "_other").alias("_gb"),
-    )
-
-    def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        """Row-wise dot with strict left-to-right accumulation over dims
-        (the JVM-fold / DuckDB association; np.sum would be pairwise)."""
-        acc = A[:, 0] * B[:, 0]
-        for d in range(1, A.shape[1]):
-            acc = acc + A[:, d] * B[:, d]
-        return acc
+    grid = grid_replicate(df, id_col, vec_col, n_blocks)
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:

@@ -206,17 +206,20 @@ def knn_graph(
     bits), and survivors are rescored as dot/(na·nb) accumulated strictly
     left-to-right over dims — the JVM-HOF/DuckDB association — so the
     final rank and round-6 scores match a cross-join SQL twin bit-for-bit
-    (property-pinned in tests/test_graph.py).
+    (property-pinned in tests/test_graph.py). Zero-norm rows are removed
+    from both slab sides BEFORE the cut — a zero vector's 0.0 screening
+    score must never occupy a top-k slot and evict a true
+    negative-cosine winner (regression-pinned).
 
     At 100 TB: pick n_blocks ≈ √(2·P) so a cell's two blocks fit one
     executor; compare ``topk.similarity_join_blocked`` (collects ONE side
     — right only when queries ≪ corpus; here both sides are the corpus).
     """
-    from collections.abc import Iterator as _Iter  # noqa: F401
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from ._blockgrid import grid_replicate, seq_dot
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -232,30 +235,7 @@ def knn_graph(
         ]
     )
 
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-    )
-    grid = rows.select(
-        "_id",
-        "_v",
-        "_blk",
-        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("_other"),
-    ).select(
-        "_id",
-        "_v",
-        "_blk",
-        F.least("_blk", "_other").alias("_ga"),
-        F.greatest("_blk", "_other").alias("_gb"),
-    )
-
-    def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        # strict left-to-right accumulation over dims (oracle association)
-        acc = A[:, 0] * B[:, 0]
-        for d in range(1, A.shape[1]):
-            acc = acc + A[:, d] * B[:, d]
-        return acc
+    grid = grid_replicate(df, id_col, vec_col, n_blocks)
 
     def _local_topk(
         S: np.ndarray,
@@ -266,10 +246,12 @@ def knn_graph(
         ids: np.ndarray,
         out: list,
     ) -> None:
-        """Per src row of S (src_idx × dst_idx slab), keep candidates
-        within 1e-9 of the row's k-th best screening score, exact-rescore
-        them, and append (src, dst, cosine) rows."""
-        if S.shape[1] == 0:
+        """Per src row of S (src_idx × dst_idx slab, zero-norm rows
+        already excluded from both index sets), keep candidates within
+        1e-9 of the row's k-th best screening score, exact-rescore them,
+        and append (src, dst, cosine) rows. S may be a transposed view —
+        np.partition copies internally either way."""
+        if S.shape[1] == 0 or S.shape[0] == 0:
             return
         kth = min(k, S.shape[1])
         # np.partition is ascending — the k-th LARGEST sits at index -kth
@@ -277,11 +259,11 @@ def knn_graph(
         keep_i, keep_j = np.nonzero(S >= (part[:, None] - 1e-9))
         gi = src_idx[keep_i]
         gj = dst_idx[keep_j]
-        ok = (norms[gi] != 0.0) & (norms[gj] != 0.0) & (ids[gi] != ids[gj])
+        ok = ids[gi] != ids[gj]
         gi, gj = gi[ok], gj[ok]
         if len(gi) == 0:
             return
-        cos = _seq_dot(X[gi], X[gj]) / (norms[gi] * norms[gj])
+        cos = seq_dot(X[gi], X[gj]) / (norms[gi] * norms[gj])
         out.append(
             pd.DataFrame({"src": ids[gi], "dst": ids[gj], "cosine": cos})
         )
@@ -292,21 +274,23 @@ def knn_graph(
         ga, gb = int(pdf["_ga"].iloc[0]), int(pdf["_gb"].iloc[0])
         X = np.vstack(pdf["_v"].to_numpy())
         ids = pdf["_id"].to_numpy()
-        norms = np.sqrt(_seq_dot(X, X))
-        safe = np.where(norms == 0.0, 1.0, norms)
+        norms = np.sqrt(seq_dot(X, X))
+        nz = norms != 0.0  # cosine undefined: no edges in either direction
+        safe = np.where(nz, norms, 1.0)
         U = X / safe[:, None]
         out: list = []
         if ga == gb:
-            S = U @ U.T
+            idx = np.flatnonzero(nz)
+            S = U[idx] @ U[idx].T
             np.fill_diagonal(S, -np.inf)  # exclude self before the cut
-            idx = np.arange(len(ids))
             _local_topk(S, X, norms, idx, idx, ids, out)
         else:
-            A_idx = np.flatnonzero(pdf["_blk"].to_numpy() == ga)
-            B_idx = np.flatnonzero(pdf["_blk"].to_numpy() == gb)
+            blk = pdf["_blk"].to_numpy()
+            A_idx = np.flatnonzero((blk == ga) & nz)
+            B_idx = np.flatnonzero((blk == gb) & nz)
             S = U[A_idx] @ U[B_idx].T
             _local_topk(S, X, norms, A_idx, B_idx, ids, out)
-            _local_topk(S.T.copy(), X, norms, B_idx, A_idx, ids, out)
+            _local_topk(S.T, X, norms, B_idx, A_idx, ids, out)
         if not out:
             return pd.DataFrame(columns=["src", "dst", "cosine"])
         return pd.concat(out, ignore_index=True)
