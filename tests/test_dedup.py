@@ -360,3 +360,20 @@ def test_cross_neardup_flags_rejects_empty_refs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="empty reference"):
         cross_neardup_flags(emb, emb.filter(F.col("vec_id") < 0), 0.3)
+
+
+def test_dedup_clusters_deep_chain_no_plan_explosion(spark):
+    """Regression: a 16-hop path needs ~15 propagation rounds; the old
+    per-round persist kept the full logical plan, which embeds the prior
+    round TWICE per round (neighbor + union) and OOMed the driver during
+    analysis at ~13 rounds. localCheckpoint truncates the plan each round
+    — this converges (and fast) or the fix regressed."""
+    from vectordb_similarity_search_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(17)}

@@ -601,11 +601,18 @@ def dedup_clusters(
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().persist()
+    # Per-round localCheckpoint, NOT persist: each round's plan embeds the
+    # previous round's TWICE (neighbor + the union), so persist alone —
+    # which caches data but keeps the logical plan — nests the tree
+    # exponentially in the round count and a ~13-diameter component (e.g.
+    # mutual-kNN chains) OOMs the driver during analysis. Checkpointing
+    # truncates the plan each round (the pagerank idiom); old checkpoints'
+    # storage is reclaimed by the ContextCleaner once unreferenced.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -617,7 +624,7 @@ def dedup_clusters(
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -625,7 +632,6 @@ def dedup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -181,6 +181,7 @@ TAIL = [
     "v_rp_distortion",
     "t_nb_calibration",
     "m_audio_energy",
+    "d_knn_components",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

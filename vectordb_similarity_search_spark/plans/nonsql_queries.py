@@ -1323,3 +1323,76 @@ def m_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "d_knn_components",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb, list_cosine_similarity(a.v, b.v) AS s
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT sa, sb, row_number() OVER (PARTITION BY sa ORDER BY s DESC, sb) AS r
+  FROM scored
+),
+knn AS (SELECT sa, sb FROM ranked WHERE r <= 2),
+mutual AS (
+  SELECT x.sa AS src, x.sb AS dst
+  FROM knn x JOIN knn y ON x.sa = y.sb AND x.sb = y.sa
+),
+nodes AS (SELECT DISTINCT src AS node FROM mutual),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT m.dst, r.lbl FROM reach r JOIN mutual m ON m.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+SELECT CAST(sz AS INT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz ORDER BY sz
+""",
+)
+def d_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the mutual 2-NN graph's connected
+    components — the local-structure census (how big are the tight
+    neighborhoods?) that kNN-clustering and SemDeDup-style pruning
+    inspect before picking thresholds. Composes three catalog operators:
+    graph.knn_graph (block-grid exact 2-NN) → the v_knn_graph mutuality
+    fold → dedup.dedup_clusters (min-label propagation). Iterative build
+    (label propagation runs jobs, memoized per session like d_dedup_keep /
+    r_pagerank — exempt from the zero-job contract).
+
+    Oracle: the FIRST full-SQL twin for an iterative operator — DuckDB's
+    WITH RECURSIVE computes the transitive closure independently
+    (reach = node×component labels, min per node), so the components come
+    from a different ALGORITHM, not a replayed fixture: genuinely
+    independent verification of the propagation loop."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.graph import knn_graph
+
+    key = _model_key(spark, sf_dir, "knn_components")
+    if key not in _MODEL_CACHE:
+        g = knn_graph(t(spark, sf_dir, "embeddings"), k=2)
+        folded = g.select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        mutual = (
+            folded.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == 2)
+            .select("id_a", "id_b")
+        )
+        _MODEL_CACHE[key] = dedup_clusters(mutual)
+    comp = _MODEL_CACHE[key]
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
