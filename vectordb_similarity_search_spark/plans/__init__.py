@@ -182,6 +182,7 @@ TAIL = [
     "t_nb_calibration",
     "m_audio_energy",
     "d_knn_components",
+    "e_pit_features",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1419,3 +1419,73 @@ def e_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_ewma", 6).alias("ewma"),
         )
     )
+
+
+@query(
+    "e_pit_features",
+    oracle="""
+WITH pts AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vu
+  FROM events
+),
+feat AS (
+  SELECT event_id, user_id, ts, event_type,
+         sum(is_click) OVER (PARTITION BY user_id ORDER BY ts) AS c_le,
+         sum(is_click) OVER (PARTITION BY user_id, ts) AS c_eq,
+         sum(vu) OVER (PARTITION BY user_id ORDER BY ts) AS v_le,
+         sum(vu) OVER (PARTITION BY user_id, ts) AS v_eq
+  FROM pts
+)
+SELECT event_id, user_id,
+       CAST(c_le - c_eq AS BIGINT) AS clicks_before,
+       (round(CAST(v_le - v_eq AS DOUBLE) / 1000000.0, 6) + 0) AS value_before
+FROM feat WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+def e_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly (point-in-time correctness):
+    for every purchase label, the user's click count and total event
+    value STRICTLY BEFORE the label's timestamp — the feature-store
+    discipline that keeps same-instant and future signals out of
+    training rows (the batch twin of what online stores enforce with
+    as-of reads; e_asof_join covers the two-table form, this is the
+    self-table cumulative form).
+
+    Strictness without an interval self-join: the cumulative RANGE
+    window (ties INCLUDED) minus a (user, ts) same-instant window —
+    two frames over ONE per-user sort exchange, engine-neutral under
+    timestamp ties. Values are quantized to integer millionths before
+    summing (exact, order-independent), divided back only in the final
+    projection; TZ-free (pure ordering, no calendar functions)."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_click"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vu"),
+    )
+    w_le = Window.partitionBy("user_id").orderBy("ts")
+    w_eq = Window.partitionBy("user_id", "ts")
+    feat = pts.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.sum("is_click").over(w_le) - F.sum("is_click").over(w_eq))
+        .cast("long")
+        .alias("clicks_before"),
+        F.round(
+            (F.sum("vu").over(w_le) - F.sum("vu").over(w_eq)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("value_before"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "clicks_before", "value_before"
+    ).orderBy("event_id")
