@@ -183,6 +183,7 @@ TAIL = [
     "m_audio_energy",
     "d_knn_components",
     "e_pit_features",
+    "v_centroid_margin",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1156,3 +1156,98 @@ def v_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_proj")
     )
+
+
+@query(
+    "v_centroid_margin",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         CAST(unnest(embedding) AS DOUBLE) AS c,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, (round(avg(c), 6) + 0) AS cc FROM comp GROUP BY label, pos
+),
+carr AS (
+  SELECT label AS clabel, list(cc ORDER BY pos) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.label AS mlabel, c.clabel,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
+  FROM embeddings e CROSS JOIN carr c
+),
+m AS (
+  SELECT mlabel, clabel, avg(s) AS ms, count(*) AS n
+  FROM scored GROUP BY mlabel, clabel
+),
+own AS (SELECT mlabel, ms AS own_cos, n FROM m WHERE mlabel = clabel),
+other AS (SELECT mlabel, max(ms) AS best_other FROM m WHERE mlabel <> clabel GROUP BY mlabel)
+SELECT o.mlabel AS label, CAST(o.n AS BIGINT) AS n,
+       (round(o.own_cos, 6) + 0) AS own_cos,
+       (round(t.best_other, 6) + 0) AS best_other_cos,
+       (round(o.own_cos - t.best_other, 6) + 0) AS margin
+FROM own o JOIN other t ON o.mlabel = t.mlabel
+ORDER BY label
+""",
+)
+def v_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability audit: per label, members' mean cosine to their
+    OWN class centroid vs the best mean cosine to any OTHER centroid, and
+    the margin — the embedding-quality check (are classes actually
+    separated in the stored space?) beside v_centroids / v_embedding_
+    variance / p_pca_variance.
+
+    Parity discipline: centroids are ROUND-6 before scoring, so both
+    engines score against identical prototype values (the v_centroids
+    precedent makes the round-6 centroid itself engine-stable); member
+    scores then flow through the shared fold. Shape: one (label, pos)
+    partial-agg centroid pass (|labels|·dim shuffle rows), the 10-row
+    centroid table broadcast into ONE corpus scan, and a single
+    conditional aggregate pivots own-vs-other — no second scan, no m×m
+    join."""
+    from ..functions.vector import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("cc"))
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cc"))).alias("_s")
+        )
+        .select("clabel", F.col("_s.cc").alias("cvec"))
+    )
+    scored = emb.select(
+        F.col("label").alias("mlabel"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).crossJoin(F.broadcast(carr)).select(
+        "mlabel", "clabel", cosine_similarity("v", "cvec").alias("s")
+    )
+    m = scored.groupBy("mlabel", "clabel").agg(
+        F.avg("s").alias("ms"), F.count(F.lit(1)).alias("n")
+    )
+    same = F.col("mlabel") == F.col("clabel")
+    return (
+        m.groupBy(F.col("mlabel").alias("label"))
+        .agg(
+            F.max(F.when(same, F.col("n"))).cast("long").alias("n"),
+            F.max(F.when(same, F.col("ms"))).alias("_own"),
+            F.max(F.when(~same, F.col("ms"))).alias("_other"),
+        )
+        .select(
+            "label",
+            "n",
+            F.round("_own", 6).alias("own_cos"),
+            F.round("_other", 6).alias("best_other_cos"),
+            F.round(F.col("_own") - F.col("_other"), 6).alias("margin"),
+        )
+        .orderBy("label")
+    )
