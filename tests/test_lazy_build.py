@@ -22,7 +22,12 @@ from vectordb_similarity_search_spark.plans import REGISTRY
 
 # build-time driver iteration is the algorithm itself here, not a fixable
 # lookup: label propagation checks convergence with a bounded count() loop
-ITERATIVE_BUILD = {"d_dedup_keep", "r_pagerank", "d_knn_components"}
+ITERATIVE_BUILD = {
+    "d_dedup_keep",
+    "r_pagerank",
+    "d_knn_components",
+    "r_als_recs",
+}
 
 
 @pytest.mark.parametrize(

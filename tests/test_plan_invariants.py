@@ -47,6 +47,8 @@ BNLJ_BOUNDED_BROADCAST = {
     "d_banding_curve",       # 1-row true-pair-count total + 4-row config table
     "v_rp_distortion",       # 40-row audit-subset non-equi self-join
     "t_nb_calibration",      # class prior row (same NB stack as t_nb_quality)
+    "v_centroid_margin",     # |labels|-row centroid table broadcast
+    "r_als_recs",            # 5 requested users' factor rows broadcast
 }
 
 

@@ -184,6 +184,7 @@ TAIL = [
     "d_knn_components",
     "e_pit_features",
     "v_centroid_margin",
+    "r_als_recs",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1396,3 +1396,44 @@ def d_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "r_als_recs",
+    oracle=_expected_oracle("r_als_recs", sf_bound=True),
+)
+def r_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommendations as a catalog artifact:
+    rank-4 ALS (ml/als.py — join + grouped solve per half-step, NO
+    driver-side ratings/factor collect, localCheckpoint per round) fit
+    on the customer×part purchase matrix (rating = total quantity,
+    capped at 10 to tame heavy buyers), then top-3 parts for customers
+    1-5. Training is memoized per session (model build, not query
+    work); the iterative fit exempts this from the zero-job contract
+    like d_dedup_keep / r_pagerank / d_knn_components.
+
+    Oracle: expected-parquet (content-keyed factor init + sorted
+    normal-equation folds make the factors bit-stable across layouts
+    and sessions — tests/test_als.py pins replica parity and layout
+    independence; fixture verified cold under local[4] and local[16])."""
+    from ..ml.als import als_fit, als_recommend
+
+    key = _model_key(spark, sf_dir, "als4")
+    if key not in _MODEL_CACHE:
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        ratings = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("user_id"),
+                F.col("l_partkey").alias("item_id"),
+            )
+            .agg(
+                F.least(
+                    F.sum("l_quantity").cast("double"), F.lit(10.0)
+                ).alias("rating")
+            )
+        )
+        _MODEL_CACHE[key] = als_fit(ratings, rank=4, reg=0.1, n_iter=2)
+    uf, itf, _ = _MODEL_CACHE[key]
+    return als_recommend(uf, itf, [1, 2, 3, 4, 5], k=3)
