@@ -490,6 +490,7 @@ def ivfpq_write_index(
     path: str,
     *,
     cell_col: str = "cell",
+    normalize_codes: bool = False,
 ) -> None:
     """Write an IVF-PQ index: rows are cell-partitioned (IVF — probes
     become partition-pruned scans) AND carry PQ code bytes next to the
@@ -498,10 +499,27 @@ def ivfpq_write_index(
     two-level ANN layout (FAISS IVFPQ, public architecture): at 100 TB
     the scan of a probed cell reads ~(m bytes + id) per row for the ADC
     pass; the float column is touched for rescore rows only via parquet
-    late materialization / a second pruned read."""
+    late materialization / a second pruned read.
+
+    ``normalize_codes=True`` encodes the PQ codes from L2-NORMALIZED
+    copies while storing the RAW vectors in the float column: the cosine
+    ADC screen requires unit vectors (see ``PqModel.screen``), but an
+    exact rescore over raw vectors keeps the served scores bit-identical
+    to a plain IVF probe of the same cells (cosine is scale-invariant in
+    VALUE but not in float ARITHMETIC — rescoring pre-normalized copies
+    would drift in the last bits). Pass False (default) when the corpus
+    is already normalized. Non-vector columns of ``corpus`` (payload,
+    e.g. label) ride into the index rows."""
+    from .pq import l2_normalized
+
     assigned = ivf_model.assign(corpus, cell_col)
+    to_encode = (
+        l2_normalized(assigned, ivf_model.vec_col)
+        if normalize_codes
+        else assigned
+    )
     encoded = pq_model.encode(
-        assigned, vec_col=ivf_model.vec_col, code_col="pq_code"
+        to_encode, vec_col=ivf_model.vec_col, code_col="pq_code"
     ).join(assigned.select("vec_id", ivf_model.vec_col), "vec_id")
     encoded.write.partitionBy(cell_col).mode("overwrite").parquet(path)
     _invalidate_index_scans(path)
@@ -526,7 +544,10 @@ def ivfpq_search_index(
     from pyspark.sql import functions as FF
 
     cells = ivf_model.probe_cells(query_vec, nprobe)
-    probed = spark.read.parquet(path).filter(FF.col(cell_col).isin(cells))
+    # cached scan plan (not spark.read.parquet per call): a fresh reader
+    # pays a schema-footer job per probe — see _index_scan / the
+    # zero-job-rebuild contract in tests/test_lazy_build.py
+    probed = _index_scan(spark, path).filter(FF.col(cell_col).isin(cells))
     probed = _apply_tombstones(spark, path, probed, id_col)
     return pq_model.search(
         probed,

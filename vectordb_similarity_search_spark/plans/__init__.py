@@ -185,6 +185,7 @@ TAIL = [
     "e_pit_features",
     "v_centroid_margin",
     "r_als_recs",
+    "v_ivfpq_knn",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

@@ -1437,3 +1437,58 @@ def r_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MODEL_CACHE[key] = als_fit(ratings, rank=4, reg=0.1, n_iter=2)
     uf, itf, _ = _MODEL_CACHE[key]
     return als_recommend(uf, itf, [1, 2, 3, 4, 5], k=3)
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once IVF-PQ index for the embeddings fixture: the committed
+    16-cell IVF centers (same cells v_ivf_knn probes) + the session PQ
+    model (m=16, k=32, sorted-sample fit — deterministic), written
+    cell-partitioned with normalized codes and RAW float vectors (see
+    ivfpq_write_index). Same crash-safe tmp-dir caching as
+    _ivf_index_for: a marker file commits only after the parquet write."""
+    from ..operators.ann import ivfpq_write_index
+
+    ivf, _ = _ivf_index_for(spark, sf_dir, n_cells=16)
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    pq, _codes = _pq_state(spark, sf_dir, corpus)
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ivfpq16|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"vss_ivfpq_{key}")
+    index_path = os.path.join(base, "index")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        ivfpq_write_index(ivf, pq, corpus, index_path, normalize_codes=True)
+        os.makedirs(base, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return ivf, pq, index_path
+
+
+@query(
+    "v_ivfpq_knn",
+    oracle=_expected_oracle("v_ivf_knn", sf_bound=True),
+)
+def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level ANN serving (the FAISS-IVFPQ layout): partition-pruned
+    probe of 4 of the 16 committed cells, PQ ADC screening over the code
+    bytes inside the probed cells, exact cosine rescore from the stored
+    RAW float column. Shares v_ivf_knn's expected-parquet oracle
+    VERBATIM (the t_bm25_indexed discipline): same cells probed, and the
+    rescore runs the identical knn fold over identical raw vectors, so a
+    rescore window spanning the probed rows serves the exact same top-10
+    bit-for-bit — tests/test_ann.py pins pq-vs-plain probe equality. At
+    scale the win is the ADC pass reading ~(16 bytes + id) per probed
+    row; the rescore window (not the cell) bounds float reads."""
+    from ..operators.ann import ivfpq_search_index
+
+    qv = _vq(spark, sf_dir)
+    ivf, pq, index_path = _ivfpq_index_for(spark, sf_dir)
+    res = ivfpq_search_index(
+        spark, index_path, ivf, pq, qv, k=10, nprobe=4, rescore=10_000
+    )
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
