@@ -189,15 +189,6 @@ def io_calibration_probe(spark) -> float:
 
     scratch = tempfile.mkdtemp(prefix="bench_iocal_")
     path = os.path.join(scratch, "t")
-    (
-        spark.range(0, 10_000_000, 1, 32)
-        .selectExpr(
-            "id",
-            "pmod(xxhash64(id), 1000) AS k",
-            "CAST(pmod(xxhash64(id, 7), 100000) AS DOUBLE) / 100 AS v",
-        )
-        .write.parquet(path)
-    )
 
     def run() -> None:
         (
@@ -209,6 +200,15 @@ def io_calibration_probe(spark) -> float:
         )
 
     try:
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr(
+                "id",
+                "pmod(xxhash64(id), 1000) AS k",
+                "CAST(pmod(xxhash64(id, 7), 100000) AS DOUBLE) / 100 AS v",
+            )
+            .write.parquet(path)
+        )
         return round(_min_of(run), 3)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

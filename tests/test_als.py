@@ -124,3 +124,33 @@ def test_als_validation(spark, toy_ratings):
         als_fit(r, n_iter=0)
     with pytest.raises(ValueError):
         als_fit(r, reg=0.0)
+
+
+def test_als_layout_independent_with_duplicate_keys(spark):
+    """Regression (review find): duplicate (user, item) rows — an event
+    log rather than a pre-aggregated matrix — must still fold
+    deterministically; the (id, rating) sort key covers equal-id rows
+    whatever order the shuffle delivers them in."""
+    rows = [
+        (u, i, float((u * 7 + i * 3 + rep) % 5 + 1))
+        for u in range(1, 6)
+        for i in range(1, 5)
+        for rep in range(2)  # two ratings per (u, i) pair
+    ]
+    r = spark.createDataFrame(
+        rows, "user_id long, item_id long, rating double"
+    )
+    a = als_fit(r, rank=2, n_iter=2)
+    b = als_fit(r.repartition(5, "user_id"), rank=2, n_iter=2)
+    fa = {row["u"]: list(row["f"]) for row in a[0].collect()}
+    fb = {row["u"]: list(row["f"]) for row in b[0].collect()}
+    assert fa == fb
+    assert a[2] == b[2]
+
+
+def test_als_empty_ratings_raises(spark, toy_ratings):
+    r = spark.createDataFrame(
+        toy_ratings, "user_id long, item_id long, rating double"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        als_fit(r.filter("user_id < 0"))

@@ -91,8 +91,12 @@ def _solve_side(
     )
 
     def solve_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # deterministic accumulation: fold in counterpart-id order
-        pdf = pdf.sort_values(other_col, kind="mergesort")
+        # deterministic accumulation: fold in (counterpart id, rating)
+        # order — the rating tie-break covers inputs with duplicate
+        # (user, item) keys (an event log rather than a pre-aggregated
+        # matrix), where id-only sorting would leave equal-key rows in
+        # partition-dependent arrival order and drift the fold
+        pdf = pdf.sort_values([other_col, "r"], kind="mergesort")
         Y = np.vstack(pdf["f"].to_numpy())  # n × k
         r = pdf["r"].to_numpy(dtype=np.float64)
         A = np.eye(rank) * reg
@@ -141,21 +145,45 @@ def als_fit(
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("double").alias("r"),
     ).localCheckpoint(eager=True)
+    if not r.head(1):
+        raise ValueError("als_fit: ratings is empty")
 
     # content-keyed init for the ITEM side (the first user step solves
-    # against it); ids come from one distinct scan
-    item_ids = [row["i"] for row in r.select("i").distinct().collect()]
-    spark = ratings.sparkSession
-    init = init_factors(item_ids, rank, tag="item")
-    item_f = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in sorted(init.items())],
-        T.StructType(
-            [
-                T.StructField("i", T.LongType()),
-                T.StructField("f", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    ).localCheckpoint(eager=True)
+    # against it), computed ON THE EXECUTORS over the distinct-item frame
+    # — the factor table never exists driver-side (50M items × rank
+    # floats would be a driver OOM); the per-(id, dim) md5 formula is
+    # the same one init_factors exposes for tests/replicas
+    factor_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("f", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def init_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "f": [
+                        [
+                            (_hash_unit(f"als:item:{int(i)}:{d}") - 0.5)
+                            * 0.1
+                            for d in range(rank)
+                        ]
+                        for i in pdf["i"]
+                    ],
+                }
+            )
+
+    item_f = (
+        r.select("i")
+        .distinct()
+        .mapInPandas(init_batch, factor_schema)
+        .localCheckpoint(eager=True)
+    )
 
     rmse: list[float] = []
     user_f = None

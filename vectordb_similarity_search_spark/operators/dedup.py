@@ -641,12 +641,16 @@ def dedup_clusters(
         # silently returning split clusters would keep duplicate families
         # alive; a >max_iter-diameter component means the pair graph has
         # long chains — raise so the caller raises max_iter deliberately.
-        labels.unpersist()
+        # (labels is checkpoint-backed; the ContextCleaner reclaims its
+        # blocks once this frame goes out of scope — unpersist can't.)
         raise RuntimeError(
             f"label propagation did not converge in {max_iter} rounds "
             "(a cluster's diameter exceeds max_iter); raise max_iter"
         )
-    _PERSISTED.append(labels)  # returned cached; release_dedup_caches() frees it
+    # The returned frame is localCheckpoint-backed, NOT cached:
+    # unpersist()/release_dedup_caches() cannot free checkpoint blocks
+    # (see operators/graph.py) — Spark's ContextCleaner reclaims them
+    # once the frame is unreferenced.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

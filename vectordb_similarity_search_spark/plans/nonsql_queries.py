@@ -1456,7 +1456,8 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivfpq16|{st.st_mtime_ns}|{st.st_size}".encode()
+        # cache-format tag v2: the marker carries the corpus row count
+        f"{os.path.abspath(sf_dir)}|ivfpq16v2|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_ivfpq_{key}")
     index_path = os.path.join(base, "index")
@@ -1464,9 +1465,14 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
     if not os.path.exists(marker):
         ivfpq_write_index(ivf, pq, corpus, index_path, normalize_codes=True)
         os.makedirs(base, exist_ok=True)
+        # commit the corpus row count with the build: the serving query
+        # sizes its rescore window from it so the ADC screen can never
+        # truncate below full coverage, whatever sf the fixture grows to
         with open(marker, "w") as fh:
-            fh.write("ok")
-    return ivf, pq, index_path
+            fh.write(str(corpus.count()))
+    with open(marker) as fh:
+        n_rows = int(fh.read().strip())
+    return ivf, pq, index_path, n_rows
 
 
 @query(
@@ -1481,14 +1487,17 @@ def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERBATIM (the t_bm25_indexed discipline): same cells probed, and the
     rescore runs the identical knn fold over identical raw vectors, so a
     rescore window spanning the probed rows serves the exact same top-10
-    bit-for-bit — tests/test_ann.py pins pq-vs-plain probe equality. At
-    scale the win is the ADC pass reading ~(16 bytes + id) per probed
-    row; the rescore window (not the cell) bounds float reads."""
+    bit-for-bit — tests/test_ann.py pins pq-vs-plain probe equality; the
+    window is sized from the corpus count committed at index build, so
+    the screen can never truncate below full coverage at ANY fixture sf.
+    At scale the win is the ADC pass reading ~(16 bytes + id) per probed
+    row; a production rescore window (not the cell) bounds float reads —
+    this query deliberately trades that for the exactness guarantee."""
     from ..operators.ann import ivfpq_search_index
 
     qv = _vq(spark, sf_dir)
-    ivf, pq, index_path = _ivfpq_index_for(spark, sf_dir)
+    ivf, pq, index_path, n_rows = _ivfpq_index_for(spark, sf_dir)
     res = ivfpq_search_index(
-        spark, index_path, ivf, pq, qv, k=10, nprobe=4, rescore=10_000
+        spark, index_path, ivf, pq, qv, k=10, nprobe=4, rescore=n_rows
     )
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
