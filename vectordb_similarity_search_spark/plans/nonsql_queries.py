@@ -1475,6 +1475,15 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
     return ivf, pq, index_path, n_rows
 
 
+# v_ivfpq_knn shares v_ivf_knn's expected-parquet fixture VERBATIM, so its
+# oracle path carries the OTHER query's name — register the sf-bound flag
+# under THIS query's name too (the parity test and fixture generator key
+# the sf choice by query name, not by fixture path).
+from .catalog import SF_BOUND_ORACLES as _SFB  # noqa: E402
+
+_SFB.add("v_ivfpq_knn")
+
+
 @query(
     "v_ivfpq_knn",
     oracle=_expected_oracle("v_ivf_knn", sf_bound=True),
