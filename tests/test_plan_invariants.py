@@ -49,6 +49,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_nb_calibration",      # class prior row (same NB stack as t_nb_quality)
     "v_centroid_margin",     # |labels|-row centroid table broadcast
     "r_als_recs",            # 5 requested users' factor rows broadcast
+    "t_hashtf_knn",          # query doc's norm: one scalar row broadcast
 }
 
 

@@ -186,6 +186,7 @@ TAIL = [
     "v_centroid_margin",
     "r_als_recs",
     "v_ivfpq_knn",
+    "t_hashtf_knn",
     # eighth continuation session (window still frozen — census)
     "e_ewma_smooth",
     "r_benford",

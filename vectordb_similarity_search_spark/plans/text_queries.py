@@ -1947,3 +1947,91 @@ def t_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "t_hashtf_knn",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM tok GROUP BY doc_id, bucket
+),
+norms AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS n FROM tf GROUP BY doc_id),
+q0 AS (SELECT bucket, c FROM tf WHERE doc_id = 0),
+dots AS (
+  SELECT tf.doc_id, CAST(sum(tf.c * q0.c) AS BIGINT) AS dot
+  FROM tf JOIN q0 USING (bucket) WHERE tf.doc_id <> 0 GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(d.dot AS DOUBLE) / ((SELECT n FROM norms WHERE doc_id = 0) * nr.n) AS s
+  FROM dots d JOIN norms nr ON d.doc_id = nr.doc_id
+)
+SELECT doc_id, (round(s, 6) + 0) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+""",
+)
+def t_hashtf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical vector search WITHOUT a trained model: each document is a
+    64-bucket feature-HASHED term-frequency vector (the hashing trick —
+    md5-bucketed tokens, the r_dp_counts content-keyed discipline, so
+    both engines build identical vectors), and the query doc's top-10
+    cosine neighbours come from one sparse dot product. This is the
+    content-based fallback every pipeline has before embeddings exist,
+    and the bridge between the BM25 surface and the dense v_* search.
+
+    Exactness: tf counts and the dot product are INTEGERS (the sparse
+    join sums c·c over shared buckets); doubles appear only in the two
+    norm square roots and the final division — bit-identical in both
+    engines. Shape: tokenize → (doc, bucket) partial-agg counts; the
+    query doc's 64-bucket vector broadcasts into the sparse-dot join;
+    norms are a second agg over the same tf frame (identical subplan —
+    Spark's exchange reuse serves it from the first shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 64
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("n")
+    )
+    q0 = tf.filter(F.col("doc_id") == 0).select(
+        "bucket", F.col("c").alias("qc")
+    )
+    n0 = norms.filter(F.col("doc_id") == 0).select(F.col("n").alias("n0"))
+    dots = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q0), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "doc_id",
+            (
+                F.col("dot").cast("double") / (F.col("n0") * F.col("n"))
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
