@@ -98,6 +98,9 @@ ANN = [
     "v_triplet_mining",      # NN positive + semi-hard negatives, one scan
     "v_grouped_knn",         # top-k per payload group, WindowGroupLimit
     "t_bm25_indexed",        # BM25 from the written inverted index
+    "v_ivfpq_knn",           # two-level IVF-PQ probe (ADC + exact rescore)
+    "v_knn_graph",           # mutual kNN graph build (block-grid top-k)
+    "t_hashtf_knn",          # hashed-TF lexical vector search
 ]
 
 # Fifth group (round-4 seventh session): the product-analytics surface —

@@ -343,7 +343,85 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(f"{'OK' if not failures else 'FAILED'} ({5 - len(failures)}/5)")
+    # ------------------------------------------------------------------
+    # 6. semantic_cache_stream: injected near-dup queries across
+    #    micro-batches under THIS vanilla session — every exact-miner
+    #    (earlier, later) pair at the cache threshold is flagged.
+    # ------------------------------------------------------------------
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_similarity_search_spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+    from vectordb_similarity_search_spark.streaming.vectors import (
+        semantic_cache_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="smoke_semcache_")
+    try:
+        rng = np.random.default_rng(5)
+        dim = 32
+        n = 2000
+        base = rng.standard_normal((n, dim))
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        for j in range(40):  # 2% later near-dup queries
+            src = int(rng.integers(0, n))
+            noisy = base[src] + rng.standard_normal(dim) * 1e-3
+            rows.append((10_000 + j, [float(x) for x in noisy]))
+        schema = "vec_id long, embedding array<double>"
+        batch_df = spark.createDataFrame(rows, schema)
+        truth = {
+            (int(r["id_b"]), int(r["id_a"]))
+            for r in embedding_neardup_blocked(
+                batch_df, threshold=0.98, n_blocks=4
+            ).collect()
+            if int(r["id_b"]) >= 10_000
+        }
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+
+        def wbatch(sl, nm):
+            pdf = pd.DataFrame(sl, columns=["vec_id", "embedding"])
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(indir, f"{nm}.parquet"),
+            )
+
+        wbatch(rows[: n // 2], "b0")
+        stream = spark.readStream.schema(schema).parquet(indir)
+        name = "smoke_semcache"
+        q = (
+            semantic_cache_stream(stream, dim=dim, threshold=0.98)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            wbatch(rows[n // 2 : n], "b1")
+            q.processAllAvailable()
+            wbatch(rows[n:], "b2")
+            q.processAllAvailable()
+            flagged = {
+                (int(r["vec_id"]), int(r["cache_id"]))
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            q.stop()
+        missing = truth - flagged
+        check(
+            "semantic_cache_stream_covers_exact_truth",
+            len(truth) >= 35 and not missing,
+            f"truth={len(truth)} flagged={len(flagged)} missing={len(missing)}",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(f"{'OK' if not failures else 'FAILED'} ({6 - len(failures)}/6)")
     sys.exit(1 if failures else 0)
 
 

@@ -736,3 +736,88 @@ def test_attribution_stream_orders_across_arrow_chunks(spark, stream_env):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == {1: "click"}
+
+
+def test_semantic_cache_stream_matches_batch_miner(spark, tmp_path):
+    """semantic_cache_stream: vectors arrive across micro-batches with
+    injected near-duplicate queries (tiny noise → cosine ≈ 0.999, the
+    cache operating point); every (later, earlier) pair the EXACT batch
+    miner finds at the same threshold must be flagged by the stream, hits
+    are exact-cosine-verified, and cross-batch hits are found (state, not
+    per-batch memory)."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+    from vectordb_similarity_search_spark.streaming.vectors import (
+        semantic_cache_stream,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal((30, dim))
+    rows = []
+    for i in range(30):
+        rows.append((i, [float(x) for x in base[i]]))
+    # dups of vectors 3, 7, 20 arrive LATER (ids 100+), tiny perturbation
+    for j, src in enumerate((3, 7, 20)):
+        noisy = base[src] + rng.standard_normal(dim) * 1e-3
+        rows.append((100 + j, [float(x) for x in noisy]))
+
+    indir = tmp_path / "vecin"
+    indir.mkdir()
+    schema = "vec_id long, embedding array<double>"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    # exact batch truth at the cache threshold, (earlier -> later) pairs
+    truth = {
+        (int(r["id_b"]), int(r["id_a"]))
+        for r in embedding_neardup_blocked(
+            batch_df, threshold=0.98, n_blocks=2
+        ).collect()
+    }
+    assert len(truth) >= 3  # the injected dups are in range
+
+    # feed in 3 time-ordered micro-batches (dups in the LAST batch,
+    # sources in earlier ones → hits must cross batch boundaries)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    def write(rows_slice, name):
+        pdf = pd.DataFrame(rows_slice, columns=["vec_id", "embedding"])
+        _pq.write_table(
+            _pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{indir}/{name}.parquet",
+        )
+
+    write(rows[:15], "b0")
+    stream = spark.readStream.schema(schema).parquet(str(indir))
+    hits = semantic_cache_stream(stream, dim=dim, threshold=0.98)
+    name = f"sem_cache_{uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(rows[15:30], "b1")
+        q.processAllAvailable()
+        write(rows[30:], "b2")
+        q.processAllAvailable()
+        got = {
+            (int(r["vec_id"]), int(r["cache_id"])): float(r["cosine"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+
+    # every batch-truth (later, earlier) pair is flagged by the stream
+    flagged = set(got)
+    missing = truth - flagged
+    assert not missing, missing
+    # and each injected dup hits its source with near-1 cosine
+    for j, src in enumerate((3, 7, 20)):
+        assert got[(100 + j, src)] > 0.99

@@ -104,3 +104,115 @@ def vector_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def semantic_cache_stream(
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 77,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """STREAMING semantic-cache hits — the incremental form of the batch
+    ``v_semantic_cache`` audit: as query vectors arrive, each is checked
+    against previously-seen queries in its SRP-LSH buckets and
+    ``(vec_id, cache_id, cosine)`` hit rows are emitted immediately
+    (cache_id = an earlier query within cosine ``threshold``; serve its
+    cached answer instead of recomputing).
+
+    Candidate generation is banded random-hyperplane LSH (seeded planes,
+    ``bands`` bands of ``n_planes`` sign bits), the right tool at CACHE
+    thresholds (≥0.9: near-parallel vectors agree on almost every
+    hyperplane, so same-bucket recall is ~1 — see the blocked miner's
+    docstring for why LSH is wrong at LOW thresholds; this operator
+    documents that operating point rather than pretending exactness).
+    Hits ARE exact: state stores the float vectors, and every candidate
+    is scored with the exact sequential-fold cosine before the threshold
+    test — a pair colliding in several bands emits once per band; the
+    consumer dedupes, as with ``events.neardup_pairs_stream``.
+
+    State per bucket = (ids, packed float64 vectors), bounded by
+    ``max_bucket`` (a hot bucket stops absorbing new cache entries but
+    still serves hits — the cache stops growing, not the lookups).
+    Shuffle per micro-batch carries (id, vector, band-key) rows only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import hyperplane_signature
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    # one packed sign-key per band (independent seeded plane sets), the
+    # band index folded into the group key so bands never collide
+    keyed = queries.select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        hyperplane_signature(
+                            F.col(vec_col), dim, n_planes, seed + b
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    )
+
+    out_schema = "vec_id BIGINT, cache_id BIGINT, cosine DOUBLE"
+    state_schema = "ids ARRAY<BIGINT>, vecs BINARY"
+
+    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        acc = A[:, 0] * B[:, 0]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return acc
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, packed = state.get
+            ids = list(ids)
+            vecs = np.frombuffer(packed, dtype=np.float64).reshape(-1, dim)
+        else:
+            ids, vecs = [], np.empty((0, dim), dtype=np.float64)
+        out = []
+        for pdf in pdfs:
+            for qid, v in zip(pdf["vec_id"], pdf["_v"]):
+                qv = np.asarray(list(v), dtype=np.float64)
+                qn = float(np.sqrt(np.dot(qv, qv)))
+                if len(ids) and qn != 0.0:
+                    norms = np.sqrt(_seq_dot(vecs, vecs))
+                    safe = np.where(norms == 0.0, 1.0, norms)
+                    cos = _seq_dot(vecs, np.broadcast_to(qv, vecs.shape)) / (
+                        safe * qn
+                    )
+                    cos[norms == 0.0] = -2.0
+                    for j in np.flatnonzero(cos >= threshold):
+                        out.append(
+                            (int(qid), int(ids[j]), round(float(cos[j]), 6))
+                        )
+                if len(ids) < max_bucket:
+                    ids.append(int(qid))
+                    vecs = np.vstack([vecs, qv[None, :]])
+        state.update((ids, vecs.tobytes()))
+        yield pd.DataFrame(out, columns=["vec_id", "cache_id", "cosine"])
+
+    renamed = keyed.withColumnRenamed(id_col, "vec_id")
+    return renamed.groupBy("_band").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
