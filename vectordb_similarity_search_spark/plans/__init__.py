@@ -123,6 +123,10 @@ DRIVER_WINDOW = [
 # and ALL are re-verified every test run by the local oracle parity
 # replica (tests/test_oracle_parity.py).
 TAIL = [
+    # New in the round-4 tenth continuation session (window still frozen;
+    # round-5 window candidates like the rest of the round-4 TAIL).
+    "t_pmi_bigrams",
+    "e_cuped",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

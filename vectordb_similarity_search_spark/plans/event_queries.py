@@ -1489,3 +1489,185 @@ def e_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "clicks_before", "value_before"
     ).orderBy("event_id")
+
+
+@query(
+    "e_cuped",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         x, y
+  FROM per_user),
+mom AS (
+  SELECT variant,
+         CAST(count(*) AS DECIMAL(38, 0)) AS n,
+         CAST(sum(x) AS DECIMAL(38, 0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38, 0)) AS sy,
+         sum(CAST(x AS DECIMAL(19, 0)) * CAST(x AS DECIMAL(19, 0))) AS sxx,
+         sum(CAST(x AS DECIMAL(19, 0)) * CAST(y AS DECIMAL(19, 0))) AS sxy,
+         sum(CAST(y AS DECIMAL(19, 0)) * CAST(y AS DECIMAL(19, 0))) AS syy
+  FROM assigned GROUP BY variant),
+pooled AS (
+  SELECT variant, n, sx, sy, sxx, sxy, syy,
+         CAST(sum(n) OVER () AS DOUBLE) AS pn,
+         CAST(sum(sx) OVER () AS DOUBLE) AS psx,
+         CAST(sum(sy) OVER () AS DOUBLE) AS psy,
+         CAST(sum(sxx) OVER () AS DOUBLE) AS psxx,
+         CAST(sum(sxy) OVER () AS DOUBLE) AS psxy
+  FROM mom),
+withins AS (
+  SELECT variant,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd,
+         CASE WHEN pn * psxx - psx * psx > 0
+              THEN (pn * psxy - psx * psy) / (pn * psxx - psx * psx)
+         END AS theta,
+         psx / pn AS gx
+  FROM pooled),
+stats AS (
+  SELECT variant, nd, theta,
+         syd / nd AS my, sxd / nd AS mx,
+         (syyd - syd * syd / nd) / (nd - 1) AS vy,
+         (sxxd - sxd * sxd / nd) / (nd - 1) AS vx,
+         (sxyd - sxd * syd / nd) / (nd - 1) AS cxy,
+         gx
+  FROM withins WHERE nd > 1)
+SELECT variant, CAST(nd AS BIGINT) AS users,
+       (round(theta / 1000000.0, 6) + 0) AS theta,
+       (round(my / 1000000.0, 6) + 0) AS mean_y,
+       (round((my - theta * (mx - gx)) / 1000000.0, 6) + 0) AS mean_y_cuped,
+       (round(vy / 1000000.0 / 1000000.0, 6) + 0) AS var_y,
+       (round((vy - 2 * theta * cxy + theta * theta * vx)
+              / 1000000.0 / 1000000.0, 6) + 0) AS var_y_cuped,
+       (CASE WHEN vy > 0
+             THEN round((1 - (vy - 2 * theta * cxy + theta * theta * vx)
+                             / vy) * 100, 6) + 0
+        END) AS var_reduction_pct
+FROM stats ORDER BY variant
+""",
+)
+def e_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13): outcome
+    Y = per-user purchase value, covariate X = per-user view count; the
+    pooled regression coefficient theta = cov(X,Y)/var(X) adjusts each
+    variant's outcome (Y' = Y - theta*(X - mean X)), and the report carries
+    raw vs adjusted means and variances plus the realized variance-reduction
+    percentage.  On this fixture X and Y are nearly independent (uniform
+    synthetic events), so the honest reduction is ~0 — the statistic
+    machinery, not the effect size, is what the oracle pins.
+
+    Exactness: Y is quantized to integer millionths at the event level
+    (e_pit_features discipline) and every cross-row sum (n, Sx, Sy, Sxx,
+    Sxy, Syy) accumulates in DECIMAL(38,0) — order-independent — so the
+    downstream double arithmetic starts from bit-identical inputs in both
+    engines; the adjusted variance uses the closed form
+    var(Y - tX) = var(Y) - 2t*cov(X,Y) + t^2*var(X) over the SAME sufficient
+    statistics rather than a second data pass.  Guards: theta NULL when
+    pooled var(X) = 0, single-user variants dropped (sample variance
+    undefined), reduction NULL when var(Y) = 0 — ANSI-safe everywhere.
+
+    Scale shape: one user-keyed partial-agg exchange collapses events to
+    (x, y); variant derives from the group key (no extra exchange); one
+    2-row variant aggregate; pooled moments ride the 2-row frame as window
+    sums.  No second pass, no crossJoin re-scan, nothing driver-side."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000000, 0).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y"),
+    )
+    assigned = per_user.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    d19 = "decimal(19,0)"
+    mom = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
+    )
+    every = Window.partitionBy()
+    pooled = mom.select(
+        "variant",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+        F.sum("n").over(every).cast("double").alias("pn"),
+        F.sum("sx").over(every).cast("double").alias("psx"),
+        F.sum("sy").over(every).cast("double").alias("psy"),
+        F.sum("sxx").over(every).cast("double").alias("psxx"),
+        F.sum("sxy").over(every).cast("double").alias("psxy"),
+    )
+    pn, psx, psy, psxx, psxy = (
+        F.col("pn"),
+        F.col("psx"),
+        F.col("psy"),
+        F.col("psxx"),
+        F.col("psxy"),
+    )
+    nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
+    withins = pooled.filter(nd > 1).select(
+        "variant",
+        "nd",
+        F.when(
+            pn * psxx - psx * psx > 0,
+            (pn * psxy - psx * psy) / (pn * psxx - psx * psx),
+        ).alias("theta"),
+        (psx / pn).alias("gx"),
+        (syd / nd).alias("my"),
+        (sxd / nd).alias("mx"),
+        ((F.col("syyd") - syd * syd / nd) / (nd - 1)).alias("vy"),
+        ((F.col("sxxd") - sxd * sxd / nd) / (nd - 1)).alias("vx"),
+        ((F.col("sxyd") - sxd * syd / nd) / (nd - 1)).alias("cxy"),
+    )
+    theta, vy, vx, cxy = (
+        F.col("theta"),
+        F.col("vy"),
+        F.col("vx"),
+        F.col("cxy"),
+    )
+    adj_var = vy - 2 * theta * cxy + theta * theta * vx
+    return withins.select(
+        "variant",
+        F.col("nd").cast("long").alias("users"),
+        F.round(theta / 1000000.0, 6).alias("theta"),
+        F.round(F.col("my") / 1000000.0, 6).alias("mean_y"),
+        F.round(
+            (F.col("my") - theta * (F.col("mx") - F.col("gx"))) / 1000000.0, 6
+        ).alias("mean_y_cuped"),
+        F.round(vy / 1000000.0 / 1000000.0, 6).alias("var_y"),
+        F.round(adj_var / 1000000.0 / 1000000.0, 6).alias("var_y_cuped"),
+        F.when(vy > 0, F.round((1 - adj_var / vy) * 100, 6)).alias(
+            "var_reduction_pct"
+        ),
+    ).orderBy("variant")

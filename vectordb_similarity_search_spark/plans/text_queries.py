@@ -2035,3 +2035,118 @@ def t_hashtf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
     )
+
+
+@query(
+    "t_pmi_bigrams",
+    oracle=r"""
+WITH toks AS (
+  SELECT string_split_regex(text, '\s+') AS tk FROM documents),
+uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+bx AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks),
+bc AS (
+  SELECT a, b, count(*) AS c_ab
+  FROM (SELECT tk[i] AS a, tk[i + 1] AS b FROM bx) GROUP BY a, b),
+uct AS (SELECT w, c, sum(c) OVER () AS n_uni FROM uc),
+bct AS (SELECT a, b, c_ab, sum(c_ab) OVER () AS n_bi FROM bc
+        QUALIFY c_ab >= 5),
+scored AS (
+  SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+         ln((CAST(c_ab AS DOUBLE) * CAST(ua.n_uni AS DOUBLE)
+             * CAST(ua.n_uni AS DOUBLE))
+            / (CAST(n_bi AS DOUBLE) * CAST(ua.c AS DOUBLE)
+               * CAST(ub.c AS DOUBLE))) AS pmi
+  FROM bct JOIN uct ua ON bct.a = ua.w JOIN uct ub ON bct.b = ub.w)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b, (round(pmi, 6) + 0) AS pmi
+FROM scored ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
+""",
+)
+def t_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations: the top-20 adjacent
+    word pairs whose joint frequency most exceeds what their marginal
+    frequencies predict — the classic collocation extractor (Church & Hanks
+    1990) and a corpus-health probe (template-y corpora surface their
+    boilerplate here).  pmi = ln(P(ab) / (P(a)P(b))) with P(ab) = c_ab/n_bi
+    and P(w) = c_w/n_uni, evaluated as one double expression over exact
+    integer counts (identical parse shape in the oracle, so the doubles are
+    bit-stable; engine-ln at round-6 is the established house discipline —
+    t_bigram_logprob precedent).  A c_ab >= 5 support floor mirrors the
+    standard practice of suppressing singleton-noise PMI spikes.
+
+    Scale shape: one exchange for unigram counts, one for bigram counts
+    (both map-side partial-agg'ed); corpus totals ride the grouped frames
+    as empty-partition window sums (no crossJoin re-scan — round-4 plan
+    learning); the two marginal joins are vocabulary-sized, never
+    corpus-sized, and the final top-20 is a TakeOrderedAndProject.  The
+    bigram transform is a pure JVM expression over a pre-projected token
+    array (no per-element re-tokenization)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    toks = d.select(tokens("text").alias("tk"))
+    uc = (
+        toks.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("a"),
+                F.element_at(tk, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bc = (
+        toks.select(F.explode(bigrams).alias("s"))
+        .select("s.a", "s.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    every = Window.partitionBy()
+    uct = uc.withColumn("n_uni", F.sum("c").over(every))
+    bct = bc.withColumn("n_bi", F.sum("c_ab").over(every)).filter(
+        F.col("c_ab") >= 5
+    )
+    ua = uct.select(F.col("w").alias("a"), F.col("c").alias("c_a"), "n_uni")
+    ub = ua.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"), "n_uni")
+    scored = (
+        bct.join(ua, "a")
+        .join(ub.drop("n_uni"), "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.log(
+                (
+                    F.col("c_ab").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                )
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+    )
