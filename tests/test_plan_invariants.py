@@ -50,6 +50,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "v_centroid_margin",     # |labels|-row centroid table broadcast
     "r_als_recs",            # 5 requested users' factor rows broadcast
     "t_hashtf_knn",          # query doc's norm: one scalar row broadcast
+    "r_triangle_count",      # edge-count row + triangle-count row broadcast
 }
 
 

@@ -127,6 +127,7 @@ TAIL = [
     # round-5 window candidates like the rest of the round-4 TAIL).
     "t_pmi_bigrams",
     "e_cuped",
+    "r_triangle_count",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

@@ -1968,3 +1968,60 @@ def r_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM keyed
         """
     )
+
+
+@query(
+    "r_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+    ON e3.u = e1.u AND e3.v = e2.v),
+ds AS (
+  SELECT count(*) AS n_nodes,
+         sum((d * (d - 1)) // 2) AS n_wedges,
+         max(d) AS max_degree
+  FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       (round(3 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+        + 0) AS clustering_coeff
+FROM ds, tri
+""",
+)
+def r_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are adjacent
+    when some order contains both): exact triangle count, wedge count and
+    global clustering coefficient — the standard graph-analytics summary
+    (community density / recommendation-graph health probe).
+
+    The Spark side runs the degree-ordered orientation algorithm
+    (operators/graph.triangle_stats — Suri & Vassilvitskii WWW'11), whose
+    wedge exchange is O(m^1.5)-bounded no matter how hot the hottest part
+    is; the oracle is the brute-force three-way self-join, feasible at
+    oracle scale and an INDEPENDENT algorithm, so the match is evidence of
+    correctness rather than replay. Edge building self-joins lineitem on
+    l_orderkey (orders are small groups, so the join fans out per-order
+    item pairs, not corpus pairs) and canonicalizes pairs by key order."""
+    from ..operators.graph import triangle_stats
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(edges)
