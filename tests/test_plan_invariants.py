@@ -51,6 +51,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "r_als_recs",            # 5 requested users' factor rows broadcast
     "t_hashtf_knn",          # query doc's norm: one scalar row broadcast
     "r_triangle_count",      # edge-count row + triangle-count row broadcast
+    "v_label_ndcg",          # 20-row query-vector side broadcast (J2 shape)
 }
 
 

@@ -1251,3 +1251,174 @@ def v_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# nDCG discount table in integer millionths: DISC_PPM[i-1] = round(1e6 /
+# log2(i+1)), CUM_DISC_PPM its prefix sums (the ideal DCG for j relevant
+# hits). Shared LITERALS between the Spark plan and the DuckDB twin, so no
+# engine evaluates a transcendental inside the metric — the entire eval is
+# exact integer arithmetic until the final display division.
+DISC_PPM = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+CUM_DISC_PPM = [
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+]
+_SQL_DISC = "[" + ", ".join(str(x) for x in DISC_PPM) + "]"
+_SQL_CUM = "[" + ", ".join(str(x) for x in CUM_DISC_PPM) + "]"
+
+
+@query(
+    "v_label_ndcg",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 20),
+relcnt AS (
+  SELECT q.query_id, count(c.vec_id) AS n_rel
+  FROM q LEFT JOIN c ON c.label = q.qlabel GROUP BY q.query_id),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         list_cosine_similarity(c.cv, q.qv) AS s
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, vec_id) AS rank
+  FROM scored QUALIFY rank <= 10),
+perq AS (
+  SELECT query_id, qlabel,
+         sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN label = qlabel
+                  THEN {_SQL_DISC}[rank] ELSE 0 END) AS dcg_ppm,
+         min(CASE WHEN label = qlabel THEN rank END) AS fr,
+         count(*) AS depth
+  FROM ranked GROUP BY query_id, qlabel),
+metrics AS (
+  SELECT p.qlabel, p.hits, p.depth,
+         coalesce(1000000 // p.fr, 0) AS rr_ppm,
+         CASE WHEN r.n_rel > 0
+              THEN (1000000 * p.dcg_ppm)
+                   // {_SQL_CUM}[least(r.n_rel, 10)]
+         END AS ndcg_ppm
+  FROM perq p JOIN relcnt r ON r.query_id = p.query_id)
+SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       (round(CAST(sum(hits) AS DOUBLE)
+              / CAST(sum(depth) AS DOUBLE), 6) + 0) AS mean_precision,
+       (round(CAST(sum(rr_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) + 0)
+         AS mean_mrr,
+       (round(CAST(sum(ndcg_ppm) AS DOUBLE) / count(ndcg_ppm) / 1000000.0,
+              6) + 0) AS mean_ndcg
+FROM metrics GROUP BY qlabel ORDER BY qlabel
+""",
+)
+def v_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of exact cosine search against label
+    relevance — the ann-benchmarks-style quality readout (per query-label:
+    mean precision@10, MRR, nDCG@10 of the top-10 neighbour list, a hit
+    being a corpus vector sharing the query's label).  This is the eval
+    harness a user runs to decide whether the embedding space is good
+    enough to serve — it complements v_recall_matrix (which scores INDEX
+    tiers against exact search; this scores exact search against labels).
+
+    Exactness: the nDCG discount 1/log2(rank+1) enters as a SHARED integer-
+    millionths literal table (no engine-side transcendental), per-query DCG
+    and ideal-DCG are integer sums/lookups, per-query nDCG and reciprocal
+    rank are integer divisions — so every cross-row aggregate is exact and
+    order-independent, and doubles appear only in the final display
+    division (round 6).  The ideal DCG truncates at min(n_rel, 10) corpus
+    members of the query's label (left-join + count so a label with zero
+    corpus members yields NULL nDCG, not a crash); precision normalizes by
+    the actual returned depth, which matters at tiny scale factors where
+    the corpus is smaller than k.
+
+    Scale shape: 20 query vectors broadcast into a BroadcastNestedLoopJoin
+    over one corpus scan (the similarity_join operator — corpus never
+    shuffles); the rank window moves only scored (query, corpus) id pairs;
+    label relevance counts ride a corpus-label aggregate broadcast back to
+    the 20-row query side."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qmeta = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", "embedding", "label"
+    )
+    ranked = similarity_join(queries, corpus, k=10).select(
+        "query_id", "vec_id", "label", "rank"
+    )
+    disc = F.array(*[F.lit(x) for x in DISC_PPM])
+    cum = F.array(*[F.lit(x) for x in CUM_DISC_PPM])
+    labeled = ranked.join(F.broadcast(qmeta), "query_id")
+    rel = F.col("label") == F.col("qlabel")
+    perq = labeled.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("hits"),
+        F.sum(
+            F.when(rel, F.element_at(disc, F.col("rank"))).otherwise(0)
+        ).alias("dcg_ppm"),
+        F.min(F.when(rel, F.col("rank"))).alias("fr"),
+        F.count(F.lit(1)).alias("depth"),
+    )
+    relcnt = (
+        qmeta.join(
+            F.broadcast(
+                corpus.groupBy(F.col("label").alias("qlabel")).agg(
+                    F.count(F.lit(1)).alias("n_rel")
+                )
+            ),
+            "qlabel",
+            "left",
+        )
+        .select("query_id", F.coalesce("n_rel", F.lit(0)).alias("n_rel"))
+    )
+    metrics = (
+        perq.join(F.broadcast(relcnt), "query_id")
+        .withColumn(
+            "idcg_ppm",
+            F.when(
+                F.col("n_rel") > 0,
+                F.element_at(
+                    cum, F.least(F.col("n_rel"), F.lit(10)).cast("int")
+                ),
+            ),
+        )
+        .select(
+            "qlabel",
+            "hits",
+            "depth",
+            F.coalesce(
+                F.expr("1000000 div fr").cast("long"), F.lit(0).cast("long")
+            ).alias("rr_ppm"),
+            F.expr("(1000000 * dcg_ppm) div idcg_ppm").alias("ndcg_ppm"),
+        )
+    )
+    return (
+        metrics.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum("hits").cast("double") / F.sum("depth").cast("double"),
+                6,
+            ).alias("mean_precision"),
+            F.round(
+                F.sum("rr_ppm").cast("double") / F.count(F.lit(1)) / 1000000.0,
+                6,
+            ).alias("mean_mrr"),
+            F.round(
+                F.sum("ndcg_ppm").cast("double")
+                / F.count("ndcg_ppm")
+                / 1000000.0,
+                6,
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("label")
+    )
