@@ -248,3 +248,80 @@ def test_knn_graph_zero_vector_never_evicts_negative_winner(spark):
             for r in knn_graph(df, k=1, n_blocks=n_blocks).collect()
         )
         assert got == [(1, 2, -1.0, 1), (2, 1, -1.0, 1)], n_blocks
+
+
+# --------------------------------------------------------------------------
+# triangle_stats
+# --------------------------------------------------------------------------
+
+
+def _tri_brute(edges: list[tuple[int, int]]) -> int:
+    es = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes[nodes.index(b) + 1:]:
+                if (
+                    ((a, b) in es or (b, a) in es)
+                    and ((b, c) in es or (c, b) in es)
+                    and ((a, c) in es or (c, a) in es)
+                ):
+                    cnt += 1
+    return cnt
+
+
+def test_triangle_stats_known_graphs(spark):
+    from vectordb_similarity_search_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 12 wedges, coefficient exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_stats(
+        spark.createDataFrame(k4, "u long, v long")
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        4, 6, 4, 12,
+    )
+    assert row.clustering_coeff == 1.0
+
+    # path graph: zero triangles, wedges = interior nodes
+    path = [(i, i + 1) for i in range(5)]
+    row = triangle_stats(
+        spark.createDataFrame(path, "u long, v long")
+    ).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 4
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    import random
+
+    from vectordb_similarity_search_spark.operators.graph import triangle_stats
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(30), 2)))
+            for _ in range(160)
+        }
+    )
+    row = triangle_stats(
+        spark.createDataFrame(edges, "u long, v long")
+    ).collect()[0]
+    assert row.n_triangles == _tri_brute(edges)
+    assert row.n_edges == len(edges)
+
+
+def test_triangle_stats_skewed_hub_layout_independent(spark):
+    """A hub node adjacent to everything (worst raw-degree skew): the
+    orientation must still count exactly, independent of partitioning."""
+    from vectordb_similarity_search_spark.operators.graph import triangle_stats
+    from pyspark.sql import functions as F
+
+    hub = [(0, i) for i in range(1, 25)] + [(i, i + 1) for i in range(1, 24)]
+    want = _tri_brute(hub)
+    assert want == 23  # hub + each consecutive rim pair
+    for parts in (1, 7):
+        df = spark.createDataFrame(hub, "u long, v long").repartition(
+            parts, F.col("u")
+        )
+        assert triangle_stats(df).collect()[0].n_triangles == want
