@@ -130,6 +130,8 @@ TAIL = [
     "r_triangle_count",
     "v_label_ndcg",
     "d_ppjoin_pairs",
+    "e_changepoint",
+    "t_token_entropy",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

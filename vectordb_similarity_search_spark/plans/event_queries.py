@@ -1671,3 +1671,101 @@ def e_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     ).orderBy("variant")
+
+
+@query(
+    "e_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, h, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY h) AS cum_c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+              AS BIGINT) AS i,
+         sum(c) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly),
+scored AS (
+  SELECT event_type, h, n, total,
+         n * cum_c - i * total AS s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * cum_c - i * total) DESC, h ASC)
+           AS pk
+  FROM cum)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(total AS BIGINT) AS total_events,
+       CAST(h * 3600 AS BIGINT) AS peak_hour,
+       (round(CAST(abs(s) AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0)
+         AS peak_cusum,
+       CASE WHEN s > 0 THEN 'drop_after' WHEN s < 0 THEN 'rise_after'
+            ELSE 'flat' END AS direction
+FROM scored WHERE pk = 1 ORDER BY event_type
+""",
+)
+def e_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimate per event-type series (AMOC
+    shape — 'at most one change', Page 1954): the hour where the cumulative
+    deviation of hourly counts from the series mean peaks, i.e. the
+    arg-max split point a level-shift detector would report, with the
+    deviation magnitude and direction (positive CUSUM peak = rate drops
+    after the peak hour; negative = rises).
+
+    Exactness: with integer hourly counts, CUSUM_t = sum_{i<=t}(c_i - T/n)
+    is evaluated multiplied through by n — S_t = n*cum_t - t*T — which is
+    pure int64 arithmetic, so the arg-max (ties broken by earliest hour)
+    is exact in both engines and the float deviation S/n appears only in
+    the display projection.  Hours with zero events are absent from the
+    series (observed-hours CUSUM; a dense grid is e_gapfill_locf's
+    domain).  Hour keys are epoch-integer arithmetic, timezone-proof.
+
+    Scale shape: one partial-agg exchange to hourly counts, ONE
+    per-series window exchange shared by the running sum, the series
+    totals and the arg-max rank (same partitioning), and the rank<=1
+    filter compiles to WindowGroupLimit so only each series' peak row
+    survives to the driver."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = Window.partitionBy("event_type")
+    ordered = per.orderBy("h")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("c").over(ordered).alias("cum_c"),
+        F.row_number().over(ordered).cast("long").alias("i"),
+        F.sum("c").over(per).alias("total"),
+        F.count(F.lit(1)).over(per).alias("n"),
+    )
+    s = F.col("n") * F.col("cum_c") - F.col("i") * F.col("total")
+    scored = cum.withColumn("s", s).withColumn(
+        "pk",
+        F.row_number().over(per.orderBy(F.abs(F.col("s")).desc(), F.col("h").asc())),
+    )
+    return (
+        scored.filter(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("total").cast("long").alias("total_events"),
+            (F.col("h") * 3600).cast("long").alias("peak_hour"),
+            F.round(
+                F.abs(F.col("s")).cast("double") / F.col("n").cast("double"), 6
+            ).alias("peak_cusum"),
+            F.when(F.col("s") > 0, "drop_after")
+            .when(F.col("s") < 0, "rise_after")
+            .otherwise("flat")
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )

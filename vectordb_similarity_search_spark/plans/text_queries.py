@@ -2150,3 +2150,75 @@ def t_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pmi", 6).alias("pmi"),
         )
     )
+
+
+@query(
+    "t_token_entropy",
+    oracle=r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+vc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+ag AS (
+  SELECT lang, sum(c) AS n, count(*) AS v,
+         sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT))
+           AS slc
+  FROM vc GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
+       (round(ln(CAST(n AS DOUBLE))
+              - CAST(slc AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) + 0)
+         AS entropy_nats,
+       (CASE WHEN v > 1
+             THEN round((ln(CAST(n AS DOUBLE))
+                         - CAST(slc AS DOUBLE) / 1000000.0
+                           / CAST(n AS DOUBLE))
+                        / ln(CAST(v AS DOUBLE)), 6) + 0
+        END) AS norm_entropy
+FROM ag ORDER BY lang
+""",
+)
+def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per language — the corpus-diversity probe
+    (low entropy = template/boilerplate corpus, the signal dedup teams
+    check before and after d_* passes): Shannon H = ln(N) - (1/N)·Σ c·ln c
+    over the per-language vocabulary, plus the vocabulary-size-normalized
+    efficiency H/ln(V) (1.0 = uniform usage).
+
+    Exactness: the only cross-row float sum, Σ c·ln(c), quantizes each
+    vocabulary row's ln(c) to integer millionths BEFORE the sum
+    (t_nb_calibration discipline), so the aggregate is exact integer
+    arithmetic and order-independent; the outer ln(N)/ln(V) are one
+    engine-ln each on exact integers, round-6 (established house
+    treatment).  norm_entropy is NULL for a single-token vocabulary
+    (ln(1) = 0 — ANSI guard).
+
+    Scale shape: one (lang, token) partial-agg exchange (the vocabulary
+    explosion is absorbed map-side), then a language-sized aggregate.
+    Nothing else moves."""
+    d = t(spark, sf_dir, "documents")
+    vc = (
+        d.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ag = vc.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000, 0).cast(
+                "long"
+            )
+        ).alias("slc"),
+    )
+    n_d = F.col("n").cast("double")
+    ent = F.log(n_d) - F.col("slc").cast("double") / 1000000.0 / n_d
+    return ag.select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.when(
+            F.col("v") > 1,
+            F.round(ent / F.log(F.col("v").cast("double")), 6),
+        ).alias("norm_entropy"),
+    ).orderBy("lang")
