@@ -129,6 +129,12 @@ ANALYTICS = [
     "t_keyword_tfidf",       # corpus df + broadcast tf, WindowGroupLimit
     "r_k_anonymity",         # one GROUPING SETS exchange, two QI levels
     "r_dp_counts",           # content-keyed Laplace release
+    "e_cuped",               # DECIMAL sufficient-stats CUPED adjustment
+    "e_changepoint",         # integer CUSUM peak per series
+    "t_pmi_bigrams",         # PMI collocations, window-sum totals
+    "t_token_entropy",       # ppm-quantized Shannon entropy per lang
+    "v_label_ndcg",          # broadcast-queries retrieval eval
+    "d_ppjoin_pairs",        # exact prefix-filtered similarity join
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

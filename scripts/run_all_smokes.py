@@ -30,6 +30,7 @@ SMOKES = [
     ("scale_smoke_graph.py", False),      # 2M-edge integer PageRank
     ("scale_smoke_knngraph.py", False),   # 100k-vector exact mutual kNN graph
     ("scale_smoke_als.py", False),        # 600k-rating distributed ALS
+    ("scale_smoke_ppjoin.py", False),     # 100k-doc EXACT similarity join
     ("scale_smoke_ann_batch.py", True),   # 1M-vector batch ANN serving
     ("scale_smoke_search.py", True),      # 1M-vector filtered/range/MMR/delete
     ("scale_smoke_incremental.py", True), # 400k-corpus incremental dedup

@@ -88,3 +88,67 @@ def test_ppjoin_layout_independent(spark):
         for r in ppjoin_pairs(df, "id", "toks", 0.6).collect()
     }
     assert got == _brute(ROWS, 600)
+
+
+# --------------------------------------------------------------------------
+# containment_pairs
+# --------------------------------------------------------------------------
+
+
+def _brute_containment(rows, t_pm):
+    sets = {i: set(s) for i, s in rows if s}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            i = len(sets[a] & sets[b])
+            if 1000 * i >= t_pm * len(sets[a]):
+                out.add((a, b, i, len(sets[a])))
+    return out
+
+
+def test_containment_catches_excerpts(spark):
+    """The semantic reason this operator exists: an excerpt (A strictly
+    inside a 5x larger B) has containment 1.0 but Jaccard 0.2 — the
+    Jaccard join misses it at 0.6, the containment join reports exactly
+    the (A contained-in B) direction."""
+    from vectordb_similarity_search_spark.operators.dedup import (
+        containment_pairs,
+        ppjoin_pairs,
+    )
+
+    big = [f"t{i}" for i in range(20)]
+    rows = [(1, big[:4]), (2, big)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    jac = ppjoin_pairs(df, "id", "toks", 0.6).collect()
+    assert jac == []  # J = 4/20 = 0.2
+    got = {
+        (r.contained_id, r.container_id, r.n_inter, r.n_contained)
+        for r in containment_pairs(df, "id", "toks", 0.9).collect()
+    }
+    assert got == {(1, 2, 4, 4)}  # one direction only
+
+
+@pytest.mark.parametrize("thr", [0.5, 0.9, 1.0])
+def test_containment_matches_brute_force(spark, thr):
+    from vectordb_similarity_search_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    got = {
+        (r.contained_id, r.container_id, r.n_inter, r.n_contained)
+        for r in containment_pairs(_df(spark), "id", "toks", thr).collect()
+    }
+    assert got == _brute_containment(ROWS, round(thr * 1000))
+
+
+def test_containment_oversized_bucket_raises(spark):
+    from vectordb_similarity_search_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, [f"u{i}", "hot"]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    with pytest.raises(Exception, match="max_bucket"):
+        containment_pairs(df, "id", "toks", 0.5, max_bucket=5).collect()

@@ -1483,6 +1483,42 @@ def banding_curve(
     return out
 
 
+def _permille(threshold: float, name: str) -> int:
+    """Validate a permille-exact similarity threshold and return it as an
+    integer (the exactness contract of the prefix-filter family: no float
+    ever decides membership)."""
+    t_pm = round(threshold * 1000)
+    if not (0 < t_pm <= 1000) or abs(threshold * 1000 - t_pm) > 1e-9:
+        raise ValueError(
+            f"{name}: threshold must be a permille-exact value in (0, 1], "
+            f"got {threshold!r}"
+        )
+    return t_pm
+
+
+def _rare_first_prefix(ex: DataFrame, t_pm: int) -> DataFrame:
+    """Prefix rows of each set under the rare-first global token order.
+
+    ``ex`` is the exploded (_id, g) token stream of distinct sets. Tokens
+    are ranked per set by (global df asc, token asc); the first
+    ``|S| - ceil(t*|S|) + 1`` survive — the prefix-filter theorem's
+    candidate-bearing slice for threshold ``t_pm``/1000 (Jaccard form; the
+    containment form uses the same prefix on the contained side). One df
+    exchange + one per-id window exchange."""
+    dfc = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    per_id = Window.partitionBy("_id")
+    w = per_id.orderBy(F.col("_df").asc(), F.col("g").asc())
+    ranked = (
+        ex.join(dfc, "g")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(per_id))
+    )
+    prefix_len = (
+        F.col("_n") - F.expr(f"({t_pm} * _n + 999) div 1000") + F.lit(1)
+    )
+    return ranked.filter(F.col("_rn") <= prefix_len).select("_id", "g")
+
+
 def ppjoin_pairs(
     df: DataFrame,
     id_col: str,
@@ -1528,12 +1564,7 @@ def ppjoin_pairs(
     join that is the only place full sets move. Returns
     (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
-    t_pm = round(threshold * 1000)
-    if not (0 < t_pm <= 1000) or abs(threshold * 1000 - t_pm) > 1e-9:
-        raise ValueError(
-            "threshold must be a permille-exact value in (0, 1], got "
-            f"{threshold!r}"
-        )
+    t_pm = _permille(threshold, "ppjoin_pairs")
     base = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -1542,20 +1573,7 @@ def ppjoin_pairs(
         .filter(F.size("_set") > 0)
     )
     ex = base.select("_id", F.explode("_set").alias("g"))
-    dfc = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-    per_id = Window.partitionBy("_id")
-    w = per_id.orderBy(F.col("_df").asc(), F.col("g").asc())
-    ranked = (
-        ex.join(dfc, "g")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(per_id))
-    )
-    prefix_len = (
-        F.col("_n")
-        - F.expr(f"({t_pm} * _n + 999) div 1000")
-        + F.lit(1)
-    )
-    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(
+    prefix = _rare_first_prefix(ex, t_pm).select(
         "_id", F.col("g").alias("key")
     )
     sized = prefix.groupBy("key").agg(F.collect_list("_id").alias("ids"))
@@ -1609,4 +1627,129 @@ def ppjoin_pairs(
             F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
             6,
         ).alias("jaccard"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    *,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """EXACT asymmetric containment self-join: all ordered pairs where
+    ``|A ∩ B| / |A| >= threshold`` — A is the CONTAINED set. This catches
+    what Jaccard near-dup (ppjoin_pairs / minhash) structurally cannot: a
+    short document quoted inside a much longer one has containment ~1.0
+    but Jaccard ~|A|/|B|, far below any near-dup threshold. The
+    bag-of-ngrams sibling of d_substring_spans (which needs the overlap
+    contiguous; this does not).
+
+    Prefix filter, containment form: c(A,B) >= t forces
+    |A∩B| >= ceil(t*|A|), so A's rare-first prefix of length
+    |A| - ceil(t*|A|) + 1 must hit SOME token of B (not just B's prefix —
+    the filter is one-sided, which is why containment candidates cost more
+    than Jaccard candidates). Candidates come from buckets keyed by A's
+    prefix tokens joined against the full token lists; both lists in a
+    bucket are bounded by the token's global df, and rare-first ordering
+    keeps prefix tokens rare. Oversized buckets RAISE (exactness
+    contract, fuzzy_self_pairs discipline).
+
+    Membership is integer cross-multiplication (1000*i >= t_pm*|A|); the
+    float containment column is display-only. Returns
+    (contained_id, container_id, n_inter, n_contained, containment) —
+    directional rows, both directions reported when both pass (exact
+    duplicates), self-pairs excluded.
+
+    Scale shape: token-df exchange + per-id window (shared helper with
+    ppjoin_pairs), one bucket exchange over (prefix ∪ full) occurrences of
+    prefix-active tokens only, in-array pair generation, candidate-sized
+    verify join."""
+    t_pm = _permille(threshold, "containment_pairs")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col)).alias("_set"),
+        )
+        .filter(F.size("_set") > 0)
+    )
+    ex = base.select("_id", F.explode("_set").alias("g"))
+    prefix = _rare_first_prefix(ex, t_pm)
+    # Bucket per token: the ids whose PREFIX contains it x the ids whose
+    # SET contains it. Only tokens appearing in some prefix form buckets.
+    pre_ids = prefix.groupBy("g").agg(
+        F.collect_list("_id").alias("pre_ids")
+    )
+    all_ids = ex.groupBy("g").agg(F.collect_list("_id").alias("all_ids"))
+    bucket = pre_ids.join(all_ids, "g")
+    guarded = bucket.select(
+        F.when(
+            F.size("pre_ids") * F.size("all_ids") <= max_bucket * max_bucket,
+            F.col("pre_ids"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("containment_pairs: token bucket "),
+                    F.col("g").cast("string"),
+                    F.lit(
+                        f" exceeds max_bucket={max_bucket}^2 pair budget; "
+                        "use a higher-entropy tokenization"
+                    ),
+                )
+            )
+        )
+        .alias("pre_ids"),
+        "all_ids",
+    )
+    cand = (
+        guarded.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("pre_ids"),
+                        lambda a: F.transform(
+                            F.filter(F.col("all_ids"), lambda b: b != a),
+                            lambda b: F.struct(
+                                a.alias("contained_id"),
+                                b.alias("container_id"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.contained_id", "p.container_id")
+        .distinct()
+    )
+    sa = base.select(
+        F.col("_id").alias("contained_id"),
+        F.col("_set").alias("_sa"),
+        F.size("_set").alias("_na"),
+    )
+    sb = base.select(
+        F.col("_id").alias("container_id"),
+        F.col("_set").alias("_sb"),
+        F.size("_set").alias("_nb"),
+    )
+    verified = (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        # size filter: c >= t forces |A ∩ B| >= ceil(t|A|), and the
+        # intersection can never exceed |B|
+        .filter(1000 * F.col("_nb") >= t_pm * F.col("_na"))
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        )
+        .filter(1000 * F.col("n_inter") >= t_pm * F.col("_na"))
+    )
+    return verified.select(
+        "contained_id",
+        "container_id",
+        "n_inter",
+        F.col("_na").cast("long").alias("n_contained"),
+        F.round(
+            F.col("n_inter").cast("double") / F.col("_na").cast("double"), 6
+        ).alias("containment"),
     )

@@ -1579,3 +1579,76 @@ def d_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", grams.alias("sh")
     )
     return ppjoin_pairs(sets, "doc_id", "sh", 0.6)
+
+
+@query(
+    "d_containment_pairs",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tk) - 4, 0) + 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                || tk[i+3] || ' ' || tk[i+4])) AS sh
+  FROM toks),
+sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+j AS (
+  SELECT da, db, i, sa.n AS na, sb.n AS nb
+  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db),
+directed AS (
+  SELECT da AS contained_id, db AS container_id, i, na AS n_contained
+  FROM j WHERE 1000 * i >= 900 * na
+  UNION ALL
+  SELECT db, da, i, nb FROM j WHERE 1000 * i >= 900 * nb)
+SELECT contained_id, container_id, CAST(i AS BIGINT) AS n_inter,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       (round(CAST(i AS DOUBLE) / CAST(n_contained AS DOUBLE), 6) + 0)
+         AS containment
+FROM directed
+""",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment >= 0.9 pairs over word-5-gram sets
+    (operators/dedup.containment_pairs): directional excerpt/quote
+    detection — |A∩B|/|A|, the measure that flags a short document
+    embedded in a long one where Jaccard (d_ppjoin_pairs) stays near
+    |A|/|B| and misses. On this corpus the injected near-dups pass in
+    both directions (they are mutual ~0.99 containments); the operator's
+    asymmetric value is pinned by unit tests with true excerpt pairs
+    (tests/test_ppjoin.py::test_containment_catches_excerpts).
+
+    The oracle is the independent exploded-intersection algorithm with
+    both directions evaluated; membership is integer cross-multiplication
+    in both engines (1000*i >= 900*|A|)."""
+    from ..functions.text import tokens
+    from ..operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    grams = F.when(
+        F.size(tk) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tk, i),
+                    F.element_at(tk, i + 1),
+                    F.element_at(tk, i + 2),
+                    F.element_at(tk, i + 3),
+                    F.element_at(tk, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = d.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id", grams.alias("sh")
+    )
+    return containment_pairs(sets, "doc_id", "sh", 0.9)
