@@ -133,6 +133,8 @@ TAIL = [
     "e_changepoint",
     "t_token_entropy",
     "d_containment_pairs",
+    "e_power_analysis",
+    "r_theil_index",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

@@ -1769,3 +1769,132 @@ def e_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, shared literals —
+# no engine evaluates an inverse normal CDF.
+_Z_ALPHA = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+
+@query(
+    "e_power_analysis",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM per_user),
+vsz AS (
+  SELECT variant, count(*) AS vn, sum(converted) AS vconv
+  FROM assigned GROUP BY variant),
+tot AS (
+  SELECT CAST(sum(vn) AS BIGINT) AS users,
+         CAST(sum(vconv) AS BIGINT) AS converters,
+         CAST(min(vn) AS BIGINT) AS min_variant_n
+  FROM vsz),
+mde AS (SELECT unnest([0.01, 0.02, 0.05]) AS mde),
+calc AS (
+  SELECT mde, users, min_variant_n,
+         CAST(converters AS DOUBLE) / CAST(users AS DOUBLE) AS p1
+  FROM tot, mde),
+calc2 AS (
+  SELECT mde, users, min_variant_n, p1, p1 + mde AS p2,
+         (p1 + p1 + mde) / 2 AS pbar
+  FROM calc),
+sized AS (
+  SELECT mde, users, min_variant_n, p1,
+         CAST(ceil(
+           ({_Z_ALPHA} * sqrt(2 * pbar * (1 - pbar))
+            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2))) *
+           ({_Z_ALPHA} * sqrt(2 * pbar * (1 - pbar))
+            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+           / (mde * mde)) AS BIGINT) AS required_n
+  FROM calc2)
+SELECT (round(mde, 6) + 0) AS mde,
+       (round(p1, 6) + 0) AS baseline_rate,
+       required_n AS required_n_per_variant,
+       min_variant_n,
+       min_variant_n >= required_n AS powered
+FROM sized ORDER BY mde
+""",
+)
+def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis over the SAME conversion definition as
+    e_ab_test: for each candidate minimum-detectable effect (absolute
+    +1/+2/+5pp), the required per-variant sample size of a two-proportion
+    test at alpha=0.05 (two-sided) and 80% power — the planning readout
+    run BEFORE an experiment, next to the readouts run after (e_ab_test,
+    e_cuped).  required_n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 +
+    p2*q2))^2 / mde^2 (standard normal-approximation formula, e.g.
+    Fleiss); the normal quantiles are SHARED literals, so both engines
+    evaluate the identical double expression over the exact integer
+    user/converter counts — no inverse CDF in any engine.
+
+    Scale shape: one user-keyed partial-agg exchange (shared shape with
+    e_ab_test), a 2-row variant aggregate collapsed to a 1-row total (the
+    min variant size rides it), and a 3-row literal MDE cross against the
+    1-row stats — nothing corpus-sized moves."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    vsz = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("vn"), F.sum("converted").alias("vconv")
+    )
+    tot = vsz.agg(
+        F.sum("vn").cast("long").alias("users"),
+        F.sum("vconv").cast("long").alias("converters"),
+        F.min("vn").cast("long").alias("min_variant_n"),
+    )
+    mdes = spark.range(1).select(
+        F.explode(F.array(F.lit(0.01), F.lit(0.02), F.lit(0.05))).alias("mde")
+    )
+    calc = tot.crossJoin(F.broadcast(mdes)).select(
+        "mde",
+        "min_variant_n",
+        (F.col("converters").cast("double") / F.col("users").cast("double")).alias(
+            "p1"
+        ),
+    )
+    p1, mde = F.col("p1"), F.col("mde")
+    p2 = p1 + mde
+    pbar = (p1 + p1 + mde) / 2
+    za, zb = F.lit(float(_Z_ALPHA)), F.lit(float(_Z_BETA))
+    num = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    required = F.ceil(num * num / (mde * mde)).cast("long")
+    return (
+        calc.select(
+            F.round(mde, 6).alias("mde"),
+            F.round(p1, 6).alias("baseline_rate"),
+            required.alias("required_n_per_variant"),
+            "min_variant_n",
+            (F.col("min_variant_n") >= required).alias("powered"),
+        )
+        .orderBy("mde")
+    )

@@ -2025,3 +2025,124 @@ def r_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+@query(
+    "r_theil_index",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT c_mktsegment AS segment, x
+  FROM rev JOIN customer ON c_custkey = ck),
+perc AS (
+  SELECT segment, x,
+         CAST(round(ln(CAST(x AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx
+  FROM seg),
+g AS (
+  SELECT segment, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38, 0))) AS s,
+         sum(CAST(x AS DECIMAL(19, 0)) * CAST(lx AS DECIMAL(19, 0))) AS l
+  FROM perc GROUP BY segment),
+tot AS (
+  SELECT segment, n, s, l,
+         CAST(sum(n) OVER () AS DOUBLE) AS tn,
+         CAST(sum(s) OVER () AS DOUBLE) AS ts
+  FROM g),
+calc AS (
+  SELECT segment, n, tn, ts,
+         CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd,
+         CAST(l AS DOUBLE) AS ld
+  FROM tot)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       (round(sd / 1000000.0, 2) + 0) AS total_revenue,
+       (round(sd / ts, 6) + 0) AS revenue_share,
+       (round(ld / 1000000.0 / sd - ln(sd / nd), 6) + 0) AS theil_within,
+       (round((sd / ts) * (ld / 1000000.0 / sd - ln(sd / nd)), 6) + 0)
+         AS within_contrib,
+       (round((sd / ts) * ln((sd / nd) / (ts / tn)), 6) + 0)
+         AS between_contrib
+FROM calc ORDER BY segment
+""",
+)
+def r_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-customer revenue, DECOMPOSED by market
+    segment — the property Gini (e_gini_users) lacks: T = sum_g share_g *
+    T_g(within) + sum_g share_g * ln(mean_g / mean)(between), so the
+    report says how much revenue concentration lives inside segments vs
+    between them.  Per segment: customer count, revenue, share, the
+    within-segment Theil T_g = (sum x*ln(x))/S_g - ln(mean_g) and both
+    decomposition contributions (the reader sums the two contrib columns
+    for total T).  Theil is scale-invariant, so the micro-unit ln offsets
+    cancel exactly.
+
+    Exactness: revenue is micro-quantized per order; the only cross-row
+    float sum, sum x*ln(x), quantizes each customer's ln(x) to integer
+    millionths first (t_token_entropy discipline) and accumulates
+    x*ln_ppm in DECIMAL(38,0) — order-independent; the final segment-row
+    arithmetic is five identical-shape double ops per engine, round-6.
+    Customers with no orders have no revenue to rank and are absent
+    (inner join); o_totalprice > 0 keeps every ln defined.
+
+    Scale shape: one customer-keyed partial-agg exchange, a broadcastable
+    customer-dimension join, a 5-row segment aggregate, totals as window
+    sums over the segment frame."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    rev = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+            ).alias("x")
+        )
+    )
+    perc = rev.join(F.broadcast(c), "ck").select(
+        "segment",
+        "x",
+        F.round(F.log(F.col("x").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("lx"),
+    )
+    g = perc.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("lx").cast("decimal(19,0)")
+        ).alias("l"),
+    )
+    every = Window.partitionBy()
+    calc = g.select(
+        "segment",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s").cast("double").alias("sd"),
+        F.col("l").cast("double").alias("ld"),
+        F.sum("n").over(every).cast("double").alias("tn"),
+        F.sum("s").over(every).cast("double").alias("ts"),
+    )
+    nd, sd, ld, tn, ts = (
+        F.col("nd"),
+        F.col("sd"),
+        F.col("ld"),
+        F.col("tn"),
+        F.col("ts"),
+    )
+    t_within = ld / 1000000.0 / sd - F.log(sd / nd)
+    return calc.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(sd / 1000000.0, 2).alias("total_revenue"),
+        F.round(sd / ts, 6).alias("revenue_share"),
+        F.round(t_within, 6).alias("theil_within"),
+        F.round((sd / ts) * t_within, 6).alias("within_contrib"),
+        F.round((sd / ts) * F.log((sd / nd) / (ts / tn)), 6).alias(
+            "between_contrib"
+        ),
+    ).orderBy("segment")
