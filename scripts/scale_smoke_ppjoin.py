@@ -30,20 +30,10 @@ from vectordb_similarity_search_spark.session import get_spark  # noqa: E402
 
 
 def word_ngram_sets(docs, n: int = 3):
-    tk = F.col("tk")
-    grams = F.when(
-        F.size(tk) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tk, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", tokens("text").alias("tk")).select(
-        "doc_id", grams.alias("sh")
+    from vectordb_similarity_search_spark.functions.text import word_ngrams
+
+    return docs.select(
+        "doc_id", word_ngrams(tokens("text"), n).alias("sh")
     )
 
 

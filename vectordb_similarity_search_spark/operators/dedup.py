@@ -1565,14 +1565,27 @@ def ppjoin_pairs(
     (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
     t_pm = _permille(threshold, "ppjoin_pairs")
-    base = (
+    # base is referenced three times (token stream + both verify sides);
+    # persist so the caller's set-construction expression (often a heavy
+    # interpreted n-gram HOF) evaluates once, not three times. Lazy — no
+    # job at build time; release_dedup_caches() drops it.
+    base = _persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(F.col(set_col)).alias("_set"),
         )
         .filter(F.size("_set") > 0)
     )
-    ex = base.select("_id", F.explode("_set").alias("g"))
+    # Candidate generation runs on 64-bit token HASHES (the
+    # d_substring_spans discipline: exchanges move 8-byte keys, never
+    # n-gram strings). Exactness survives hashing: a collision merges two
+    # tokens into one quotient symbol, which can only RAISE quotient
+    # Jaccard above true Jaccard, so the prefix filter over the quotient
+    # alphabet yields a candidate SUPERSET — and the verify join tests the
+    # real string sets.
+    ex = base.select("_id", F.explode("_set").alias("g")).select(
+        "_id", F.xxhash64("g").alias("g")
+    )
     prefix = _rare_first_prefix(ex, t_pm).select(
         "_id", F.col("g").alias("key")
     )
@@ -1667,14 +1680,21 @@ def containment_pairs(
     prefix-active tokens only, in-array pair generation, candidate-sized
     verify join."""
     t_pm = _permille(threshold, "containment_pairs")
-    base = (
+    # Same three-reference persist as ppjoin_pairs (lazy, released by
+    # release_dedup_caches()).
+    base = _persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(F.col(set_col)).alias("_set"),
         )
         .filter(F.size("_set") > 0)
     )
-    ex = base.select("_id", F.explode("_set").alias("g"))
+    # 64-bit token hashes in every exchange (same quotient-alphabet
+    # exactness argument as ppjoin_pairs: collisions only enlarge the
+    # candidate set; the verify join tests real strings).
+    ex = base.select("_id", F.explode("_set").alias("g")).select(
+        "_id", F.xxhash64("g").alias("g")
+    )
     prefix = _rare_first_prefix(ex, t_pm)
     # Bucket per token: the ids whose PREFIX contains it x the ids whose
     # SET contains it. Only tokens appearing in some prefix form buckets.

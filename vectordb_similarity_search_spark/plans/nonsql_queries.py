@@ -1555,30 +1555,24 @@ def d_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication on both sides (1000*i >= 600*u); the float
     jaccard column is display-only (round 6 of a small-integer ratio)."""
     from ..operators.dedup import ppjoin_pairs
-    from ..functions.text import tokens
 
-    d = t(spark, sf_dir, "documents")
-    tk = F.col("tk")
-    grams = F.when(
-        F.size(tk) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tk, i),
-                    F.element_at(tk, i + 1),
-                    F.element_at(tk, i + 2),
-                    F.element_at(tk, i + 3),
-                    F.element_at(tk, i + 4),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sets = d.select("doc_id", tokens("text").alias("tk")).select(
-        "doc_id", grams.alias("sh")
+    return ppjoin_pairs(_word5gram_sets(spark, sf_dir), "doc_id", "sh", 0.6)
+
+
+def _word5gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-5-gram set per document: the collapse-proof
+    zip_with-chain gram builder (functions/text.word_ngrams — the naive
+    element_at transform re-evaluates the token array per gram once
+    CollapseProject inlines it; measured 14.6 s vs 0.9 s at sf0.1),
+    WIDENED because the single-row-group fixture files scan as one split
+    (round-2 learning)."""
+    from ..functions.text import tokens, word_ngrams
+    from ..util import widen
+
+    d = widen(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id", word_ngrams(tokens("text"), 5).alias("sh")
     )
-    return ppjoin_pairs(sets, "doc_id", "sh", 0.6)
 
 
 @query(
@@ -1627,28 +1621,8 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the independent exploded-intersection algorithm with
     both directions evaluated; membership is integer cross-multiplication
     in both engines (1000*i >= 900*|A|)."""
-    from ..functions.text import tokens
     from ..operators.dedup import containment_pairs
 
-    d = t(spark, sf_dir, "documents")
-    tk = F.col("tk")
-    grams = F.when(
-        F.size(tk) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tk, i),
-                    F.element_at(tk, i + 1),
-                    F.element_at(tk, i + 2),
-                    F.element_at(tk, i + 3),
-                    F.element_at(tk, i + 4),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sets = d.select("doc_id", tokens("text").alias("tk")).select(
-        "doc_id", grams.alias("sh")
+    return containment_pairs(
+        _word5gram_sets(spark, sf_dir), "doc_id", "sh", 0.9
     )
-    return containment_pairs(sets, "doc_id", "sh", 0.9)
