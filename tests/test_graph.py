@@ -325,3 +325,16 @@ def test_triangle_stats_skewed_hub_layout_independent(spark):
             parts, F.col("u")
         )
         assert triangle_stats(df).collect()[0].n_triangles == want
+
+
+def test_triangle_stats_wedge_free_graph_yields_null_coeff(spark):
+    """Review find: a perfect matching has zero wedges — the coefficient
+    must be NULL (house div-by-zero discipline, DuckDB 0/0 parity), never
+    NaN, and the wedge count 0, never NULL."""
+    from vectordb_similarity_search_spark.operators.graph import triangle_stats
+
+    row = triangle_stats(
+        spark.createDataFrame([(1, 2), (3, 4)], "u long, v long")
+    ).collect()[0]
+    assert row.n_wedges == 0
+    assert row.clustering_coeff is None

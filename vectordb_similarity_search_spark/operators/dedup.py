@@ -1499,24 +1499,62 @@ def _permille(threshold: float, name: str) -> int:
 def _rare_first_prefix(ex: DataFrame, t_pm: int) -> DataFrame:
     """Prefix rows of each set under the rare-first global token order.
 
-    ``ex`` is the exploded (_id, g) token stream of distinct sets. Tokens
-    are ranked per set by (global df asc, token asc); the first
-    ``|S| - ceil(t*|S|) + 1`` survive — the prefix-filter theorem's
-    candidate-bearing slice for threshold ``t_pm``/1000 (Jaccard form; the
-    containment form uses the same prefix on the contained side). One df
-    exchange + one per-id window exchange."""
+    ``ex`` is the exploded (_id, g) HASHED token stream of distinct sets.
+    Tokens are ranked per set by (global df asc, hash asc); the first
+    ``|S_q| - ceil(t*|S_q|) + 1`` survive, where |S_q| counts DISTINCT
+    hashes within the set — the prefix-filter theorem's candidate-bearing
+    slice for threshold ``t_pm``/1000 over the hash-quotient alphabet
+    (review find: sizing the prefix by the raw string count while an
+    intra-set hash collision shrinks the quotient set could leave the
+    kept prefix one quotient token short of the theorem's requirement).
+    Duplicate hashes within a set sort adjacently (equal df, equal hash),
+    so the dedup is a lag() on the same window exchange — one df exchange
+    + one per-id window exchange total, no extra shuffle."""
     dfc = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     per_id = Window.partitionBy("_id")
     w = per_id.orderBy(F.col("_df").asc(), F.col("g").asc())
-    ranked = (
+    deduped = (
         ex.join(dfc, "g")
-        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag("g").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("g")))
+        .drop("_prev")
+    )
+    ranked = (
+        deduped.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(per_id))
     )
     prefix_len = (
         F.col("_n") - F.expr(f"({t_pm} * _n + 999) div 1000") + F.lit(1)
     )
     return ranked.filter(F.col("_rn") <= prefix_len).select("_id", "g")
+
+
+def _hashed_distinct_sets(
+    df: DataFrame, id_col: str, set_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared entry of the prefix-filter joins: the persisted distinct-set
+    frame (referenced by the token stream AND both verify sides — persist
+    keeps the caller's set-construction expression, often a heavy n-gram
+    chain, from evaluating three times; lazy, released by
+    release_dedup_caches()) plus its exploded 64-bit-hashed token stream.
+
+    Hashing is the d_substring_spans discipline — exchanges move 8-byte
+    keys, never n-gram strings. Exactness survives: a collision merges two
+    tokens into one quotient symbol, which can only RAISE quotient
+    Jaccard/containment above the true value, so prefix filtering over the
+    quotient alphabet yields a candidate SUPERSET — and the verify joins
+    always test the real string sets."""
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col)).alias("_set"),
+        )
+        .filter(F.size("_set") > 0)
+    )
+    ex = base.select("_id", F.explode("_set").alias("g")).select(
+        "_id", F.xxhash64("g").alias("g")
+    )
+    return base, ex
 
 
 def ppjoin_pairs(
@@ -1565,27 +1603,7 @@ def ppjoin_pairs(
     (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
     t_pm = _permille(threshold, "ppjoin_pairs")
-    # base is referenced three times (token stream + both verify sides);
-    # persist so the caller's set-construction expression (often a heavy
-    # interpreted n-gram HOF) evaluates once, not three times. Lazy — no
-    # job at build time; release_dedup_caches() drops it.
-    base = _persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(F.col(set_col)).alias("_set"),
-        )
-        .filter(F.size("_set") > 0)
-    )
-    # Candidate generation runs on 64-bit token HASHES (the
-    # d_substring_spans discipline: exchanges move 8-byte keys, never
-    # n-gram strings). Exactness survives hashing: a collision merges two
-    # tokens into one quotient symbol, which can only RAISE quotient
-    # Jaccard above true Jaccard, so the prefix filter over the quotient
-    # alphabet yields a candidate SUPERSET — and the verify join tests the
-    # real string sets.
-    ex = base.select("_id", F.explode("_set").alias("g")).select(
-        "_id", F.xxhash64("g").alias("g")
-    )
+    base, ex = _hashed_distinct_sets(df, id_col, set_col)
     prefix = _rare_first_prefix(ex, t_pm).select(
         "_id", F.col("g").alias("key")
     )
@@ -1680,21 +1698,7 @@ def containment_pairs(
     prefix-active tokens only, in-array pair generation, candidate-sized
     verify join."""
     t_pm = _permille(threshold, "containment_pairs")
-    # Same three-reference persist as ppjoin_pairs (lazy, released by
-    # release_dedup_caches()).
-    base = _persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(F.col(set_col)).alias("_set"),
-        )
-        .filter(F.size("_set") > 0)
-    )
-    # 64-bit token hashes in every exchange (same quotient-alphabet
-    # exactness argument as ppjoin_pairs: collisions only enlarge the
-    # candidate set; the verify join tests real strings).
-    ex = base.select("_id", F.explode("_set").alias("g")).select(
-        "_id", F.xxhash64("g").alias("g")
-    )
+    base, ex = _hashed_distinct_sets(df, id_col, set_col)
     prefix = _rare_first_prefix(ex, t_pm)
     # Bucket per token: the ids whose PREFIX contains it x the ids whose
     # SET contains it. Only tokens appearing in some prefix form buckets.
@@ -1705,7 +1709,8 @@ def containment_pairs(
     bucket = pre_ids.join(all_ids, "g")
     guarded = bucket.select(
         F.when(
-            F.size("pre_ids") * F.size("all_ids") <= max_bucket * max_bucket,
+            F.size("pre_ids").cast("long") * F.size("all_ids").cast("long")
+            <= max_bucket * max_bucket,
             F.col("pre_ids"),
         )
         .otherwise(

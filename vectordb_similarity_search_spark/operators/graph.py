@@ -390,12 +390,17 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
             "n_nodes",
             "n_edges",
             "n_triangles",
-            "n_wedges",
+            F.coalesce("n_wedges", F.lit(0).cast("long")).alias("n_wedges"),
             "max_degree",
-            F.round(
-                F.lit(3) * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double"),
-                6,
+            # NULL (not NaN) on a wedge-free graph — div-by-zero house
+            # discipline, and the oracle's 0/0 is NULL in DuckDB.
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
             ).alias("clustering_coeff"),
         )
     )

@@ -1810,12 +1810,12 @@ calc2 AS (
   FROM calc),
 sized AS (
   SELECT mde, users, min_variant_n, p1,
-         CAST(ceil(
+         CASE WHEN p2 <= 1 THEN CAST(ceil(
            ({_Z_ALPHA} * sqrt(2 * pbar * (1 - pbar))
             + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2))) *
            ({_Z_ALPHA} * sqrt(2 * pbar * (1 - pbar))
             + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
-           / (mde * mde)) AS BIGINT) AS required_n
+           / (mde * mde)) AS BIGINT) END AS required_n
   FROM calc2)
 SELECT (round(mde, 6) + 0) AS mde,
        (round(p1, 6) + 0) AS baseline_rate,
@@ -1887,7 +1887,11 @@ def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
         p1 * (1 - p1) + p2 * (1 - p2)
     )
-    required = F.ceil(num * num / (mde * mde)).cast("long")
+    # p2 > 1 means the target rate is unreachable: no sample size detects
+    # it (and sqrt would go NaN here but hard-error in the oracle) — NULL.
+    required = F.when(
+        p2 <= 1, F.ceil(num * num / (mde * mde)).cast("long")
+    )
     return (
         calc.select(
             F.round(mde, 6).alias("mde"),

@@ -1992,10 +1992,12 @@ ds AS (
 SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST(n_triangles AS BIGINT) AS n_triangles,
-       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(coalesce(n_wedges, 0) AS BIGINT) AS n_wedges,
        CAST(max_degree AS BIGINT) AS max_degree,
-       (round(3 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
-        + 0) AS clustering_coeff
+       (CASE WHEN n_wedges > 0
+             THEN round(3 * CAST(n_triangles AS DOUBLE)
+                        / CAST(n_wedges AS DOUBLE), 6) + 0
+        END) AS clustering_coeff
 FROM ds, tri
 """,
 )

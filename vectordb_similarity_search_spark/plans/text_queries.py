@@ -2203,11 +2203,14 @@ def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ag = vc.groupBy("lang").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("v"),
+        # DECIMAL(38,0) accumulation (r_theil_index discipline): a raw
+        # long sum of c*ln_ppm(c) wraps at ~5e11 corpus tokens while the
+        # DuckDB twin's HUGEINT stays exact.
         F.sum(
-            F.col("c")
-            * F.round(F.log(F.col("c").cast("double")) * 1000000, 0).cast(
-                "long"
-            )
+            F.col("c").cast("decimal(19,0)")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000, 0)
+            .cast("long")
+            .cast("decimal(19,0)")
         ).alias("slc"),
     )
     n_d = F.col("n").cast("double")
