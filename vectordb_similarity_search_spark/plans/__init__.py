@@ -135,6 +135,8 @@ TAIL = [
     "d_containment_pairs",
     "e_power_analysis",
     "r_theil_index",
+    "e_top_sequences",
+    "d_novelty_curve",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

@@ -1902,3 +1902,79 @@ def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde")
     )
+
+
+@query(
+    "e_top_sequences",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tri AS (
+  SELECT event_type AS e1, e2, e3, count(*) AS n
+  FROM ordered WHERE e3 IS NOT NULL
+  GROUP BY event_type, e2, e3),
+tot AS (SELECT e1, e2, e3, n, sum(n) OVER () AS total FROM tri),
+ranked AS (
+  SELECT e1, e2, e3, n, total,
+         row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+  FROM tot)
+SELECT CAST(rk AS INTEGER) AS rank, e1, e2, e3, CAST(n AS BIGINT) AS n,
+       (round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0) AS support
+FROM ranked WHERE rk <= 10 ORDER BY rank
+""",
+)
+def e_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioural sequences: the top-10 consecutive
+    event-type trigrams across all user sessions with their support — the
+    sequence-mining readout behind funnel DISCOVERY (e_funnel_conversion
+    checks a funnel you already hypothesized; this surfaces which paths
+    actually dominate).  Ties break lexicographically; support is an exact
+    integer ratio (trigram count over total trigrams) rounded at 6.
+
+    Order within a user is (ts, event_id) — the deterministic total order
+    every sequence query in this catalog uses for timestamp ties.
+
+    Scale shape: ONE user-hashed window exchange produces both lead
+    columns, a partial-agg'ed trigram aggregate (at most |types|^3 groups
+    — bounded vocabulary), the grand total rides the grouped frame as an
+    empty-partition window sum, and the global top-10 is a single
+    WindowGroupLimit-style rank over the tiny trigram table."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        ordered.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+        )
+    )
+    return (
+        tot.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "e1",
+            "e2",
+            "e3",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy("rank")
+    )

@@ -1626,3 +1626,90 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _word5gram_sets(spark, sf_dir), "doc_id", "sh", 0.9
     )
+
+
+@query(
+    "d_novelty_curve",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tk) - 4, 0) + 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                || tk[i+3] || ' ' || tk[i+4])) AS sh
+  FROM toks),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+firsts AS (
+  SELECT doc_id, g,
+         min(doc_id) OVER (PARTITION BY g) AS first_doc
+  FROM ex),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_new
+  FROM firsts GROUP BY doc_id),
+bucketed AS (
+  SELECT ntile(10) OVER (ORDER BY doc_id) AS decile, n_grams, n_new
+  FROM per_doc)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_new) AS BIGINT) AS n_new,
+       (round(CAST(sum(n_new) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 6)
+        + 0) AS novelty
+FROM bucketed GROUP BY decile ORDER BY decile
+""",
+)
+def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: walking documents in ingestion (doc_id)
+    order, what fraction of each decile's word-5-grams is NEW — first seen
+    in that document?  The aggregate signal behind dedup ROI analysis:
+    a healthy stream holds a high novelty plateau, a template-saturated or
+    duplicate-ridden one decays toward zero, and the post-dedup re-run
+    shows what the d_* operators bought.  Per doc_id decile (ntile over
+    the per-doc frame — identical in both engines): document count, gram
+    occurrences, first-occurrence grams, novelty share (exact integer
+    ratio, round 6).
+
+    Scale shape: one gram-keyed window exchange marks first occurrences
+    (min over the gram partition — no self-join), one per-doc aggregate,
+    one tiny per-doc-frame window for the decile split, then a 10-row
+    aggregate.  Grams shuffle as strings here because the oracle twin
+    groups the same strings; the hashed-key variant (the
+    _hashed_distinct_sets discipline) is the drop-in at corpus scale.
+    Fixture signal: the injected near-duplicates land entirely in later
+    deciles' denominators, so late-decile novelty sits visibly below the
+    early plateau."""
+    from pyspark.sql import Window
+
+    sets = _word5gram_sets(spark, sf_dir)
+    ex = sets.select("doc_id", F.explode("sh").alias("g"))
+    firsts = ex.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+        ).alias("n_new"),
+    )
+    bucketed = per_doc.select(
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        "n_grams",
+        "n_new",
+    )
+    return (
+        bucketed.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_new").cast("long").alias("n_new"),
+            F.round(
+                F.sum("n_new").cast("double")
+                / F.sum("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )
