@@ -146,3 +146,51 @@ def test_alpha_fuse_validates_alpha(spark):
     with pytest.raises(ValueError, match="alpha"):
         alpha_fuse(a, a, id_col="doc_id", score_col_a="s", score_col_b="s",
                    alpha=1.5)
+
+
+def test_dynamic_bm25_bit_matches_static(spark, sf_dir):
+    """bm25_dynamic_topk with the static term set must reproduce
+    bm25_topk BIT-exactly (same rounded scores, same order): the 0.0 fold
+    init and absent-term-part-is-0.0 are float identities."""
+    from vectordb_similarity_search_spark.operators.bm25 import (
+        bm25_dynamic_topk,
+        bm25_topk,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["table", "scan", "window"]
+    static = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=10).collect()]
+    assert all(s > 0 for _, s in static)  # else zero-match docs could pad
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    dyn = [
+        (r.doc_id, r.bm25)
+        for r in bm25_dynamic_topk(docs, qt, k=10).collect()
+    ]
+    assert dyn == static
+
+
+def test_prf_expansion_changes_ranking_deterministically(spark, sf_dir):
+    """PRF returns a valid top-10 and is reproducible run-to-run."""
+    from vectordb_similarity_search_spark.operators.bm25 import (
+        prf_expand_topk,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [(r.doc_id, r.bm25) for r in prf_expand_topk(docs, ["table", "scan"]).collect()]
+    b = [(r.doc_id, r.bm25) for r in prf_expand_topk(docs, ["table", "scan"]).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_prf_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.bm25 import (
+        prf_expand_topk,
+    )
+    from vectordb_similarity_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        prf_expand_topk(docs, ["table"], fb_k=0)

@@ -15,7 +15,7 @@ shuffles anything but the final top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import n_tokens, tokens
@@ -260,4 +260,144 @@ def alpha_fuse(
         both.select(id_col, F.round(fused, 6).alias("fused"))
         .orderBy(F.col("fused").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def bm25_dynamic_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k where the query terms arrive as a DATAFRAME (column
+    ``term``) instead of a static Python list — the building block for
+    query paths whose terms are data-dependent (pseudo-relevance
+    feedback, query logs, learned expansions), which the per-term-column
+    architecture of :func:`bm25_topk` cannot express.
+
+    Bit-parity with the static path: per-(doc, term) score parts use the
+    IDENTICAL expression shape as :func:`bm25_score_expr`, and the
+    per-document sum is a fixed-order fold over the term-sorted collected
+    parts (``aggregate(array_sort(collect_list(...)), 0.0, +)``) — adding
+    a float 0.0 init and skipping absent terms (whose part is exactly
+    0.0) are both exact identities, so a dynamic run with terms
+    {t0..tn} reproduces the static fold bit-for-bit when the term sets
+    match. Documents matching NO query term are absent (the
+    t_bm25_indexed zero-score caveat).
+
+    Scale shape: one (doc, token) partial-agg exchange for tf restricted
+    by a BROADCAST semi-join with the (tiny) term frame, term df as a
+    terms-sized aggregate, corpus stats as a 1-row broadcast, one
+    doc-keyed fold exchange of matched parts only."""
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        n_tokens(text_col).cast("double").alias("_len"),
+    )
+    stats = toks.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_len") / F.count("*")).alias("_avgdl"),
+    )
+    occ = toks.select(
+        id_col, "_len", F.explode("_toks").alias("term")
+    ).join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = occ.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_len").alias("_len"),
+    )
+    dfc = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = tf.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    part = (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl")))
+    )
+    folded = (
+        scored.select(id_col, "term", part.alias("_part"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", F.col("_part")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_part"],
+            ).alias("_score")
+        )
+    )
+    return (
+        folded.select(id_col, F.round("_score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def prf_expand_topk(
+    docs: DataFrame,
+    seed_terms: list[str],
+    *,
+    k: int = 10,
+    fb_k: int = 10,
+    n_expand: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio-style expansion,
+    fully in-plan — no driver step): BM25 the seed terms, take the top
+    ``fb_k`` feedback documents, pick the ``n_expand`` non-seed terms
+    that are most characteristic of the feedback set, and re-rank the
+    corpus with the expanded bag via :func:`bm25_dynamic_topk`.
+
+    Expansion selection is INTEGER-deterministic (no float ranking):
+    terms order by (feedback-doc frequency desc, global df asc — prefer
+    terms concentrated in the feedback set and rare in the corpus, the
+    Rocchio signal without its float weights — then term asc).
+
+    Scale shape: the seed stage is the one-scan static bm25_topk; the
+    fb_k ids broadcast into the distinct-token stream; expansion ranking
+    happens on a vocabulary-sized frame; the re-rank is the dynamic
+    scorer's broadcast-join pipeline. Everything is lazy — zero jobs at
+    build time."""
+    if n_expand < 0 or fb_k <= 0:
+        raise ValueError("fb_k must be > 0 and n_expand >= 0")
+    fb_ids = bm25_topk(
+        docs, seed_terms, k=fb_k, id_col=id_col, text_col=text_col,
+        k1=k1, b=b,
+    ).select(id_col)
+    dtok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    gdf = dtok.groupBy("term").agg(F.count(F.lit(1)).alias("_gdf"))
+    fbc = (
+        dtok.join(F.broadcast(fb_ids), id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_fbc"))
+    )
+    w = Window.orderBy(
+        F.col("_fbc").desc(), F.col("_gdf").asc(), F.col("term").asc()
+    )
+    expansion = (
+        fbc.join(gdf, "term")
+        .filter(~F.col("term").isin(*seed_terms))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_expand)
+        .select("term")
+    )
+    seeds = docs.sparkSession.createDataFrame(
+        [(t,) for t in seed_terms], "term string"
+    )
+    qterms = seeds.unionAll(expansion).distinct()
+    return bm25_dynamic_topk(
+        docs, qterms, k=k, id_col=id_col, text_col=text_col, k1=k1, b=b
     )

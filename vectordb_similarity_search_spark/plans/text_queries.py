@@ -2225,3 +2225,87 @@ def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ent / F.log(F.col("v").cast("double")), 6),
         ).alias("norm_entropy"),
     ).orderBy("lang")
+
+
+def _sql_bm25_prf(seeds: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/bm25.prf_expand_topk: seed BM25 feedback
+    stage (same constant-folded shapes as _sql_bm25), integer-deterministic
+    expansion pick, then the dynamic-term scorer's fold (list_reduce over a
+    term-sorted part list with a 0.0 init — Spark's aggregate() mirror)."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(seeds)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS DOUBLE) AS df{i}"
+        for i in range(len(seeds))
+    )
+    parts = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(seeds))
+    )
+    seed_list = ", ".join(f"'{w}'" for w in seeds)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t, CAST({SQL_NTOK} AS DOUBLE) AS dl
+  FROM documents),
+tfs AS (
+  SELECT doc_id, dl,
+         {tf_cols}
+  FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(dl) / count(*) AS avgdl,
+         {df_cols}
+  FROM tfs),
+fb AS (
+  SELECT doc_id FROM tfs, stats
+  ORDER BY (round({parts}, 6) + 0) DESC, doc_id ASC LIMIT 10),
+dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+gdf AS (SELECT term, count(*) AS gdf FROM dtok GROUP BY term),
+fbc AS (
+  SELECT term, count(*) AS fbc
+  FROM dtok JOIN fb USING (doc_id) GROUP BY term),
+expn AS (
+  SELECT term FROM fbc JOIN gdf USING (term)
+  WHERE term NOT IN ({seed_list})
+  QUALIFY row_number() OVER (ORDER BY fbc DESC, gdf ASC, term ASC) <= 3),
+qt AS (SELECT unnest([{seed_list}]) AS term UNION SELECT term FROM expn),
+occ AS (SELECT doc_id, dl, unnest(t) AS term FROM toks),
+tfq AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+  FROM occ JOIN qt USING (term) GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY term),
+parts AS (
+  SELECT doc_id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0})
+           / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl)) AS part,
+         term
+  FROM tfq JOIN dfq USING (term), stats),
+folded AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(part ORDER BY term)),
+                     (a, x) -> a + x) AS s
+  FROM parts GROUP BY doc_id)
+SELECT doc_id, (round(s, 6) + 0) AS bm25
+FROM folded ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("t_bm25_prf", oracle=_sql_bm25_prf(_BM25_TERMS))
+def t_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (operators/bm25.prf_expand_topk):
+    BM25 the seed bag, mine 3 expansion terms from the top-10 feedback
+    documents (feedback-frequency desc, global df asc — the Rocchio signal
+    with integer-deterministic ranking), re-rank with the expanded bag via
+    the DYNAMIC-term scorer (bm25_dynamic_topk) — terms live in a
+    DataFrame, scored through a broadcast join + term-sorted fixed-order
+    fold, which is the architecture static per-term columns cannot give a
+    data-dependent query.  Fold parity with the static path is exact
+    (0.0-init + absent-term-part-is-0.0 are float identities), pinned by
+    tests/test_bm25.py."""
+    from ..operators.bm25 import prf_expand_topk
+
+    return prf_expand_topk(t(spark, sf_dir, "documents"), _BM25_TERMS)
