@@ -135,6 +135,11 @@ ANALYTICS = [
     "t_token_entropy",       # ppm-quantized Shannon entropy per lang
     "v_label_ndcg",          # broadcast-queries retrieval eval
     "d_ppjoin_pairs",        # exact prefix-filtered similarity join
+    "e_power_analysis",      # sample-size planning over shared z literals
+    "r_theil_index",         # decomposed inequality, DECIMAL+ppm-ln sums
+    "e_top_sequences",       # event trigram mining, one user window
+    "d_novelty_curve",       # first-occurrence gram share per decile
+    "t_bm25_prf",            # 2-stage PRF: feedback -> dynamic-term fold
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -171,8 +171,11 @@ def test_dynamic_bm25_bit_matches_static(spark, sf_dir):
 
 
 def test_prf_expansion_changes_ranking_deterministically(spark, sf_dir):
-    """PRF returns a valid top-10 and is reproducible run-to-run."""
+    """PRF is reproducible AND actually expanded: if the expansion stage
+    silently returned zero terms, the result would equal plain seed BM25
+    (review find — the old assertion could not see that regression)."""
     from vectordb_similarity_search_spark.operators.bm25 import (
+        bm25_topk,
         prf_expand_topk,
     )
     from vectordb_similarity_search_spark.sources.tables import load_table
@@ -181,6 +184,11 @@ def test_prf_expansion_changes_ranking_deterministically(spark, sf_dir):
     a = [(r.doc_id, r.bm25) for r in prf_expand_topk(docs, ["table", "scan"]).collect()]
     b = [(r.doc_id, r.bm25) for r in prf_expand_topk(docs, ["table", "scan"]).collect()]
     assert a == b and len(a) == 10
+    seed_only = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, ["table", "scan"], k=10).collect()
+    ]
+    assert a != seed_only  # expansion terms contributed score
 
 
 def test_prf_validation(spark, sf_dir):

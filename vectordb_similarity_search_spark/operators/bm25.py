@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from ..functions.text import n_tokens, tokens
 
 
+def bm25_part(tf, df, dl, n, avgdl, k1: float = 1.2, b: float = 0.75):
+    """ONE term's BM25 contribution as a Column —
+    ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with Lucene
+    ``idf = ln(1 + (n−df+0.5)/(df+0.5))``. The single shared shape behind
+    the static fold (:func:`bm25_score_expr`), the phrase booster
+    (:func:`bm25_phrase_topk`) and the dynamic scorer
+    (:func:`bm25_dynamic_topk`) — bit-parity across paths and with the
+    DuckDB twins depends on there being exactly one copy of this
+    expression tree."""
+    idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
 def bm25_score_expr(n_terms: int, k1: float = 1.2, b: float = 0.75):
     """Fixed-order folded BM25 sum over ``_tf{i}``/``_df{i}``/``_len``/
     ``_n``/``_avgdl`` columns. Shared by the scan path (:func:`bm25_topk`)
@@ -33,17 +46,14 @@ def bm25_score_expr(n_terms: int, k1: float = 1.2, b: float = 0.75):
     reassociate the float adds and drift in the last bits)."""
     score = None
     for i in range(n_terms):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
-        )
-        part = (
-            idf
-            * (F.col(f"_tf{i}") * (k1 + 1.0))
-            / (
-                F.col(f"_tf{i}")
-                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
-            )
+        part = bm25_part(
+            F.col(f"_tf{i}"),
+            F.col(f"_df{i}"),
+            F.col("_len"),
+            F.col("_n"),
+            F.col("_avgdl"),
+            k1,
+            b,
         )
         score = part if score is None else score + part
     return score
@@ -187,17 +197,14 @@ def bm25_phrase_topk(
     scored = toks.crossJoin(F.broadcast(stats))
 
     def part(tf_col: str, df_col: str):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("_n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5)
-        )
-        return (
-            idf
-            * (F.col(tf_col) * (k1 + 1.0))
-            / (
-                F.col(tf_col)
-                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
-            )
+        return bm25_part(
+            F.col(tf_col),
+            F.col(df_col),
+            F.col("_len"),
+            F.col("_n"),
+            F.col("_avgdl"),
+            k1,
+            b,
         )
 
     score = None
@@ -263,41 +270,39 @@ def alpha_fuse(
     )
 
 
-def bm25_dynamic_topk(
-    docs: DataFrame,
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_bm25_caches() -> int:
+    """Unpersist every DataFrame this module has cached; returns count."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+_PERSISTED: list = []
+
+
+def _dynamic_topk_from_toks(
+    toks: DataFrame,
     qterms: DataFrame,
-    k: int = 10,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
 ) -> DataFrame:
-    """BM25 top-k where the query terms arrive as a DATAFRAME (column
-    ``term``) instead of a static Python list — the building block for
-    query paths whose terms are data-dependent (pseudo-relevance
-    feedback, query logs, learned expansions), which the per-term-column
-    architecture of :func:`bm25_topk` cannot express.
-
-    Bit-parity with the static path: per-(doc, term) score parts use the
-    IDENTICAL expression shape as :func:`bm25_score_expr`, and the
-    per-document sum is a fixed-order fold over the term-sorted collected
-    parts (``aggregate(array_sort(collect_list(...)), 0.0, +)``) — adding
-    a float 0.0 init and skipping absent terms (whose part is exactly
-    0.0) are both exact identities, so a dynamic run with terms
-    {t0..tn} reproduces the static fold bit-for-bit when the term sets
-    match. Documents matching NO query term are absent (the
-    t_bm25_indexed zero-score caveat).
-
-    Scale shape: one (doc, token) partial-agg exchange for tf restricted
-    by a BROADCAST semi-join with the (tiny) term frame, term df as a
-    terms-sized aggregate, corpus stats as a 1-row broadcast, one
-    doc-keyed fold exchange of matched parts only."""
-    toks = docs.select(
-        F.col(id_col),
-        tokens(text_col).alias("_toks"),
-        n_tokens(text_col).cast("double").alias("_len"),
-    )
+    """Dynamic-term scorer over a pre-tokenized ``(id, _toks, _len)``
+    frame — the shared interior of :func:`bm25_dynamic_topk` and
+    :func:`prf_expand_topk` (which persists ONE tokenized frame across
+    its stages instead of re-tokenizing the corpus per stage)."""
     stats = toks.agg(
         F.count("*").cast("double").alias("_n"),
         (F.sum("_len") / F.count("*")).alias("_avgdl"),
@@ -313,13 +318,14 @@ def bm25_dynamic_topk(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
     scored = tf.join(F.broadcast(dfc), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-    )
-    part = (
-        idf
-        * (F.col("_tf") * (k1 + 1.0))
-        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl")))
+    part = bm25_part(
+        F.col("_tf"),
+        F.col("_df"),
+        F.col("_len"),
+        F.col("_n"),
+        F.col("_avgdl"),
+        k1,
+        b,
     )
     folded = (
         scored.select(id_col, "term", part.alias("_part"))
@@ -341,6 +347,46 @@ def bm25_dynamic_topk(
     )
 
 
+def bm25_dynamic_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k where the query terms arrive as a DATAFRAME (column
+    ``term``) instead of a static Python list — the building block for
+    query paths whose terms are data-dependent (pseudo-relevance
+    feedback, query logs, learned expansions), which the per-term-column
+    architecture of :func:`bm25_topk` cannot express.
+
+    Parity with the static path: per-(doc, term) score parts are the ONE
+    shared :func:`bm25_part` expression, and the per-document sum is a
+    fixed-order fold over the TERM-SORTED collected parts
+    (``aggregate(array_sort(collect_list(...)), 0.0, +)``). The fold is
+    therefore bit-identical to :func:`bm25_topk` when the static term
+    list is lexicographically sorted (the 0.0 init and absent terms —
+    whose part is exactly 0.0 — are float identities); for an unsorted
+    static list the association differs and agreement is only at the
+    displayed round-6 (float + is commutative but not associative — do
+    NOT claim bit parity there). Documents matching NO query term are
+    absent (the t_bm25_indexed zero-score caveat).
+
+    Scale shape: one (doc, token) partial-agg exchange for tf restricted
+    by a BROADCAST semi-join with the (tiny) term frame, term df as a
+    terms-sized aggregate, corpus stats as a 1-row broadcast, one
+    doc-keyed fold exchange of matched parts only."""
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        n_tokens(text_col).cast("double").alias("_len"),
+    )
+    return _dynamic_topk_from_toks(toks, qterms, k, id_col, k1, b)
+
+
 def prf_expand_topk(
     docs: DataFrame,
     seed_terms: list[str],
@@ -355,28 +401,68 @@ def prf_expand_topk(
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio-style expansion,
     fully in-plan — no driver step): BM25 the seed terms, take the top
-    ``fb_k`` feedback documents, pick the ``n_expand`` non-seed terms
-    that are most characteristic of the feedback set, and re-rank the
-    corpus with the expanded bag via :func:`bm25_dynamic_topk`.
+    ``fb_k`` feedback documents WITH POSITIVE SCORE (zero-score padding
+    would mine expansion terms from unrelated text when the seeds match
+    fewer than fb_k documents), pick the ``n_expand`` non-seed terms most
+    characteristic of the feedback set, and re-rank the corpus with the
+    expanded bag via the dynamic-term scorer.
 
     Expansion selection is INTEGER-deterministic (no float ranking):
     terms order by (feedback-doc frequency desc, global df asc — prefer
     terms concentrated in the feedback set and rare in the corpus, the
     Rocchio signal without its float weights — then term asc).
 
-    Scale shape: the seed stage is the one-scan static bm25_topk; the
-    fb_k ids broadcast into the distinct-token stream; expansion ranking
-    happens on a vocabulary-sized frame; the re-rank is the dynamic
-    scorer's broadcast-join pipeline. Everything is lazy — zero jobs at
-    build time."""
+    Scale shape: the corpus is tokenized ONCE into a persisted
+    (id, _toks, _len) frame shared by all three stages (seed scoring,
+    expansion mining, re-rank) — release via :func:`release_bm25_caches`;
+    the fb_k ids broadcast into the distinct-token stream; expansion
+    ranking happens on a vocabulary-sized frame. Everything is lazy —
+    zero jobs at build time."""
     if n_expand < 0 or fb_k <= 0:
         raise ValueError("fb_k must be > 0 and n_expand >= 0")
-    fb_ids = bm25_topk(
-        docs, seed_terms, k=fb_k, id_col=id_col, text_col=text_col,
-        k1=k1, b=b,
-    ).select(id_col)
-    dtok = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    if not seed_terms:
+        raise ValueError("seed_terms must be non-empty")
+    toks = _persist(
+        docs.select(
+            F.col(id_col),
+            tokens(text_col).alias("_toks"),
+            n_tokens(text_col).cast("double").alias("_len"),
+        )
+    )
+    # Seed stage: bm25_topk's exact scoring shape over the SHARED frame.
+    # NB single-arg factory, NOT a default-arg lambda — PySpark passes the
+    # element INDEX to any 2-parameter HOF lambda (round-1 learning).
+    def _eq(word: str):
+        return lambda tok: tok == F.lit(word)
+
+    seed_tf = toks
+    for i, term in enumerate(seed_terms):
+        seed_tf = seed_tf.withColumn(
+            f"_tf{i}",
+            F.size(F.filter("_toks", _eq(term))).cast("double"),
+        )
+    seed_tf = seed_tf.drop("_toks")
+    stats = seed_tf.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_len") / F.count("*")).alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, 1))
+            .cast("double")
+            .alias(f"_df{i}")
+            for i in range(len(seed_terms))
+        ],
+    )
+    seed_score = bm25_score_expr(len(seed_terms), k1, b)
+    fb_ids = (
+        seed_tf.crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(seed_score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(fb_k)
+        .select(id_col)
+    )
+    dtok = toks.select(
+        F.col(id_col), F.explode(F.array_distinct("_toks")).alias("term")
     )
     gdf = dtok.groupBy("term").agg(F.count(F.lit(1)).alias("_gdf"))
     fbc = (
@@ -397,7 +483,5 @@ def prf_expand_topk(
     seeds = docs.sparkSession.createDataFrame(
         [(t,) for t in seed_terms], "term string"
     )
-    qterms = seeds.unionAll(expansion).distinct()
-    return bm25_dynamic_topk(
-        docs, qterms, k=k, id_col=id_col, text_col=text_col, k1=k1, b=b
-    )
+    qterms = seeds.unionAll(expansion)
+    return _dynamic_topk_from_toks(toks, qterms, k, id_col, k1, b)

@@ -1512,9 +1512,10 @@ def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
-@query(
-    "d_ppjoin_pairs",
-    oracle=r"""
+# DuckDB mirror of _word5gram_sets (functions/text.word_ngrams): ONE copy
+# shared by every word-5-gram oracle (d_ppjoin_pairs, d_containment_pairs,
+# d_novelty_curve) so a tokenization fix cannot diverge between them.
+SQL_WORD5GRAMS = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
 s AS (
@@ -1523,7 +1524,12 @@ s AS (
            range(1, greatest(len(tk) - 4, 0) + 1),
            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
                 || tk[i+3] || ' ' || tk[i+4])) AS sh
-  FROM toks),
+  FROM toks),"""
+
+
+@query(
+    "d_ppjoin_pairs",
+    oracle=SQL_WORD5GRAMS + r"""
 sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
 inter AS (
@@ -1577,16 +1583,7 @@ def _word5gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_containment_pairs",
-    oracle=r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
-s AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(tk) - 4, 0) + 1),
-           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
-                || tk[i+3] || ' ' || tk[i+4])) AS sh
-  FROM toks),
+    oracle=SQL_WORD5GRAMS + r"""
 sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
 inter AS (
@@ -1630,16 +1627,7 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_novelty_curve",
-    oracle=r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
-s AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(tk) - 4, 0) + 1),
-           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
-                || tk[i+3] || ' ' || tk[i+4])) AS sh
-  FROM toks),
+    oracle=SQL_WORD5GRAMS + r"""
 ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
 firsts AS (
   SELECT doc_id, g,

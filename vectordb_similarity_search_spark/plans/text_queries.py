@@ -608,10 +608,14 @@ def t_idf_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["table", "scan", "window"]
 
 
-def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
-    """DuckDB twin of operators/bm25.bm25_topk with the same expression
-    shapes (constant-folded the way the Spark build folds them) so the
-    doubles match bit-for-bit."""
+def _sql_bm25_frags(
+    terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> tuple[str, str, str]:
+    """The three generated fragments of the static-BM25 DuckDB twin
+    (per-term tf columns, per-term df aggregates, the fixed-order part
+    sum) — constant-folded the way the Spark build folds them so the
+    doubles match bit-for-bit. ONE copy, shared by _sql_bm25 and
+    _sql_bm25_prf's feedback stage."""
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
         for i, w in enumerate(terms)
@@ -625,6 +629,12 @@ def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
         f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
         for i in range(len(terms))
     )
+    return tf_cols, df_cols, parts
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/bm25.bm25_topk."""
+    tf_cols, df_cols, parts = _sql_bm25_frags(terms, k1, b)
     return f"""
 WITH toks AS (
   SELECT doc_id, {SQL_TOKENS} AS t, CAST({SQL_NTOK} AS DOUBLE) AS dl
@@ -2232,19 +2242,7 @@ def _sql_bm25_prf(seeds: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     stage (same constant-folded shapes as _sql_bm25), integer-deterministic
     expansion pick, then the dynamic-term scorer's fold (list_reduce over a
     term-sorted part list with a 0.0 init — Spark's aggregate() mirror)."""
-    tf_cols = ",\n         ".join(
-        f"CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
-        for i, w in enumerate(seeds)
-    )
-    df_cols = ",\n         ".join(
-        f"CAST(count(CASE WHEN tf{i} > 0 THEN 1 END) AS DOUBLE) AS df{i}"
-        for i in range(len(seeds))
-    )
-    parts = " + ".join(
-        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
-        for i in range(len(seeds))
-    )
+    tf_cols, df_cols, parts = _sql_bm25_frags(seeds, k1, b)
     seed_list = ", ".join(f"'{w}'" for w in seeds)
     return f"""
 WITH toks AS (
@@ -2260,8 +2258,10 @@ stats AS (
          {df_cols}
   FROM tfs),
 fb AS (
-  SELECT doc_id FROM tfs, stats
-  ORDER BY (round({parts}, 6) + 0) DESC, doc_id ASC LIMIT 10),
+  SELECT doc_id FROM (
+    SELECT doc_id, (round({parts}, 6) + 0) AS s FROM tfs, stats)
+  WHERE s > 0
+  ORDER BY s DESC, doc_id ASC LIMIT 10),
 dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
 gdf AS (SELECT term, count(*) AS gdf FROM dtok GROUP BY term),
 fbc AS (
