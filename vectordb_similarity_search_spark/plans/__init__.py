@@ -138,6 +138,7 @@ TAIL = [
     "e_top_sequences",
     "d_novelty_curve",
     "t_bm25_prf",
+    "t_nb_crossval",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

@@ -2309,3 +2309,198 @@ def t_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bm25 import prf_expand_topk
 
     return prf_expand_topk(t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@query(
+    "t_nb_crossval",
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 3 AS fold,
+         CASE WHEN CAST({_sql_marker_count(LANG_MARKERS['en'])} AS DOUBLE)
+                   / CAST({SQL_NTOK} AS DOUBLE) >= {_NB_THRESH}
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+tok AS (SELECT doc_id, fold, y, unnest({SQL_TOKENS}) AS tok FROM lab),
+tfc AS (
+  SELECT tok, fold,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cf1,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cf0
+  FROM tok GROUP BY tok, fold),
+gc AS (SELECT tok, sum(cf1) AS c1, sum(cf0) AS c0 FROM tfc GROUP BY tok),
+folds AS (SELECT unnest([0, 1, 2]) AS fold),
+tw AS (
+  SELECT gc.tok, folds.fold,
+         gc.c1 - coalesce(tfc.cf1, 0) AS t1,
+         gc.c0 - coalesce(tfc.cf0, 0) AS t0
+  FROM gc CROSS JOIN folds
+  LEFT JOIN tfc ON tfc.tok = gc.tok AND tfc.fold = folds.fold),
+seen AS (SELECT * FROM tw WHERE t1 + t0 > 0),
+ftot AS (
+  SELECT fold, sum(t1) AS n1, sum(t0) AS n0, count(*) AS v
+  FROM seen GROUP BY fold),
+w AS (
+  SELECT tok, seen.fold,
+         CAST(round(ln(CAST(t1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                    - ln(CAST(t0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)),
+                    9) AS DECIMAL(24,9)) AS wd
+  FROM seen JOIN ftot ON ftot.fold = seen.fold),
+dlab AS (
+  SELECT fold, sum(y) AS f1, sum(1 - y) AS f0 FROM lab GROUP BY fold),
+pri AS (
+  SELECT fold,
+         ln(CAST(sum(f1) OVER () - f1 AS DOUBLE)
+            / CAST(sum(f0) OVER () - f0 AS DOUBLE)) AS prior
+  FROM dlab),
+sc AS (
+  SELECT tok.doc_id, tok.fold, sum(w.wd) AS s
+  FROM tok JOIN w ON w.tok = tok.tok AND w.fold = tok.fold
+  GROUP BY tok.doc_id, tok.fold),
+pred AS (
+  SELECT sc.doc_id, sc.fold,
+         CASE WHEN CAST(sc.s AS DOUBLE) + pri.prior > 0
+              THEN 1 ELSE 0 END AS yhat,
+         lab.y
+  FROM sc JOIN pri ON pri.fold = sc.fold
+  JOIN lab ON lab.doc_id = sc.doc_id)
+SELECT CAST(fold AS INTEGER) AS fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       (round(CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) + 0) AS accuracy
+FROM pred GROUP BY fold ORDER BY fold
+""",
+)
+def t_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validated accuracy of the NB quality classifier
+    (t_nb_quality's model) — the model-selection readout that separates
+    'scores the training data' from 'generalizes'.  The key trick that
+    keeps the whole CV ONE lazy plan with a full SQL twin: Naive Bayes
+    training is count algebra, so each fold's leave-fold-out model is the
+    GLOBAL (token, class) counts MINUS that fold's counts — one token-fold
+    aggregate feeds all three models, no per-fold re-scan.  Folds are
+    content-keyed (md5 hex of doc_id, the hash_sample/e_ab_test keying
+    family — layout- and session-independent, and exactly mirrorable in
+    SQL unlike xxhash64).  Per-fold vocabulary, Laplace totals and priors
+    all derive from the same subtraction; tokens unseen in a fold's
+    training complement are ignored at scoring (standard OOV choice,
+    documented), and test-doc scores are exact DECIMAL sums plus an
+    engine-ln prior (measured min |score| margin 1.2e-3 vs ~1e-16 ulp
+    drift).  Accuracy is an exact integer ratio.
+
+    Scale shape: one corpus token exchange → (token, fold) partial-agg →
+    vocabulary-sized everything thereafter (the 3-fold weight table is
+    3x vocab rows); scoring joins the token stream once on (tok, fold).
+    The fold CROSS JOIN is a 3-row literal broadcast."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.text import stopword_ratio
+
+    d = t(spark, sf_dir, "documents")
+    fold = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(cast(doc_id as string)), 1, 1)) - 1) % 3"
+    ).cast("int")
+    lab = d.select(
+        "doc_id",
+        "text",
+        fold.alias("fold"),
+        F.when(
+            stopword_ratio("text", LANG_MARKERS["en"]) >= _NB_THRESH, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    tok = lab.select(
+        "doc_id", "fold", "y", F.explode(tokens("text")).alias("tok")
+    )
+    tfc = tok.groupBy("tok", "fold").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("cf1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("cf0"),
+    )
+    gc = tfc.groupBy("tok").agg(
+        F.sum("cf1").alias("c1"), F.sum("cf0").alias("c0")
+    )
+    folds = spark.range(1).select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("fold")
+    )
+    tw = (
+        gc.crossJoin(F.broadcast(folds))
+        .join(tfc, ["tok", "fold"], "left")
+        .select(
+            "tok",
+            "fold",
+            (F.col("c1") - F.coalesce("cf1", F.lit(0))).alias("t1"),
+            (F.col("c0") - F.coalesce("cf0", F.lit(0))).alias("t0"),
+        )
+    )
+    seen = tw.filter(F.col("t1") + F.col("t0") > 0)
+    ftot = seen.groupBy("fold").agg(
+        F.sum("t1").alias("n1"),
+        F.sum("t0").alias("n0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = seen.join(F.broadcast(ftot), "fold").select(
+        "tok",
+        "fold",
+        F.round(
+            F.log(
+                (F.col("t1") + 1).cast("double")
+                / (F.col("n1") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("t0") + 1).cast("double")
+                / (F.col("n0") + F.col("v")).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(24,9)")
+        .alias("wd"),
+    )
+    dlab = lab.groupBy("fold").agg(
+        F.sum("y").alias("f1"), F.sum(1 - F.col("y")).alias("f0")
+    )
+    every = _W.partitionBy()
+    pri = dlab.select(
+        "fold",
+        F.log(
+            (F.sum("f1").over(every) - F.col("f1")).cast("double")
+            / (F.sum("f0").over(every) - F.col("f0")).cast("double")
+        ).alias("prior"),
+    )
+    sc = (
+        tok.join(w, ["tok", "fold"])
+        .groupBy("doc_id", "fold")
+        .agg(F.sum("wd").alias("s"))
+    )
+    pred = (
+        sc.join(F.broadcast(pri), "fold")
+        .join(lab.select("doc_id", "y"), "doc_id")
+        .select(
+            "fold",
+            F.when(
+                F.col("s").cast("double") + F.col("prior") > 0, 1
+            )
+            .otherwise(0)
+            .alias("yhat"),
+            "y",
+        )
+    )
+    return (
+        pred.groupBy(F.col("fold").cast("int").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("yhat") == F.col("y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("yhat") == F.col("y"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
