@@ -140,6 +140,8 @@ ANALYTICS = [
     "e_top_sequences",       # event trigram mining, one user window
     "d_novelty_curve",       # first-occurrence gram share per decile
     "t_bm25_prf",            # 2-stage PRF: feedback -> dynamic-term fold
+    "t_nb_crossval",         # 3-fold CV by count subtraction
+    "r_skyline",             # 2-D Pareto frontier, one sort exchange
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

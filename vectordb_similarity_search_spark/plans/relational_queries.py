@@ -2148,3 +2148,78 @@ def r_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "between_contrib"
         ),
     ).orderBy("segment")
+
+
+@query(
+    "r_skyline",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS spend,
+         CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT) AS last_day
+  FROM orders GROUP BY o_custkey)
+SELECT p.o_custkey AS custkey,
+       (round(CAST(p.spend AS DOUBLE) / 1000000.0, 2) + 0) AS total_spend,
+       p.last_day AS last_order_day
+FROM pc p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pc q
+  WHERE q.spend >= p.spend AND q.last_day >= p.last_day
+    AND (q.spend > p.spend OR q.last_day > p.last_day))
+ORDER BY p.spend DESC
+""",
+)
+def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of customers over (total spend MAX, last-order
+    recency MAX) — the classic dominance query ('no other customer is at
+    least as good on both axes and better on one'; Börzsönyi et al.
+    ICDE'01).  The Spark plan is the 2-D skyline's closed form: sort by
+    spend desc, a point survives iff its recency strictly beats the max
+    recency of every STRICTLY-higher-spend point (RANGE frame excludes
+    spend ties) and is the max within its own spend group — ONE sort
+    exchange, no pairwise comparison, scale-exact for any N.  The oracle
+    is the INDEPENDENT O(N^2) NOT EXISTS dominance definition, so
+    agreement is evidence, not replay.
+
+    Exactness: spend in micro-int, recency as epoch-days int, all
+    dominance tests integer; the display spend is the identical double on
+    both sides (int ratio).  Duplicate points (equal on both axes)
+    neither dominate each other and are BOTH kept — the window form's
+    >= best_eq reproduces that."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    pc = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 1000000, 0).cast("long")).alias(
+            "spend"
+        ),
+        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("last_day"),
+    )
+    strict_better = (
+        Window.orderBy(F.col("spend").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    eq_spend = Window.partitionBy("spend")
+    sk = pc.select(
+        "custkey",
+        "spend",
+        "last_day",
+        F.max("last_day").over(strict_better).alias("best_gt"),
+        F.max("last_day").over(eq_spend).alias("best_eq"),
+    )
+    return (
+        sk.filter(
+            (F.col("best_gt").isNull() | (F.col("best_gt") < F.col("last_day")))
+            & (F.col("last_day") >= F.col("best_eq"))
+        )
+        .select(
+            "custkey",
+            F.round(F.col("spend").cast("double") / 1000000.0, 2).alias(
+                "total_spend"
+            ),
+            F.col("last_day").alias("last_order_day"),
+        )
+        .orderBy(F.col("total_spend").desc())
+    )
