@@ -54,6 +54,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "v_label_ndcg",          # 20-row query-vector side broadcast (J2 shape)
     "e_power_analysis",      # 1-row stats x 3-row literal MDE cross
     "t_nb_crossval",         # vocab x 3-row literal fold cross
+    "t_bm25_prf",            # corpus-stats row + fb-ids + term-frame broadcasts
 }
 
 

@@ -2358,12 +2358,12 @@ sc AS (
   FROM tok JOIN w ON w.tok = tok.tok AND w.fold = tok.fold
   GROUP BY tok.doc_id, tok.fold),
 pred AS (
-  SELECT sc.doc_id, sc.fold,
-         CASE WHEN CAST(sc.s AS DOUBLE) + pri.prior > 0
+  SELECT lab.doc_id, lab.fold,
+         CASE WHEN coalesce(CAST(sc.s AS DOUBLE), 0.0) + pri.prior > 0
               THEN 1 ELSE 0 END AS yhat,
          lab.y
-  FROM sc JOIN pri ON pri.fold = sc.fold
-  JOIN lab ON lab.doc_id = sc.doc_id)
+  FROM lab JOIN pri ON pri.fold = lab.fold
+  LEFT JOIN sc ON sc.doc_id = lab.doc_id)
 SELECT CAST(fold AS INTEGER) AS fold, CAST(count(*) AS BIGINT) AS n_test,
        CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT)
          AS n_correct,
@@ -2384,10 +2384,12 @@ def t_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     family — layout- and session-independent, and exactly mirrorable in
     SQL unlike xxhash64).  Per-fold vocabulary, Laplace totals and priors
     all derive from the same subtraction; tokens unseen in a fold's
-    training complement are ignored at scoring (standard OOV choice,
-    documented), and test-doc scores are exact DECIMAL sums plus an
-    engine-ln prior (measured min |score| margin 1.2e-3 vs ~1e-16 ulp
-    drift).  Accuracy is an exact integer ratio.
+    training complement are ignored at scoring (standard OOV choice), a
+    document with NO trained token is classified by the prior alone (left
+    join — never dropped from the denominator), and test-doc scores are
+    exact DECIMAL sums plus an engine-ln prior (measured min |score|
+    margin 1.2e-3 vs ~1e-16 ulp drift).  Accuracy is an exact integer
+    ratio.
 
     Scale shape: one corpus token exchange → (token, fold) partial-agg →
     vocabulary-sized everything thereafter (the 3-fold weight table is
@@ -2474,13 +2476,20 @@ def t_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "fold")
         .agg(F.sum("wd").alias("s"))
     )
+    # LEFT join from the full labeled frame: a test document with no token
+    # in its fold's training complement is classified by the prior ALONE,
+    # not dropped from the accuracy denominator (review find).
     pred = (
-        sc.join(F.broadcast(pri), "fold")
-        .join(lab.select("doc_id", "y"), "doc_id")
+        lab.select("doc_id", "fold", "y")
+        .join(F.broadcast(pri), "fold")
+        .join(sc, ["doc_id", "fold"], "left")
         .select(
             "fold",
             F.when(
-                F.col("s").cast("double") + F.col("prior") > 0, 1
+                F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                + F.col("prior")
+                > 0,
+                1,
             )
             .otherwise(0)
             .alias("yhat"),
