@@ -108,3 +108,62 @@ def test_audio_energy_validation(media):
 
     with pytest.raises(ValueError):
         audio_energy(media, window=0)
+
+
+def test_scene_changes_detect_exactly_the_injected_boundaries(spark):
+    """Detected cuts must equal the generator's injected scene boundaries
+    for every video — recomputed here from the same seeded rng sequence."""
+    import numpy as np
+
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        FRAME_BYTES,
+        scene_changes,
+        synth_scene_media,
+    )
+
+    media = synth_scene_media(spark, n=24, seed=7)
+    got = {
+        r.media_id: (r.n_frames, r.n_cuts, r.n_scenes, r.first_cut, r.last_cut)
+        for r in scene_changes(media, threshold_milli=10000).collect()
+    }
+    assert len(got) == 24
+    for mid in range(24):
+        rng = np.random.default_rng(7 + mid)
+        n_scenes = int(rng.integers(2, 6))
+        bounds, total = [], 0
+        for _ in range(n_scenes):
+            rng.integers(0, 256, size=FRAME_BYTES)  # base frame draw
+            length = int(rng.integers(2, 7))
+            for _f in range(length):
+                rng.integers(-2, 3, size=FRAME_BYTES)  # noise draws
+            if total > 0:
+                bounds.append(total)
+            total += length
+        # injected boundaries: bounds were collected BEFORE adding length,
+        # i.e. the first frame index of every scene after the first
+        want_cuts = [b for b in bounds]
+        nf, n_cuts, n_scenes_got, first, last = got[mid]
+        assert nf == total
+        assert n_cuts == len(want_cuts), (mid, want_cuts, got[mid])
+        assert n_scenes_got == len(want_cuts) + 1
+        if want_cuts:
+            assert first == want_cuts[0] and last == want_cuts[-1]
+
+
+def test_scene_changes_single_frame_video(spark):
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        FRAME_BYTES,
+        scene_changes,
+    )
+
+    blob = (
+        b"SYNTH" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + (1).to_bytes(2, "big") + b"\x00" * 5 + b"\x11" * FRAME_BYTES
+    )
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(blob))],
+        "media_id long, kind string, data binary",
+    )
+    row = scene_changes(df).collect()[0]
+    assert (row.n_frames, row.n_cuts, row.n_scenes) == (1, 0, 1)
+    assert row.first_cut is None and row.last_cut is None

@@ -399,3 +399,127 @@ def audio_energy(media: DataFrame, window: int = 16) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         energize, ENERGY_SCHEMA
     )
+
+
+def synth_scene_media(
+    spark: SparkSession, n: int = 48, seed: int = 7
+) -> DataFrame:
+    """Scene-structured synthetic videos: each blob holds 2-5 scenes, each
+    scene a seeded base frame repeated with tiny per-frame noise (|delta|
+    <= 2 per byte), so consecutive-frame deltas are ~1 within a scene and
+    ~85 (uniform-random refresh) at a cut. The ``meta.n_frames`` field
+    carries the frame count; scene boundaries are reproducible from the
+    seed, which is what lets tests assert DETECTED == INJECTED exactly.
+    Same container format as synth_media (decode/frame_sample compatible).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(mid))
+                n_scenes = int(rng.integers(2, 6))
+                frames = []
+                for _ in range(n_scenes):
+                    base = rng.integers(0, 256, size=FRAME_BYTES, dtype=np.int64)
+                    length = int(rng.integers(2, 7))
+                    for _f in range(length):
+                        noise = rng.integers(-2, 3, size=FRAME_BYTES)
+                        frames.append(
+                            np.clip(base + noise, 0, 255).astype(np.uint8)
+                        )
+                payload = np.concatenate(frames).tobytes()
+                nf = len(frames)
+                header = (
+                    b"SYNTH"
+                    + (8).to_bytes(2, "big")
+                    + (8).to_bytes(2, "big")
+                    + nf.to_bytes(2, "big")
+                    + b"\x00" * 5
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "video",
+                        "data": header + payload,
+                        "meta": {
+                            "width": 8,
+                            "height": 8,
+                            "n_frames": nf,
+                            "format": "synth",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def scene_changes(media: DataFrame, threshold_milli: int = 10000) -> DataFrame:
+    """Scene-cut detection over the binary video column: a cut at frame i
+    iff the mean absolute byte delta to frame i-1 is at least
+    ``threshold_milli``/1000 (integer cross-multiplication —
+    ``1000 * sum|delta| >= threshold_milli * FRAME_BYTES`` — no float ever
+    decides a cut, so the report is bit-stable everywhere).  Returns one
+    row per video: media_id, n_frames, n_cuts, n_scenes (= cuts+1),
+    first_cut / last_cut frame indices (NULL when the video is one scene).
+
+    This is the video-modality structure probe beside frame_sample
+    (sampling), phash (near-dup) and audio_energy (loudness): real pipelines
+    run exactly this shape (per-frame features -> temporal deltas ->
+    boundary decisions) with a codec where this repo parses the documented
+    SYNTH container — the Spark plumbing (Arrow batches over binary
+    payloads, one pass, integer decisions) is the part that transfers.
+    Videos with a single frame have no deltas: 0 cuts, 1 scene."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_cuts", T.IntegerType()),
+            T.StructField("n_scenes", T.IntegerType()),
+            T.StructField("first_cut", T.IntegerType()),
+            T.StructField("last_cut", T.IntegerType()),
+        ]
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(
+                pdf["media_id"].to_numpy(), pdf["data"].to_numpy()
+            ):
+                payload = bytes(data)[16:]
+                nf = len(payload) // FRAME_BYTES
+                arr = np.frombuffer(
+                    payload[: nf * FRAME_BYTES], dtype=np.uint8
+                ).reshape(nf, FRAME_BYTES).astype(np.int64)
+                if nf >= 2:
+                    deltas = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                    cuts = np.flatnonzero(
+                        1000 * deltas >= threshold_milli * FRAME_BYTES
+                    ) + 1
+                else:
+                    cuts = np.array([], dtype=np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        nf,
+                        int(cuts.size),
+                        int(cuts.size) + 1,
+                        int(cuts[0]) if cuts.size else None,
+                        int(cuts[-1]) if cuts.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_cuts",
+                    "n_scenes",
+                    "first_cut",
+                    "last_cut",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(detect, schema)

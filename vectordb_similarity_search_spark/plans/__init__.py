@@ -140,6 +140,7 @@ TAIL = [
     "t_bm25_prf",
     "t_nb_crossval",
     "r_skyline",
+    "m_scene_detect",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

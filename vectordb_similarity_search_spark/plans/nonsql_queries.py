@@ -1701,3 +1701,21 @@ def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query("m_scene_detect", oracle=_expected_oracle("m_scene_detect"))
+def m_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection made driver-visible: synthesize the
+    seeded scene-structured video corpus (2-5 scenes per blob, base frame
+    + bounded noise within a scene) and report per-video cut structure
+    (operators/multimodal.scene_changes — integer cross-multiplied mean
+    byte-delta decisions, one Arrow pass over the binary column).  The
+    detector's exactness against the INJECTED boundaries is pinned by
+    tests/test_multimodal.py; this fixture oracle pins the end-to-end
+    driver-facing result (seeded generator -> sf-independent).  Completes
+    the video path: frame_sample (sampling), m_phash_neardup (near-dup),
+    m_audio_energy (audio), m_scene_detect (temporal structure)."""
+    from ..operators.multimodal import scene_changes, synth_scene_media
+
+    media = synth_scene_media(spark, n=48, seed=7)
+    return scene_changes(media, threshold_milli=10000).orderBy("media_id")
