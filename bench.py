@@ -142,6 +142,7 @@ ANALYTICS = [
     "t_bm25_prf",            # 2-stage PRF: feedback -> dynamic-term fold
     "t_nb_crossval",         # 3-fold CV by count subtraction
     "r_skyline",             # 2-D Pareto frontier, one sort exchange
+    "e_cohort_ltv",          # cumulative cohort revenue curves
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

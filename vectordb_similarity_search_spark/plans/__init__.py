@@ -141,6 +141,7 @@ TAIL = [
     "t_nb_crossval",
     "r_skyline",
     "m_scene_detect",
+    "e_cohort_ltv",
     # New in the round-4 third continuation session. The window was frozen
     # earlier this round (census: STOP displacing — 12 rotate-backs are
     # already owed), so these start in TAIL under the local oracle replica

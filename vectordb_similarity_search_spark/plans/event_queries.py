@@ -1978,3 +1978,101 @@ def e_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "e_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY 1),
+sizes AS (SELECT w0, count(*) AS n_users FROM first_seen GROUP BY w0),
+rev AS (
+  SELECT f.w0,
+         CAST(datediff('day', f.w0, date_trunc('week', e.ts)) / 7
+              AS INTEGER) AS week_offset,
+         sum(CASE WHEN e.event_type = 'purchase'
+                  THEN CAST(round(e.value * 1000000, 0) AS BIGINT)
+                  ELSE 0 END) AS wk_rev
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY 1, 2),
+cum AS (
+  SELECT w0, week_offset, wk_rev,
+         sum(wk_rev) OVER (PARTITION BY w0 ORDER BY week_offset) AS cum_rev
+  FROM rev)
+SELECT CAST(CAST(c.w0 AS DATE) AS VARCHAR) AS cohort_week,
+       c.week_offset,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       (round(CAST(c.cum_rev AS DOUBLE) / 1000000.0
+              / CAST(s.n_users AS DOUBLE), 6) + 0) AS cum_ltv_per_user
+FROM cum c JOIN sizes s ON s.w0 = c.w0
+ORDER BY cohort_week, week_offset
+""",
+)
+def e_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (e_retention_cohorts' revenue
+    counterpart): users bucketed by first-seen week; for every (cohort,
+    week-offset) cell, the CUMULATIVE purchase revenue per cohort member —
+    the 'how fast does a cohort pay back' readout that sits next to
+    retention in every growth dashboard.  Offsets with zero purchases
+    still appear (any activity creates the cell, keeping the cumulative
+    series dense over observed weeks).
+
+    Exactness: revenue micro-quantized per event (e_pit discipline),
+    per-cell and cumulative sums exact int64, LTV displayed as an
+    identical-shape double division (round 6).  Week bucketing is
+    date_trunc('week') — Monday-start in both engines (retention-cohorts
+    precedent), cohort exported as a date string.
+
+    Scale shape: first-seen is one user partial-agg whose one-row-per-user
+    result joins back into the events scan (broadcast here; co-shuffle at
+    dimension scale); the revenue aggregate carries (cohort, offset)
+    cells; the cumulative is one window over the tiny cell frame; cohort
+    sizes ride a second aggregate of the same first-seen frame (exchange
+    reuse dedupes it at runtime)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    sizes = first_seen.groupBy("w0").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.join(first_seen, "user_id")
+        .select(
+            "w0",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000000, 0).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("vu"),
+        )
+        .groupBy("w0", "week_offset")
+        .agg(F.sum("vu").alias("wk_rev"))
+    )
+    cum = rev.withColumn(
+        "cum_rev",
+        F.sum("wk_rev").over(
+            Window.partitionBy("w0").orderBy("week_offset")
+        ),
+    )
+    return (
+        cum.join(sizes, "w0")
+        .select(
+            F.col("w0").cast("date").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / 1000000.0
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
