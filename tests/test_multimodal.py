@@ -141,7 +141,7 @@ def test_scene_changes_detect_exactly_the_injected_boundaries(spark):
             total += length
         # injected boundaries: bounds were collected BEFORE adding length,
         # i.e. the first frame index of every scene after the first
-        want_cuts = [b for b in bounds]
+        want_cuts = bounds
         nf, n_cuts, n_scenes_got, first, last = got[mid]
         assert nf == total
         assert n_cuts == len(want_cuts), (mid, want_cuts, got[mid])
@@ -167,3 +167,21 @@ def test_scene_changes_single_frame_video(spark):
     row = scene_changes(df).collect()[0]
     assert (row.n_frames, row.n_cuts, row.n_scenes) == (1, 0, 1)
     assert row.first_cut is None and row.last_cut is None
+
+
+def test_scene_changes_validation_and_frameless_blob(spark):
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        _synth_header,
+        scene_changes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(_synth_header(8, 8, 0)))],
+        "media_id long, kind string, data binary",
+    )
+    with _pytest.raises(ValueError, match="threshold_milli"):
+        scene_changes(df, threshold_milli=0)
+    row = scene_changes(df).collect()[0]
+    assert (row.n_frames, row.n_cuts, row.n_scenes) == (0, 0, 0)

@@ -28,6 +28,18 @@ from pyspark.sql import types as T
 
 FRAME_BYTES = 64  # synthetic 'video': fixed-size frame records
 
+
+def _synth_header(width: int, height: int, n_frames: int) -> bytes:
+    """The 16-byte SYNTH container header — ONE copy shared by every
+    generator (and mirrored by the parsers' [16:] slice)."""
+    return (
+        b"SYNTH"
+        + width.to_bytes(2, "big")
+        + height.to_bytes(2, "big")
+        + n_frames.to_bytes(2, "big")
+        + b"\x00" * 5
+    )
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -65,13 +77,7 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
                 payload = rng.integers(
                     0, 256, size=frames * FRAME_BYTES, dtype=np.uint8
                 ).tobytes()
-                header = (
-                    b"SYNTH"
-                    + w.to_bytes(2, "big")
-                    + h.to_bytes(2, "big")
-                    + frames.to_bytes(2, "big")
-                    + b"\x00" * 5
-                )
+                header = _synth_header(w, h, frames)
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -430,13 +436,7 @@ def synth_scene_media(
                         )
                 payload = np.concatenate(frames).tobytes()
                 nf = len(frames)
-                header = (
-                    b"SYNTH"
-                    + (8).to_bytes(2, "big")
-                    + (8).to_bytes(2, "big")
-                    + nf.to_bytes(2, "big")
-                    + b"\x00" * 5
-                )
+                header = _synth_header(8, 8, nf)
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -470,7 +470,13 @@ def scene_changes(media: DataFrame, threshold_milli: int = 10000) -> DataFrame:
     boundary decisions) with a codec where this repo parses the documented
     SYNTH container — the Spark plumbing (Arrow batches over binary
     payloads, one pass, integer decisions) is the part that transfers.
-    Videos with a single frame have no deltas: 0 cuts, 1 scene."""
+    Videos with a single frame have no deltas: 0 cuts, 1 scene; a
+    frameless blob (header only / truncated) reports 0 scenes, not a
+    phantom one."""
+    if threshold_milli <= 0:
+        raise ValueError(
+            f"threshold_milli must be > 0, got {threshold_milli}"
+        )
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -505,7 +511,7 @@ def scene_changes(media: DataFrame, threshold_milli: int = 10000) -> DataFrame:
                         int(mid),
                         nf,
                         int(cuts.size),
-                        int(cuts.size) + 1,
+                        (int(cuts.size) + 1) if nf > 0 else 0,
                         int(cuts[0]) if cuts.size else None,
                         int(cuts[-1]) if cuts.size else None,
                     )
