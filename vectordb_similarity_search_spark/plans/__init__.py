@@ -26,66 +26,152 @@ from . import nonsql_queries  # noqa: E402,F401
 # list exactly matches the registered query set (update BOTH when adding a
 # query — new queries belong inside the window, displacing a stable one).
 # ---------------------------------------------------------------------------
-# Round-4 rotation: after round 3, 33 queries' most recent driver row was
-# from round 1 and 13 more from round 2 (the NANOS→NTZ environment break
-# proved pytest history is not driver-proof). This window swaps ALL 46 in,
-# so after this round every registry query has a driver row from r3 or r4.
-# Also in: s_sample_stratified (draw rebased to content-keyed hashing this
-# round — implementation changed), the new v_ivf_knn_batch and v_sq8_knn,
-# and an unchanged r3-green canary (e_tumbling_hourly: the
-# timestamp-normalization seam the r3 environment break hit) to detect
-# environment drift. v_knn_cosine sits in TAIL but is driver-exercised
-# every round anyway as the entry() flagship.
+# Round-5 rotation (VERDICT r4 order #1 — verification-currency paydown):
+# the round-4 registry doubling (96 -> 190) outran the 50-slot window, so
+# 80 queries had never received a driver CORRECTNESS row. This window gives
+# FIRST-EVER driver rows to 48 of them, prioritized per the verdict:
+# (a) the driver-uncovered d_*/m_*/p_* families first (also restores the
+#     test_registry_order family tripwire to green),
+# (b) the iterative / fixture-oracle operators whose correctness is least
+#     SQL-evident (r_als_recs, r_pagerank, r_triangle_count, v_knn_graph,
+#     v_ivfpq_knn),
+# (c) the analytics battery heads (e_cuped, t_nb_crossval, v_label_ndcg,
+#     t_bm25_prf, r_skyline),
+# plus the two queries whose plans CHANGED this round (d_novelty_curve,
+# r_rfm_segments — de-single-reducer rewrite) and one query per remaining
+# family (p_pca_variance refresh; s_*/w_* never-checked members) so every
+# family appears in the window itself — the tripwire must hold again at
+# round-6 start when CORRECTNESS_r05 becomes the latest file.
+# e_tumbling_hourly stays as the unchanged r4-green environment canary
+# (the timestamp-normalization seam the r3 NANOS->NTZ break hit).
+#
+# ROUND-6 ROTATION CALENDAR (committed per the verdict): the remaining 32
+# never-driver-checked queries + the 12 stale r1/r2-era rows — both listed
+# at the HEAD of TAIL below, in order — take the round-6 window (44 + the
+# canary = 45 slots, leaving 5 for round-6 newcomers). All are re-verified
+# every test run by the local oracle replica meanwhile.
 DRIVER_WINDOW = [
-    # canary (r3-green, unchanged)
     "e_tumbling_hourly",
-    # changed / new this round
+    "d_ppjoin_pairs",
+    "d_novelty_curve",
+    "d_containment_pairs",
+    "d_knn_components",
+    "d_cross_decontaminate",
+    "d_substring_spans",
+    "d_banding_curve",
+    "m_phash_neardup",
+    "m_scene_detect",
+    "m_audio_energy",
+    "p_pca_variance",
+    "r_als_recs",
+    "r_pagerank",
+    "r_triangle_count",
+    "v_knn_graph",
+    "v_ivfpq_knn",
+    "e_cuped",
+    "t_nb_crossval",
+    "v_label_ndcg",
+    "t_bm25_prf",
+    "r_skyline",
+    "r_rfm_segments",
+    "s_sample_weighted",
+    "s_group_sample",
+    "s_cluster_split",
+    "w_percentile_rank",
+    "t_heavy_hitters",
+    "t_token_shards",
+    "t_line_dedup",
+    "t_bm25_indexed",
+    "v_bq_knn",
+    "v_recall_matrix",
+    "v_triplet_mining",
+    "v_grouped_knn",
+    "v_mrl_recall",
+    "v_semantic_cache",
+    "v_centroid_margin",
+    "t_hashtf_knn",
+    "r_snapshot_diff",
+    "r_data_checks",
+    "e_attribution",
+    "e_funnel_conversion",
+    "e_retention_cohorts",
+    "r_winsorized_mean",
+    "e_gapfill_locf",
+    "r_fuzzy_name_pairs",
+    "e_rolling_anomaly",
+    "r_corr_matrix",
+    "t_bpe_apply",
+]
+
+# Past the driver's cap — every query here is re-verified on every test
+# run by the local oracle replica (tests/test_oracle_parity.py).
+TAIL = [
+    # --- ROUND-6 WINDOW, part 1: never driver-checked (32) --------------
+    "t_pmi_bigrams",
+    "e_changepoint",
+    "t_token_entropy",
+    "e_power_analysis",
+    "r_theil_index",
+    "e_top_sequences",
+    "e_cohort_ltv",
+    "r_market_basket",
+    "t_mixture_sample",
+    "r_target_encoding",
+    "v_hybrid_alpha",
+    "e_ab_test",
+    "e_markov_transitions",
+    "e_gini_users",
+    "t_chisq_lang_source",
+    "e_audience_overlap",
+    "t_readability_ari",
+    "e_funnel_latency",
+    "e_session_stats",
+    "r_pareto_revenue",
+    "e_seasonal_profile",
+    "r_monthly_growth",
+    "e_dau_wau",
+    "t_ks_drift",
+    "v_rp_distortion",
+    "t_nb_calibration",
+    "e_pit_features",
+    "e_ewma_smooth",
+    "r_benford",
+    "t_keyword_tfidf",
+    "r_k_anonymity",
+    "r_dp_counts",
+    # --- ROUND-6 WINDOW, part 2: stale r1/r2-era driver rows (12) -------
+    "t_lang_guess_confusion",
+    "r_string_funcs2",
+    "v_store_stats",
+    "v_zscore_fit",
+    "v_query_cohort_stats",
+    "v_centroids",
+    "t_token_stats",
+    "r_range_join",
+    "t_ngram_jaccard_pairs",
+    "r_intersect_except",
+    "r_date_funcs2",
+    "w_lead_gap_days",
+    # --- stable: latest driver row r3/r4 --------------------------------
     "s_sample_stratified",
     "v_ivf_knn_batch",
     "v_sq8_knn",
-    # new this round; displaces r_string_funcs2 (near-twin of
-    # r_string_funcs, which stays in-window — the twin keeps its r1
-    # driver row + the local replica; rotate it back next round)
     "v_pq_knn",
-    # new this round (vector-DB search surface: filtered / radius /
-    # hydrated / MMR-diversified search); displace the four stable r2-era
-    # v_* metadata queries below into TAIL (their plans are untouched since
-    # r1/r2, the v_ family keeps 8 in-window entries — rotate them back
-    # next round together with r_string_funcs2 / t_lang_guess_confusion)
     "v_filtered_knn",
     "v_range_search",
     "v_search_docs",
     "v_mmr_rerank",
-    # new this round: filtered probe of the written IVF index (displaces
-    # r2-era t_token_stats into TAIL — rotate back next round)
     "v_ivf_knn_filtered",
-    # new this round: trained NB quality classifier, full SQL twin
-    # (displaces r2-era r_range_join into TAIL — rotate back next round)
     "t_nb_quality",
-    # new this round: IVF index balance report (displaces r2-era
-    # t_ngram_jaccard_pairs into TAIL — its scale path d_minhash_lsh_pairs
-    # is r3-green; rotate back next round)
     "v_index_stats",
-    # new this round: one-pass table profiler (displaces r2-era
-    # r_intersect_except into TAIL — rotate back next round)
     "r_table_profile",
-    # new this round: PSI drift monitor (displaces r1-era r_date_funcs2 —
-    # near-twin of r_date_funcs, which keeps its window slot; rotate the
-    # twin back next round with r_string_funcs2)
     "v_embedding_drift",
-    # new this round: ColBERT-style sum-of-max retrieval (displaces
-    # r1-era w_lead_gap_days — the lead/lag family keeps w_lag_delta;
-    # rotate back next round)
     "v_late_interaction",
-    # last driver row r2 (5)
     "r_pricing_summary",
     "r_market_revenue",
     "r_rollup_revenue",
     "t_exact_dedup",
-    # displaced for the new t_bpe_train: t_lang_guess_confusion keeps its
-    # r2 driver row and the local replica; rotate it back next round
     "t_bpe_train",
-    # last driver row r1 (33)
     "r_region_nation_revenue",
     "r_left_join_counts",
     "r_percentiles",
@@ -116,121 +202,7 @@ DRIVER_WINDOW = [
     "w_running_sum",
     "w_share_of_customer",
     "t_quality_buckets",
-]
-
-# Past the driver's cap: every query here has a past driver row (r2/r3)
-# or — r_string_funcs2, displaced this round for v_pq_knn — an r1 row,
-# and ALL are re-verified every test run by the local oracle parity
-# replica (tests/test_oracle_parity.py).
-TAIL = [
-    # New in the round-4 tenth continuation session (window still frozen;
-    # round-5 window candidates like the rest of the round-4 TAIL).
-    "t_pmi_bigrams",
-    "e_cuped",
-    "r_triangle_count",
-    "v_label_ndcg",
-    "d_ppjoin_pairs",
-    "e_changepoint",
-    "t_token_entropy",
-    "d_containment_pairs",
-    "e_power_analysis",
-    "r_theil_index",
-    "e_top_sequences",
-    "d_novelty_curve",
-    "t_bm25_prf",
-    "t_nb_crossval",
-    "r_skyline",
-    "m_scene_detect",
-    "e_cohort_ltv",
-    # New in the round-4 third continuation session. The window was frozen
-    # earlier this round (census: STOP displacing — 12 rotate-backs are
-    # already owed), so these start in TAIL under the local oracle replica
-    # (tests/test_oracle_parity.py) and take window slots in the round-5
-    # rotation together with the displaced twelve.
-    "t_heavy_hitters",
-    "e_gapfill_locf",
-    "r_fuzzy_name_pairs",
-    "r_data_checks",
-    "e_rolling_anomaly",
-    "s_sample_weighted",
-    "v_bq_knn",
-    "s_group_sample",
-    "t_bpe_apply",
-    "v_triplet_mining",
-    "v_grouped_knn",
-    "e_retention_cohorts",
-    "e_funnel_conversion",
-    "d_cross_decontaminate",
-    "r_snapshot_diff",
-    "r_market_basket",
-    "t_mixture_sample",
-    "v_recall_matrix",
-    "r_target_encoding",
-    # fifth continuation session (window still frozen — census)
-    "d_substring_spans",
-    "s_cluster_split",
-    "v_hybrid_alpha",
-    # sixth continuation session (window still frozen — census)
-    "t_line_dedup",
-    "t_bm25_indexed",
-    "m_phash_neardup",
-    # seventh continuation session (window still frozen — census)
-    "e_attribution",
-    "e_ab_test",
-    "e_markov_transitions",
-    "t_token_shards",
-    "r_rfm_segments",
-    "e_gini_users",
-    "t_chisq_lang_source",
-    "e_audience_overlap",
-    "t_readability_ari",
-    "r_winsorized_mean",
-    "e_funnel_latency",
-    "e_session_stats",
-    "r_pareto_revenue",
-    "e_seasonal_profile",
-    "w_percentile_rank",
-    "r_monthly_growth",
-    "e_dau_wau",
-    # ninth continuation session (window still frozen — census)
-    "v_mrl_recall",
-    "v_semantic_cache",
-    "v_knn_graph",
-    "t_ks_drift",
-    "v_rp_distortion",
-    "t_nb_calibration",
-    "m_audio_energy",
-    "d_knn_components",
-    "e_pit_features",
-    "v_centroid_margin",
-    "r_als_recs",
-    "v_ivfpq_knn",
-    "t_hashtf_knn",
-    # eighth continuation session (window still frozen — census)
-    "e_ewma_smooth",
-    "r_benford",
-    "r_corr_matrix",
-    "t_keyword_tfidf",
-    "d_banding_curve",
-    "r_k_anonymity",
-    "r_dp_counts",
-    "r_pagerank",
-    "t_lang_guess_confusion",
     "v_knn_cosine",
-    "r_string_funcs2",
-    # displaced this round for the new search-surface queries; last driver
-    # row r2, plans untouched since, re-verified every run by the local
-    # oracle replica — rotate back next round
-    "v_store_stats",
-    "v_zscore_fit",
-    "v_query_cohort_stats",
-    "v_centroids",
-    "t_token_stats",
-    "r_range_join",
-    "t_ngram_jaccard_pairs",
-    "r_intersect_except",
-    "r_date_funcs2",
-    "w_lead_gap_days",
     "v_sim_join_topk",
     "v_hybrid_rrf",
     "v_ivf_knn",
@@ -273,7 +245,6 @@ TAIL = [
     "d_dedup_keep",
     "p_cohort_stats",
     "p_search_report",
-    "p_pca_variance",
     "m_embed_knn",
     "m_embed_knn_bn",
     "m_media_decode_stats",
