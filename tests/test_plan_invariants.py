@@ -13,8 +13,9 @@ enforced structurally instead of query-by-query:
   a BNLJ must either justify itself here (with the bounded side named)
   or restructure.
 
-One sweep, one failure list — so a regression in any of the 131 plans
-names every offender at once.
+One sweep, one failure list — so a regression in any registered plan
+(the sweep iterates the live REGISTRY, currently 190 queries — never a
+hard-coded count) names every offender at once.
 """
 
 from __future__ import annotations

@@ -226,3 +226,22 @@ def test_market_basket_reuses_item_count_broadcast(spark, sf_dir):
     final = plan.split("Initial Plan")[0]  # AQE prints final + initial
     assert "ReusedExchange" in final, final
     assert final.count("FileScan") == 3, final
+
+
+def test_novelty_curve_no_single_partition_exchange(spark, sf_dir):
+    """The per-doc decile split must come from the distributed
+    global_ntile, never an unpartitioned ntile window (one row per
+    document through one reducer — the round-4 verdict's scale-killer)."""
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    plan = plan_of(REGISTRY["d_novelty_curve"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_rfm_segments_no_single_partition_exchange(spark, sf_dir):
+    """All three RFM quartiles must rank through global_ntile's bucketed
+    exchanges — the per-customer frame never funnels through one task."""
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    plan = plan_of(REGISTRY["r_rfm_segments"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan

@@ -236,3 +236,92 @@ def test_snake_balance_bound_random_weights(spark, data):
     even = sum(weights) / n_shards
     slack = max(weights) * 2  # one block's worth of deal asymmetry
     assert all(abs(v - even) <= slack for v in per.values()), (per, even)
+
+
+# ---------------------------------------------------------------------------
+# global_ntile: exact SQL-ntile semantics without the SinglePartition sort
+# (the round-4 verdict's de-single-reducer order for d_novelty_curve /
+# r_rfm_segments).
+# ---------------------------------------------------------------------------
+
+from vectordb_similarity_search_spark.operators.ranking import (  # noqa: E402
+    global_ntile,
+)
+
+
+def _reference_tiles(df, k, keys, descending):
+    order = [
+        F.col(c).desc() if d else F.col(c).asc()
+        for c, d in zip(keys, descending)
+    ]
+    w = Window.orderBy(*order)
+    return {
+        r["doc_id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+
+
+@pytest.mark.parametrize("k", [4, 10, 7])
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_ntile_matches_window_ntile(frame, k, descending):
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in global_ntile(
+            frame,
+            k,
+            ["n_tok", "doc_id"],
+            descending=[descending, False],
+            buckets=8,
+        ).collect()
+    }
+    assert got == _reference_tiles(
+        frame, k, ["n_tok", "doc_id"], [descending, False]
+    )
+
+
+def test_global_ntile_uneven_and_tiny(spark):
+    # n not divisible by k (first n%k tiles get the extra row) and n < k
+    # (each row alone in its own tile) — the two edge shapes of the SQL
+    # definition
+    for n, k in [(10, 4), (3, 10), (13, 5), (1, 1)]:
+        df = spark.createDataFrame(
+            [(i, i * 7 % 13) for i in range(1, n + 1)],
+            "doc_id: long, n_tok: long",
+        ).repartition(3)
+        got = {
+            r["doc_id"]: r["tile"]
+            for r in global_ntile(
+                df, k, ["n_tok", "doc_id"], buckets=4
+            ).collect()
+        }
+        assert got == _reference_tiles(
+            df, k, ["n_tok", "doc_id"], [False, False]
+        )
+
+
+def test_global_ntile_decimal_key_and_no_single_partition(spark):
+    # decimal leading key (the r_rfm_segments spend quartile) + plan pin
+    df = spark.createDataFrame(
+        [(i, i * 37 % 101) for i in range(1, 201)], "doc_id: long, v: long"
+    ).select("doc_id", F.col("v").cast("decimal(18,2)").alias("n_tok"))
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in global_ntile(
+            df, 4, ["n_tok", "doc_id"], descending=[True, False], buckets=4
+        ).collect()
+    }
+    assert got == _reference_tiles(
+        df, 4, ["n_tok", "doc_id"], [True, False]
+    )
+    plan = plan_of(
+        global_ntile(
+            df, 4, ["n_tok", "doc_id"], descending=[True, False], buckets=4
+        )
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_global_ntile_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id: long, n_tok: long")
+    with pytest.raises(ValueError):
+        global_ntile(df, 0, ["n_tok"])

@@ -37,13 +37,14 @@ from pyspark.sql import functions as F
 
 from ..util import evict_other_apps
 
-# Per-session memo for the two planning artifacts (quantile bounds,
-# cumulative bucket offsets) keyed by (applicationId, caller key): the
+# Per-session memo for the planning artifacts (quantile bounds,
+# cumulative bucket offsets, total row count) keyed by (applicationId,
+# caller key): the
 # SECOND build of a rank-backed catalog query must run zero jobs (the
 # tests/test_lazy_build.py contract shared with _query_vec and the model
 # caches). Only used when the caller passes ``memo_key`` — ad-hoc frames
 # have no stable identity to key on.
-_PLAN_STATS_CACHE: dict[tuple, tuple[list, dict[int, int]]] = {}
+_PLAN_STATS_CACHE: dict[tuple, tuple[list, dict[int, int], int]] = {}
 
 
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
@@ -85,11 +86,36 @@ def global_row_number(
     never depends on it: bucket assignment is a pure function of the row.
 
     ``memo_key``: stable identity of the input (e.g. ``(sf_dir,)``) —
-    when given, the two planning artifacts (bounds, offsets) memoize per
-    session so a REBUILD of the same plan runs zero driver jobs (the
-    lazy-build contract catalog queries follow). Callers mutating the
-    underlying data between builds must not pass it.
+    when given, the planning artifacts (bounds, offsets, total count)
+    memoize per session so a REBUILD of the same plan runs zero driver
+    jobs (the lazy-build contract catalog queries follow). Callers
+    mutating the underlying data between builds must not pass it.
     """
+    return _global_rank(
+        df,
+        keys,
+        descending=descending,
+        buckets=buckets,
+        col_name=col_name,
+        persist=persist,
+        memo_key=memo_key,
+    )[0]
+
+
+def _global_rank(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    buckets: int = 32,
+    col_name: str = "rn",
+    persist: bool = False,
+    memo_key: tuple | None = None,
+) -> tuple[DataFrame, int]:
+    """Core of :func:`global_row_number`; also returns the TOTAL row count
+    (a free by-product of the per-bucket count pass), which
+    :func:`global_ntile` needs to replay exact SQL ntile semantics without
+    an extra job or a single-partition count window."""
     if not keys:
         raise ValueError("keys must name at least one order column")
     desc = descending or [False] * len(keys)
@@ -117,7 +143,7 @@ def global_row_number(
         cache_key = (app, tuple(keys), tuple(desc), buckets, *memo_key)
         evict_other_apps(_PLAN_STATS_CACHE, app)
     if cache_key is not None and cache_key in _PLAN_STATS_CACHE:
-        bounds, offsets = _PLAN_STATS_CACHE[cache_key]
+        bounds, offsets, total = _PLAN_STATS_CACHE[cache_key]
     else:
         fracs = [i / buckets for i in range(1, buckets)]
         row = df.select(
@@ -140,8 +166,9 @@ def global_row_number(
         for b in sorted(counts):
             offsets[b] = acc
             acc += counts[b]
+        total = acc
         if cache_key is not None:
-            _PLAN_STATS_CACHE[cache_key] = (bounds, offsets)
+            _PLAN_STATS_CACHE[cache_key] = (bounds, offsets, total)
 
     bucketed = df.withColumn("_grn_bucket", _bucket_of(bounds))
     if offsets:
@@ -156,13 +183,68 @@ def global_row_number(
         F.col(k).desc() if d else F.col(k).asc() for k, d in zip(keys, desc)
     ]
     w = Window.partitionBy("_grn_bucket").orderBy(*order)
-    return (
+    ranked = (
         bucketed.withColumn(
             col_name,
             (F.row_number().over(w) + offset).cast("long"),
         )
         .drop("_grn_bucket")
     )
+    return ranked, total
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    buckets: int = 32,
+    col_name: str = "tile",
+    persist: bool = False,
+    memo_key: tuple | None = None,
+) -> DataFrame:
+    """Append SQL-standard ``ntile(n_tiles)`` under the total order given
+    by ``keys``/``descending`` — bit-identical to
+    ``ntile(n) OVER (ORDER BY ...)`` (tests/test_ranking.py pins parity
+    against the single-window form), but WITHOUT its SinglePartition sort
+    exchange: ranks come from :func:`global_row_number` and the tile is
+    pure arithmetic on (rank, total).
+
+    SQL ntile semantics replayed exactly: with ``n`` rows and ``k`` tiles,
+    ``q, rem = divmod(n, k)`` — the first ``rem`` tiles hold ``q + 1``
+    rows, the rest ``q`` (both Spark and DuckDB implement this form). The
+    total ``n`` is a free by-product of the rank's per-bucket count pass,
+    so no extra job, no ``count() OVER ()`` single-partition window.
+
+    ``keys`` must form a TOTAL order: ntile over a non-total order is
+    nondeterministic in any engine (ties split across tile boundaries in
+    whatever order the sort emitted), so catalog queries always add a key
+    column as the final tie-break.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    ranked, n = _global_rank(
+        df,
+        keys,
+        descending=descending,
+        buckets=buckets,
+        col_name="_gnt_rn",
+        persist=persist,
+        memo_key=memo_key,
+    )
+    rn = F.col("_gnt_rn")
+    q, rem = divmod(n, n_tiles)
+    if q == 0:
+        # fewer rows than tiles: row r lands alone in tile r
+        tile = rn
+    else:
+        cut = rem * (q + 1)
+        tile = F.when(
+            rn <= F.lit(cut),
+            F.floor((rn - 1) / F.lit(q + 1)) + 1,
+        ).otherwise(F.lit(rem) + F.floor((rn - F.lit(cut) - 1) / F.lit(q)) + 1)
+    return ranked.withColumn(col_name, tile.cast("int")).drop("_gnt_rn")
 
 
 def snake_shards(

@@ -1662,14 +1662,22 @@ def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one gram-keyed window exchange marks first occurrences
     (min over the gram partition — no self-join), one per-doc aggregate,
-    one tiny per-doc-frame window for the decile split, then a 10-row
-    aggregate.  Grams shuffle as strings here because the oracle twin
+    then the decile split via operators/ranking.global_ntile — the
+    distributed exact-ntile (quantile-bucketed rank + tile arithmetic),
+    NOT ntile() over an unpartitioned window: the per-doc frame is one
+    row per DOCUMENT, which at a 100 TB corpus is billions of rows and
+    a single-window ntile would funnel all of them through one reducer
+    (the round-4 verdict's flagged scale-killer; tests/test_plans.py
+    pins no SinglePartition exchange here). Then a 10-row aggregate.
+    Grams shuffle as strings here because the oracle twin
     groups the same strings; the hashed-key variant (the
     _hashed_distinct_sets discipline) is the drop-in at corpus scale.
     Fixture signal: the injected near-duplicates land entirely in later
     deciles' denominators, so late-decile novelty sits visibly below the
     early plateau."""
     from pyspark.sql import Window
+
+    from ..operators.ranking import global_ntile
 
     sets = _word5gram_sets(spark, sf_dir)
     ex = sets.select("doc_id", F.explode("sh").alias("g"))
@@ -1682,11 +1690,17 @@ def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
         ).alias("n_new"),
     )
-    bucketed = per_doc.select(
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-        "n_grams",
-        "n_new",
-    )
+    # persist: the two rank-planning jobs and the final plan would
+    # otherwise each re-run the gram explode + window + aggregate;
+    # memo_key makes a REBUILD of the query zero-job (lazy-build contract)
+    bucketed = global_ntile(
+        per_doc,
+        10,
+        ["doc_id"],
+        col_name="decile",
+        persist=True,
+        memo_key=(sf_dir, "d_novelty_curve"),
+    ).select("decile", "n_grams", "n_new")
     return (
         bucketed.groupBy(F.col("decile").cast("int").alias("decile"))
         .agg(
