@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline query set at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]``. Output contract (round 5): the full
+per-query detail is written to ``bench_result.json`` AND printed as an
+early stdout line; the LAST stdout line is a compact (<1500 char)
+headline JSON — ``{"metric", "value", "unit", "queries", group totals,
+machine factors, "sf"}`` — sized to survive the driver's bounded
+tail-capture (BENCH_r04 recorded ``"parsed": null`` because the single
+detail line outgrew that window).
 
 Protocol (round 4 — self-evidencing against environment drift):
 
@@ -401,6 +407,19 @@ def main() -> None:
     ann = run_group(spark, sf_dir, ANN)
     analytics = run_group(spark, sf_dir, ANALYTICS)
 
+    # teardown: the PRF/dedup paths persist module-level frames; release
+    # them before the write group so its walls aren't paid under cache
+    # memory pressure (round-4 ADVICE: nothing ever called this)
+    from vectordb_similarity_search_spark.operators.bm25 import (
+        release_bm25_caches,
+    )
+    from vectordb_similarity_search_spark.operators.dedup import (
+        release_dedup_caches,
+    )
+
+    release_bm25_caches()
+    release_dedup_caches()
+
     import tempfile
 
     with tempfile.TemporaryDirectory(prefix="bench_writes_") as scratch:
@@ -410,35 +429,66 @@ def main() -> None:
         k: round(v / blend_factor, 3) for k, v in timings.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "pipeline_queries": pipeline,
-                "pipeline_total_wall": round(sum(pipeline.values()), 3),
-                "ann_queries": ann,
-                "ann_total_wall": round(sum(ann.values()), 3),
-                "analytics_queries": analytics,
-                "analytics_total_wall": round(sum(analytics.values()), 3),
-                "write_queries": writes,
-                "write_total_wall": round(sum(writes.values()), 3),
-                "calibration_sec": calibration,
-                "calibration_baseline_sec": CALIBRATION_BASELINE_SEC,
-                "machine_factor": machine_factor,
-                "io_calibration_sec": io_calibration,
-                "io_calibration_baseline_sec": IO_CALIBRATION_BASELINE_SEC,
-                "machine_factor_io": machine_factor_io,
-                "blend_factor": blend_factor,
-                "queries_normalized": normalized,
-                "normalized_total": round(sum(normalized.values()), 3),
-                "protocol": f"warm1_min{N_TIMED_RUNS}",
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "pipeline_queries": pipeline,
+        "pipeline_total_wall": round(sum(pipeline.values()), 3),
+        "ann_queries": ann,
+        "ann_total_wall": round(sum(ann.values()), 3),
+        "analytics_queries": analytics,
+        "analytics_total_wall": round(sum(analytics.values()), 3),
+        "write_queries": writes,
+        "write_total_wall": round(sum(writes.values()), 3),
+        "calibration_sec": calibration,
+        "calibration_baseline_sec": CALIBRATION_BASELINE_SEC,
+        "machine_factor": machine_factor,
+        "io_calibration_sec": io_calibration,
+        "io_calibration_baseline_sec": IO_CALIBRATION_BASELINE_SEC,
+        "machine_factor_io": machine_factor_io,
+        "blend_factor": blend_factor,
+        "queries_normalized": normalized,
+        "normalized_total": round(sum(normalized.values()), 3),
+        "protocol": f"warm1_min{N_TIMED_RUNS}",
+        "sf": sf,
+    }
+    # Full per-query detail goes to a committed artifact + an EARLY stdout
+    # line; the LAST line printed is a compact headline the driver's
+    # bounded tail-capture can always parse (round-4 lesson: the one
+    # detail line outgrew the capture window -> BENCH_r04 "parsed": null).
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
     )
+    with open(result_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "pipeline_total_wall": detail["pipeline_total_wall"],
+        "ann_total_wall": detail["ann_total_wall"],
+        "analytics_total_wall": detail["analytics_total_wall"],
+        "write_total_wall": detail["write_total_wall"],
+        "machine_factor": machine_factor,
+        "machine_factor_io": machine_factor_io,
+        "blend_factor": blend_factor,
+        "normalized_total": detail["normalized_total"],
+        "detail": "bench_result.json",
+        "protocol": detail["protocol"],
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, (
+        f"compact bench line grew to {len(line)} chars - it must stay "
+        "inside the driver's tail-capture window; move detail to "
+        "bench_result.json"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

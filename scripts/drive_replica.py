@@ -94,6 +94,17 @@ def main() -> int:
             bad += 1
             print(f"ERR  {name}: {ex!r}"[:400], flush=True)
     print(f"DONE {len(names) - bad}/{len(names)} green", flush=True)
+    # teardown: drop the module-level persisted frames (PRF corpus cache
+    # etc.) before stopping — the round-4 ADVICE leak fix
+    from vectordb_similarity_search_spark.operators.bm25 import (
+        release_bm25_caches,
+    )
+    from vectordb_similarity_search_spark.operators.dedup import (
+        release_dedup_caches,
+    )
+
+    release_bm25_caches()
+    release_dedup_caches()
     spark.stop()
     return 1 if bad else 0
 

@@ -20,7 +20,7 @@ sys.path.insert(0, ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from scale_smoke_text import gen_docs  # noqa: E402
+from scale_smoke_text import gen_docs, injected_pairs  # noqa: E402
 from vectordb_similarity_search_spark.functions.text import tokens  # noqa: E402
 from vectordb_similarity_search_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
@@ -41,13 +41,11 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     dup_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
     spark = get_spark(master="local[32]", shuffle_partitions=64)
-    stride = int(1 / dup_rate)
     docs = gen_docs(spark, n, dup_rate).persist()
     n_docs = docs.count()
-    # injected truth: doc i copies i-1 (first token mutated) at the stride
-    want = {
-        (i - 1, i) for i in range(1, n) if i % stride == 1
-    }
+    # injected truth comes from the generator's own exported rule —
+    # never re-derived inline (round-4 ADVICE)
+    want = injected_pairs(n, dup_rate)
     print(f"corpus: {n_docs} docs, {len(want)} injected near-dup pairs", flush=True)
 
     sets = word_ngram_sets(docs).persist()

@@ -29,10 +29,22 @@ from vectordb_similarity_search_spark.session import get_spark  # noqa: E402
 VOCAB_SIZE = 5000  # realistic token entropy: random-pair Jaccard ~ 0
 
 
+def injected_pairs(n: int, dup_rate: float = 0.02) -> set[tuple[int, int]]:
+    """The exact (source, copy) near-dup pair set :func:`gen_docs` injects
+    — exported so smokes assert against the generator's OWN rule instead
+    of re-deriving the stride arithmetic inline (round-4 ADVICE: an
+    inline re-derivation silently diverges if the injection rule ever
+    changes; this function and gen_docs share the predicate below)."""
+    stride = int(1 / dup_rate)
+    return {(i - 1, i) for i in range(1, n) if i % stride == 1}
+
+
 def gen_docs(spark, n: int, dup_rate: float = 0.02):
     """n docs, ~60 tokens each from a 5000-word synthetic vocabulary,
     deterministic; a dup_rate slice are copies of an earlier doc with the
-    first token changed (J ≈ 0.95 true near-dups)."""
+    first token changed (J ≈ 0.95 true near-dups). The injected pair set
+    is exported by :func:`injected_pairs` — keep the two predicates in
+    lockstep."""
     stride = int(1 / dup_rate)
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),

@@ -116,6 +116,25 @@ def test_blocked_join_zero_norm_query_no_nan(spark, sf_dir):
     assert all(r.score == 0.0 and not math.isnan(r.score) for r in got)
 
 
+def test_blocked_join_rejects_oversized_query_side(spark, sf_dir):
+    """The query side is collected+broadcast by contract; a corpus-sized
+    'queries' frame must raise (bounded limit+1 probe), not OOM the
+    driver — the mmr_rerank max_candidates pattern."""
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.topk import (
+        similarity_join_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="query rows"):
+        similarity_join_blocked(q, emb, k=5, max_queries=10)
+
+
 def test_ivf_append_and_compact(spark, tmp_path):
     import glob
 

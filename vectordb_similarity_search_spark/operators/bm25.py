@@ -271,24 +271,36 @@ def alpha_fuse(
 
 
 def _persist(df: DataFrame) -> DataFrame:
+    """Persist + register app-scoped (round-4 ADVICE: nothing ever called
+    release_bm25_caches in long-lived sessions, so repeated PRF plan
+    builds accumulated cached frames for the process lifetime). Entries
+    are keyed by applicationId and dead-session entries are swept on
+    insert, like _QVEC_CACHE; same-session REBUILDS re-persist an
+    identical logical plan, which Spark's CacheManager dedupes, so the
+    per-app list stays bounded by the number of DISTINCT cached plans."""
+    app = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _PERSISTED if k != app]:
+        _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
     df = df.persist()
-    _PERSISTED.append(df)
+    _PERSISTED.setdefault(app, []).append(df)
     return df
 
 
 def release_bm25_caches() -> int:
     """Unpersist every DataFrame this module has cached; returns count."""
     n = 0
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-            n += 1
-        except Exception:
-            pass
+    for frames in _PERSISTED.values():
+        while frames:
+            try:
+                frames.pop().unpersist()
+                n += 1
+            except Exception:
+                pass
+    _PERSISTED.clear()
     return n
 
 
-_PERSISTED: list = []
+_PERSISTED: dict[str, list] = {}
 
 
 def _dynamic_topk_from_toks(

@@ -265,6 +265,7 @@ def similarity_join_blocked(
     vec_col: str = "embedding",
     metric: str = "cosine",
     score_col: str = "score",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact N×M top-k at scale: BLAS block scoring + two-phase top-k.
 
@@ -278,10 +279,26 @@ def similarity_join_blocked(
 
     Exactness: every batch's top-k per query is a superset contributor of the
     global top-k per query, so phase 2 sees all true winners.
+
+    The query side is COLLECTED and broadcast as a dense matrix — that is
+    the operator's contract (queries << corpus). ``max_queries`` bounds
+    the collect so a misuse with a corpus-sized "queries" frame raises
+    instead of OOMing the driver (the mmr_rerank ``max_candidates``
+    pattern): the limit+1 probe reads at most ``max_queries + 1`` rows,
+    never the full offending frame.
     """
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = queries.select(query_id_col, query_vec_col).limit(
+        max_queries + 1
+    ).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"similarity_join_blocked got > {max_queries} query rows; the "
+            "query side is collected to the driver and broadcast - pass "
+            "the smaller frame as queries (or raise max_queries "
+            "deliberately if the driver can hold the matrix)"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # Q × d
     if metric == "cosine":
