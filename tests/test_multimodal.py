@@ -13,7 +13,8 @@ from vectordb_similarity_search_spark.operators.multimodal import (
     frame_sample,
     media_fingerprint,
     synth_media,
-    _fake_decode,
+    available_decoders,
+    _decode_one,
 )
 
 
@@ -39,8 +40,50 @@ def test_decode_matches_meta(media):
 
 
 def test_decode_rejects_unknown_format():
-    with pytest.raises(NotImplementedError):
-        _fake_decode(b"JPEGnotreally" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        _decode_one(b"NOPEnotreally" + b"\x00" * 32)
+
+
+def test_decode_raster_without_codec_raises_not_fakes():
+    """A real PNG blob in a codec-less worker must raise (refusing to
+    fake-decode), never fall back to the synth parser."""
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="pillow"):
+        _decode_one(png, pillow_image_mod=None)
+
+
+def test_decode_pillow_branch_via_injection():
+    """The real-codec branch, unit-tested by injecting a PIL.Image-shaped
+    stub (executor workers can't see driver monkeypatches, so the branch
+    function takes the module as a parameter)."""
+
+    class _FakeImg:
+        size = (4, 2)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def tobytes(self):
+            return bytes([10, 20, 30, 40, 50, 60, 70, 80])
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(buf):
+            assert buf.read(3) == b"\xff\xd8\xff"
+            return _FakeImg()
+
+    w, h, mean, decoder = _decode_one(
+        b"\xff\xd8\xff" + b"\x00" * 16, pillow_image_mod=_FakeImageModule
+    )
+    assert (w, h, decoder) == (4, 2, "pillow")
+    assert mean == pytest.approx(45.0)
+
+
+def test_available_decoders_probe():
+    caps = available_decoders()
+    assert caps["synth"] is True
+    assert isinstance(caps["pillow"], bool)
 
 
 def test_byte_histogram_shape(media):
