@@ -149,6 +149,11 @@ ANALYTICS = [
     "t_nb_crossval",         # 3-fold CV by count subtraction
     "r_skyline",             # 2-D Pareto frontier, one sort exchange
     "e_cohort_ltv",          # cumulative cohort revenue curves
+    # round-5 additions (bench every new nontrivial query the session it
+    # lands — round-4 lesson; unpinned until the next bench_pins refresh)
+    "r_equidepth_histogram", # fact-table global_ntile equi-depth buckets
+    "t_heldout_ppl",         # held-out bigram LM quality score
+    "r_entity_resolution",   # fuzzy pairs -> components -> golden records
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -245,3 +245,13 @@ def test_rfm_segments_no_single_partition_exchange(spark, sf_dir):
 
     plan = plan_of(REGISTRY["r_rfm_segments"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
+
+
+def test_equidepth_histogram_no_single_partition_exchange(spark, sf_dir):
+    """Fact-table ntile must rank through global_ntile's bucketed
+    exchanges — this is the one catalog query that tiles RAW fact rows,
+    the frame a single-window ntile could never hold at scale."""
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    plan = plan_of(REGISTRY["r_equidepth_histogram"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan

@@ -152,3 +152,24 @@ def test_containment_oversized_bucket_raises(spark):
     df = spark.createDataFrame(rows, "id long, toks array<string>")
     with pytest.raises(Exception, match="max_bucket"):
         containment_pairs(df, "id", "toks", 0.5, max_bucket=5).collect()
+
+
+def test_word_ngrams_all_keeps_multiplicity_and_order(spark):
+    """word_ngrams_all is the LM-count sibling of word_ngrams: every
+    bigram in document order, repeats kept; below-n inputs yield []."""
+    from vectordb_similarity_search_spark.functions.text import (
+        word_ngrams,
+        word_ngrams_all,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("x",), ("",)], "text: string"
+    ).select(
+        word_ngrams_all(F.split("text", r"\s+"), 2).alias("all2"),
+        word_ngrams(F.split("text", r"\s+"), 2).alias("set2"),
+    )
+    rows = df.collect()
+    assert rows[0].all2 == ["a b", "b a", "a b"]
+    assert sorted(rows[0].set2) == ["a b", "b a"]
+    assert rows[1].all2 == []

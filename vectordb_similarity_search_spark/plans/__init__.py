@@ -106,6 +106,11 @@ DRIVER_WINDOW = [
 # Past the driver's cap — every query here is re-verified on every test
 # run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
+    # --- new in round 5 (join the round-6 window alongside the calendar
+    # below; oracle-verified by the local replica every test run) -------
+    "r_equidepth_histogram",
+    "t_heldout_ppl",
+    "r_entity_resolution",
     # --- ROUND-6 WINDOW, part 1: never driver-checked (32) --------------
     "t_pmi_bigrams",
     "e_changepoint",

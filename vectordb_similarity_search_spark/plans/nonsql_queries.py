@@ -1733,3 +1733,87 @@ def m_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_scene_media(spark, n=48, seed=7)
     return scene_changes(media, threshold_milli=10000).orderBy("media_id")
+
+
+@query(
+    "r_entity_resolution",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+b AS (SELECT name, string_split(name, ' ')[1] AS blk FROM names),
+pairs AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+  WHERE levenshtein(a.name, c.name) <= 8),
+edges AS (
+  SELECT na AS src, nb AS dst FROM pairs
+  UNION
+  SELECT nb, na FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS name, min(lbl) AS canonical_name
+         FROM reach GROUP BY node),
+golden AS (
+  SELECT canonical_name, CAST(count(*) AS BIGINT) AS n_variants
+  FROM comp GROUP BY canonical_name),
+parts AS (
+  SELECT c.canonical_name,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_retail
+  FROM part p JOIN comp c ON p.p_name = c.name
+  GROUP BY c.canonical_name)
+SELECT g.canonical_name, g.n_variants, pa.n_parts, pa.total_retail
+FROM golden g JOIN parts pa USING (canonical_name)
+ORDER BY g.canonical_name
+""",
+)
+def r_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names — the step AFTER
+    r_fuzzy_name_pairs: blocked edit-distance pairs (operators/linkage)
+    → connected components (operators/dedup.dedup_clusters min-label
+    propagation: fuzzy matching is transitive in practice, so merge
+    decisions must be per CLUSTER) → one golden record per multi-variant
+    entity: canonical name (min member — deterministic), variant count,
+    and the part rows consolidated under it (row count, DECIMAL-exact
+    retail total). Singleton names never pair, so only genuinely
+    ambiguous entities appear.
+
+    Iterative BUILD like d_knn_components (label propagation runs jobs;
+    memoized per session — exempt from the zero-job contract). Oracle:
+    DuckDB WITH RECURSIVE transitive closure — an independent algorithm
+    for the same components, then the same golden-record aggregates, so
+    propagation correctness is verified, not replayed. Scale shape: one
+    (name, block) exchange for pairs, candidate-sized propagation
+    rounds, then one broadcast-sized comp table joined back to part."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.linkage import fuzzy_self_pairs
+
+    key = _model_key(spark, sf_dir, "entity_resolution")
+    if key not in _MODEL_CACHE:
+        p = t(spark, sf_dir, "part")
+        pairs = fuzzy_self_pairs(
+            p, "p_name", F.substring_index(F.col("name"), " ", 1), 8
+        )
+        _MODEL_CACHE[key] = dedup_clusters(
+            pairs, id_a="name_a", id_b="name_b"
+        )
+    comp = _MODEL_CACHE[key]
+    golden = comp.groupBy(
+        F.col("cluster_id").alias("canonical_name")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+    p = t(spark, sf_dir, "part")
+    parts = (
+        p.join(comp, p.p_name == comp.doc_id)
+        .groupBy(F.col("cluster_id").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_retail"),
+        )
+    )
+    return golden.join(parts, "canonical_name").orderBy("canonical_name")

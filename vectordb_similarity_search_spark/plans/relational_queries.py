@@ -2244,3 +2244,69 @@ def r_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_day").alias("last_order_day"),
         )
     )
+
+
+@query(
+    "r_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket,
+         l_extendedprice AS p
+  FROM lineitem)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_items,
+       min(p) AS min_price,
+       max(p) AS max_price,
+       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def r_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) 10-bucket histogram of lineitem extended
+    price — the optimizer/profiler statistics primitive: equal ROW mass
+    per bucket, boundaries wherever the data puts them (the skew-robust
+    dual of a fixed-width histogram).
+
+    The showcase for operators/ranking.global_ntile on a FACT table:
+    unlike the catalog's other ntile users (per-customer / per-doc
+    aggregates), this ranks the raw lineitem rows themselves — the frame
+    that is billions of rows at 100 TB, where a single-window ntile is
+    not merely slow but impossible. global_ntile buckets by approximate
+    price quantiles, ranks per bucket in parallel, and the tile is pure
+    arithmetic on (rank, total) — no SinglePartition exchange anywhere
+    (plan-pinned in tests/test_plans.py). Planning cost: one quantile
+    pass + one count pass over a 3-column projection (documented
+    global_row_number contract); memo_key makes rebuilds zero-job.
+
+    Ordering discipline: ntile needs a total order; (price, orderkey,
+    linenumber) still holds duplicate triples in this fixture (the
+    round-4 learning: lineitem keys repeat) — but duplicate rows are
+    IDENTICAL on every projected column, so whichever side of a bucket
+    boundary each copy lands on, every per-bucket aggregate (count, min,
+    max, DECIMAL sum) is invariant. Money through DECIMAL, double at the
+    edge (house float discipline)."""
+    from ..operators.ranking import global_ntile
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = global_ntile(
+        li,
+        10,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        col_name="bucket",
+        memo_key=(sf_dir, "r_equidepth_histogram"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -2513,3 +2513,133 @@ def t_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "t_heldout_ppl",
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id, lang, text,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 10 AS fold
+  FROM documents),
+toks AS (SELECT doc_id, lang, fold, {SQL_TOKENS} AS t FROM lab),
+bigrams AS (
+  SELECT doc_id, lang, fold,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2),
+cab AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bigrams WHERE fold <> 0 GROUP BY bg),
+ca AS (
+  SELECT string_split(bg, ' ')[1] AS a, CAST(sum(c_ab) AS BIGINT) AS c_a
+  FROM cab GROUP BY 1),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE fold <> 0)),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         avg(ln(CAST(coalesce(c.c_ab, 0) + 1 AS DOUBLE)
+                / CAST(coalesce(a.c_a, 0) + v.vocab + 1 AS DOUBLE)))
+           AS doc_lp,
+         CAST(sum(CASE WHEN c.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unseen,
+         CAST(count(*) AS BIGINT) AS n_bg
+  FROM bigrams b
+  LEFT JOIN cab c ON b.bg = c.bg
+  LEFT JOIN ca a ON string_split(b.bg, ' ')[1] = a.a
+  CROSS JOIN v
+  WHERE b.fold = 0
+  GROUP BY b.doc_id, b.lang)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (round(avg(doc_lp), 6) + 0) AS avg_heldout_logprob,
+       (round(CAST(sum(n_unseen) AS DOUBLE) / CAST(sum(n_bg) AS DOUBLE), 6)
+        + 0) AS unseen_bigram_rate
+FROM scored GROUP BY lang
+""",
+)
+def t_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT bigram LM quality score — the leakage-free sibling of
+    t_bigram_logprob (which scores the corpus as its own LM, so
+    boilerplate scores itself up): train add-one-smoothed bigram counts
+    on the ~90% md5-keyed train split, score ONLY the held-out ~10% of
+    documents against them, report per language the mean held-out
+    log-likelihood and the unseen-bigram rate. Low scores on held-out
+    text flag genuinely unpredictable/gibberish slices; a high unseen
+    rate flags domain shift between the splits — together the signal a
+    perplexity-based corpus filter would use (CCNet's wikipedia-LM
+    shape, with an exact SQL twin instead of a KenLM binary).
+
+    Split discipline: fold = md5(doc_id) nibble % 10 — the t_nb_crossval
+    content-keyed family (layout/session-independent, SQL-mirrorable;
+    xxhash64 has no DuckDB twin). Smoothing: ln((c_ab+1)/(c_a+V+1)) with
+    TRAIN vocabulary V (+1 for the implicit UNK context): unseen
+    contexts degrade to ln(1/(V+1)) instead of dividing by zero.
+
+    Scale shape: count tables are train-corpus-reduced aggregates
+    (shuffle carries (bigram, count), never text); the scoring LEFT
+    joins key 10% of the exploded bigrams against them — at web scale
+    the zipf-truncated count tables broadcast; V is a 1-row lazy
+    aggregate crossJoined in (t_bigram_logprob precedent). Bigrams build
+    through the collapse-proof zip_with chain (word_ngrams_all — the
+    element_at transform re-evaluates the token array per gram)."""
+    from ..functions.text import word_ngrams_all
+
+    d = t(spark, sf_dir, "documents")
+    fold = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(cast(doc_id as string)), 1, 1)) - 1) % 10"
+    ).cast("int")
+    lab = d.select("doc_id", "lang", "text", fold.alias("fold"))
+    toks = lab.select("doc_id", "lang", "fold", tokens("text").alias("t"))
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        "fold",
+        F.explode(word_ngrams_all(F.col("t"), 2)).alias("bg"),
+    )
+    train_bg = bigrams.filter(F.col("fold") != 0)
+    cab = train_bg.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy(F.split("bg", " ").getItem(0).alias("a")).agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    vocab = (
+        toks.filter(F.col("fold") != 0)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vocab"))
+    )
+    scored = (
+        bigrams.filter(F.col("fold") == 0)
+        .join(cab, "bg", "left")
+        .join(ca, F.split("bg", " ").getItem(0) == F.col("a"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                F.log(
+                    (F.coalesce("c_ab", F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce("c_a", F.lit(0))
+                        + F.col("vocab")
+                        + 1
+                    ).cast("double")
+                )
+            ).alias("doc_lp"),
+            F.sum(
+                F.when(F.col("c_ab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unseen"),
+            F.count(F.lit(1)).cast("long").alias("n_bg"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("doc_lp"), 6).alias("avg_heldout_logprob"),
+        F.round(
+            F.sum("n_unseen").cast("double") / F.sum("n_bg").cast("double"),
+            6,
+        ).alias("unseen_bigram_rate"),
+    )
