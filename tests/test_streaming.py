@@ -821,3 +821,82 @@ def test_semantic_cache_stream_matches_batch_miner(spark, tmp_path):
     # and each injected dup hits its source with near-1 cosine
     for j, src in enumerate((3, 7, 20)):
         assert got[(100 + j, src)] > 0.99
+
+
+def test_support_alert_stream_matches_batch_rank_twin(spark, stream_env):
+    """Milestone crossings must be exact and cross-batch: a user whose
+    count reaches a doubling milestone in batch 2 emits the crossing
+    EVENT of batch 2, ranked under (ts, event_id) order across the whole
+    replay — verified against the batch row_number twin."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.streaming.events import (
+        support_alert_stream,
+    )
+
+    _, src, chk, name, reader = stream_env
+    # user 1: 3 events in b1 + 3 in b2 -> milestones at 2 (b1) and 4 (b2);
+    # user 2: exactly 2 events, milestone 2 only; user 3: 1 event, none
+    rows1 = [
+        (1, _t(9, 0), 1, "view", 0.0),
+        (2, _t(9, 1), 1, "view", 0.0),
+        (3, _t(9, 2), 1, "click", 0.0),
+        (4, _t(9, 3), 2, "view", 0.0),
+        (5, _t(9, 4), 3, "view", 0.0),
+    ]
+    rows2 = [
+        (6, _t(10, 0), 1, "view", 0.0),
+        (7, _t(10, 1), 2, "purchase", 5.0),
+        (8, _t(10, 2), 1, "view", 0.0),
+        (9, _t(10, 3), 1, "purchase", 7.0),
+    ]
+    _write_batch(src, rows1, "b1")
+    q = (
+        support_alert_stream(reader(), support=2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, rows2, "b2")
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.milestone): r.event_id
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, 2): 2,   # second event of user 1 (batch 1)
+        (1, 4): 6,   # fourth event crosses in batch 2
+        (2, 2): 7,   # user 2 crosses across the batch boundary
+    }
+
+    # batch twin: rank per user under (ts, event_id); milestones 2*2^j
+    pdf = pd.DataFrame(
+        rows1 + rows2,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    e = spark.createDataFrame(pdf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("r", F.row_number().over(w))
+    twin = {
+        (r.user_id, r.r): r.event_id
+        for r in ranked.filter(
+            F.col("r").isin(2, 4, 8, 16)
+        ).collect()
+    }
+    assert twin == got
+
+
+def test_support_alert_stream_validation(spark):
+    import pytest
+
+    from vectordb_similarity_search_spark.streaming.events import (
+        support_alert_stream,
+    )
+
+    with pytest.raises(ValueError):
+        support_alert_stream(spark.range(1), support=0)

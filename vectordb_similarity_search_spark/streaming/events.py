@@ -508,3 +508,68 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def support_alert_stream(
+    events: DataFrame, *, support: int = 4
+) -> DataFrame:
+    """Streaming support-threshold alerts: one row per user each time
+    their cumulative event count CROSSES a doubling milestone
+    (``support``, 2x, 4x, …) — the ingest-time surge/abuse detector (the
+    same shape flags a template n-gram or a hot domain crossing support
+    during a crawl; key by that column instead).
+
+    Emits ``(user_id, milestone, event_id)`` where ``event_id`` is the
+    exact event that crossed the milestone under (ts, event_id) order —
+    so the batch twin is a per-key rank: ``row_number() OVER
+    (PARTITION BY user ORDER BY ts, event_id) == support * 2^j``
+    (tests/test_streaming.py pins stream == batch on a cross-batch
+    replay). Milestone doubling bounds output at O(log n) rows per key
+    — an alert channel, not a count dump (running_user_totals_stream is
+    the every-event form).
+
+    State per user = (count, next_milestone): two BIGINTs, O(users) in
+    the disk-backed state store — the standard Structured Streaming
+    dedup/session state shape; the bounded-MEMORY census over unbounded
+    keyspaces is the batch Misra-Gries operator
+    (operators/heavyhitters.py), which this stream complements, not
+    replaces. Same ordering caveat as attribution_stream: per-key rows
+    are concatenated across Arrow chunks and sorted by (ts, event_id)
+    within each batch; cross-batch order must come from the replay
+    (time-ordered log)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if support < 1:
+        raise ValueError(f"support must be >= 1, got {support}")
+    out_schema = "user_id BIGINT, milestone BIGINT, event_id BIGINT"
+    state_schema = "cnt BIGINT, nxt BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        cnt, nxt = state.get if state.exists else (0, support)
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((cnt, nxt))
+            return
+        pdf = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        out: dict[str, list] = {"user_id": [], "milestone": [], "event_id": []}
+        for eid in pdf["event_id"].to_numpy():
+            cnt += 1
+            if cnt == nxt:
+                out["user_id"].append(key[0])
+                out["milestone"].append(int(nxt))
+                out["event_id"].append(int(eid))
+                nxt *= 2
+        state.update((int(cnt), int(nxt)))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
