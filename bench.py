@@ -421,9 +421,13 @@ def main() -> None:
     from vectordb_similarity_search_spark.operators.dedup import (
         release_dedup_caches,
     )
+    from vectordb_similarity_search_spark.operators.ranking import (
+        release_ranking_caches,
+    )
 
     release_bm25_caches()
     release_dedup_caches()
+    release_ranking_caches()
 
     import tempfile
 
@@ -488,11 +492,13 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact)
-    assert len(line) < 1500, (
-        f"compact bench line grew to {len(line)} chars - it must stay "
-        "inside the driver's tail-capture window; move detail to "
-        "bench_result.json"
-    )
+    if len(line) >= 1500:
+        # never fail (or stop printing) after the full bench already ran —
+        # that would reproduce the exact unparseable-tail failure this
+        # guards against; degrade by dropping the per-query map (the full
+        # detail is in bench_result.json either way)
+        compact["queries"] = f"truncated: see {compact['detail']}"
+        line = json.dumps(compact)
     print(line)
 
 

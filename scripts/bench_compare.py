@@ -53,6 +53,9 @@ def compare_pins(result_path: str, threshold: float) -> int:
             pin_norm = pin_raw / pin_blend
             if q not in cur:
                 rows.append((q, pin_raw, None, None, "MISSING from run"))
+                # a pinned query absent from the run is lost regression
+                # coverage, not a pass — fail the gate
+                worst.append((group, q, "MISSING"))
                 continue
             cur_norm = cur[q] / cur_blend
             ratio = cur_norm / pin_norm if pin_norm > 0 else float("inf")
@@ -71,7 +74,10 @@ def compare_pins(result_path: str, threshold: float) -> int:
             rat_s = f"{ratio:5.2f}x" if ratio is not None else "  --  "
             print(f"  {q:28s} pin {pr:6.3f}  now {cur_s}  norm {rat_s} {flag}")
     if worst:
-        print(f"\nREGRESSIONS past {threshold}x normalized: {worst}")
+        print(
+            f"\nFAIL (regressed past {threshold}x normalized, or pinned "
+            f"query missing from the run): {worst}"
+        )
         return 1
     print(f"\nOK: no query past {threshold}x normalized vs pins")
     return 0
@@ -125,7 +131,13 @@ if __name__ == "__main__":
         threshold = 2.0
         if "--threshold" in args:
             i = args.index("--threshold")
-            threshold = float(args[i + 1])
+            try:
+                threshold = float(args[i + 1])
+            except (IndexError, ValueError):
+                raise SystemExit(
+                    "usage: bench_compare.py --pins [result.json] "
+                    "[--threshold FLOAT]"
+                )
             del args[i : i + 2]
         result = args[0] if args else os.path.join(ROOT, "bench_result.json")
         raise SystemExit(compare_pins(result, threshold))

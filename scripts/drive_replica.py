@@ -102,9 +102,13 @@ def main() -> int:
     from vectordb_similarity_search_spark.operators.dedup import (
         release_dedup_caches,
     )
+    from vectordb_similarity_search_spark.operators.ranking import (
+        release_ranking_caches,
+    )
 
     release_bm25_caches()
     release_dedup_caches()
+    release_ranking_caches()
     spark.stop()
     return 1 if bad else 0
 

@@ -14,8 +14,8 @@ enforced structurally instead of query-by-query:
   or restructure.
 
 One sweep, one failure list — so a regression in any registered plan
-(the sweep iterates the live REGISTRY, currently 190 queries — never a
-hard-coded count) names every offender at once.
+(the sweep iterates the live REGISTRY; counts are derived, never
+hard-coded) names every offender at once.
 """
 
 from __future__ import annotations

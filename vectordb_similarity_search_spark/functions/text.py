@@ -102,24 +102,14 @@ def word_ngrams(c: Column | str, n: int) -> Column:
     ``size - n + 1`` entries; inputs with fewer than ``n`` tokens yield
     an empty array.
     """
-    c = F.col(c) if isinstance(c, str) else c
-    sz = F.size(c)
-    grams = c
-    for k in range(2, n + 1):
-        shifted = F.slice(c, k, F.greatest(sz - (k - 1), F.lit(1)))
-        grams = F.zip_with(
-            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return F.when(
-        sz >= n, F.array_distinct(F.slice(grams, 1, sz - (n - 1)))
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(word_ngrams_all(c, n))
 
 
 def word_ngrams_all(c: Column | str, n: int) -> Column:
     """ALL word n-grams in document order, multiplicity kept — the
-    LM-count sibling of :func:`word_ngrams` (which dedupes for
-    set-similarity). Same collapse-proof zip_with chain; same
-    empty-array result below ``n`` tokens."""
+    LM-count sibling of :func:`word_ngrams` (which is just
+    ``array_distinct`` over this, so the collapse-proof chain lives in
+    ONE place). Empty-array result below ``n`` tokens."""
     c = F.col(c) if isinstance(c, str) else c
     sz = F.size(c)
     grams = c

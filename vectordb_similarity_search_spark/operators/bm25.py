@@ -274,33 +274,37 @@ def _persist(df: DataFrame) -> DataFrame:
     """Persist + register app-scoped (round-4 ADVICE: nothing ever called
     release_bm25_caches in long-lived sessions, so repeated PRF plan
     builds accumulated cached frames for the process lifetime). Entries
-    are keyed by applicationId and dead-session entries are swept on
-    insert, like _QVEC_CACHE; same-session REBUILDS re-persist an
-    identical logical plan, which Spark's CacheManager dedupes, so the
-    per-app list stays bounded by the number of DISTINCT cached plans."""
+    are keyed by (applicationId, semanticHash) and dead-session entries
+    are swept on insert, like _QVEC_CACHE; a same-session REBUILD of a
+    semantically-equal plan returns the ALREADY-registered frame (Spark's
+    CacheManager dedupes the cached data anyway — reusing the Python
+    handle keeps the registry truly bounded by the number of DISTINCT
+    cached plans, not the number of builds)."""
     app = df.sparkSession.sparkContext.applicationId
-    for k in [k for k in _PERSISTED if k != app]:
+    for k in [k for k in _PERSISTED if k[0] != app]:
         _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
+    key = (app, df.semanticHash())
+    if key in _PERSISTED:
+        return _PERSISTED[key]
     df = df.persist()
-    _PERSISTED.setdefault(app, []).append(df)
+    _PERSISTED[key] = df
     return df
 
 
 def release_bm25_caches() -> int:
     """Unpersist every DataFrame this module has cached; returns count."""
     n = 0
-    for frames in _PERSISTED.values():
-        while frames:
-            try:
-                frames.pop().unpersist()
-                n += 1
-            except Exception:
-                pass
+    for frame in _PERSISTED.values():
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass
     _PERSISTED.clear()
     return n
 
 
-_PERSISTED: dict[str, list] = {}
+_PERSISTED: dict[tuple, DataFrame] = {}
 
 
 def _dynamic_topk_from_toks(

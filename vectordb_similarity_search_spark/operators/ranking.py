@@ -46,6 +46,37 @@ from ..util import evict_other_apps
 # have no stable identity to key on.
 _PLAN_STATS_CACHE: dict[tuple, tuple[list, dict[int, int], int]] = {}
 
+# App-scoped registry of frames persisted via persist=True (the bm25
+# _PERSISTED pattern): keyed by (applicationId, semanticHash) so rebuilds
+# reuse the registered handle, and release_ranking_caches() gives bench/
+# drive teardowns a hook (cache pressure before write benches).
+_PERSISTED: dict[tuple, DataFrame] = {}
+
+
+def _register_persist(df: DataFrame) -> DataFrame:
+    app = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _PERSISTED if k[0] != app]:
+        _PERSISTED.pop(k)
+    key = (app, df.semanticHash())
+    if key in _PERSISTED:
+        return _PERSISTED[key]
+    df = df.persist()
+    _PERSISTED[key] = df
+    return df
+
+
+def release_ranking_caches() -> int:
+    """Unpersist every frame this module has cached; returns count."""
+    n = 0
+    for frame in _PERSISTED.values():
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
+
 
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
     """0-based bucket index in SORT order: number of quantile bounds the
@@ -122,7 +153,7 @@ def _global_rank(
     if len(desc) != len(keys):
         raise ValueError("descending must match keys length")
     if persist:
-        df = df.persist()
+        df = _register_persist(df)
 
     k0 = F.col(keys[0])
 
