@@ -131,7 +131,57 @@ def main() -> None:
     )
     check("matches_single_window_on_slice", n_bad == 0, f"mismatches={n_bad}")
 
-    print(f"{'OK' if not failures else 'FAILED'} ({4 - len(failures)}/4)")
+    # --- global_ntile at fact scale (the round-5 de-single-reducer op) ---
+    # equi-depth deciles over all N_ROWS: depth spread must be the exact
+    # SQL ntile spread (first n%10 tiles one row deeper), plan must stay
+    # SinglePartition-free, and a 200k slice must bit-match window ntile
+    from vectordb_similarity_search_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    t0 = time.perf_counter()
+    tiled = global_ntile(
+        base, 10, ["n_tok", "doc_id"], descending=[True, False], buckets=32
+    )
+    depth = {
+        r["tile"]: r["n"]
+        for r in tiled.groupBy("tile").agg(F.count("*").alias("n")).collect()
+    }
+    wall_nt = time.perf_counter() - t0
+    q, rem = divmod(N_ROWS, 10)
+    want_depth = {i: q + (1 if i <= rem else 0) for i in range(1, 11)}
+    check(
+        "global_ntile_exact_depths",
+        depth == want_depth,
+        f"rows={N_ROWS} wall={wall_nt:.1f}s depths_ok={depth == want_depth}",
+    )
+
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        global_ntile(
+            base, 10, ["n_tok", "doc_id"], descending=[True, False]
+        ).explain(mode="formatted")
+    check(
+        "global_ntile_no_single_partition",
+        "SinglePartition" not in buf2.getvalue(),
+    )
+
+    got_t = global_ntile(
+        slice_df, 10, ["n_tok", "doc_id"], descending=[True, False], buckets=32
+    )
+    ref_t = slice_df.withColumn("t_ref", F.ntile(10).over(w))
+    n_bad_t = (
+        got_t.join(ref_t, ["doc_id", "n_tok"])
+        .where(F.col("tile") != F.col("t_ref"))
+        .count()
+    )
+    check(
+        "ntile_matches_single_window_on_slice",
+        n_bad_t == 0,
+        f"mismatches={n_bad_t}",
+    )
+
+    print(f"{'OK' if not failures else 'FAILED'} ({7 - len(failures)}/7)")
     sys.exit(1 if failures else 0)
 
 
