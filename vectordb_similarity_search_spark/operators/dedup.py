@@ -31,29 +31,38 @@ from ..util import widen
 
 
 # Operators below persist intermediate DataFrames (signatures, shingle
-# arrays) consumed by several plan branches. Spark's storage memory is
-# LRU-evicted under pressure, so leaks are bounded, but a long-lived
-# session that rebuilds these operators many times can still accumulate
-# cached partitions — every persist is registered here and
-# release_dedup_caches() drops them all.
-_PERSISTED: list = []
+# arrays) consumed by several plan branches. Registered app-scoped and
+# deduped by (applicationId, semanticHash) — a same-session rebuild of a
+# semantically-equal plan reuses the registered handle, so the registry
+# stays bounded by DISTINCT cached plans (the bm25/ranking pattern;
+# Spark's CacheManager dedupes the data either way, but an append-list
+# regrows Python/py4j handles per rebuild). release_dedup_caches() drops
+# everything.
+_PERSISTED: dict[tuple, DataFrame] = {}
 
 
 def _persist(df: DataFrame) -> DataFrame:
+    app = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _PERSISTED if k[0] != app]:
+        _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
+    key = (app, df.semanticHash())
+    if key in _PERSISTED:
+        return _PERSISTED[key]
     df = df.persist()
-    _PERSISTED.append(df)
+    _PERSISTED[key] = df
     return df
 
 
 def release_dedup_caches() -> int:
     """Unpersist every DataFrame this module has cached; returns count."""
     n = 0
-    while _PERSISTED:
+    for frame in _PERSISTED.values():
         try:
-            _PERSISTED.pop().unpersist()
+            frame.unpersist()
             n += 1
         except Exception:
             pass
+    _PERSISTED.clear()
     return n
 
 
@@ -1395,7 +1404,11 @@ def banding_curve(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    truth = (
+    # persisted: BOTH consumers below (the per-config left join and the
+    # n_true total) would otherwise re-evaluate the whole exact-truth
+    # subtree — whose pair explode is quadratic in hot-shingle df, the
+    # dominant cost of the advisor (measured ~2x the warm wall at sf0.1)
+    truth = _persist(
         inter_pairs.join(
             sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na")),
             "id_a",
