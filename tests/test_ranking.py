@@ -325,3 +325,18 @@ def test_global_ntile_validation(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id: long, n_tok: long")
     with pytest.raises(ValueError):
         global_ntile(df, 0, ["n_tok"])
+
+
+def test_persist_registry_bounded_across_rebuilds(spark):
+    """Rebuilding the same persisted plan N times must reuse ONE registry
+    entry (the (appId, semanticHash) dedupe) — an append-list regrows
+    py4j handles per rebuild even though Spark dedupes the cached data."""
+    from vectordb_similarity_search_spark.operators import ranking
+
+    ranking.release_ranking_caches()
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    before = len(ranking._PERSISTED)
+    for _ in range(3):
+        ranking.global_row_number(df, ["k", "id"], persist=True, buckets=4)
+    assert len(ranking._PERSISTED) == before + 1
+    assert ranking.release_ranking_caches() >= 1
