@@ -107,6 +107,7 @@ ANN = [
     "v_ivfpq_knn",           # two-level IVF-PQ probe (ADC + exact rescore)
     "v_knn_graph",           # mutual kNN graph build (block-grid top-k)
     "t_hashtf_knn",          # hashed-TF lexical vector search
+    "v_adaptive_knn",        # escalating-nprobe filtered serving loop
 ]
 
 # Fifth group (round-4 seventh session): the product-analytics surface —

@@ -191,3 +191,68 @@ def test_compact_with_everything_tombstoned_is_a_safe_noop(spark, index):
     ivf_append(model, fresh, path)
     assert ivf_compact(spark, path, target_rows_per_file=10_000) is True
     assert spark.read.parquet(path).count() == fresh.count()
+
+
+def test_adaptive_probe_escalates_until_k(spark, index):
+    """A selective filter starved at start_nprobe must double coverage
+    until k survivors (or full coverage); the returned frame is always
+    the exact top-k of the filtered probed set."""
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_search_until_k,
+    )
+
+    model, path, qv = index
+    pred = F.col("label") == 1
+    res, used = ivf_search_until_k(
+        spark, path, model, qv, k=10, start_nprobe=1, predicate=pred
+    )
+    assert used >= 1 and used <= len(model.centers)
+    rows = res.collect()
+    assert all(r.label == 1 for r in rows)
+    # escalation guarantees SIZE unless even full coverage lacks k hits
+    if used < len(model.centers):
+        assert len(rows) == 10
+
+
+def test_adaptive_probe_full_escalation_is_exact_filtered_search(
+    spark, index
+):
+    """An impossible-to-satisfy k forces full coverage, where the result
+    must equal exact filtered search over the whole index corpus."""
+    from vectordb_similarity_search_spark.operators.ann import (
+        _apply_tombstones,
+        _index_scan,
+        ivf_search_until_k,
+    )
+
+    model, path, qv = index
+    pred = F.col("label") == 2
+    n_filtered = (
+        _apply_tombstones(spark, path, _index_scan(spark, path), "vec_id")
+        .filter(pred)
+        .count()
+    )
+    res, used = ivf_search_until_k(
+        spark, path, model, qv, k=n_filtered + 100,
+        start_nprobe=1, predicate=pred,
+    )
+    assert used == len(model.centers)
+    got = {(r.vec_id, round(r.score, 9)) for r in res.collect()}
+    corpus = _apply_tombstones(
+        spark, path, _index_scan(spark, path), "vec_id"
+    ).filter(pred)
+    want = {
+        (r.vec_id, round(r.score, 9))
+        for r in knn(corpus, qv, n_filtered + 100).collect()
+    }
+    assert got == want
+
+
+def test_adaptive_probe_validation(spark, index):
+    from vectordb_similarity_search_spark.operators.ann import (
+        ivf_search_until_k,
+    )
+
+    model, path, qv = index
+    with pytest.raises(ValueError):
+        ivf_search_until_k(spark, path, model, qv, start_nprobe=0)

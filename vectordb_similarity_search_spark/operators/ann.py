@@ -324,6 +324,50 @@ def ivf_search_index(
     return knn(indexed, query_vec, k, id_col=id_col, vec_col=model.vec_col, metric=metric)
 
 
+def ivf_search_until_k(
+    spark,
+    path: str,
+    model: IvfModel,
+    query_vec,
+    k: int = 10,
+    *,
+    start_nprobe: int = 1,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    metric: str = "cosine",
+    predicate=None,
+) -> tuple[DataFrame, int]:
+    """Escalating filtered probe — the serving loop for SELECTIVE
+    metadata filters, where a fixed nprobe can return fewer than ``k``
+    survivors: probe ``start_nprobe`` cells, and if the filtered probe
+    holds < k rows DOUBLE nprobe and retry, up to full coverage. Returns
+    ``(result, nprobe_used)``.
+
+    Contract: each round is one partition-pruned scan + one count job
+    (log2(n_cells) rounds worst case — a driver-side serving loop, not a
+    query plan); the result is always the EXACT top-k of the filtered
+    probed set (pre-filter semantics inherited from ivf_search_index),
+    and at full escalation it equals exact filtered search
+    (v_filtered_knn semantics — pinned in tests/test_ann_lifecycle.py).
+    Termination at k hits does NOT certify global exactness (standard
+    IVF recall semantics; the escalation only guarantees result SIZE) —
+    callers needing certified-exact filtered top-k use the exact path.
+    """
+    if start_nprobe < 1:
+        raise ValueError(f"start_nprobe must be >= 1, got {start_nprobe}")
+    n_cells = len(model.centers)
+    nprobe = min(start_nprobe, n_cells)
+    while True:
+        res = ivf_search_index(
+            spark, path, model, query_vec, k,
+            nprobe=nprobe, id_col=id_col, cell_col=cell_col,
+            metric=metric, predicate=predicate,
+        )
+        if nprobe >= n_cells or res.count() >= k:
+            return res, nprobe
+        nprobe = min(nprobe * 2, n_cells)
+
+
 def ivf_search_index_batch(
     spark,
     path: str,

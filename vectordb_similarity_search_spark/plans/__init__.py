@@ -111,6 +111,7 @@ TAIL = [
     "r_equidepth_histogram",
     "t_heldout_ppl",
     "r_entity_resolution",
+    "v_adaptive_knn",
     # --- ROUND-6 WINDOW, part 1: never driver-checked (32) --------------
     "t_pmi_bigrams",
     "e_changepoint",

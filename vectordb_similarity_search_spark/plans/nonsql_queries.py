@@ -1817,3 +1817,43 @@ def r_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return golden.join(parts, "canonical_name").orderBy("canonical_name")
+
+
+@query(
+    "v_adaptive_knn",
+    oracle=_expected_oracle("v_adaptive_knn", sf_bound=True),
+)
+def v_adaptive_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escalating-nprobe filtered serving (operators/ann.
+    ivf_search_until_k): with a selective ``label = 1`` filter a fixed
+    nprobe can return fewer than k survivors, so the serving loop
+    doubles nprobe (1 → 2 → 4 → …) until the filtered probe holds k=10
+    rows or every cell is probed — the adaptive path a real vector store
+    runs between 'fast probe' and 'exact fallback'. Each round is one
+    partition-pruned scan; the escalation depth is data-dependent but
+    DETERMINISTIC here (committed-centers fixture pins the cell
+    assignment), and nprobe_used is reported beside the hits. At full
+    escalation the result provably equals exact filtered search (pinned
+    in tests/test_ann_lifecycle.py). Oracle: expected-output parquet
+    (same family as v_ivf_knn_filtered)."""
+    from ..operators.ann import ivf_search_until_k
+    from .vector_queries import _query_vec
+
+    qv = _query_vec(spark, sf_dir, 0)
+    model, index_path = _ivf_index_for(spark, sf_dir, n_cells=16)
+    key = _model_key(spark, sf_dir, "adaptive_knn")
+    if key not in _MODEL_CACHE:
+        # the escalation loop runs probe+count jobs — a serving loop, not
+        # a lazy plan build; memoize (result plan, nprobe_used) like the
+        # other iterative builds so rebuilds stay zero-job
+        _MODEL_CACHE[key] = ivf_search_until_k(
+            spark, index_path, model, qv, k=10,
+            start_nprobe=1, predicate=F.col("label") == 1,
+        )
+    res, nprobe_used = _MODEL_CACHE[key]
+    return res.select(
+        "vec_id",
+        "label",
+        F.round("score", 6).alias("score"),
+        F.lit(int(nprobe_used)).cast("int").alias("nprobe_used"),
+    )
