@@ -283,7 +283,9 @@ def _persist(df: DataFrame) -> DataFrame:
     app = df.sparkSession.sparkContext.applicationId
     for k in [k for k in _PERSISTED if k[0] != app]:
         _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
-    key = (app, df.semanticHash())
+    # schema rides the key: semanticHash is a 32-bit digest, and a
+    # collision must never hand back a semantically different frame
+    key = (app, df.semanticHash(), str(df.schema))
     if key in _PERSISTED:
         return _PERSISTED[key]
     df = df.persist()
