@@ -43,6 +43,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_keyword_tfidf",       # doc-count row (tf side is a bounded hash join)
     "t_bm25_phrase",         # corpus stats row
     "t_bigram_logprob",      # corpus token-total row
+    "t_heldout_ppl",         # 1-row TRAIN-vocab total (t_bigram shape)
     "r_winsorized_mean",     # global p01/p99 percentile row
     "r_pareto_revenue",      # 3-row tier-percentage table
     "d_banding_curve",       # 1-row true-pair-count total + 4-row config table
