@@ -155,6 +155,8 @@ ANALYTICS = [
     "r_equidepth_histogram", # fact-table global_ntile equi-depth buckets
     "t_heldout_ppl",         # held-out bigram LM quality score
     "r_entity_resolution",   # fuzzy pairs -> components -> golden records
+    "r_mutual_info",         # MI/NMI from one quantized-ln cell aggregate
+    "e_forecast_baseline",   # seasonal-naive backtest, leakage-free MAE
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -112,6 +112,8 @@ TAIL = [
     "t_heldout_ppl",
     "r_entity_resolution",
     "v_adaptive_knn",
+    "r_mutual_info",
+    "e_forecast_baseline",
     # --- ROUND-6 WINDOW, part 1: never driver-checked (32) --------------
     "t_pmi_bigrams",
     "e_changepoint",

@@ -2076,3 +2076,103 @@ def e_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "e_forecast_baseline",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+k AS (
+  SELECT event_type, c,
+         CAST((hour_idx // 24 + 3) // 7 AS BIGINT) AS week,
+         CAST(((hour_idx // 24) + 4) % 7 AS BIGINT) AS dow,
+         CAST(hour_idx % 24 AS BIGINT) AS hod
+  FROM h),
+p AS (
+  SELECT event_type, c,
+         avg(CAST(c AS DOUBLE)) OVER (
+           PARTITION BY event_type, dow, hod ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pred
+  FROM k)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       (round(CAST(sum(abs(c * 1000000
+                 - CAST(floor(pred * 1000000) AS BIGINT))) AS DOUBLE)
+              / 1000000.0 / count(*), 6) + 0) AS mae,
+       (round(CAST(sum(CAST(floor(pred * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*), 6) + 0) AS mean_pred,
+       (round(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0) AS mean_actual
+FROM p WHERE pred IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def e_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST — the honest baseline every
+    anomaly/forecast system must beat before it earns a model: predict
+    each hour's event count by the expanding mean of the SAME (weekday,
+    hour-of-day) slot in prior weeks, score MAE per event type against
+    the actual counts. Pure history-to-future evaluation: the expanding
+    frame ends 1 PRECEDING, so no hour ever sees itself or its future
+    (the e_pit_features leakage discipline applied to forecasting).
+
+    Exactness: hourly counts are integers; the expanding mean is a ratio
+    of exact integers (identical double both engines); predictions are
+    FLOOR-quantized to integer millionths before the |actual - pred|
+    sums (floor, not round — no half-way point ever meets an engine
+    rounding-mode difference), so MAE aggregates in exact BIGINT.
+    Calendar-free: week/dow/hod from integer epoch arithmetic
+    (e_seasonal_profile discipline; 1970-01-01 was a Thursday). Scale
+    shape: one (type, hour) partial-agg exchange, one per-(type,dow,hod)
+    window exchange over the HOURLY aggregate (8.8k rows per type-week
+    here; hours, not events, at any scale), then a type-sized report."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+                "hour_idx"
+            ),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    kf = h.select(
+        "event_type",
+        "c",
+        F.expr("(hour_idx div 24 + 3) div 7").cast("long").alias("week"),
+        F.expr("((hour_idx div 24) + 4) % 7").cast("long").alias("dow"),
+        F.expr("hour_idx % 24").cast("long").alias("hod"),
+    )
+    w = (
+        Window.partitionBy("event_type", "dow", "hod")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = kf.withColumn("pred", F.avg(F.col("c").cast("double")).over(w))
+    pq = F.floor(F.col("pred") * 1000000).cast("long")
+    return (
+        p.filter(F.col("pred").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum(F.abs(F.col("c") * 1000000 - pq)).cast("double")
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(pq).cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_actual"),
+        )
+        .orderBy("event_type")
+    )

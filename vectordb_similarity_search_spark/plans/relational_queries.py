@@ -2310,3 +2310,107 @@ def r_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "r_mutual_info",
+    oracle="""
+WITH cells AS (
+  SELECT c_mktsegment AS seg, n_name AS nat, CAST(count(*) AS BIGINT) AS c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT seg, nat, c,
+         sum(c) OVER () AS n,
+         sum(c) OVER (PARTITION BY seg) AS rs,
+         sum(c) OVER (PARTITION BY nat) AS cs
+  FROM cells),
+ag AS (
+  SELECT max(n) AS n,
+         sum(c * CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))) * 1000000, 0)
+               AS BIGINT)) AS smi,
+         sum(c * CAST(round(ln(CAST(rs AS DOUBLE)) * 1000000, 0) AS BIGINT))
+           AS srs,
+         sum(c * CAST(round(ln(CAST(cs AS DOUBLE)) * 1000000, 0) AS BIGINT))
+           AS scs
+  FROM tot)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       (round(CAST(smi AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) + 0)
+         AS mi_nats,
+       (round(ln(CAST(n AS DOUBLE))
+              - CAST(srs AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        + 0) AS h_segment,
+       (round(ln(CAST(n AS DOUBLE))
+              - CAST(scs AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        + 0) AS h_nation,
+       (round((CAST(smi AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+              / least(ln(CAST(n AS DOUBLE))
+                        - CAST(srs AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE),
+                      ln(CAST(n AS DOUBLE))
+                        - CAST(scs AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)),
+              6) + 0) AS nmi
+FROM ag
+""",
+)
+def r_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and nation — the
+    feature-selection staple beside t_chisq_lang_source (chi-square asks
+    'dependent at all?', MI measures HOW MANY nats of one variable the
+    other carries, and NMI = MI/min(H) normalizes it to [0,1]).
+
+    Exactness (t_token_entropy discipline): every per-cell ln — whose
+    argument is a ratio of exact-integer products, so both engines ln
+    the identical double — quantizes to integer millionths BEFORE the
+    cross-row sum; MI and both marginal entropies are then exact integer
+    arithmetic over BIGINT cell counts, divided once at the end
+    (round 6). The global/marginal totals are window sums over the cell
+    frame (<= |segments|x|nations| = 125 rows — the bounded-frame class
+    this repo documents per site). ONE aggregate serves MI and both
+    entropies: sum_cells c*lnppm(rs) == sum_segs rs*lnppm(rs) because
+    the cells of a segment sum to rs — no second pass, no distinct."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # window sums over the <=125-row cell aggregate (bounded frame)
+    tot = cells.select(
+        "seg",
+        "nat",
+        "c",
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(Window.partitionBy("seg")).alias("rs"),
+        F.sum("c").over(Window.partitionBy("nat")).alias("cs"),
+    )
+
+    def _lnppm(x) -> F.Column:
+        return F.round(F.log(x) * 1000000, 0).cast("long")
+
+    mi_arg = (
+        F.col("c").cast("double") * F.col("n").cast("double")
+        / (F.col("rs").cast("double") * F.col("cs").cast("double"))
+    )
+    j = tot.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("c") * _lnppm(mi_arg)).alias("smi"),
+        F.sum(F.col("c") * _lnppm(F.col("rs").cast("double"))).alias("srs"),
+        F.sum(F.col("c") * _lnppm(F.col("cs").cast("double"))).alias("scs"),
+    )
+    n_d = F.col("n").cast("double")
+    mi = F.col("smi").cast("double") / 1000000.0 / n_d
+    h_seg = F.log(n_d) - F.col("srs").cast("double") / 1000000.0 / n_d
+    h_nat = F.log(n_d) - F.col("scs").cast("double") / 1000000.0 / n_d
+    return j.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(h_seg, 6).alias("h_segment"),
+        F.round(h_nat, 6).alias("h_nation"),
+        F.round(mi / F.least(h_seg, h_nat), 6).alias("nmi"),
+    )
