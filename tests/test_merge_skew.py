@@ -664,3 +664,56 @@ def test_touched_predicate_scales_to_thousands_of_partitions(spark):
     )
     # analysis + optimization of the 5000-clause predicate must complete
     assert base.filter(pred).count() == 5000
+
+
+def test_merge_schema_evolution_adds_column_with_null_backfill(
+    spark, tmp_path
+):
+    """A batch carrying a NEW column evolves the table: touched rows get
+    the value, untouched rows NULL; evolution off keeps the old error."""
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+    )
+
+    tbl = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(tbl)
+    batch = spark.createDataFrame(
+        [(2, "B", "eu"), (4, "D", "us")], "k int, v string, region string"
+    )
+    with pytest.raises(ValueError, match="updates schema"):
+        merge_parquet(spark, tbl, batch, ["k"])
+    merge_parquet(spark, tbl, batch, ["k"], schema_evolution=True)
+    got = {
+        r.k: (r.v, r.region)
+        for r in spark.read.parquet(tbl).collect()
+    }
+    assert got == {
+        1: ("a", None),
+        2: ("B", "eu"),
+        3: ("c", None),
+        4: ("D", "us"),
+    }
+
+
+def test_merge_schema_evolution_rejects_type_change_and_missing_cols(
+    spark, tmp_path
+):
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+    )
+
+    tbl = str(tmp_path / "evo2")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(tbl)
+    retyped = spark.createDataFrame([(1, 5)], "k int, v int")
+    with pytest.raises(ValueError, match="cannot change column"):
+        merge_parquet(spark, tbl, retyped, ["k"], schema_evolution=True)
+    # a batch MISSING an existing column is data loss, not evolution
+    narrow = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="updates schema"):
+        merge_parquet(spark, tbl, narrow, ["k"], schema_evolution=True)

@@ -63,6 +63,7 @@ def merge_parquet(
     partition_by: list[str] | None = None,
     broadcast_updates: bool = True,
     retain_history: int | None = None,
+    schema_evolution: bool = False,
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``table_path`` by key.
 
@@ -75,6 +76,14 @@ def merge_parquet(
     operators/timetravel.py: ``read_version`` for as-of reads,
     ``diff_summary`` against it for merge audits) instead of deleted at
     swap time.
+
+    ``schema_evolution``: allow the batch to carry NEW columns (the Delta
+    ``mergeSchema`` ADD-COLUMN semantics): each new column joins the
+    table schema with NULL backfill on every untouched row. Strictly
+    additive — a batch MISSING existing table columns still errors
+    (whole rows are replaced by key here, so silently NULLing a column
+    the batch didn't mention would be data loss, not evolution), and no
+    type change of an existing column is ever accepted.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -88,6 +97,8 @@ def merge_parquet(
 
         recover_history(table_path)  # finish an interrupted archive
     target = spark.read.parquet(table_path)
+    if schema_evolution:
+        target = _evolve_target(target, updates, delete_col)
     upd = _resolve_updates(target, updates, key_cols, delete_col)
     merged = _merged_frame(target, upd, key_cols, broadcast_updates)
 
@@ -103,6 +114,33 @@ def merge_parquet(
     else:
         swap_snapshot(table_path, tmp)
     _invalidate_foreign_scan_caches(table_path)
+
+
+def _evolve_target(
+    target: DataFrame,
+    updates: DataFrame,
+    delete_col: str | None,
+) -> DataFrame:
+    """ADD-COLUMN schema evolution: extend ``target`` with every batch
+    column it lacks, typed from the batch, NULL on existing rows — so the
+    ordinary schema check and merge path then apply unchanged. Existing
+    columns present in both must agree on TYPE (widening/retyping is not
+    evolution; it silently corrupts readers of old files)."""
+    upd_fields = {f.name: f.dataType for f in updates.schema.fields}
+    for name, dt in upd_fields.items():
+        if name == delete_col:
+            continue
+        if name in target.columns:
+            have = target.schema[name].dataType
+            if have != dt:
+                raise ValueError(
+                    f"schema_evolution cannot change column '{name}' from "
+                    f"{have.simpleString()} to {dt.simpleString()}; only "
+                    "ADDING columns is supported"
+                )
+        else:
+            target = target.withColumn(name, F.lit(None).cast(dt))
+    return target
 
 
 def _resolve_updates(
