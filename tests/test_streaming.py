@@ -900,3 +900,45 @@ def test_support_alert_stream_validation(spark):
 
     with pytest.raises(ValueError):
         support_alert_stream(spark.range(1), support=0)
+
+
+def test_cdc_merge_stream_schema_evolution(spark, tmp_path):
+    """A mid-stream batch carrying a NEW data column evolves the table
+    (NULL backfill on untouched rows); partitioned applies refuse the
+    flag (split-brain schema across partition dirs)."""
+    import pytest
+
+    from vectordb_similarity_search_spark.streaming.events import (
+        cdc_merge_stream,
+    )
+
+    tbl = str(tmp_path / "evo_tbl")
+    src = tmp_path / "evo_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).coalesce(1).write.parquet(tbl)
+    cdc_schema = "id long, name string, region string"
+    stream = spark.readStream.schema(cdc_schema).parquet(str(src))
+    q = cdc_merge_stream(
+        stream, tbl, ["id"], str(tmp_path / "evo_chk"),
+        schema_evolution=True,
+    )
+    try:
+        spark.createDataFrame(
+            [(2, "B", "eu"), (3, "C", "us")], cdc_schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {
+            r.id: (r.name, r.region)
+            for r in spark.read.parquet(tbl).collect()
+        }
+        assert got == {1: ("a", None), 2: ("B", "eu"), 3: ("C", "us")}
+    finally:
+        q.stop()
+
+    with pytest.raises(ValueError, match="flat merge path"):
+        cdc_merge_stream(
+            stream, tbl, ["id"], str(tmp_path / "evo_chk2"),
+            partition_by=["region"], schema_evolution=True,
+        )

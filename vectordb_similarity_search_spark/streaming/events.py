@@ -312,6 +312,7 @@ def cdc_merge_stream(
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
     retain_history: int | None = None,
+    schema_evolution: bool = False,
 ):
     """Streaming upsert: each micro-batch of CDC rows MERGEs into the
     parquet table at ``table_path`` — the streaming twin of
@@ -331,6 +332,14 @@ def cdc_merge_stream(
     snapshots queryable via operators/timetravel.read_version — per-batch
     table versions for as-of debugging of a live ingest.
 
+    ``schema_evolution`` (flat path only): a batch carrying NEW data
+    columns evolves the table (ADD-COLUMN with NULL backfill —
+    operators/merge semantics; strictly additive, type changes still
+    error). ``order_col`` handling is unchanged: resolution metadata is
+    dropped when the target lacks it — evolution is for DATA columns; a
+    feed wanting its version column persisted adds it to the table
+    schema explicitly.
+
     Replay safety, unlike ``rollup_ingest_stream``: an upsert/delete
     MERGE is naturally IDEMPOTENT — re-applying a batch overwrites the
     same keys with the same values — so foreachBatch's at-least-once
@@ -349,6 +358,13 @@ def cdc_merge_stream(
             "retain_history requires the flat (non-partitioned) merge "
             "path: pruned applies rewrite only touched partition dirs, "
             "so there is no whole-table snapshot to retain"
+        )
+    if schema_evolution and partition_by:
+        raise ValueError(
+            "schema_evolution requires the flat merge path: a pruned "
+            "apply rewrites only touched partition dirs, so untouched "
+            "dirs would keep the old schema and readers would see a "
+            "split-brain table"
         )
     target_cols: set[str] = set()  # memoized across batches (stable schema)
 
@@ -391,6 +407,7 @@ def cdc_merge_stream(
             merge_parquet(
                 spark, table_path, batch, key_cols, delete_col=delete_col,
                 retain_history=retain_history,
+                schema_evolution=schema_evolution,
             )
 
     return (
