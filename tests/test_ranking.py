@@ -340,3 +340,39 @@ def test_persist_registry_bounded_across_rebuilds(spark):
         ranking.global_row_number(df, ["k", "id"], persist=True, buckets=4)
     assert len(ranking._PERSISTED) == before + 1
     assert ranking.release_ranking_caches() >= 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_random_frames_match_window_ntile(spark, data):
+    """Property: on random frames — NULL-bearing duplicate-heavy keys,
+    random tile/bucket counts, both directions — global_ntile equals the
+    single-window ntile exactly (the SQL larger-buckets-first form)."""
+    n = data.draw(st.integers(min_value=1, max_value=120))
+    weights = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=8)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    k = data.draw(st.sampled_from([1, 2, 4, 7, 10, 150]))
+    buckets = data.draw(st.sampled_from([2, 3, 8]))
+    descending = data.draw(st.booleans())
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long").repartition(
+        data.draw(st.sampled_from([1, 3, 7]))
+    )
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in global_ntile(
+            df,
+            k,
+            ["n_tok", "doc_id"],
+            descending=[descending, False],
+            buckets=buckets,
+        ).collect()
+    }
+    assert got == _reference_tiles(
+        df, k, ["n_tok", "doc_id"], [descending, False]
+    )
