@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Entity resolution at scale: 500k names under a vanilla SparkSession.
+"""Entity resolution at scale (~0.7*SMOKE_NAMES names — 350k at the
+default) under a vanilla SparkSession.
 
 What it proves (the r_entity_resolution / operators/linkage +
 operators/dedup.dedup_clusters scale claims):
 
-- blocked fuzzy pairing over 500k distinct names is ONE (name, block)
+- blocked fuzzy pairing over 350k distinct names is ONE (name, block)
   exchange + per-block in-array levenshtein — no N x N join;
 - min-label propagation recovers EXACTLY the injected typo clusters:
   every variant lands with its cluster, every decoy (same block, far
@@ -17,8 +18,8 @@ far-away DECOY sharing the block word — the false-merge bait. Cluster
 base words are unique, so a cross-cluster merge can only come from the
 operator, never the generator.
 
-    python scripts/scale_smoke_linkage.py          # 500k names, ~2 min
-    SMOKE_NAMES=2000000 python scripts/...         # bigger run
+    python scripts/scale_smoke_linkage.py          # ~350k names, ~1 min
+    SMOKE_NAMES=2000000 python scripts/...         # ~1.4M names
 """
 
 from __future__ import annotations

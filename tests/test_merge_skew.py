@@ -717,3 +717,29 @@ def test_merge_schema_evolution_rejects_type_change_and_missing_cols(
     narrow = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="updates schema"):
         merge_parquet(spark, tbl, narrow, ["k"], schema_evolution=True)
+
+
+def test_merge_schema_evolution_rejects_case_drifted_column(
+    spark, tmp_path
+):
+    """Under Spark's default case-insensitive resolution, a batch column
+    differing only by case from a table column must be REJECTED (like
+    the non-evolution path), never treated as a new column — the
+    case-sensitive membership check silently NULLed the entire existing
+    column (review-confirmed data loss)."""
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+    )
+
+    tbl = str(tmp_path / "evo_case")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(tbl)
+    drifted = spark.createDataFrame([(2, "B")], "k int, V string")
+    with pytest.raises(ValueError, match="updates schema"):
+        merge_parquet(spark, tbl, drifted, ["k"], schema_evolution=True)
+    # table unchanged: no column renamed, no value NULLed
+    got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}

@@ -352,6 +352,11 @@ def ivf_search_until_k(
     Termination at k hits does NOT certify global exactness (standard
     IVF recall semantics; the escalation only guarantees result SIZE) —
     callers needing certified-exact filtered top-k use the exact path.
+
+    The returned frame is PERSISTED (the terminal round's count already
+    materialized it — without the cache the caller's collect would
+    re-run the most expensive probe a second time); callers may
+    unpersist once consumed.
     """
     if start_nprobe < 1:
         raise ValueError(f"start_nprobe must be >= 1, got {start_nprobe}")
@@ -362,9 +367,10 @@ def ivf_search_until_k(
             spark, path, model, query_vec, k,
             nprobe=nprobe, id_col=id_col, cell_col=cell_col,
             metric=metric, predicate=predicate,
-        )
+        ).persist()
         if nprobe >= n_cells or res.count() >= k:
             return res, nprobe
+        res.unpersist()
         nprobe = min(nprobe * 2, n_cells)
 
 

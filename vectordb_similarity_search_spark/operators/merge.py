@@ -126,17 +126,25 @@ def _evolve_target(
     ordinary schema check and merge path then apply unchanged. Existing
     columns present in both must agree on TYPE (widening/retyping is not
     evolution; it silently corrupts readers of old files)."""
-    upd_fields = {f.name: f.dataType for f in updates.schema.fields}
-    for name, dt in upd_fields.items():
+    # membership must be CASE-INSENSITIVE to match Spark's default column
+    # resolution: under caseSensitive=false, withColumn('V', ...) REPLACES
+    # an existing 'v' — a case-sensitive check here treated a case-drifted
+    # batch column as new and silently NULLed the whole existing column
+    # (review-confirmed data loss). A case-drifted name is deliberately
+    # NOT added: it falls through to _resolve_updates' exact set check,
+    # which rejects the batch just like the non-evolution path would.
+    by_lower = {f.name.lower(): f for f in target.schema.fields}
+    for f_upd in updates.schema.fields:
+        name, dt = f_upd.name, f_upd.dataType
         if name == delete_col:
             continue
-        if name in target.columns:
-            have = target.schema[name].dataType
-            if have != dt:
+        have = by_lower.get(name.lower())
+        if have is not None:
+            if have.dataType != dt:
                 raise ValueError(
-                    f"schema_evolution cannot change column '{name}' from "
-                    f"{have.simpleString()} to {dt.simpleString()}; only "
-                    "ADDING columns is supported"
+                    f"schema_evolution cannot change column '{have.name}' "
+                    f"from {have.dataType.simpleString()} to "
+                    f"{dt.simpleString()}; only ADDING columns is supported"
                 )
         else:
             target = target.withColumn(name, F.lit(None).cast(dt))
