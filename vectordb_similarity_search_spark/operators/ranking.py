@@ -82,9 +82,21 @@ def release_ranking_caches() -> int:
 
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
     """0-based bucket index in SORT order: number of quantile bounds the
-    row has passed. Equal keys → equal bucket, always."""
-    arr = F.array(*[F.lit(b) for b in bounds])
+    row has passed. Equal keys → equal bucket, always.
+
+    Physical form: for the usual bucket counts a flat WHEN-sum — plain
+    whole-stage-codegen comparisons (HOF lambdas are interpreted,
+    round-1 lesson; this expression runs once per FACT row in
+    r_equidepth_histogram). Past 48 bounds fall back to the aggregate
+    fold: a wider unrolled chain risks the 64-term JIT-inlining cliff
+    (round-1 lesson #3) and plan bloat."""
     cmp = (lambda b: key < b) if descending else (lambda b: key > b)
+    if len(bounds) <= 48:
+        expr: Column = F.lit(0)
+        for b in bounds:
+            expr = expr + F.when(cmp(F.lit(b)), F.lit(1)).otherwise(F.lit(0))
+        return expr
+    arr = F.array(*[F.lit(b) for b in bounds])
     return F.aggregate(
         arr,
         F.lit(0),
