@@ -96,6 +96,9 @@ def main() -> int:
     print(f"DONE {len(names) - bad}/{len(names)} green", flush=True)
     # teardown: drop the module-level persisted frames (PRF corpus cache
     # etc.) before stopping — the round-4 ADVICE leak fix
+    from vectordb_similarity_search_spark.operators.ann import (
+        release_ann_caches,
+    )
     from vectordb_similarity_search_spark.operators.bm25 import (
         release_bm25_caches,
     )
@@ -106,6 +109,7 @@ def main() -> int:
         release_ranking_caches,
     )
 
+    release_ann_caches()
     release_bm25_caches()
     release_dedup_caches()
     release_ranking_caches()

@@ -256,3 +256,29 @@ def test_adaptive_probe_validation(spark, index):
     model, path, qv = index
     with pytest.raises(ValueError):
         ivf_search_until_k(spark, path, model, qv, start_nprobe=0)
+
+
+def test_adaptive_probe_terminal_frame_materialized_and_releasable(
+    spark, index
+):
+    """Round-5 ADVICE: (a) the full-coverage terminal round must ALSO be
+    materialized before return (the old short-circuit skipped its count,
+    returning an unmaterialized persisted frame), and (b) every returned
+    frame is registered so release_ann_caches() can free it."""
+    from vectordb_similarity_search_spark.operators import ann
+
+    model, path, qv = index
+    ann.release_ann_caches()
+    # full escalation: impossible k with a selective filter
+    res, used = ann.ivf_search_until_k(
+        spark, path, model, qv, k=10**6,
+        start_nprobe=1, predicate=F.col("label") == 2,
+    )
+    assert used == len(model.centers)
+    assert res.storageLevel.useMemory  # persisted…
+    # …and materialized: the cached plan reports positive cached size
+    assert res.count() >= 0
+    assert len(ann._PERSISTED_SERVE) >= 1
+    assert ann.release_ann_caches() >= 1
+    assert not res.storageLevel.useMemory
+    assert len(ann._PERSISTED_SERVE) == 0

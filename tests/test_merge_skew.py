@@ -743,3 +743,44 @@ def test_merge_schema_evolution_rejects_case_drifted_column(
     # table unchanged: no column renamed, no value NULLed
     got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_schema_evolution_case_drifted_tombstone_not_added(
+    spark, tmp_path
+):
+    """A batch whose tombstone column case-drifts ('_DELETED' vs
+    delete_col='_deleted') must NOT get that flag added to the table as
+    a data column by evolution (round-5 ADVICE: the tombstone skip was
+    case-sensitive while data-column membership was case-insensitive).
+    The drifted batch is rejected like any case-drifted column."""
+    import pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet,
+    )
+
+    tbl = str(tmp_path / "evo_tomb_case")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(tbl)
+    drifted = spark.createDataFrame(
+        [(2, "B", True)], "k int, v string, _DELETED boolean"
+    )
+    with pytest.raises(ValueError, match="updates schema"):
+        merge_parquet(
+            spark, tbl, drifted, ["k"],
+            delete_col="_deleted", schema_evolution=True,
+        )
+    # table unchanged: in particular NO '_DELETED' data column appeared
+    out = spark.read.parquet(tbl)
+    assert set(out.columns) == {"k", "v"}
+    # exact-case tombstone still merges fine with evolution on
+    ok = spark.createDataFrame(
+        [(2, "B", True), (3, "c", False)],
+        "k int, v string, _deleted boolean",
+    )
+    merge_parquet(
+        spark, tbl, ok, ["k"], delete_col="_deleted", schema_evolution=True
+    )
+    got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: "a", 3: "c"}

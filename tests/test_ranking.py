@@ -376,3 +376,39 @@ def test_random_frames_match_window_ntile(spark, data):
     assert got == _reference_tiles(
         df, k, ["n_tok", "doc_id"], [descending, False]
     )
+
+
+def test_persist_registry_collision_never_aliases(spark):
+    """Round-5 ADVICE: a 32-bit semanticHash collision between two
+    semantically different same-schema frames must NOT hand back the
+    wrong cached DataFrame. The shared PersistRegistry confirms bucket
+    hits with sameSemantics — simulate a collision by forcing both
+    frames into one bucket key."""
+    from vectordb_similarity_search_spark.util import PersistRegistry
+
+    reg = PersistRegistry()
+    a = spark.range(10).selectExpr("id AS k")
+    b = spark.range(20).selectExpr("id AS k")  # same schema, different plan
+    try:
+        ra = reg.persist(a)
+        # force b into a's bucket (what a real 2^-32 collision would do)
+        app = spark.sparkContext.applicationId
+        key_a = (app, a.semanticHash(), str(a.schema))
+        forced = reg._frames.pop((app, b.semanticHash(), str(b.schema)), [])
+        rb = reg.persist(b)
+        reg._frames.setdefault(key_a, []).extend(
+            reg._frames.pop((app, b.semanticHash(), str(b.schema)), [])
+        )
+        reg._frames[key_a].extend(forced)
+        # lookups after the collision still resolve by plan, not by hash
+        assert reg.persist(a) is ra
+        got_b = None
+        for cached in reg._frames[key_a]:
+            if b.sameSemantics(cached):
+                got_b = cached
+        assert got_b is rb and rb.count() == 20 and ra.count() == 10
+        # and a REBUILD of the same plan reuses the registered handle
+        a2 = spark.range(10).selectExpr("id AS k")
+        assert reg.persist(a2) is ra
+    finally:
+        reg.release()

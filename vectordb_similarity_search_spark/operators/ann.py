@@ -216,6 +216,26 @@ def _invalidate_index_scans(path: str) -> None:
         del _INDEX_SCAN_CACHE[key]
 
 
+# Frames ivf_search_until_k hands back persisted (so the caller's collect
+# does not re-run the terminal probe). Non-memoized serving loops would
+# otherwise leak cached partitions — bench/drive teardowns call
+# release_ann_caches() like the bm25/dedup/ranking registries.
+_PERSISTED_SERVE: list[DataFrame] = []
+
+
+def release_ann_caches() -> int:
+    """Unpersist every serving frame this module has cached; returns count."""
+    n = 0
+    for frame in _PERSISTED_SERVE:
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED_SERVE.clear()
+    return n
+
+
 def ivf_write_index(
     model: IvfModel,
     corpus: DataFrame,
@@ -353,10 +373,12 @@ def ivf_search_until_k(
     IVF recall semantics; the escalation only guarantees result SIZE) —
     callers needing certified-exact filtered top-k use the exact path.
 
-    The returned frame is PERSISTED (the terminal round's count already
-    materialized it — without the cache the caller's collect would
-    re-run the most expensive probe a second time); callers may
-    unpersist once consumed.
+    The returned frame is PERSISTED and MATERIALIZED (every round,
+    including the full-coverage terminal one, runs its count against the
+    persisted frame — without the cache the caller's collect would re-run
+    the most expensive probe a second time), and it is registered for
+    :func:`release_ann_caches` so bench/drive teardowns can free it;
+    callers may also unpersist once consumed.
     """
     if start_nprobe < 1:
         raise ValueError(f"start_nprobe must be >= 1, got {start_nprobe}")
@@ -368,7 +390,12 @@ def ivf_search_until_k(
             nprobe=nprobe, id_col=id_col, cell_col=cell_col,
             metric=metric, predicate=predicate,
         ).persist()
-        if nprobe >= n_cells or res.count() >= k:
+        # count FIRST so the full-coverage terminal round is materialized
+        # too (a bare `nprobe >= n_cells or count()` short-circuits and
+        # would hand back an unmaterialized persisted frame)
+        n_hits = res.count()
+        if nprobe >= n_cells or n_hits >= k:
+            _PERSISTED_SERVE.append(res)
             return res, nprobe
         res.unpersist()
         nprobe = min(nprobe * 2, n_cells)

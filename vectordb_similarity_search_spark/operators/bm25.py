@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import n_tokens, tokens
+from ..util import PersistRegistry
 
 
 def bm25_part(tf, df, dl, n, avgdl, k1: float = 1.2, b: float = 0.75):
@@ -273,40 +274,19 @@ def alpha_fuse(
 def _persist(df: DataFrame) -> DataFrame:
     """Persist + register app-scoped (round-4 ADVICE: nothing ever called
     release_bm25_caches in long-lived sessions, so repeated PRF plan
-    builds accumulated cached frames for the process lifetime). Entries
-    are keyed by (applicationId, semanticHash) and dead-session entries
-    are swept on insert, like _QVEC_CACHE; a same-session REBUILD of a
-    semantically-equal plan returns the ALREADY-registered frame (Spark's
-    CacheManager dedupes the cached data anyway — reusing the Python
-    handle keeps the registry truly bounded by the number of DISTINCT
-    cached plans, not the number of builds)."""
-    app = df.sparkSession.sparkContext.applicationId
-    for k in [k for k in _PERSISTED if k[0] != app]:
-        _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
-    # schema rides the key: semanticHash is a 32-bit digest, and a
-    # collision must never hand back a semantically different frame
-    key = (app, df.semanticHash(), str(df.schema))
-    if key in _PERSISTED:
-        return _PERSISTED[key]
-    df = df.persist()
-    _PERSISTED[key] = df
-    return df
+    builds accumulated cached frames for the process lifetime). Backed by
+    the shared util.PersistRegistry — 32-bit semanticHash bucket +
+    sameSemantics hit confirmation, so a hash collision can never hand
+    back a semantically different frame (round-5 ADVICE)."""
+    return _PERSISTED.persist(df)
 
 
 def release_bm25_caches() -> int:
     """Unpersist every DataFrame this module has cached; returns count."""
-    n = 0
-    for frame in _PERSISTED.values():
-        try:
-            frame.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED.clear()
-    return n
+    return _PERSISTED.release()
 
 
-_PERSISTED: dict[tuple, DataFrame] = {}
+_PERSISTED = PersistRegistry()
 
 
 def _dynamic_topk_from_toks(

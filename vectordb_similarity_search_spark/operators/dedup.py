@@ -27,7 +27,7 @@ from ..functions.hashing import (
     simhash_block_keys,
 )
 from ..functions.vector import cosine_similarity
-from ..util import widen
+from ..util import PersistRegistry, widen
 
 
 # Operators below persist intermediate DataFrames (signatures, shingle
@@ -38,34 +38,19 @@ from ..util import widen
 # Spark's CacheManager dedupes the data either way, but an append-list
 # regrows Python/py4j handles per rebuild). release_dedup_caches() drops
 # everything.
-_PERSISTED: dict[tuple, DataFrame] = {}
+_PERSISTED = PersistRegistry()
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    app = df.sparkSession.sparkContext.applicationId
-    for k in [k for k in _PERSISTED if k[0] != app]:
-        _PERSISTED.pop(k)  # dead sessions: JVM cache died with them
-    # schema rides the key: semanticHash is a 32-bit digest, and a
-    # collision must never hand back a semantically different frame
-    key = (app, df.semanticHash(), str(df.schema))
-    if key in _PERSISTED:
-        return _PERSISTED[key]
-    df = df.persist()
-    _PERSISTED[key] = df
-    return df
+    """Persist + register app-scoped via the shared util.PersistRegistry
+    (32-bit semanticHash bucket + sameSemantics hit confirmation — a hash
+    collision can never hand back a semantically different frame)."""
+    return _PERSISTED.persist(df)
 
 
 def release_dedup_caches() -> int:
     """Unpersist every DataFrame this module has cached; returns count."""
-    n = 0
-    for frame in _PERSISTED.values():
-        try:
-            frame.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED.clear()
-    return n
+    return _PERSISTED.release()
 
 
 def _shingle_set(text: str, n: int, mode: str) -> set:

@@ -136,7 +136,11 @@ def _evolve_target(
     by_lower = {f.name.lower(): f for f in target.schema.fields}
     for f_upd in updates.schema.fields:
         name, dt = f_upd.name, f_upd.dataType
-        if name == delete_col:
+        # the tombstone skip must be case-insensitive like the data-column
+        # membership check: a case-drifted tombstone name ('_DELETED' vs
+        # delete_col='_deleted') is still the tombstone under Spark's
+        # case-insensitive resolution, not a new data column to persist
+        if delete_col is not None and name.lower() == delete_col.lower():
             continue
         have = by_lower.get(name.lower())
         if have is not None:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import evict_other_apps
+from ..util import PersistRegistry, evict_other_apps
 
 # Per-session memo for the planning artifacts (quantile bounds,
 # cumulative bucket offsets, total row count) keyed by (applicationId,
@@ -50,34 +50,19 @@ _PLAN_STATS_CACHE: dict[tuple, tuple[list, dict[int, int], int]] = {}
 # _PERSISTED pattern): keyed by (applicationId, semanticHash) so rebuilds
 # reuse the registered handle, and release_ranking_caches() gives bench/
 # drive teardowns a hook (cache pressure before write benches).
-_PERSISTED: dict[tuple, DataFrame] = {}
+_PERSISTED = PersistRegistry()
 
 
 def _register_persist(df: DataFrame) -> DataFrame:
-    app = df.sparkSession.sparkContext.applicationId
-    for k in [k for k in _PERSISTED if k[0] != app]:
-        _PERSISTED.pop(k)
-    # schema rides the key: semanticHash is a 32-bit digest, and a
-    # collision must never hand back a semantically different frame
-    key = (app, df.semanticHash(), str(df.schema))
-    if key in _PERSISTED:
-        return _PERSISTED[key]
-    df = df.persist()
-    _PERSISTED[key] = df
-    return df
+    """Persist + register app-scoped via the shared util.PersistRegistry
+    (32-bit semanticHash bucket + sameSemantics hit confirmation — a hash
+    collision can never hand back a semantically different frame)."""
+    return _PERSISTED.persist(df)
 
 
 def release_ranking_caches() -> int:
     """Unpersist every frame this module has cached; returns count."""
-    n = 0
-    for frame in _PERSISTED.values():
-        try:
-            frame.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED.clear()
-    return n
+    return _PERSISTED.release()
 
 
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:

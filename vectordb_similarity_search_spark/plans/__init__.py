@@ -16,42 +16,74 @@ from . import event_queries  # noqa: E402,F401
 from . import nonsql_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-facing order. The grading driver records a CORRECTNESS verdict for
-# the FIRST 50 registry entries only, so the window below is budgeted for
-# maximal verification coverage: every query family appears, every query
-# whose implementation changed recently appears, and redundant near-twins
-# (r_string_funcs2 vs r_string_funcs, the 6th window function, …) sit past
-# the cap. Everything past the cap is still oracle-verified locally by
-# tests/test_oracle_parity.py; tests/test_registry_order.py pins that this
-# list exactly matches the registered query set (update BOTH when adding a
-# query — new queries belong inside the window, displacing a stable one).
-# ---------------------------------------------------------------------------
-# Round-5 rotation (VERDICT r4 order #1 — verification-currency paydown):
-# the round-4 registry doubling (96 -> 190) outran the 50-slot window, so
-# 80 queries had never received a driver CORRECTNESS row. This window gives
-# FIRST-EVER driver rows to 48 of them, prioritized per the verdict:
-# (a) the driver-uncovered d_*/m_*/p_* families first (also restores the
-#     test_registry_order family tripwire to green),
-# (b) the iterative / fixture-oracle operators whose correctness is least
-#     SQL-evident (r_als_recs, r_pagerank, r_triangle_count, v_knn_graph,
-#     v_ivfpq_knn),
-# (c) the analytics battery heads (e_cuped, t_nb_crossval, v_label_ndcg,
-#     t_bm25_prf, r_skyline),
-# plus the two queries whose plans CHANGED this round (d_novelty_curve,
-# r_rfm_segments — de-single-reducer rewrite) and one query per remaining
-# family (p_pca_variance refresh; s_*/w_* never-checked members) so every
-# family appears in the window itself — the tripwire must hold again at
-# round-6 start when CORRECTNESS_r05 becomes the latest file.
-# e_tumbling_hourly stays as the unchanged r4-green environment canary
-# (the timestamp-normalization seam the r3 NANOS->NTZ break hit).
-#
-# ROUND-6 ROTATION CALENDAR (committed per the verdict): the remaining 32
-# never-driver-checked queries + the 12 stale r1/r2-era rows — both listed
-# at the HEAD of TAIL below, in order — take the round-6 window (44 + the
-# canary = 45 slots, leaving 5 for round-6 newcomers). All are re-verified
-# every test run by the local oracle replica meanwhile.
+# Round-6 rotation (VERDICT r5 order #1 — executes the committed calendar):
+# the 38 queries that have NEVER received a driver CORRECTNESS row (the 6
+# round-5 late newcomers + the 32 analytics-battery members) plus 11 of the
+# 12 stale r1/r2-era rows take the window; e_tumbling_hourly stays as the
+# unchanged environment canary (the timestamp-normalization seam the r3
+# NANOS->NTZ break hit). w_lead_gap_days spills to round 7 (the w family
+# stays covered: w_percentile_rank is green in CORRECTNESS_r05). Round-6
+# newcomers displace stale rows from the END of the window (r_date_funcs2
+# first), never the never-checked block.
 DRIVER_WINDOW = [
     "e_tumbling_hourly",
+    "r_equidepth_histogram",
+    "t_heldout_ppl",
+    "r_entity_resolution",
+    "v_adaptive_knn",
+    "r_mutual_info",
+    "e_forecast_baseline",
+    "t_pmi_bigrams",
+    "e_changepoint",
+    "t_token_entropy",
+    "e_power_analysis",
+    "r_theil_index",
+    "e_top_sequences",
+    "e_cohort_ltv",
+    "r_market_basket",
+    "t_mixture_sample",
+    "r_target_encoding",
+    "v_hybrid_alpha",
+    "e_ab_test",
+    "e_markov_transitions",
+    "e_gini_users",
+    "t_chisq_lang_source",
+    "e_audience_overlap",
+    "t_readability_ari",
+    "e_funnel_latency",
+    "e_session_stats",
+    "r_pareto_revenue",
+    "e_seasonal_profile",
+    "r_monthly_growth",
+    "e_dau_wau",
+    "t_ks_drift",
+    "v_rp_distortion",
+    "t_nb_calibration",
+    "e_pit_features",
+    "e_ewma_smooth",
+    "r_benford",
+    "t_keyword_tfidf",
+    "r_k_anonymity",
+    "r_dp_counts",
+    "t_lang_guess_confusion",
+    "r_string_funcs2",
+    "v_store_stats",
+    "v_zscore_fit",
+    "v_query_cohort_stats",
+    "v_centroids",
+    "t_token_stats",
+    "r_range_join",
+    "t_ngram_jaccard_pairs",
+    "r_intersect_except",
+    "r_date_funcs2",
+]
+
+# Past the driver's cap — every query here is re-verified on every test
+# run by the local oracle replica (tests/test_oracle_parity.py).
+TAIL = [
+    # --- ROUND-7 spill: stale r2 row displaced by the 50-slot cap -------
+    "w_lead_gap_days",
+    # --- round-5 window (all green in CORRECTNESS_r05) -------------------
     "d_ppjoin_pairs",
     "d_novelty_curve",
     "d_containment_pairs",
@@ -101,65 +133,6 @@ DRIVER_WINDOW = [
     "e_rolling_anomaly",
     "r_corr_matrix",
     "t_bpe_apply",
-]
-
-# Past the driver's cap — every query here is re-verified on every test
-# run by the local oracle replica (tests/test_oracle_parity.py).
-TAIL = [
-    # --- new in round 5 (join the round-6 window alongside the calendar
-    # below; oracle-verified by the local replica every test run) -------
-    "r_equidepth_histogram",
-    "t_heldout_ppl",
-    "r_entity_resolution",
-    "v_adaptive_knn",
-    "r_mutual_info",
-    "e_forecast_baseline",
-    # --- ROUND-6 WINDOW, part 1: never driver-checked (32) --------------
-    "t_pmi_bigrams",
-    "e_changepoint",
-    "t_token_entropy",
-    "e_power_analysis",
-    "r_theil_index",
-    "e_top_sequences",
-    "e_cohort_ltv",
-    "r_market_basket",
-    "t_mixture_sample",
-    "r_target_encoding",
-    "v_hybrid_alpha",
-    "e_ab_test",
-    "e_markov_transitions",
-    "e_gini_users",
-    "t_chisq_lang_source",
-    "e_audience_overlap",
-    "t_readability_ari",
-    "e_funnel_latency",
-    "e_session_stats",
-    "r_pareto_revenue",
-    "e_seasonal_profile",
-    "r_monthly_growth",
-    "e_dau_wau",
-    "t_ks_drift",
-    "v_rp_distortion",
-    "t_nb_calibration",
-    "e_pit_features",
-    "e_ewma_smooth",
-    "r_benford",
-    "t_keyword_tfidf",
-    "r_k_anonymity",
-    "r_dp_counts",
-    # --- ROUND-6 WINDOW, part 2: stale r1/r2-era driver rows (12) -------
-    "t_lang_guess_confusion",
-    "r_string_funcs2",
-    "v_store_stats",
-    "v_zscore_fit",
-    "v_query_cohort_stats",
-    "v_centroids",
-    "t_token_stats",
-    "r_range_join",
-    "t_ngram_jaccard_pairs",
-    "r_intersect_except",
-    "r_date_funcs2",
-    "w_lead_gap_days",
     # --- stable: latest driver row r3/r4 --------------------------------
     "s_sample_stratified",
     "v_ivf_knn_batch",

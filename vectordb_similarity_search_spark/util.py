@@ -76,3 +76,53 @@ def evict_other_apps(cache: dict, app_id: str) -> None:
     entries alive."""
     for k in [k for k in cache if isinstance(k, tuple) and k and k[0] != app_id]:
         del cache[k]
+
+
+class PersistRegistry:
+    """App-scoped registry of persisted DataFrames shared by the bm25 /
+    dedup / ranking operator modules.
+
+    Rebuilding a semantically equal plan in the same session returns the
+    ALREADY-registered handle (Spark's CacheManager dedupes the cached
+    data anyway — reusing the Python handle keeps the registry bounded by
+    the number of DISTINCT cached plans, not the number of builds), and a
+    ``release()`` hook lets bench/drive teardowns free everything.
+
+    Hit verification: entries are bucketed by the cheap
+    ``(applicationId, semanticHash, schema)`` key, but ``semanticHash``
+    is a 32-bit digest, so a bucket hit is CONFIRMED with the public
+    ``DataFrame.sameSemantics`` check (canonicalized-plan equality)
+    before the cached handle is returned — two different plans that
+    collide on the 32-bit hash coexist in one bucket instead of aliasing.
+    """
+
+    def __init__(self) -> None:
+        self._frames: dict[tuple, list[DataFrame]] = {}
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        app = df.sparkSession.sparkContext.applicationId
+        for k in [k for k in self._frames if k[0] != app]:
+            self._frames.pop(k)  # dead sessions: JVM cache died with them
+        key = (app, df.semanticHash(), str(df.schema))
+        for cached in self._frames.get(key, []):
+            if df.sameSemantics(cached):
+                return cached
+        df = df.persist()
+        self._frames.setdefault(key, []).append(df)
+        return df
+
+    def release(self) -> int:
+        """Unpersist every registered DataFrame; returns count."""
+        n = 0
+        for frames in self._frames.values():
+            for frame in frames:
+                try:
+                    frame.unpersist()
+                    n += 1
+                except Exception:
+                    pass
+        self._frames.clear()
+        return n
+
+    def __len__(self) -> int:
+        return len(self._frames)
