@@ -784,3 +784,161 @@ def test_merge_schema_evolution_case_drifted_tombstone_not_added(
     )
     got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
     assert got == {1: "a", 3: "c"}
+
+
+def test_pruned_merge_schema_evolution_sidecar_null_backfill(
+    spark, tmp_path
+):
+    """Partitioned ADD-COLUMN evolution: only the touched partition is
+    rewritten with the new column (untouched dirs byte-identical), the
+    table-level schema lands in the _table_schema.json sidecar, and
+    sidecar-aware reads surface the column as NULL everywhere the files
+    predate it."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+        read_table_snapshot,
+    )
+
+    path = _part_table(spark, tmp_path)
+    before = _snapshot_files(path)
+    updates = spark.createDataFrame(
+        [(3, "v3_new", 0, "eu"), (90, "v90", 0, "us")],
+        "k int, v string, bucket int, region string",
+    )
+    n = merge_parquet_partitioned(
+        spark, path, updates, ["k", "bucket"], ["bucket"],
+        schema_evolution=True,
+    )
+    assert n == 1  # only bucket=0 rewritten, evolution did not widen it
+    after = _snapshot_files(path)
+    untouched_b = {f: m for f, m in before.items() if "bucket=0" not in f}
+    untouched_a = {f: m for f, m in after.items() if "bucket=0" not in f}
+    assert untouched_b == untouched_a  # old-footer dirs never rewritten
+    assert os.path.exists(os.path.join(path, "_table_schema.json"))
+
+    got = {
+        (r.k, r.v, r.region)
+        for r in read_table_snapshot(spark, path).collect()
+    }
+    assert (3, "v3_new", "eu") in got and (90, "v90", "us") in got
+    # untouched partitions surface the new column as NULL
+    assert (1, "v1", None) in got and (2, "v2", None) in got
+    assert len(got) == 31
+    # the sidecar read is deterministic: every column present, every row
+    sch = read_table_snapshot(spark, path).schema
+    assert [f.name for f in sch if f.name == "region"] == ["region"]
+
+
+def test_pruned_merge_evolved_table_merges_again_without_new_columns(
+    spark, tmp_path
+):
+    """After evolution, a later batch WITHOUT the new column must be
+    rejected (strictly the full-path semantics: whole rows replace by
+    key, so omitting a column would be data loss) and a batch WITH it
+    merges normally across old and new partitions."""
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+        read_table_snapshot,
+    )
+
+    path = _part_table(spark, tmp_path)
+    first = spark.createDataFrame(
+        [(3, "v3", 0, "eu")], "k int, v string, bucket int, region string"
+    )
+    merge_parquet_partitioned(
+        spark, path, first, ["k", "bucket"], ["bucket"],
+        schema_evolution=True,
+    )
+    narrow = spark.createDataFrame([(4, "v4", 1)], "k int, v string, bucket int")
+    with _pytest.raises(ValueError, match="updates schema"):
+        merge_parquet_partitioned(
+            spark, path, narrow, ["k", "bucket"], ["bucket"],
+            schema_evolution=True,
+        )
+    # a full-width batch updates an UNTOUCHED-by-evolution partition fine
+    second = spark.createDataFrame(
+        [(4, "v4_new", 1, "ap")], "k int, v string, bucket int, region string"
+    )
+    merge_parquet_partitioned(
+        spark, path, second, ["k", "bucket"], ["bucket"]
+    )
+    got = {
+        (r.k, r.v, r.region)
+        for r in read_table_snapshot(spark, path).collect()
+    }
+    assert (3, "v3", "eu") in got and (4, "v4_new", "ap") in got
+
+
+def test_pruned_merge_evolution_rejects_type_change_and_case_drift(
+    spark, tmp_path
+):
+    """The partitioned path enforces the same evolution guards as the
+    full path: no retyping, no case-drifted column smuggling."""
+    import pytest as _pytest
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    path = _part_table(spark, tmp_path)
+    retyped = spark.createDataFrame([(1, 5, 1)], "k int, v int, bucket int")
+    with _pytest.raises(ValueError, match="cannot change column"):
+        merge_parquet_partitioned(
+            spark, path, retyped, ["k", "bucket"], ["bucket"],
+            schema_evolution=True,
+        )
+    drifted = spark.createDataFrame([(1, "x", 1)], "k int, V string, bucket int")
+    with _pytest.raises(ValueError, match="updates schema"):
+        merge_parquet_partitioned(
+            spark, path, drifted, ["k", "bucket"], ["bucket"],
+            schema_evolution=True,
+        )
+
+
+def test_partitioned_compact_preserves_evolved_schema(spark, tmp_path):
+    """Partitioned compaction over a sidecar-evolved table must read the
+    table-level schema (deterministic across mixed old/new footers, NULL
+    backfill on pre-evolution files) — and the sidecar survives, since
+    untouched dirs may still hold old footers."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.compact import (
+        compact_parquet_partitioned,
+    )
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+        read_table_snapshot,
+    )
+
+    # multiple files per partition dir so compaction has work to do
+    path = str(tmp_path / "ptbl_evo")
+    rows = [(i, f"v{i}", i % 3) for i in range(30)]
+    (
+        spark.createDataFrame(rows, "k int, v string, bucket int")
+        .repartition(4)
+        .write.partitionBy("bucket")
+        .parquet(path)
+    )
+    updates = spark.createDataFrame(
+        [(3, "v3_new", 0, "eu")], "k int, v string, bucket int, region string"
+    )
+    merge_parquet_partitioned(
+        spark, path, updates, ["k", "bucket"], ["bucket"],
+        schema_evolution=True,
+    )
+    rep = compact_parquet_partitioned(
+        spark, path, ["bucket"], target_file_bytes=1 << 30
+    )
+    assert rep["rewritten"] and rep["dirs_touched"] >= 1
+    assert os.path.exists(os.path.join(path, "_table_schema.json"))
+    got = {
+        (r.k, r.v, r.region)
+        for r in read_table_snapshot(spark, path).collect()
+    }
+    assert (3, "v3_new", "eu") in got
+    assert (1, "v1", None) in got and (2, "v2", None) in got
+    assert len(got) == 30

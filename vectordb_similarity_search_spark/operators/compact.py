@@ -115,7 +115,11 @@ def compact_parquet(
         with open(sidecar) as fh:
             zone_cols = json.load(fh)["columns"]
 
-    df = spark.read.parquet(table_path)
+    # sidecar-aware: compacting a partition-pruned evolved table must read
+    # the table-level schema (NULL-backfilled), not one arbitrary footer's
+    from .merge import read_table_snapshot
+
+    df = read_table_snapshot(spark, table_path)
     if sort_cols:
         out = df.repartitionByRange(n_target, *[df[c] for c in sort_cols]).sortWithinPartitions(*sort_cols)
     else:
@@ -184,7 +188,16 @@ def compact_parquet_partitioned(
         return {"dirs_touched": 0, "files_before": before, "files_after": before, "rewritten": False}
 
     touched = [os.path.join(table_path, rel) for rel in sorted(plan)]
-    df = spark.read.option("basePath", table_path).parquet(*touched)
+    # sidecar-aware: a partition-pruned evolved table mixes old/new
+    # footers across dirs — an explicit table-level read schema keeps the
+    # multi-dir read deterministic and NULL-backfills pre-evolution files
+    from .merge import _read_schema_sidecar
+
+    reader = spark.read.option("basePath", table_path)
+    sidecar_schema = _read_schema_sidecar(table_path)
+    if sidecar_schema is not None:
+        reader = reader.schema(sidecar_schema)
+    df = reader.parquet(*touched)
 
     # dir → bucket count as a broadcast-joined plan (tiny map; the big
     # side shuffles once on partition cols + bucket)

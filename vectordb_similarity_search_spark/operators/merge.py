@@ -43,6 +43,57 @@ def _invalidate_foreign_scan_caches(path: str) -> None:
     _invalidate_index_scans(path)
 
 
+# Table-level schema sidecar (partitioned evolution). A partitioned
+# evolving merge rewrites ONLY touched partition dirs with the new column;
+# untouched dirs keep their old footers (byte-identical — the whole point
+# of the pruned path). Plain spark.read.parquet over such mixed footers
+# picks ONE footer's schema nondeterministically, so the table-level
+# schema is recorded in an underscore-prefixed sidecar (ignored by Spark's
+# file listing) and read back by read_table_snapshot: an explicit
+# read-schema makes parquet fill the column with NULL in old files —
+# exactly the ADD-COLUMN NULL-backfill semantics, without touching them.
+_SCHEMA_SIDECAR = "_table_schema.json"
+
+
+def _sidecar_path(table_path: str) -> str:
+    import os
+
+    return os.path.join(table_path, _SCHEMA_SIDECAR)
+
+
+def _write_schema_sidecar(table_path: str, schema) -> None:
+    import os
+
+    tmp = _sidecar_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(schema.json())
+    os.replace(tmp, _sidecar_path(table_path))  # atomic on POSIX
+
+
+def _read_schema_sidecar(table_path: str):
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    p = _sidecar_path(table_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return T.StructType.fromJson(json.load(fh))
+
+
+def read_table_snapshot(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a merge-managed parquet table honoring its schema sidecar, if
+    one exists (written by a partitioned schema-evolving merge): the
+    explicit schema makes partitions whose files predate an added column
+    surface it as NULL. Without a sidecar this is a plain parquet scan."""
+    schema = _read_schema_sidecar(table_path)
+    if schema is None:
+        return spark.read.parquet(table_path)
+    return spark.read.schema(schema).parquet(table_path)
+
+
 def _reject_duplicate_keys(updates: DataFrame, key_cols: list[str]) -> None:
     """One compact job over the (small, CDC-sized) updates batch: group by
     key, keep groups with >1 row, probe emptiness. Replaces the previous
@@ -96,7 +147,7 @@ def merge_parquet(
         from .timetravel import recover_history
 
         recover_history(table_path)  # finish an interrupted archive
-    target = spark.read.parquet(table_path)
+    target = read_table_snapshot(spark, table_path)
     if schema_evolution:
         target = _evolve_target(target, updates, delete_col)
     upd = _resolve_updates(target, updates, key_cols, delete_col)
@@ -290,7 +341,7 @@ def scd2_apply(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     restore_snapshot(table_path)
-    target = spark.read.parquet(table_path)
+    target = read_table_snapshot(spark, table_path)
     snapshot, obs = _scd2_snapshot(
         target, updates, key_cols, ts_col, valid_from, valid_to,
         broadcast_updates,
@@ -454,6 +505,7 @@ def merge_parquet_partitioned(
     delete_col: str | None = None,
     broadcast_updates: bool = True,
     max_touched_partitions: int = 10_000,
+    schema_evolution: bool = False,
 ) -> int:
     """Partition-pruned MERGE: rewrite ONLY the partitions the updates
     touch — the scale path the module docstring promises. At a 100 TB
@@ -483,13 +535,31 @@ def merge_parquet_partitioned(
     atomicity needs a transactional table format (Delta/Iceberg), which
     plain parquet cannot express. Returns the number of partitions
     rewritten.
+
+    ``schema_evolution``: same strictly-additive ADD-COLUMN semantics as
+    ``merge_parquet`` — but only TOUCHED partitions are rewritten with
+    the new column; untouched partition dirs stay byte-identical (their
+    old footers lack the column), and the table-level schema is recorded
+    in a ``_table_schema.json`` sidecar that ``read_table_snapshot``
+    (used by every reader/writer in this module) feeds to the parquet
+    reader as an explicit schema, surfacing the column as NULL in
+    pre-evolution files. A new partition column can never be added this
+    way (``partition_by`` ⊆ ``key_cols`` ⊆ existing schema). Crash
+    honesty: the sidecar is written AFTER the dir reconcile — a crash
+    between leaves the table consistently readable at the OLD schema
+    (the sidecar, or plain footers, still agree); re-running the merge
+    completes the evolution.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     _validate_pruned_partitioning(key_cols, partition_by)
     _require_hive_layout(table_path)
     _restore_partition_swaps(table_path)
-    full = spark.read.parquet(table_path)
+    full = read_table_snapshot(spark, table_path)
+    base_cols = set(full.columns)
+    if schema_evolution:
+        full = _evolve_target(full, updates, delete_col)
+    evolved = set(full.columns) != base_cols
     upd = _resolve_updates(full, updates, key_cols, delete_col)
 
     pred = _touched_predicate(upd, partition_by, max_touched_partitions)
@@ -502,7 +572,13 @@ def merge_parquet_partitioned(
     tmp_root = f"{table_path.rstrip('/')}__pmerge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
     _invalidate_foreign_scan_caches(table_path)
-    return _reconcile_partition_dirs(table_path, tmp_root, existing)
+    n = _reconcile_partition_dirs(table_path, tmp_root, existing)
+    if evolved:
+        # the batch actually added columns: record the table-level schema
+        # (partition columns ride at their read positions) so untouched
+        # dirs' readers see the new columns as NULL
+        _write_schema_sidecar(table_path, full.schema)
+    return n
 
 
 def _validate_pruned_partitioning(
@@ -665,7 +741,7 @@ def scd2_apply_partitioned(
     _validate_pruned_partitioning(key_cols, partition_by)
     _require_hive_layout(table_path)
     _restore_partition_swaps(table_path)
-    full = spark.read.parquet(table_path)
+    full = read_table_snapshot(spark, table_path)
     missing = set(partition_by) - set(updates.columns)
     if missing:
         raise ValueError(f"updates lack partition columns {sorted(missing)}")

@@ -62,7 +62,11 @@ def read_version(
             f"version {version} not retained at {table_path} "
             f"(have {list_versions(table_path)})"
         )
-    return spark.read.parquet(path)
+    # sidecar-aware: an archived snapshot of a partition-pruned evolved
+    # table carries its _table_schema.json; read it like the live table
+    from .merge import read_table_snapshot
+
+    return read_table_snapshot(spark, path)
 
 
 def _hoist_history(table_path: str, park: str) -> None:
