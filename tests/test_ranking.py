@@ -412,3 +412,128 @@ def test_persist_registry_collision_never_aliases(spark):
         assert reg.persist(a2) is ra
     finally:
         reg.release()
+
+
+def _explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_auto_row_number_branches_bit_identical_and_routed_plan_shape(
+    spark,
+):
+    """auto_row_number: the two branches (single window vs bucketed
+    global rank) are bit-identical on a duplicate-heavy frame, and the
+    routed plan carries NO SinglePartition exchange."""
+    from vectordb_similarity_search_spark.operators.ranking import (
+        auto_row_number,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(id % 37 AS INT) AS k"
+    )
+    small = auto_row_number(df, ["k", "id"], col_name="rn",
+                            max_bytes=1 << 60)
+    big = auto_row_number(df, ["k", "id"], col_name="rn", max_bytes=-1)
+    assert small.schema == big.schema
+    assert (
+        small.orderBy("id").collect() == big.orderBy("id").collect()
+    )
+    assert "SinglePartition" in _explain_str(small)
+    assert "SinglePartition" not in _explain_str(big)
+
+
+def test_global_cumsum_matches_single_window_decimals_and_nulls(spark):
+    """global_cumsum == sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) exactly: decimal widening, NULL values contributing
+    nothing, NULL-prefix staying NULL, descending order."""
+    from pyspark.sql import Window
+
+    from vectordb_similarity_search_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    rows = [
+        (i, None if i % 11 == 0 else round((i * 37 % 100) + 0.25, 2))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double").selectExpr(
+        "id", "CAST(v AS DECIMAL(18,2)) AS v"
+    )
+    for desc in (False, True):
+        order = [F.col("v").desc() if desc else F.col("v").asc(),
+                 F.col("id").asc()]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = df.withColumn("cs", F.sum("v").over(w))
+        got = global_cumsum(
+            df, "v", ["v", "id"], descending=[desc, False], col_name="cs"
+        )
+        assert want.schema == got.schema
+        assert (
+            want.orderBy("id").collect() == got.orderBy("id").collect()
+        )
+        assert "SinglePartition" not in _explain_str(got)
+
+
+def _single_partition_consumers(df) -> list[str]:
+    """The operator consuming each 'Exchange SinglePartition' in the
+    physical plan tree (nearest ancestor line with smaller indent)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*"))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        for j in range(i - 1, -1, -1):
+            if indent(lines[j]) < indent(line):
+                out.append(lines[j].strip(" :+-*"))
+                break
+        else:
+            out.append("<root>")
+    return out
+
+
+def test_dimension_global_plans_route_past_threshold(spark, monkeypatch):
+    """The three dimension-global catalog queries (w_percentile_rank,
+    e_gini_users, r_pareto_revenue) reroute onto the bucketed machinery
+    when the Catalyst estimate exceeds the threshold: in the routed plan
+    NO SinglePartition exchange feeds a Sort/Window (the one-reducer
+    straggler the threshold exists for — the only survivors are 1-row
+    scalar aggregates over P partial rows), and the rows are EXACTLY the
+    default branch's (round-5 VERDICT #6)."""
+    from vectordb_similarity_search_spark.operators import ranking
+    from vectordb_similarity_search_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("w_percentile_rank", "e_gini_users", "r_pareto_revenue"):
+        fn = REGISTRY[name].fn
+        base = fn(spark, sf)
+        want = base.orderBy(*base.columns).collect()
+        # the default branch DOES single-reduce a window (documented
+        # dimension≪facts trade) …
+        assert any(
+            "Sort" in c or "Window" in c
+            for c in _single_partition_consumers(base)
+        ), name
+        monkeypatch.setattr(ranking, "DIMENSION_WINDOW_MAX_BYTES", -1)
+        routed = fn(spark, sf)
+        monkeypatch.setattr(
+            ranking, "DIMENSION_WINDOW_MAX_BYTES", 256 << 20
+        )
+        # … the routed branch never does: only final scalar aggregates
+        for consumer in _single_partition_consumers(routed):
+            assert "Aggregate" in consumer, (name, consumer)
+        got = routed.orderBy(*routed.columns).collect()
+        assert want == got, name
+        # names+types must agree (nullability may differ: literal
+        # fallbacks in the routed arithmetic are provably non-null)
+        assert [(f.name, f.dataType) for f in base.schema] == [
+            (f.name, f.dataType) for f in routed.schema
+        ], name

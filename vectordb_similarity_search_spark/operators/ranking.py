@@ -418,3 +418,161 @@ def write_training_shards(
     with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
         json.dump(sidecar, fh, indent=1)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Auto-routed dimension-global windows (round-5 VERDICT #6). An ORDER BY
+# window with no PARTITION BY plans a SinglePartition sort exchange — the
+# right plan while the frame is a per-entity AGGREGATE far smaller than the
+# fact table, a one-reducer straggler once the dimension itself is huge
+# (billions of users/customers at 100 TB). The auto_* forms keep the plain
+# single-window plan below a Catalyst size estimate and transparently
+# reroute onto the bucketed global machinery past it; both branches are
+# bit-identical under a TOTAL order (pinned in tests/test_ranking.py).
+# ---------------------------------------------------------------------------
+DIMENSION_WINDOW_MAX_BYTES = 256 << 20
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the frame's optimized plan — a
+    pure driver-side statistic (scan file sizes propagated through
+    operator heuristics; no Spark job runs)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def _order_cols(keys: list[str], descending: list[bool] | None) -> list[Column]:
+    desc = descending or [False] * len(keys)
+    if len(desc) != len(keys):
+        raise ValueError("descending must match keys length")
+    return [
+        F.col(k).desc() if d else F.col(k).asc() for k, d in zip(keys, desc)
+    ]
+
+
+def auto_row_number(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    col_name: str = "rn",
+    buckets: int = 32,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """1-based global row_number under the total order ``keys``/
+    ``descending`` (LongType in both branches): the plain single-window
+    plan below the size estimate, :func:`global_row_number` past it."""
+    limit = DIMENSION_WINDOW_MAX_BYTES if max_bytes is None else max_bytes
+    if estimated_plan_bytes(df) <= limit:
+        w = Window.orderBy(*_order_cols(keys, descending))
+        return df.withColumn(col_name, F.row_number().over(w).cast("long"))
+    return global_row_number(
+        df, keys, descending=descending, buckets=buckets, col_name=col_name
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    buckets: int = 32,
+    col_name: str = "cumsum",
+) -> DataFrame:
+    """Running ``sum(value_col)`` under the total order ``keys`` —
+    identical to ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    but without its SinglePartition exchange: the same quantile-bucket
+    scheme as :func:`global_row_number`, with per-bucket SUM offsets
+    (collected P rows, exact Decimal/int arithmetic) added to a
+    within-bucket running sum."""
+    if not keys:
+        raise ValueError("keys must name at least one order column")
+    desc = descending or [False] * len(keys)
+    k0 = F.col(keys[0])
+
+    fracs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(keys[0], fracs, 10_000).alias("q")
+    ).first()
+    bounds = sorted(set(row["q"] or []), reverse=desc[0])
+
+    def _bucket_of() -> Column:
+        nonnull = (
+            F.lit(0) if not bounds
+            else _bucket_expr(k0, bounds, descending=desc[0])
+        )
+        null_bucket = F.lit(len(bounds)) if desc[0] else F.lit(-1)
+        return F.when(k0.isNull(), null_bucket).otherwise(nonnull)
+
+    sums = {
+        r["_gcs_bucket"]: r["s"]
+        for r in df.withColumn("_gcs_bucket", _bucket_of())
+        .groupBy("_gcs_bucket")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, None
+    for b in sorted(sums):
+        offsets[b] = acc
+        s = sums[b]  # None when every value in the bucket is NULL
+        if s is not None:
+            acc = s if acc is None else acc + s
+
+    bucketed = df.withColumn("_gcs_bucket", _bucket_of())
+    # exact literals (Decimal stays Decimal, int stays int); buckets with
+    # no predecessor add nothing
+    nonnull_offsets = {b: v for b, v in offsets.items() if v is not None}
+    if nonnull_offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for bo in nonnull_offsets.items() for x in bo]
+        )
+        offset = F.element_at(off_map, F.col("_gcs_bucket"))
+    else:
+        offset = F.lit(None)
+    w = Window.partitionBy("_gcs_bucket").orderBy(
+        *_order_cols(keys, descending)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(value_col).over(w)
+    # SQL running-sum NULL semantics: NULL values contribute nothing, and
+    # the result is NULL only while NO non-null value has been seen yet —
+    # across buckets too (running NULL + non-null offset = the offset)
+    out = bucketed.withColumn(
+        col_name,
+        F.when(offset.isNull(), running)
+        .when(running.isNull(), offset)
+        .otherwise(running + offset),
+    ).drop("_gcs_bucket")
+    # match the single-window result type exactly (sum over decimal(p,s)
+    # widens to decimal(p+10,s); running + offset widens once more)
+    want = df.select(
+        F.sum(value_col).over(
+            Window.orderBy(*_order_cols(keys, descending)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("_t")
+    ).schema["_t"].dataType
+    return out.withColumn(col_name, F.col(col_name).cast(want))
+
+
+def auto_cumsum(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    *,
+    descending: list[bool] | None = None,
+    col_name: str = "cumsum",
+    buckets: int = 32,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Running sum under a total order: plain single-window plan below
+    the size estimate, :func:`global_cumsum` past it."""
+    limit = DIMENSION_WINDOW_MAX_BYTES if max_bytes is None else max_bytes
+    if estimated_plan_bytes(df) <= limit:
+        w = Window.orderBy(*_order_cols(keys, descending)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(col_name, F.sum(value_col).over(w))
+    return global_cumsum(
+        df, value_col, keys,
+        descending=descending, buckets=buckets, col_name=col_name,
+    )

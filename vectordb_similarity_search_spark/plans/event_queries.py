@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import ranking
 from .catalog import query, t
 
 DEC = "decimal(18,2)"
@@ -980,14 +981,32 @@ def e_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is the grouped count."""
     e = t(spark, sf_dir, "events")
     per = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    w = Window.orderBy("n_events", "user_id")
-    wall = Window.partitionBy()
-    ranked = per.select(
-        "n_events",
-        F.row_number().over(w).cast("long").alias("i"),
-        F.count("*").over(wall).cast("long").alias("n"),
-        F.sum("n_events").over(wall).cast("long").alias("tot"),
-    )
+    if (
+        ranking.estimated_plan_bytes(per)
+        <= ranking.DIMENSION_WINDOW_MAX_BYTES
+    ):
+        w = Window.orderBy("n_events", "user_id")
+        wall = Window.partitionBy()
+        ranked = per.select(
+            "n_events",
+            F.row_number().over(w).cast("long").alias("i"),
+            F.count("*").over(wall).cast("long").alias("n"),
+            F.sum("n_events").over(wall).cast("long").alias("tot"),
+        )
+    else:
+        # routed past the dimension threshold: bucketed global rank + a
+        # 1-row broadcast scalar join for (n, tot) — no SinglePartition
+        # exchange anywhere (twin-parity pinned in tests/test_ranking.py)
+        ranked = ranking.auto_row_number(
+            per, ["n_events", "user_id"], col_name="i", max_bytes=-1
+        ).crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("n_events").cast("long").alias("tot"),
+                )
+            )
+        ).select("n_events", "i", "n", "tot")
     n_d = F.max("n").cast("double")
     tot_d = F.max("tot").cast("double")
     gini = (

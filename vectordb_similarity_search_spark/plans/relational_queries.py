@@ -1582,22 +1582,49 @@ def r_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented past-single-reducer path, as in r_rfm_segments)."""
     from pyspark.sql import Window
 
+    from ..operators import ranking
+
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
     order = [F.col("spend").desc(), F.col("o_custkey").asc()]
-    wall = Window.partitionBy()
-    wcum = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per.select(
-        "spend",
-        F.row_number().over(Window.orderBy(*order)).cast("long").alias("r"),
-        F.count("*").over(wall).cast("long").alias("n"),
-        F.sum("spend").over(wall).alias("total_spend"),
-        F.sum("spend").over(wcum).alias("cum_spend"),
-    )
+    if (
+        ranking.estimated_plan_bytes(per)
+        <= ranking.DIMENSION_WINDOW_MAX_BYTES
+    ):
+        wall = Window.partitionBy()
+        wcum = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = per.select(
+            "spend",
+            F.row_number().over(Window.orderBy(*order)).cast("long")
+            .alias("r"),
+            F.count("*").over(wall).cast("long").alias("n"),
+            F.sum("spend").over(wall).alias("total_spend"),
+            F.sum("spend").over(wcum).alias("cum_spend"),
+        )
+    else:
+        # routed past the dimension threshold: bucketed global rank AND
+        # bucketed exact cumulative sum (same decimal widening as the
+        # single-window form), scalars via a 1-row broadcast join — no
+        # SinglePartition exchange (parity pinned in tests/test_ranking.py)
+        keys, desc = ["spend", "o_custkey"], [True, False]
+        routed = ranking.auto_row_number(
+            per, keys, descending=desc, col_name="r", max_bytes=-1
+        )
+        routed = ranking.global_cumsum(
+            routed, "spend", keys, descending=desc, col_name="cum_spend"
+        )
+        ranked = routed.crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("spend").alias("total_spend"),
+                )
+            )
+        ).select("spend", "r", "n", "total_spend", "cum_spend")
     tiers = ranked.crossJoin(
         F.broadcast(
             spark.createDataFrame([(1,), (10,), (20,)], "pct: int")
