@@ -36,7 +36,7 @@ FIXTURE_QUERIES = [
     "v_index_stats", "s_sample_weighted", "t_bpe_apply",
     "t_mixture_sample", "v_recall_matrix", "m_phash_neardup",
     "d_banding_curve", "r_pagerank", "m_audio_energy", "r_als_recs",
-    "m_scene_detect", "v_adaptive_knn",
+    "m_scene_detect", "v_adaptive_knn", "e_stream_audit",
 ]
 
 

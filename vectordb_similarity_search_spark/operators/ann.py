@@ -560,6 +560,112 @@ def ivf_compact(
     return True
 
 
+def ivf_cell_balance(
+    spark,
+    path: str,
+    model: IvfModel,
+    *,
+    cell_col: str = "cell",
+    id_col: str = "vec_id",
+) -> dict:
+    """Balance diagnostic over the LIVE rows of a written IVF index (the
+    driver-side twin of the v_index_stats query): per-cell counts, the
+    hottest cell's ratio to the ideal even share (1.0 = perfectly
+    balanced), and the starved-cell count. One cell-grouped count job —
+    the group key is the partition-metadata column, so the scan lists
+    files without reading vector bytes."""
+    df = _apply_tombstones(spark, path, _index_scan(spark, path), id_col)
+    counts = {
+        r[cell_col]: r["n"]
+        for r in df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_cells = len(model.centers)
+    total = sum(counts.values())
+    ideal = total / n_cells if n_cells and total else 0.0
+    return {
+        "total_rows": total,
+        "n_cells": n_cells,
+        "max_cell_ratio": (max(counts.values()) / ideal) if ideal else 0.0,
+        "empty_cells": n_cells - len(counts),
+        "counts": counts,
+    }
+
+
+def ivf_maintain(
+    spark,
+    path: str,
+    model: IvfModel,
+    *,
+    rebalance_ratio: float = 3.0,
+    target_rows_per_file: int = 1_000_000,
+    cell_col: str = "cell",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[IvfModel, dict]:
+    """Maintenance pass with a drift trigger (round-5 VERDICT #7):
+    measure cell balance, then either
+
+    - plain :func:`ivf_compact` when the hottest cell is within
+      ``rebalance_ratio`` × the ideal even share (frozen centroids are
+      still a good partitioner — standard IVF practice), or
+    - RE-CLUSTER when drifted appends have blown past it: refit k-means
+      on the live rows (same ``n_cells``/seed discipline as
+      :func:`ivf_fit`), reassign, and rewrite the index under the same
+      recoverable snapshot swap as compact (tombstones retired with the
+      old snapshot).
+
+    Returns ``(model, report)`` — the SAME model object after a plain
+    compact, a NEW model after a re-cluster (callers must route
+    subsequent probes through it: the old assignment function no longer
+    matches the store). ``report`` is the pre-maintenance balance dict
+    plus an ``action`` key (``none`` / ``compact`` / ``recluster``).
+
+    Scale shape: the trigger is one metadata-column count job; a
+    re-cluster costs one k-means fit + one index rewrite — the same
+    O(index) as the offline refit it replaces, now fired by a measured
+    threshold instead of a calendar guess.
+    """
+    if rebalance_ratio < 1.0:
+        raise ValueError(f"rebalance_ratio must be >= 1, got {rebalance_ratio}")
+    report = ivf_cell_balance(
+        spark, path, model, cell_col=cell_col, id_col=id_col
+    )
+    if report["total_rows"] == 0:
+        return model, {**report, "action": "none"}
+    if report["max_cell_ratio"] <= rebalance_ratio:
+        did = ivf_compact(
+            spark, path,
+            cell_col=cell_col, id_col=id_col,
+            target_rows_per_file=target_rows_per_file,
+        )
+        return model, {**report, "action": "compact" if did else "none"}
+
+    import uuid
+
+    from ..util import restore_snapshot, swap_snapshot
+
+    restore_snapshot(path)
+    live = _apply_tombstones(
+        spark, path, _index_scan(spark, path), id_col
+    ).drop(cell_col)
+    new_model = ivf_fit(
+        live,
+        vec_col=model.vec_col,
+        n_cells=len(model.centers),
+        seed=seed,
+        max_iter=max_iter,
+    )
+    tmp = f"{path.rstrip('/')}__recluster_{uuid.uuid4().hex[:8]}"
+    new_model.assign(live, cell_col).write.partitionBy(cell_col).mode(
+        "overwrite"
+    ).parquet(tmp)
+    swap_snapshot(path, tmp)
+    _invalidate_index_scans(path)
+    _invalidate_index_scans(_tombstone_dir(path))
+    return new_model, {**report, "action": "recluster"}
+
+
 def ivfpq_write_index(
     ivf_model: IvfModel,
     pq_model,

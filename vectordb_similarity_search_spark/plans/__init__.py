@@ -75,14 +75,15 @@ DRIVER_WINDOW = [
     "r_range_join",
     "t_ngram_jaccard_pairs",
     "r_intersect_except",
-    "r_date_funcs2",
+    "e_stream_audit",
 ]
 
 # Past the driver's cap — every query here is re-verified on every test
 # run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
-    # --- ROUND-7 spill: stale r2 row displaced by the 50-slot cap -------
+    # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
+    "r_date_funcs2",
     # --- round-5 window (all green in CORRECTNESS_r05) -------------------
     "d_ppjoin_pairs",
     "d_novelty_curve",

@@ -1857,3 +1857,98 @@ def v_adaptive_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.lit(int(nprobe_used)).cast("int").alias("nprobe_used"),
     )
+
+
+def _stream_audit_targets(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str]]:
+    """Build-once/audit-many exactly-once ingest scenario for
+    ``e_stream_audit``: deterministic micro-batches of the fixture tables
+    applied through the PRODUCTION batch-apply functions the streaming
+    sinks use (streaming/events.apply_rollup_batch,
+    streaming/vectors.apply_vector_batch), including one REPLAY of an
+    already-committed batch per target (the at-least-once delivery case
+    the ledgers exist for — it must be a no-op in both the ledger and the
+    table). Memoized under the system tmp dir like _ivf_index_for; the
+    DONE marker commits the workspace atomically."""
+    import shutil
+
+    from ..streaming.events import apply_rollup_batch
+    from ..streaming.vectors import apply_vector_batch
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|audit1|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"vss_streamaudit_{key}")
+    rollup_path = os.path.join(base, "rollup")
+    index_path = os.path.join(base, "vecidx")
+    targets = [("rollup_hourly", rollup_path), ("vector_index", index_path)]
+    done = os.path.join(base, "_DONE")
+    if os.path.exists(done):
+        return targets
+    shutil.rmtree(base, ignore_errors=True)  # half-built: rebuild
+    os.makedirs(base, exist_ok=True)
+
+    # rollup target: 3 content-hash micro-batches + a replay of batch 1
+    events = t(spark, sf_dir, "events")
+    batches = [
+        events.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == b)
+        for b in range(3)
+    ]
+    for b, batch in enumerate(batches):
+        assert apply_rollup_batch(batch, b, rollup_path) is True
+    assert apply_rollup_batch(batches[1], 1, rollup_path) is False  # replay
+
+    # vector-ingest target: 2 insert batches + 1 tombstone batch + replay
+    model, _ = _ivf_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    ins = [
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == b).withColumn(
+            "_del", F.lit(False)
+        )
+        for b in range(2)
+    ]
+    dels = emb.filter(F.col("vec_id") < 5).withColumn("_del", F.lit(True))
+    assert apply_vector_batch(ins[0], 0, model, index_path,
+                              delete_col="_del") is True
+    assert apply_vector_batch(ins[1], 1, model, index_path,
+                              delete_col="_del") is True
+    assert apply_vector_batch(dels, 2, model, index_path,
+                              delete_col="_del") is True
+    assert apply_vector_batch(ins[0], 0, model, index_path,
+                              delete_col="_del") is False  # replay
+
+    with open(done + ".tmp", "w"):
+        pass
+    os.replace(done + ".tmp", done)
+    return targets
+
+
+@query(
+    "e_stream_audit",
+    oracle=_expected_oracle("e_stream_audit", sf_bound=True),
+)
+def e_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest audit (the ops-observability twin of
+    v_index_stats, round-5 VERDICT #8): per streaming-maintained target,
+    the applied-batch LEDGER state — batches committed, id range,
+    contiguity — next to the live table row count, over a deterministic
+    scenario that drives the PRODUCTION foreachBatch apply paths
+    (streaming/events.py:apply_rollup_batch,
+    streaming/vectors.py:apply_vector_batch) including one at-least-once
+    REPLAY per target. The replay must leave no trace: batch counts stay
+    3, ids stay contiguous, and row counts show no double-merge /
+    duplicate append.
+
+    The reference has no durable ingest at all (in-memory dicts,
+    similarity_search.py:268-271); this is engine-extension surface.
+    Oracle: expected-parquet (the scenario is a pure content function of
+    the fixture tables). Scale: ledger parsing is a driver-side listdir
+    of one marker per micro-batch; the only jobs are one bounded count
+    per audited target."""
+    from ..streaming.audit import ledger_audit
+
+    targets = _stream_audit_targets(spark, sf_dir)
+    return ledger_audit(spark, targets).orderBy("target")

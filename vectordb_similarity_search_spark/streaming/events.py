@@ -280,26 +280,37 @@ def rollup_ingest_stream(
     one batch on restart; closing it needs a transactional table format
     (Delta/Iceberg commit protocols), which plain parquet cannot express.
     """
-    import os
-
-    from ..operators.rollup import upsert_rollup
-
-    ledger = f"{rollup_path.rstrip('/')}__applied"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
-            return  # replayed batch: already merged
-        upsert_rollup(batch_df.sparkSession, rollup_path, batch_df)
-        os.makedirs(ledger, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        apply_rollup_batch(batch_df, batch_id, rollup_path)
 
     return (
         events.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def apply_rollup_batch(
+    batch_df: DataFrame, batch_id: int, rollup_path: str
+) -> bool:
+    """The exactly-once micro-batch apply behind
+    :func:`rollup_ingest_stream` (module-level so replay/audit tooling
+    exercises the PRODUCTION apply path). Returns True if the batch was
+    merged, False if the ledger marked it as a replay."""
+    import os
+
+    from ..operators.rollup import upsert_rollup
+
+    ledger = f"{rollup_path.rstrip('/')}__applied"
+    marker = os.path.join(ledger, str(batch_id))
+    if os.path.exists(marker):
+        return False  # replayed batch: already merged
+    upsert_rollup(batch_df.sparkSession, rollup_path, batch_df)
+    os.makedirs(ledger, exist_ok=True)
+    with open(marker, "w"):
+        pass
+    return True
 
 
 def cdc_merge_stream(

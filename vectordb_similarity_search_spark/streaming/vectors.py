@@ -56,54 +56,77 @@ def vector_ingest_stream(
     needs a transactional table format). The ledger lives OUTSIDE the
     index directory so compaction's snapshot swap never touches it.
     """
-    ledger = f"{index_path.rstrip('/')}__applied"
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
-            return  # replayed batch: already ingested
-        spark = batch_df.sparkSession
-        batch = batch_df
-        if delete_col is not None:
-            flagged = batch.filter(F.col(delete_col))
-            batch = batch.filter(
-                ~F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col)
-            dead = [r[0] for r in flagged.select(id_col).collect()]
-            if dead:
-                live_ids = {
-                    r[0]
-                    for r in batch.select(id_col)
-                    .filter(F.col(id_col).isin(dead))
-                    .collect()
-                }
-                if live_ids:
-                    raise ValueError(
-                        f"batch {batch_id} both deletes and inserts ids "
-                        f"{sorted(live_ids)[:5]}… — in-place update is not "
-                        "expressible with tombstones; delete, compact, then "
-                        "re-insert"
-                    )
-                ivf_delete(spark, index_path, dead, id_col=id_col)
-        if not batch.isEmpty():
-            ivf_append(model, batch, index_path)
-        # cadence keys off the DURABLE batch_id (monotonic across stream
-        # restarts via the checkpoint), not a process-local counter — a
-        # crash-looping stream must still reach its compactions
-        if compact_every and batch_id % compact_every == compact_every - 1:
-            ivf_compact(
-                spark, index_path, id_col=id_col,
-                target_rows_per_file=target_rows_per_file,
-            )
-        os.makedirs(ledger, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        apply_vector_batch(
+            batch_df, batch_id, model, index_path,
+            id_col=id_col, delete_col=delete_col,
+            compact_every=compact_every,
+            target_rows_per_file=target_rows_per_file,
+        )
 
     return (
         vectors.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def apply_vector_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    model: IvfModel,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    delete_col: str | None = None,
+    compact_every: int | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> bool:
+    """The exactly-once micro-batch apply behind
+    :func:`vector_ingest_stream` (module-level so replay/audit tooling
+    exercises the PRODUCTION apply path, not a replica). Returns True if
+    the batch was applied, False if the ledger marked it as a replay."""
+    ledger = f"{index_path.rstrip('/')}__applied"
+    marker = os.path.join(ledger, str(batch_id))
+    if os.path.exists(marker):
+        return False  # replayed batch: already ingested
+    spark = batch_df.sparkSession
+    batch = batch_df
+    if delete_col is not None:
+        flagged = batch.filter(F.col(delete_col))
+        batch = batch.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        dead = [r[0] for r in flagged.select(id_col).collect()]
+        if dead:
+            live_ids = {
+                r[0]
+                for r in batch.select(id_col)
+                .filter(F.col(id_col).isin(dead))
+                .collect()
+            }
+            if live_ids:
+                raise ValueError(
+                    f"batch {batch_id} both deletes and inserts ids "
+                    f"{sorted(live_ids)[:5]}… — in-place update is not "
+                    "expressible with tombstones; delete, compact, then "
+                    "re-insert"
+                )
+            ivf_delete(spark, index_path, dead, id_col=id_col)
+    if not batch.isEmpty():
+        ivf_append(model, batch, index_path)
+    # cadence keys off the DURABLE batch_id (monotonic across stream
+    # restarts via the checkpoint), not a process-local counter — a
+    # crash-looping stream must still reach its compactions
+    if compact_every and batch_id % compact_every == compact_every - 1:
+        ivf_compact(
+            spark, index_path, id_col=id_col,
+            target_rows_per_file=target_rows_per_file,
+        )
+    os.makedirs(ledger, exist_ok=True)
+    with open(marker, "w"):
+        pass
+    return True
 
 
 def semantic_cache_stream(
