@@ -157,6 +157,10 @@ ANALYTICS = [
     "r_entity_resolution",   # fuzzy pairs -> components -> golden records
     "r_mutual_info",         # MI/NMI from one quantized-ln cell aggregate
     "e_forecast_baseline",   # seasonal-naive backtest, leakage-free MAE
+    # round-6 additions (same rule; unpinned until the next pins refresh)
+    "e_mad_outliers",        # median/MAD robust outlier fences
+    "r_hhi_concentration",   # revenue-concentration HHI per region
+    "e_stream_audit",        # exactly-once ledger observability report
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

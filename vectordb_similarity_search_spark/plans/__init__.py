@@ -73,8 +73,8 @@ DRIVER_WINDOW = [
     "v_centroids",
     "t_token_stats",
     "r_range_join",
-    "t_ngram_jaccard_pairs",
-    "r_intersect_except",
+    "r_hhi_concentration",
+    "e_mad_outliers",
     "e_stream_audit",
 ]
 
@@ -84,6 +84,8 @@ TAIL = [
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",
+    "r_intersect_except",
+    "t_ngram_jaccard_pairs",
     # --- round-5 window (all green in CORRECTNESS_r05) -------------------
     "d_ppjoin_pairs",
     "d_novelty_curve",

@@ -2195,3 +2195,61 @@ def e_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "e_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       (round(max(d.med), 4) + 0) AS median_value,
+       (round(max(m.mad), 4) + 0) AS mad_value,
+       CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def e_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) and the count of values beyond the classic
+    3-sigma-equivalent fence (3 x 1.4826 x MAD) — the outlier screen that
+    survives heavy tails where mean/stddev fences (e_rolling_anomaly's
+    z-scores) are themselves dragged by the outliers.
+
+    Determinism: both engines share the linear-interpolation exact
+    percentile (the r_percentiles precedent) and evaluate the identical
+    fence expression on identical doubles, so the boundary comparison is
+    bit-stable. Exact MAD is inherently two sequential percentile passes
+    (the second operates on deviations from the first's output) — three
+    scans of the fact table total, each reduced by a tiny broadcast
+    per-type frame; no window, no single-reducer anywhere."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    fence = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return fenced.groupBy("event_type").agg(
+        F.round(F.max("med"), 4).alias("median_value"),
+        F.round(F.max("mad"), 4).alias("mad_value"),
+        F.sum(F.when(F.col("adev") > fence, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.count("*").cast("long").alias("n_events"),
+    )

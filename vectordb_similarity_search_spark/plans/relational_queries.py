@@ -2441,3 +2441,65 @@ def r_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h_nat, 6).alias("h_nation"),
         F.round(mi / F.least(h_seg, h_nat), 6).alias("nmi"),
     )
+
+
+@query(
+    "r_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+tot AS (SELECT region, sum(revenue) AS total FROM rev GROUP BY 1)
+SELECT rev.region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       (round(sum((CAST(rev.revenue AS DOUBLE) / CAST(t.total AS DOUBLE))
+                  * (CAST(rev.revenue AS DOUBLE) / CAST(t.total AS DOUBLE)))
+              * 10000, 4) + 0) AS hhi
+FROM rev JOIN tot t ON rev.region = t.region
+GROUP BY rev.region
+""",
+)
+def r_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of order revenue across
+    nations within each region (sum of squared market shares x 10000 —
+    the antitrust-style "is this market dominated by few players" readout
+    next to r_pareto_revenue's top-k shares and e_gini_users'
+    coefficient).
+
+    Scale shape: ONE shuffle (orders ⋈ customer on custkey); nation and
+    region ride as broadcast joins, per-(region, nation) revenue is an
+    exact DECIMAL aggregate on a 25-row frame, and the total joins back
+    as a broadcast — shares square and sum region-side in doubles over
+    exact operands (5-term sums; round(4) absorbs association order)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    tot = rev.groupBy("region").agg(F.sum("revenue").alias("total"))
+    share = F.col("revenue").cast("double") / F.col("total").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+        )
+    )
