@@ -63,27 +63,59 @@ def ledger_state(target_path: str) -> dict:
     }
 
 
+# One scan plan per (session, table path): spark.read.parquet pays a
+# 1-task footer job per CALL; reusing the immutable lazy plan keeps audit
+# REBUILDS zero-job (the catalog's lazy-build contract,
+# tests/test_lazy_build.py), like sources/tables._SCAN_CACHE.
+_AUDIT_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scan(spark: SparkSession, path: str) -> DataFrame:
+    from ..util import evict_other_apps
+
+    key = (spark.sparkContext.applicationId, path)
+    evict_other_apps(_AUDIT_SCAN_CACHE, key[0])
+    df = _AUDIT_SCAN_CACHE.get(key)
+    if df is None:
+        df = _AUDIT_SCAN_CACHE[key] = spark.read.parquet(path)
+    return df
+
+
 def ledger_audit(
     spark: SparkSession, targets: list[tuple[str, str]]
 ) -> DataFrame:
     """Audit report over ``[(target_name, table_path), ...]``: one row per
     streaming-maintained target with its ledger state and live row count.
-    Row counts run as one count job per target (bounded by the target
-    list — an ops console's cardinality, not data cardinality)."""
-    rows = []
+
+    LAZY: builds a plan, runs nothing. Ledger state is driver-side
+    filesystem metadata (no job — baked as literals, refreshed per
+    build); the row counts execute as one bounded count aggregate per
+    target inside the returned plan (the target list is ops-console
+    cardinality, not data cardinality)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
     for name, path in targets:
         st = ledger_state(path)
-        n_rows = (
-            spark.read.parquet(path).count() if os.path.isdir(path) else 0
-        )
-        rows.append(
-            (
-                name,
-                st["n_batches_applied"],
-                st["first_batch_id"],
-                st["last_batch_id"],
-                st["contiguous"],
-                n_rows,
+        lit_cols = [
+            F.lit(name).alias("target"),
+            F.lit(st["n_batches_applied"]).cast("long")
+            .alias("n_batches_applied"),
+            F.lit(st["first_batch_id"]).cast("long").alias("first_batch_id"),
+            F.lit(st["last_batch_id"]).cast("long").alias("last_batch_id"),
+            F.lit(st["contiguous"]).alias("contiguous"),
+        ]
+        if os.path.isdir(path):
+            cnt = _scan(spark, path).groupBy().agg(
+                F.count(F.lit(1)).cast("long").alias("table_rows")
             )
-        )
-    return spark.createDataFrame(rows, AUDIT_SCHEMA)
+        else:
+            cnt = spark.range(1).select(
+                F.lit(0).cast("long").alias("table_rows")
+            )
+        parts.append(cnt.select(*lit_cols, F.col("table_rows")))
+    if not parts:
+        return spark.createDataFrame([], AUDIT_SCHEMA)
+    return reduce(lambda a, b: a.unionByName(b), parts)
