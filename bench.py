@@ -108,6 +108,9 @@ ANN = [
     "v_knn_graph",           # mutual kNN graph build (block-grid top-k)
     "t_hashtf_knn",          # hashed-TF lexical vector search
     "v_adaptive_knn",        # escalating-nprobe filtered serving loop
+                             # (memoized result frame: the 0.09 s pin
+                             # measures cached-escalation serving, not a
+                             # cold probe — labeled per round-5 verdict)
 ]
 
 # Fifth group (round-4 seventh session): the product-analytics surface —
