@@ -348,6 +348,32 @@ def test_ivf_maintain_compacts_when_balanced_and_reclusters_on_drift(
     assert len(got) == 3 and all(r.vec_id != 0 for r in got)
 
 
+def test_ivf_maintain_recovers_crashed_swap_on_entry(spark, tmp_path):
+    """A compact/recluster that crashed inside swap_snapshot's window
+    leaves the index parked at <path>__old_* with <path> missing.
+    ivf_maintain must restore ON ENTRY (like ivf_compact does) — its
+    balance measurement scans the index before any recovery deeper in the
+    recluster branch could run."""
+    from vectordb_similarity_search_spark.operators import ann
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    model = ann.ivf_fit(emb, n_cells=4, seed=2)
+    path = str(tmp_path / "crash_idx")
+    ann.ivf_write_index(model, emb, path)
+    # simulate the crash window: snapshot parked, live path missing
+    os.rename(path, path + "__old_deadbeef")
+    ann._invalidate_index_scans(path)
+    got_model, rep = ann.ivf_maintain(spark, path, model,
+                                      rebalance_ratio=1000.0)
+    assert rep["total_rows"] == 60  # restored, then measured
+    assert got_model is model
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + "__old_deadbeef")
+
+
 def test_ivf_maintain_validation(spark, tmp_path):
     import pytest as _pytest
 

@@ -831,6 +831,57 @@ def test_pruned_merge_schema_evolution_sidecar_null_backfill(
     assert [f.name for f in sch if f.name == "region"] == ["region"]
 
 
+def test_pruned_merge_evolution_crash_before_reconcile_is_rerunnable(
+    spark, tmp_path, monkeypatch
+):
+    """The sidecar is written BEFORE the dir reconcile: a crash between
+    the two leaves the table readable at the NEW schema (column NULL
+    everywhere — no data dir changed yet) and a RE-RUN completes the
+    merge. The reverse order was unrepairable: mixed footers with no
+    sidecar read nondeterministically, and the re-run saw the column as
+    pre-existing so the sidecar was never written."""
+    import os
+
+    from vectordb_similarity_search_spark.operators import merge as M
+
+    path = _part_table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, "v3_new", 0, "eu")], "k int, v string, bucket int, region string"
+    )
+
+    real = M._reconcile_partition_dirs
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before reconcile")
+
+    monkeypatch.setattr(M, "_reconcile_partition_dirs", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        M.merge_parquet_partitioned(
+            spark, path, updates, ["k", "bucket"], ["bucket"],
+            schema_evolution=True,
+        )
+    # crash state: sidecar committed, no data dir touched — the table is
+    # consistently readable at the new schema with region NULL everywhere
+    assert os.path.exists(os.path.join(path, "_table_schema.json"))
+    crash_rows = M.read_table_snapshot(spark, path).collect()
+    assert all(r.region is None for r in crash_rows)
+    assert {(r.k, r.v) for r in crash_rows if r.k == 3} == {(3, "v3")}
+
+    # the re-run completes the evolution (column now pre-exists via the
+    # sidecar: evolved=False, but the data merge still lands)
+    monkeypatch.setattr(M, "_reconcile_partition_dirs", real)
+    n = M.merge_parquet_partitioned(
+        spark, path, updates, ["k", "bucket"], ["bucket"],
+        schema_evolution=True,
+    )
+    assert n == 1
+    got = {
+        (r.k, r.v, r.region)
+        for r in M.read_table_snapshot(spark, path).collect()
+    }
+    assert (3, "v3_new", "eu") in got
+
+
 def test_pruned_merge_evolved_table_merges_again_without_new_columns(
     spark, tmp_path
 ):

@@ -414,6 +414,73 @@ def test_persist_registry_collision_never_aliases(spark):
         reg.release()
 
 
+def test_persist_registry_discard_removes_one_entry(spark):
+    """discard() (the ann serving-loop hook): deregisters + unpersists
+    exactly the given frame, leaves other registrations alone, and is a
+    safe no-op on frames that were never registered."""
+    from vectordb_similarity_search_spark.util import PersistRegistry
+
+    reg = PersistRegistry()
+    a = spark.range(10).selectExpr("id AS k")
+    b = spark.range(20).selectExpr("id AS k")
+    try:
+        ra, rb = reg.persist(a), reg.persist(b)
+        assert len(reg) == 2
+        assert reg.discard(ra) is True
+        assert len(reg) == 1
+        assert ra.storageLevel.useMemory is False  # actually unpersisted
+        # the survivor is still registered: rebuild reuses its handle
+        assert reg.persist(spark.range(20).selectExpr("id AS k")) is rb
+        # unregistered frame: no-op False
+        assert reg.discard(spark.range(5)) is False
+        # a discarded frame can be re-registered
+        assert reg.persist(a) is ra
+        assert len(reg) == 2
+    finally:
+        reg.release()
+
+
+def test_adaptive_probe_interim_rounds_leave_registry(spark, tmp_path):
+    """ivf_search_until_k registers ONLY the terminal round's frame in the
+    serving registry: interim (insufficient-k) rounds are discarded, and a
+    repeated identical call reuses the registered handle instead of
+    appending — the registry stays bounded across serving loops."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.ann import (
+        _PERSISTED_SERVE,
+        ivf_fit,
+        ivf_search_until_k,
+        ivf_write_index,
+        release_ann_caches,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), 1.0], i % 4)
+         for i in range(160)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    model = ivf_fit(emb, n_cells=8, seed=3)
+    idx = str(tmp_path / "adaptidx")
+    ivf_write_index(model, emb, idx)
+    release_ann_caches()
+    try:
+        res, nprobe = ivf_search_until_k(
+            spark, idx, model, [0.0, 1.0, 1.0], k=25,
+            start_nprobe=1, predicate=F.col("label") == 1,
+        )
+        assert nprobe > 1  # the filter forces at least one escalation
+        assert len(_PERSISTED_SERVE) == 1  # interim rounds discarded
+        res2, nprobe2 = ivf_search_until_k(
+            spark, idx, model, [0.0, 1.0, 1.0], k=25,
+            start_nprobe=1, predicate=F.col("label") == 1,
+        )
+        assert nprobe2 == nprobe
+        assert len(_PERSISTED_SERVE) == 1  # reused, not re-appended
+    finally:
+        release_ann_caches()
+
+
 def _explain_str(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

@@ -1002,6 +1002,44 @@ def test_batch_apply_replay_leaves_no_trace(spark, tmp_path):
                                 ("vecidx", 2, True, 40)]
 
 
+def test_ledger_audit_tracks_live_target_mutations(spark, tmp_path):
+    """An audit is an OPS query over LIVE targets: a batch applied between
+    two audits must show up in the second one. The cached scan plan pins a
+    parquet file listing; before the state-fingerprinted cache key, the
+    second audit reused the first plan — reading files a snapshot swap had
+    deleted (FileNotFound) or silently undercounting appends."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.streaming.audit import (
+        ledger_audit,
+    )
+    from vectordb_similarity_search_spark.streaming.events import (
+        apply_rollup_batch,
+    )
+
+    rollup = str(tmp_path / "rollup_live")
+    # batch 0 covers hours 0-3, batch 1 hours 4-7: the second batch ADDS
+    # four new rollup groups, so a stale count (4) is distinguishable
+    events = spark.createDataFrame(
+        [(i, f"2024-02-01 0{(i % 4) + 4 * (i // 20)}:00:00", "view", 1.0)
+         for i in range(40)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert apply_rollup_batch(
+        events.filter(F.col("event_id") < 20), 0, rollup) is True
+    first = ledger_audit(spark, [("rollup", rollup)]).collect()
+    assert first[0].n_batches_applied == 1
+    assert first[0].table_rows == 4
+    # mutate the target: the rollup apply path MERGES via snapshot swap,
+    # so the files the first audit's plan listed no longer exist
+    assert apply_rollup_batch(
+        events.filter(F.col("event_id") >= 20), 1, rollup) is True
+    second = ledger_audit(spark, [("rollup", rollup)]).collect()
+    assert second[0].n_batches_applied == 2
+    assert second[0].contiguous is True
+    assert second[0].table_rows == 8
+
+
 def test_ledger_state_gap_detection(tmp_path):
     """A hole in the applied-batch ids (checkpoint/ledger divergence) is
     surfaced as contiguous=False; foreign files in the ledger dir are

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hyperplane_signature
-from ..util import evict_other_apps
+from ..util import PersistRegistry, evict_other_apps
 from .topk import knn
 
 
@@ -217,23 +217,17 @@ def _invalidate_index_scans(path: str) -> None:
 
 
 # Frames ivf_search_until_k hands back persisted (so the caller's collect
-# does not re-run the terminal probe). Non-memoized serving loops would
-# otherwise leak cached partitions — bench/drive teardowns call
-# release_ann_caches() like the bm25/dedup/ranking registries.
-_PERSISTED_SERVE: list[DataFrame] = []
+# does not re-run the terminal probe) — the shared app-scoped
+# util.PersistRegistry, like the bm25/dedup/ranking modules: a repeated
+# serving call with the same plan reuses the registered handle instead of
+# appending a new one per call, dead-session entries are swept on insert,
+# and bench/drive teardowns call release_ann_caches().
+_PERSISTED_SERVE = PersistRegistry()
 
 
 def release_ann_caches() -> int:
     """Unpersist every serving frame this module has cached; returns count."""
-    n = 0
-    for frame in _PERSISTED_SERVE:
-        try:
-            frame.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED_SERVE.clear()
-    return n
+    return _PERSISTED_SERVE.release()
 
 
 def ivf_write_index(
@@ -385,19 +379,20 @@ def ivf_search_until_k(
     n_cells = len(model.centers)
     nprobe = min(start_nprobe, n_cells)
     while True:
-        res = ivf_search_index(
+        res = _PERSISTED_SERVE.persist(ivf_search_index(
             spark, path, model, query_vec, k,
             nprobe=nprobe, id_col=id_col, cell_col=cell_col,
             metric=metric, predicate=predicate,
-        ).persist()
+        ))
         # count FIRST so the full-coverage terminal round is materialized
         # too (a bare `nprobe >= n_cells or count()` short-circuits and
         # would hand back an unmaterialized persisted frame)
         n_hits = res.count()
         if nprobe >= n_cells or n_hits >= k:
-            _PERSISTED_SERVE.append(res)
             return res, nprobe
-        res.unpersist()
+        # insufficient round: unpersist AND deregister, or the registry
+        # would grow one dead entry per escalation step
+        _PERSISTED_SERVE.discard(res)
         nprobe = min(nprobe * 2, n_cells)
 
 
@@ -628,6 +623,13 @@ def ivf_maintain(
     """
     if rebalance_ratio < 1.0:
         raise ValueError(f"rebalance_ratio must be >= 1, got {rebalance_ratio}")
+    from ..util import restore_snapshot
+
+    # Recover a crashed swap (compact/recluster) BEFORE measuring: a
+    # parked snapshot means `path` may not exist, and the balance scan
+    # would raise PATH_NOT_FOUND before any restore further down could
+    # run. Same on-entry discipline as ivf_compact.
+    restore_snapshot(path)
     report = ivf_cell_balance(
         spark, path, model, cell_col=cell_col, id_col=id_col
     )
@@ -643,9 +645,8 @@ def ivf_maintain(
 
     import uuid
 
-    from ..util import restore_snapshot, swap_snapshot
+    from ..util import swap_snapshot
 
-    restore_snapshot(path)
     live = _apply_tombstones(
         spark, path, _index_scan(spark, path), id_col
     ).drop(cell_col)

@@ -35,12 +35,15 @@ from ..util import restore_snapshot, swap_snapshot
 
 def _invalidate_foreign_scan_caches(path: str) -> None:
     """Any table this writer rewrites may also be probed through the ANN
-    index-scan cache (operators/ann) — a cached plan pins the old file
-    listing and would read deleted files after the swap. Cheap no-op when
-    the path was never probed."""
+    index-scan cache (operators/ann) or the streaming ledger-audit scan
+    cache (streaming/audit) — a cached plan pins the old file listing and
+    would read deleted files after the swap. Cheap no-op when the path was
+    never probed."""
+    from ..streaming.audit import invalidate_audit_scans
     from .ann import _invalidate_index_scans
 
     _invalidate_index_scans(path)
+    invalidate_audit_scans(path)
 
 
 # Table-level schema sidecar (partitioned evolution). A partitioned
@@ -545,10 +548,14 @@ def merge_parquet_partitioned(
     reader as an explicit schema, surfacing the column as NULL in
     pre-evolution files. A new partition column can never be added this
     way (``partition_by`` ⊆ ``key_cols`` ⊆ existing schema). Crash
-    honesty: the sidecar is written AFTER the dir reconcile — a crash
-    between leaves the table consistently readable at the OLD schema
-    (the sidecar, or plain footers, still agree); re-running the merge
-    completes the evolution.
+    honesty: the sidecar is written BEFORE the dir reconcile — a crash
+    between leaves the table readable at the NEW schema with the column
+    NULL everywhere (no data dir has changed yet), and re-running the
+    merge completes the rewrite. The reverse order would be unrepairable:
+    with some touched dirs already carrying the new column and no
+    sidecar, plain readers pick one footer nondeterministically, and a
+    re-run sees the column as pre-existing (``evolved`` stays False) so
+    the sidecar would never be written.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -572,13 +579,12 @@ def merge_parquet_partitioned(
     tmp_root = f"{table_path.rstrip('/')}__pmerge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
     _invalidate_foreign_scan_caches(table_path)
-    n = _reconcile_partition_dirs(table_path, tmp_root, existing)
     if evolved:
         # the batch actually added columns: record the table-level schema
-        # (partition columns ride at their read positions) so untouched
-        # dirs' readers see the new columns as NULL
+        # (partition columns ride at their read positions) BEFORE any dir
+        # carries mixed footers — see the crash-honesty note above
         _write_schema_sidecar(table_path, full.schema)
-    return n
+    return _reconcile_partition_dirs(table_path, tmp_root, existing)
 
 
 def _validate_pruned_partitioning(

@@ -65,6 +65,19 @@ def release_ranking_caches() -> int:
     return _PERSISTED.release()
 
 
+def persist_dimension_frame(df: DataFrame) -> DataFrame:
+    """Persist (app-scoped, released by :func:`release_ranking_caches`) a
+    dimension aggregate that a ROUTED dimension-global plan is about to
+    consume several times. The bucketed machinery makes multiple passes
+    (rank quantiles, bucket counts, cumsum quantiles/sums, the final plan,
+    scalar aggregates) — without this, each pass re-runs the aggregate's
+    whole subtree from the fact-table scan, and the routed branch only
+    fires when that subtree is HUGE. Spark's CacheManager matches any
+    semantically-equal subplan, so every consumer built over the same
+    aggregate hits the one cache."""
+    return _register_persist(df)
+
+
 def _bucket_expr(key: Column, bounds: list, *, descending: bool) -> Column:
     """0-based bucket index in SORT order: number of quantile bounds the
     row has passed. Equal keys → equal bucket, always.

@@ -81,6 +81,9 @@ DRIVER_WINDOW = [
 # Past the driver's cap — every query here is re-verified on every test
 # run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
+    # --- ROUND-6 late newcomers: first driver rows due in the round-7
+    # window (local-replica green every pytest run meanwhile) -----------
+    "t_kl_divergence",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

@@ -996,9 +996,12 @@ def e_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # routed past the dimension threshold: bucketed global rank + a
         # 1-row broadcast scalar join for (n, tot) — no SinglePartition
-        # exchange anywhere (twin-parity pinned in tests/test_ranking.py)
-        ranked = ranking.auto_row_number(
-            per, ["n_events", "user_id"], col_name="i", max_bytes=-1
+        # exchange anywhere (twin-parity pinned in tests/test_ranking.py).
+        # Persist the aggregate once: the rank passes + the scalar agg
+        # would otherwise each re-run the grouped count from the scan.
+        per = ranking.persist_dimension_frame(per)
+        ranked = ranking.global_row_number(
+            per, ["n_events", "user_id"], col_name="i"
         ).crossJoin(
             F.broadcast(
                 per.agg(

@@ -1876,10 +1876,18 @@ def _stream_audit_targets(
     from ..streaming.events import apply_rollup_batch
     from ..streaming.vectors import apply_vector_batch
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
+    # the scenario consumes BOTH fixture tables — fingerprint both, or a
+    # regenerated embeddings fixture would serve a stale workspace while
+    # the expected-parquet oracle rebuilds from the new data
+    stats = "|".join(
+        f"{s.st_mtime_ns}:{s.st_size}"
+        for s in (
+            os.stat(os.path.join(sf_dir, name))
+            for name in ("events.parquet", "embeddings.parquet")
+        )
+    )
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|audit1|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{os.path.abspath(sf_dir)}|audit1|{stats}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_streamaudit_{key}")
     rollup_path = os.path.join(base, "rollup")
@@ -1897,9 +1905,20 @@ def _stream_audit_targets(
         events.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == b)
         for b in range(3)
     ]
+    # NOT asserts: python -O strips asserts, and these calls ARE the
+    # scenario — stripping them would atomically commit an empty workspace
+    def _applied(expected: bool, actual: bool, what: str) -> None:
+        if actual is not expected:
+            raise RuntimeError(
+                f"stream-audit scenario broke its exactly-once contract: "
+                f"{what} returned {actual}, expected {expected}"
+            )
+
     for b, batch in enumerate(batches):
-        assert apply_rollup_batch(batch, b, rollup_path) is True
-    assert apply_rollup_batch(batches[1], 1, rollup_path) is False  # replay
+        _applied(True, apply_rollup_batch(batch, b, rollup_path),
+                 f"rollup batch {b}")
+    _applied(False, apply_rollup_batch(batches[1], 1, rollup_path),
+             "rollup replay of batch 1")
 
     # vector-ingest target: 2 insert batches + 1 tombstone batch + replay
     model, _ = _ivf_index_for(spark, sf_dir)
@@ -1911,14 +1930,15 @@ def _stream_audit_targets(
         for b in range(2)
     ]
     dels = emb.filter(F.col("vec_id") < 5).withColumn("_del", F.lit(True))
-    assert apply_vector_batch(ins[0], 0, model, index_path,
-                              delete_col="_del") is True
-    assert apply_vector_batch(ins[1], 1, model, index_path,
-                              delete_col="_del") is True
-    assert apply_vector_batch(dels, 2, model, index_path,
-                              delete_col="_del") is True
-    assert apply_vector_batch(ins[0], 0, model, index_path,
-                              delete_col="_del") is False  # replay
+    _applied(True, apply_vector_batch(ins[0], 0, model, index_path,
+                                      delete_col="_del"), "vector batch 0")
+    _applied(True, apply_vector_batch(ins[1], 1, model, index_path,
+                                      delete_col="_del"), "vector batch 1")
+    _applied(True, apply_vector_batch(dels, 2, model, index_path,
+                                      delete_col="_del"), "vector batch 2")
+    _applied(False, apply_vector_batch(ins[0], 0, model, index_path,
+                                       delete_col="_del"),
+             "vector replay of batch 0")
 
     with open(done + ".tmp", "w"):
         pass

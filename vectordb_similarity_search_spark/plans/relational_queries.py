@@ -1609,10 +1609,14 @@ def r_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # routed past the dimension threshold: bucketed global rank AND
         # bucketed exact cumulative sum (same decimal widening as the
         # single-window form), scalars via a 1-row broadcast join — no
-        # SinglePartition exchange (parity pinned in tests/test_ranking.py)
+        # SinglePartition exchange (parity pinned in tests/test_ranking.py).
+        # Persist the aggregate once: rank + cumsum each make two planning
+        # passes, and the scalar agg / final plan scan it again — without
+        # the cache every pass re-runs the grouped sum from the orders scan.
         keys, desc = ["spend", "o_custkey"], [True, False]
-        routed = ranking.auto_row_number(
-            per, keys, descending=desc, col_name="r", max_bytes=-1
+        per = ranking.persist_dimension_frame(per)
+        routed = ranking.global_row_number(
+            per, keys, descending=desc, col_name="r"
         )
         routed = ranking.global_cumsum(
             routed, "spend", keys, descending=desc, col_name="cum_spend"

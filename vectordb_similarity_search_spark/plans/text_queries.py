@@ -2643,3 +2643,86 @@ def t_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unseen_bigram_rate"),
     )
+
+
+@query(
+    "t_kl_divergence",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+j AS (
+  SELECT source, c,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)
+       - CAST(round(ln(CAST(sum(c) OVER (PARTITION BY w) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS dln
+  FROM sc),
+ag AS (
+  SELECT source, sum(c) AS n, count(*) AS vocab, sum(c * dln) AS s
+  FROM j GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       (round(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+              + ln(CAST(sum(n) OVER () AS DOUBLE))
+              - ln(CAST(n AS DOUBLE)), 6) + 0) AS kl_nats
+FROM ag ORDER BY source
+""",
+)
+def t_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(P_source || P_corpus) over unigram
+    token distributions — the mixture-audit probe a curation pipeline
+    runs next to t_domain_mixture (a source whose KL spikes is drifting
+    away from the blend it was weighted for; 0 = indistinguishable from
+    the corpus mixture). No smoothing is needed by construction: every
+    source token is in the corpus, so q(w) > 0 wherever p(w) > 0.
+
+    Identity: KL = (1/n_s)·Σ_w c_sw·(ln c_sw − ln c_w) + ln N − ln n_s
+    (both Σ c_sw = n_s terms folded out), so the only cross-row float
+    work quantizes each vocabulary row's ln to integer millionths BEFORE
+    the sum (t_token_entropy discipline) — exact DECIMAL accumulation,
+    order-independent; the outer ln N / ln n_s are one engine-ln each on
+    exact integers, round-6.
+
+    Scale shape: one (source, token) partial-agg exchange, one token-hash
+    window exchange for the corpus counts (window over the GROUPED frame
+    — never a join back that would re-evaluate the tokenize subtree, the
+    round-4 plan-audit lesson), then a source-sized aggregate; the ln N
+    scalar rides a window over that ~|sources|-row frame."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lnppm = lambda col: (  # noqa: E731 - local expression shorthand
+        F.round(F.log(col.cast("double")) * 1000000, 0).cast("long")
+    )
+    cw = F.sum("c").over(Window.partitionBy("w"))
+    j = sc.select(
+        "source",
+        "c",
+        (lnppm(F.col("c")) - lnppm(cw)).alias("dln"),
+    )
+    ag = j.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("dln").cast("decimal(19,0)")
+        ).alias("s"),
+    )
+    big_n = F.sum("n").over(Window.partitionBy())
+    n_d = F.col("n").cast("double")
+    return ag.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(
+            F.col("s").cast("double") / 1000000.0 / n_d
+            + F.log(big_n.cast("double"))
+            - F.log(n_d),
+            6,
+        ).alias("kl_nats"),
+    ).orderBy("source")

@@ -236,9 +236,12 @@ def w_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # routed: rank from the bucketed machinery, n as a 1-row broadcast
     # scalar; percent_rank/cume_dist replayed exactly ((rn-1)/(n-1),
-    # rn/n under a total order), ntile via the global_ntile formula
-    ranked = ranking.auto_row_number(
-        per, ["spend", "o_custkey"], col_name="_rn", max_bytes=-1
+    # rn/n under a total order), ntile via the global_ntile formula.
+    # Persist the aggregate ONCE: the bucketed passes + the scalar agg
+    # would otherwise each re-run the grouped sum from the orders scan.
+    per = ranking.persist_dimension_frame(per)
+    ranked = ranking.global_row_number(
+        per, ["spend", "o_custkey"], col_name="_rn"
     )
     n_df = per.agg(F.count("*").cast("long").alias("_n"))
     both = ranked.crossJoin(F.broadcast(n_df))

@@ -63,22 +63,60 @@ def ledger_state(target_path: str) -> dict:
     }
 
 
-# One scan plan per (session, table path): spark.read.parquet pays a
-# 1-task footer job per CALL; reusing the immutable lazy plan keeps audit
-# REBUILDS zero-job (the catalog's lazy-build contract,
-# tests/test_lazy_build.py), like sources/tables._SCAN_CACHE.
-_AUDIT_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# One scan plan per (session, table path, ON-DISK STATE): spark.read
+# .parquet pays a 1-task footer job per CALL; reusing the lazy plan keeps
+# audit REBUILDS zero-job (the catalog's lazy-build contract,
+# tests/test_lazy_build.py). Unlike sources/tables._SCAN_CACHE the audited
+# targets are LIVE (streams append / snapshot-swap them between audits), so
+# the key carries a filesystem fingerprint: a cached plan pins the parquet
+# file listing, and reusing it across a swap reads deleted files
+# (FileNotFound) or silently undercounts appended rows. Any mutation bumps
+# the fingerprint (marker files land next to the dir; appends/swaps touch
+# entry mtimes), so the stale plan is evicted on the next build — and
+# foreign writers (merge/compact on an audited path) invalidate explicitly
+# via invalidate_audit_scans.
+_AUDIT_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _scan(spark: SparkSession, path: str) -> DataFrame:
+def _dir_fingerprint(path: str) -> str:
+    """Cheap driver-side mutation fingerprint: top-level entry names +
+    mtimes. A file added/removed inside an immediate partition subdir
+    (``day=.../part-*``, ``cell=.../part-*``) bumps that subdir's mtime; a
+    snapshot swap replaces entries wholesale. Ops-console cardinality —
+    never a Spark job."""
+    parts = []
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat(follow_symlinks=False)
+                parts.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+    except FileNotFoundError:
+        return "<missing>"
+    parts.sort()
+    return "|".join(parts)
+
+
+def _scan(spark: SparkSession, path: str, fingerprint: str) -> DataFrame:
     from ..util import evict_other_apps
 
-    key = (spark.sparkContext.applicationId, path)
+    key = (spark.sparkContext.applicationId, path, fingerprint)
     evict_other_apps(_AUDIT_SCAN_CACHE, key[0])
     df = _AUDIT_SCAN_CACHE.get(key)
     if df is None:
+        # Only the CURRENT state's plan is worth holding: drop superseded
+        # fingerprints so the cache stays one entry per live path.
+        for k in [k for k in _AUDIT_SCAN_CACHE if k[1] == path]:
+            del _AUDIT_SCAN_CACHE[k]
         df = _AUDIT_SCAN_CACHE[key] = spark.read.parquet(path)
     return df
+
+
+def invalidate_audit_scans(path: str) -> None:
+    """Drop cached audit scan plans over ``path`` (writer hook — merge/
+    compact call this via operators.merge._invalidate_foreign_scan_caches
+    when they rewrite a table an audit may have scanned)."""
+    for key in [k for k in _AUDIT_SCAN_CACHE if k[1] == path]:
+        del _AUDIT_SCAN_CACHE[key]
 
 
 def ledger_audit(
@@ -108,7 +146,7 @@ def ledger_audit(
             F.lit(st["contiguous"]).alias("contiguous"),
         ]
         if os.path.isdir(path):
-            cnt = _scan(spark, path).groupBy().agg(
+            cnt = _scan(spark, path, _dir_fingerprint(path)).groupBy().agg(
                 F.count(F.lit(1)).cast("long").alias("table_rows")
             )
         else:

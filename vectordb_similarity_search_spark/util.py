@@ -111,6 +111,24 @@ class PersistRegistry:
         self._frames.setdefault(key, []).append(df)
         return df
 
+    def discard(self, df: DataFrame) -> bool:
+        """Unpersist + deregister ONE frame (matched by Python identity).
+        For serving loops that persist speculative rounds and keep only
+        the terminal one — interim rounds must leave the registry, or it
+        regrows per call. Returns True when the frame was registered."""
+        for key, frames in list(self._frames.items()):
+            for i, frame in enumerate(frames):
+                if frame is df:
+                    frames.pop(i)
+                    if not frames:
+                        del self._frames[key]
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                    return True
+        return False
+
     def release(self) -> int:
         """Unpersist every registered DataFrame; returns count."""
         n = 0
