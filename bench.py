@@ -164,6 +164,9 @@ ANALYTICS = [
     "e_mad_outliers",        # median/MAD robust outlier fences
     "r_hhi_concentration",   # revenue-concentration HHI per region
     "e_stream_audit",        # exactly-once ledger observability report
+    "t_kl_divergence",       # per-source KL drift from the corpus mixture
+    "r_survival_km",         # Kaplan-Meier churn survival curve
+    "r_bootstrap_ci",        # Poisson-bootstrap grouped mean CI
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -84,6 +84,8 @@ TAIL = [
     # --- ROUND-6 late newcomers: first driver rows due in the round-7
     # window (local-replica green every pytest run meanwhile) -----------
     "t_kl_divergence",
+    "r_survival_km",
+    "r_bootstrap_ci",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

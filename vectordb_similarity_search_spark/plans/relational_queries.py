@@ -2507,3 +2507,325 @@ def r_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
         )
     )
+
+
+@query(
+    "r_survival_km",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS first_day,
+         max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS last_day
+  FROM orders GROUP BY o_custkey),
+pairs AS (
+  SELECT first_day, last_day, CAST(count(*) AS BIGINT) AS n_cust
+  FROM per_cust GROUP BY 1, 2),
+spans AS (
+  SELECT CASE WHEN max(last_day) OVER () - last_day >= 365
+              THEN last_day - first_day
+              ELSE max(last_day) OVER () - first_day END AS t,
+         CASE WHEN max(last_day) OVER () - last_day >= 365 THEN 1 ELSE 0
+              END AS churned,
+         n_cust
+  FROM pairs),
+dur AS (
+  SELECT t,
+         CAST(sum(CASE WHEN churned = 1 THEN n_cust ELSE 0 END) AS BIGINT)
+           AS d,
+         CAST(sum(n_cust) AS BIGINT) AS leaving
+  FROM spans GROUP BY t),
+risk AS (
+  SELECT t, d,
+         sum(leaving) OVER () -
+           coalesce(sum(leaving) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM dur),
+km AS (
+  SELECT t, d, n,
+         sum(CASE WHEN d > 0 AND n > d THEN
+               CAST(round(ln(CAST(n - d AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             ELSE 0 END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slog,
+         max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+  FROM risk)
+SELECT CAST(t AS BIGINT) AS duration_days,
+       CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       (CASE WHEN extinct = 1 THEN 0.0
+             ELSE round(exp(CAST(slog AS DOUBLE) / 1000000.0), 6) + 0
+        END) AS survival
+FROM km WHERE d > 0 ORDER BY duration_days
+""",
+)
+def r_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (product-limit
+    estimator, the standard right-censored churn readout): a customer is
+    CHURNED once order-inactive for >= 365 days before the observation
+    end (corpus max order day), with lifetime last-first order days;
+    still-active customers are CENSORED at end-first days — they leave
+    the at-risk set without counting as churn, which is exactly the bias
+    a naive "avg customer lifetime" metric gets wrong. S(t) = prod over
+    churn times u <= t of (n_u - d_u)/n_u; one row per churn time with
+    the at-risk count.
+
+    Exactness: the survival product is a cumulative sum of per-time
+    ln-millionths differences (integer arithmetic; t_token_entropy
+    discipline) with a single engine-exp at the end, round-6 (boundary
+    margins measured at both fixture sfs before committing); at-risk
+    counts are pure BIGINT window cumsums. Extinction (d = n) pins
+    survival to exactly 0 from that time on — ln(0) never evaluates
+    (the CASE guards it in both engines). Dates rank through the
+    datediff-from-epoch integer surrogate (round-5 learning #3).
+
+    Scale shape: one customer-grouped exchange (the only fact-sized
+    move), then a (first_day, last_day) pair aggregate — bounded by
+    distinct day pairs regardless of customer count, so the e_gini
+    per-entity window boundary does NOT apply — and windows over the
+    <= span-days duration frame."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    pairs = per_cust.groupBy("first_day", "last_day").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    end = F.max("last_day").over(Window.partitionBy())
+    churned = (end - F.col("last_day")) >= 365
+    spans = pairs.select(
+        F.when(churned, F.col("last_day") - F.col("first_day"))
+        .otherwise(end - F.col("first_day"))
+        .alias("t"),
+        F.when(churned, F.lit(1)).otherwise(F.lit(0)).alias("churned"),
+        "n_cust",
+    )
+    dur = spans.groupBy("t").agg(
+        F.sum(F.when(F.col("churned") == 1, F.col("n_cust")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum("n_cust").cast("long").alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = dur.select(
+        "t",
+        "d",
+        (
+            F.sum("leaving").over(Window.partitionBy())
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n"),
+    )
+    lnppm = lambda col: (  # noqa: E731 - local expression shorthand
+        F.round(F.log(col.cast("double")) * 1000000, 0).cast("long")
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("n") > F.col("d")),
+        lnppm(F.col("n") - F.col("d")) - lnppm(F.col("n")),
+    ).otherwise(F.lit(0))
+    km = risk.select(
+        "t",
+        "d",
+        "n",
+        F.sum(term).over(w_cum).alias("slog"),
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("extinct"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("duration_days"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_churned"),
+            F.when(F.col("extinct") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.col("slog").cast("double") / 1000000.0), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+# Cumulative Poisson(1) CDF, the inverse-CDF thresholds of the Poisson
+# bootstrap weight (shared double literals — both engines compare the
+# same u against the same constants, so weights are bit-deterministic).
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def _sql_pois_weight(u: str) -> str:
+    branches = "\n         ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@query(
+    "r_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         unnest(generate_series(1, 100)) AS b
+  FROM orders),
+w AS (
+  SELECT o_orderpriority, b, cents,
+         {_sql_pois_weight("(CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8)) AS UBIGINT) / 4294967296.0)")}
+           AS wt
+  FROM reps),
+rep_means AS (
+  SELECT o_orderpriority, b,
+         round(CAST(sum(wt * cents) AS DOUBLE)
+               / CAST(sum(wt) AS DOUBLE) / 100.0, 4) AS m
+  FROM w GROUP BY 1, 2 HAVING sum(wt) > 0),
+ranked AS (
+  SELECT o_orderpriority, m,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY m, b) AS INTEGER) AS r,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS INTEGER) AS nb
+  FROM rep_means),
+point AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         (round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+                / count(*) / 100.0, 6) + 0) AS mean_price
+  FROM orders GROUP BY 1)
+SELECT p.o_orderpriority, p.n_orders, p.mean_price,
+       (round(sum(CASE WHEN r = 3 THEN m END), 6) + 0) AS ci_lo,
+       (round(sum(CASE WHEN r = nb - 2 THEN m END), 6) + 0) AS ci_hi
+FROM ranked JOIN point p USING (o_orderpriority)
+GROUP BY 1, 2, 3 ORDER BY 1
+""",
+)
+def r_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean order price per
+    priority class — THE distributed bootstrap (Chamandy et al., public
+    Google methodology): instead of drawing B resamples of n rows
+    (impossible to coordinate across executors), every row contributes an
+    independent Poisson(1) count to each replicate, equivalent to the
+    multinomial bootstrap as n grows. One scan, map-side 100x replicate
+    expansion, partial aggregation absorbs the blowup before the shuffle
+    — the exchange carries (group, replicate) partials, never fact rows.
+
+    Determinism: the replicate weight is the Poisson inverse-CDF of a
+    content-keyed uniform (md5 of orderkey:replicate — the
+    hash_sample/e_ab_test keying family) against shared double literals;
+    replicate means divide exact BIGINT cent sums (identical doubles both
+    engines, quantized round-4); the CI bounds are NEAREST-RANK order
+    statistics (3rd / 98th of 100), not interpolated percentiles —
+    engines formulate linear interpolation differently in float, rank
+    selection is integer-exact. Ties in replicate means break by
+    replicate id for a total order.
+
+    Scale shape: the 100x expansion is map-side compute (no 100x
+    shuffle); the rank window runs per-priority over <= 100-row groups;
+    the point-estimate join is a 5-row broadcast."""
+    from pyspark.sql import Window
+
+    from ..util import widen
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    # widen BEFORE the 100x explode: the single-row-group fixture scans as
+    # one task, and the per-row hash work below is exactly the
+    # "per-row-heavy narrow pass" util.widen exists for (no-op at scale)
+    reps = (
+        widen(
+            o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("b"),
+        )
+        .select(
+            "o_orderpriority",
+            "cents",
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("o_orderkey").cast("string"),
+                                F.lit(":"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / 4294967296.0
+            ).alias("u"),
+        )
+    )
+    # the CASE chain references the u COLUMN, not the hash expression:
+    # inlining the md5 into all 9 branches would evaluate it 9x per row
+    # (CollapseProject keeps non-cheap multi-referenced aliases separate)
+    wt = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < _POIS1_CDF[k], F.lit(k)).otherwise(wt)
+    w = reps.select("o_orderpriority", "b", "cents", wt.alias("wt"))
+    rep_means = (
+        w.groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "o_orderpriority",
+            "b",
+            F.round(
+                F.col("swc").cast("double")
+                / F.col("sw").cast("double")
+                / 100.0,
+                4,
+            ).alias("m"),
+        )
+    )
+    wrank = Window.partitionBy("o_orderpriority").orderBy("m", "b")
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = rep_means.select(
+        "o_orderpriority",
+        "m",
+        F.row_number().over(wrank).cast("int").alias("r"),
+        F.count(F.lit(1)).over(wall).cast("int").alias("nb"),
+    )
+    point = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("mean_price"),
+    )
+    ci = ranked.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.when(F.col("r") == 3, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.sum(F.when(F.col("r") == F.col("nb") - 2, F.col("m"))), 6
+        ).alias("ci_hi"),
+    )
+    return (
+        ci.join(F.broadcast(point), "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_orders", "mean_price", "ci_lo", "ci_hi"
+        )
+        .orderBy("o_orderpriority")
+    )
