@@ -104,6 +104,7 @@ ANN = [
     "v_triplet_mining",      # NN positive + semi-hard negatives, one scan
     "v_grouped_knn",         # top-k per payload group, WindowGroupLimit
     "t_bm25_indexed",        # BM25 from the written inverted index
+    "t_bm25_incremental",    # BM25 from the build+append (ingest-path) index
     "v_ivfpq_knn",           # two-level IVF-PQ probe (ADC + exact rescore)
     "v_knn_graph",           # mutual kNN graph build (block-grid top-k)
     "t_hashtf_knn",          # hashed-TF lexical vector search

@@ -91,3 +91,86 @@ def test_sidecar_is_commit_marker(spark, index_path):
 def test_empty_terms_raise(spark, index_path):
     with pytest.raises(ValueError):
         bm25_topk_indexed(spark, index_path, [], k=5)
+
+
+def test_append_probe_bit_identical_to_full_rebuild(spark, tmp_path):
+    """text_index_append's contract: probing (build(80%) + append(20%))
+    equals probing build(100%) BIT-identically — postings rows union,
+    df/N/avgdl merge by exact integer-valued arithmetic."""
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) != 0)
+    new = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+    assert new.count() > 0
+
+    inc = str(tmp_path / "inc")
+    text_index_write(old, inc, num_buckets=16)
+    appended = text_index_append(new, inc)
+    assert appended == new.count()
+    assert not os.path.exists(os.path.join(inc, "_append_pending"))
+
+    full = str(tmp_path / "full")
+    text_index_write(docs, full, num_buckets=16)
+
+    terms = ["table", "scan", "window"]
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, inc, terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, full, terms, k=10).collect()
+    ]
+    assert got == want  # bit-identical scores, same docs, same order
+    # merged stats equal the rebuild's exactly
+    gm = spark.read.parquet(f"{inc}/_stats/meta").collect()[0]
+    wm = spark.read.parquet(f"{full}/_stats/meta").collect()[0]
+    assert (gm.n, gm.avgdl, gm.total_dl) == (wm.n, wm.avgdl, wm.total_dl)
+
+
+def test_append_rejects_duplicate_ids(spark, tmp_path):
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "dup")
+    text_index_write(docs, path, num_buckets=8)
+    with pytest.raises(ValueError, match="insert-only"):
+        text_index_append(docs.limit(3), path)
+    # the rejected append left no marker and did not grow the store
+    assert not os.path.exists(os.path.join(path, "_append_pending"))
+    n = spark.read.parquet(f"{path}/_docs").count()
+    assert n == docs.count()
+
+
+def test_torn_append_refuses_probe_and_append(spark, tmp_path):
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "torn")
+    text_index_write(docs.filter(F.col("doc_id") < 50), path, num_buckets=8)
+    open(os.path.join(path, "_append_pending"), "w").close()
+    with pytest.raises(RuntimeError, match="torn append"):
+        bm25_topk_indexed(spark, path, ["table"], k=5)
+    with pytest.raises(RuntimeError, match="torn append"):
+        text_index_append(docs.filter(F.col("doc_id") >= 50), path)
+
+
+def test_append_empty_batch_is_noop(spark, tmp_path):
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "empty")
+    text_index_write(docs, path, num_buckets=8)
+    before = spark.read.parquet(f"{path}/_stats/meta").collect()
+    assert text_index_append(docs.filter(F.lit(False)), path) == 0
+    assert not os.path.exists(os.path.join(path, "_append_pending"))
+    assert spark.read.parquet(f"{path}/_stats/meta").collect() == before

@@ -39,6 +39,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "v_hybrid_alpha",        # same two bounded top-50 lists + stats row
     "t_bm25_topk",           # corpus stats row (N, avgdl)
     "t_bm25_indexed",        # index meta row (N, avgdl) + per-term df row
+    "t_bm25_incremental",    # same probe shape over the appended store
     "t_idf_common",          # doc-count row
     "t_keyword_tfidf",       # doc-count row (tf side is a bounded hash join)
     "t_bm25_phrase",         # corpus stats row

@@ -15,7 +15,11 @@ workload. This module materializes the classic IR layout instead:
   Document length rides denormalized on each posting row (impact-file
   style) so scoring needs no doc-table join.
 - ``_stats/terms`` — per-term document frequency (corpus-vocabulary rows).
-- ``_stats/meta`` — one row: doc count + average doc length.
+- ``_stats/meta`` — one row: doc count, average doc length, total doc
+  length (the exact integer-valued numerator avgdl divides — what makes
+  incremental stats merges bit-equal to a rebuild's).
+- ``_docs`` — one row per document: ``(id, dl)`` (doc-cardinality; the
+  append path's duplicate-id guard).
 - ``_meta.json`` — sidecar with ``num_buckets`` (read with plain Python at
   query build: no Spark job, same trick as the zone-map sidecar).
 
@@ -26,10 +30,17 @@ indexed top-k is bit-identical to ``bm25_topk`` whenever every result doc
 contains at least one query term. That is the one semantic caveat of any
 inverted index: zero-match documents are unrepresented, so fewer than k
 rows come back when fewer than k docs match any term (the scan path would
-pad with zero-score docs). Stats are build-time snapshots: appending
-documents requires rebuilding ``_stats`` (df/avgdl are corpus-global), so
-the store is rebuild-on-append by design — rebuild cost is one
-tokenize+groupBy pass, the same shape as the initial build.
+pad with zero-score docs).
+
+Ingest: :func:`text_index_append` grows the store WITHOUT re-tokenizing
+the existing corpus (the write_signature_store discipline from
+operators/dedup): new postings append into the same bucket dirs, df/N/
+total-dl stats merge by exact integer-valued arithmetic — a probe of the
+appended store is BIT-IDENTICAL to one of a full rebuild over the union
+corpus (pinned in tests/test_invindex.py). Crash honesty: an append is a
+multi-directory update plain parquet cannot make atomic, so a
+``_append_pending`` marker brackets it — probes REFUSE a store whose
+marker survives (torn append: postings and stats may disagree; rebuild).
 """
 
 from __future__ import annotations
@@ -101,14 +112,142 @@ def text_index_write(
         (F.sum(n_tokens(text_col).cast("double")) / F.count(F.lit(1))).alias(
             "avgdl"
         ),
+        F.sum(n_tokens(text_col).cast("double")).alias("total_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path.rstrip('/')}/_stats/meta"
     )
+    docs.select(
+        F.col(id_col), n_tokens(text_col).cast("double").alias("dl")
+    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/_docs")
     tmp = f"{path.rstrip('/')}/_meta.json.tmp"
     with open(tmp, "w") as f:
         json.dump({"num_buckets": num_buckets, "id_col": id_col}, f)
     os.replace(tmp, f"{path.rstrip('/')}/_meta.json")
-    _invalidate_index_scans(f"{path.rstrip('/')}/postings")
+    for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
+        _invalidate_index_scans(f"{path.rstrip('/')}/{sub}")
+
+
+def text_index_append(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+) -> int:
+    """Grow a written index with ``new_docs`` WITHOUT re-tokenizing the
+    existing corpus: tokenize only the batch, append its postings into
+    the same bucket partition dirs, and merge the corpus stats by exact
+    arithmetic — df adds integer counts, N adds the batch count, avgdl
+    re-divides the merged total-dl. Because dl values are whole-number
+    token counts, every merged statistic is an exactly-represented
+    integer in double (until 2^53 corpus tokens), so a probe of the
+    appended store is BIT-IDENTICAL to a probe of a full rebuild over
+    the union corpus (pinned in tests/test_invindex.py).
+
+    Duplicate ids are REJECTED before any write (a duplicated doc would
+    double its postings and silently corrupt df) — one broadcast
+    semi-join against the doc-cardinality ``_docs`` table, never the
+    postings. Returns the number of documents appended.
+
+    Crash protocol: ``_append_pending`` marker first, removed last;
+    stats dirs swap via recoverable snapshot renames. A crash mid-append
+    leaves the marker, and every probe raises until the store is rebuilt
+    — plain parquet cannot make a multi-directory append atomic, and a
+    silent torn state (postings newer than stats) would serve subtly
+    wrong scores instead of an error.
+
+    Scale shape: tokenize+groupBy over the BATCH only; the stats merge
+    jobs are vocabulary- and 1-row-sized; nothing rescans or reshuffles
+    the existing postings (appended files land beside them)."""
+    import uuid
+
+    from ..util import swap_snapshot
+
+    root = path.rstrip("/")
+    spark = new_docs.sparkSession
+    with open(f"{root}/_meta.json") as f:
+        meta = json.load(f)
+    num_buckets, id_col = meta["num_buckets"], meta["id_col"]
+    pending = f"{root}/_append_pending"
+    if os.path.exists(pending):
+        raise RuntimeError(
+            f"inverted index at {path} has a torn append "
+            "(_append_pending survives); rebuild with text_index_write"
+        )
+    old_meta = spark.read.parquet(f"{root}/_stats/meta").collect()[0]
+    if "total_dl" not in old_meta.asDict():
+        raise ValueError(
+            "index predates incremental stats (no total_dl in "
+            "_stats/meta); rebuild with text_index_write before appending"
+        )
+
+    batch = new_docs.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    )
+    dup = (
+        spark.read.parquet(f"{root}/_docs")
+        .join(F.broadcast(batch.select(id_col)), id_col, "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append batch contains ids already in the index "
+            f"(e.g. {dup[0][id_col]!r}); an append must be insert-only"
+        )
+    stats = batch.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(n_tokens("_text").cast("double")).alias("total_dl"),
+    ).collect()[0]
+    n_new = int(stats["n"])
+    if n_new == 0:
+        return 0
+
+    open(pending, "w").close()  # marker FIRST
+    posted = (
+        batch.select(
+            F.col(id_col),
+            F.explode(tokens("_text")).alias("term"),
+            n_tokens("_text").cast("double").alias("dl"),
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", _jvm_bucket(F.col("term"), num_buckets))
+    )
+    posted.write.partitionBy("bucket").mode("append").parquet(
+        f"{root}/postings"
+    )
+    batch.select(
+        F.col(id_col), n_tokens("_text").cast("double").alias("dl")
+    ).write.mode("append").parquet(f"{root}/_docs")
+
+    # stats merge: vocabulary-sized union+sum, swapped recoverably
+    new_df = posted.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    merged_terms = (
+        spark.read.parquet(f"{root}/_stats/terms")
+        .unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    tmp_terms = f"{root}/_stats/terms__new_{uuid.uuid4().hex[:8]}"
+    merged_terms.coalesce(1).write.mode("overwrite").parquet(tmp_terms)
+    swap_snapshot(f"{root}/_stats/terms", tmp_terms)
+
+    n_total = float(old_meta["n"]) + float(stats["n"])
+    dl_total = float(old_meta["total_dl"]) + float(stats["total_dl"])
+    tmp_meta = f"{root}/_stats/meta__new_{uuid.uuid4().hex[:8]}"
+    spark.range(1).select(
+        F.lit(n_total).alias("n"),
+        (F.lit(dl_total) / F.lit(n_total)).alias("avgdl"),
+        F.lit(dl_total).alias("total_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(tmp_meta)
+    swap_snapshot(f"{root}/_stats/meta", tmp_meta)
+
+    for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
+        _invalidate_index_scans(f"{root}/{sub}")
+    os.remove(pending)  # marker LAST: the append is committed
+    return n_new
 
 
 def bm25_topk_indexed(
@@ -131,6 +270,11 @@ def bm25_topk_indexed(
     at 100 TB that is |matching docs|·|terms| tiny rows, never the corpus."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if os.path.exists(f"{path.rstrip('/')}/_append_pending"):
+        raise RuntimeError(
+            f"inverted index at {path} has a torn append "
+            "(_append_pending survives); rebuild with text_index_write"
+        )
     with open(f"{path.rstrip('/')}/_meta.json") as f:
         meta = json.load(f)
     num_buckets, id_col = meta["num_buckets"], meta["id_col"]

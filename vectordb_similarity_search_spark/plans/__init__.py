@@ -86,6 +86,7 @@ TAIL = [
     "t_kl_divergence",
     "r_survival_km",
     "r_bootstrap_ci",
+    "t_bm25_incremental",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

@@ -1434,6 +1434,59 @@ def t_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_index_incremental_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-80%/append-20% inverted index for t_bm25_incremental: the
+    store is constructed through the INGEST path (text_index_write on the
+    hash-keyed 80% split, text_index_append for the rest) rather than one
+    offline build. Memoized like _text_index_for; the append removes the
+    _append_pending marker as its own commit, so the _DONE check is the
+    marker-free _meta.json + a completed append (absence of the pending
+    marker plus the appended doc count recorded in _DONE)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|tidxinc16|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vss_tidxinc_{key}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from ..operators.invindex import text_index_append, text_index_write
+
+        shutil.rmtree(path, ignore_errors=True)  # half-built: rebuild
+        d = t(spark, sf_dir, "documents")
+        old = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) != 0)
+        new = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+        text_index_write(old, path, num_buckets=16)
+        n = text_index_append(new, path)
+        with open(done + ".tmp", "w") as fh:
+            fh.write(str(n))
+        os.replace(done + ".tmp", done)
+    return path
+
+
+@query("t_bm25_incremental", oracle=_sql_bm25(_BM25_TERMS))
+def t_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from an index grown through the INGEST path —
+    80% of the corpus built offline, the remaining 20% appended via
+    operators/invindex.text_index_append (batch-only tokenize, exact
+    integer df/N/total-dl stats merge, no rescan of existing postings).
+    Shares t_bm25_topk's full-corpus oracle VERBATIM: the append
+    contract is that the grown store is bit-identical to a rebuild, so
+    the indexed probe must reproduce the scan path's scores over the
+    WHOLE corpus exactly (tests/test_invindex.py pins the parity at the
+    operator level; this query puts it under the driver's hash check)."""
+    from ..operators.invindex import bm25_topk_indexed
+
+    return bm25_topk_indexed(
+        spark, _text_index_incremental_for(spark, sf_dir), _BM25_TERMS, k=10
+    )
+
+
 @query(
     "t_token_shards",
     oracle=f"""
