@@ -89,8 +89,49 @@ def main() -> None:
         f"indexed probe ({idx_s:.2f}s) slower than corpus scan "
         f"({scan_s:.2f}s) — the index is not earning its keep"
     )
+
+    # --- ingest path: append 5% NEW docs, compare vs a full rebuild ----
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    m = max(n // 20, 1000)
+    batch = (
+        gen_docs(spark, m, dup_rate=0.5)
+        .select((F.col("doc_id") + n).alias("doc_id"), "text")
+        .persist()
+    )
+    batch.count()
+    t0 = time.time()
+    appended = text_index_append(batch, path)
+    append_s = time.time() - t0
+    assert appended == m
+    union = docs.unionByName(batch).persist()
+    union.count()
+    full2 = tempfile.mkdtemp(prefix="smoke_tidx_full_") + "/index"
+    t0 = time.time()
+    text_index_write(union, full2, num_buckets=64)
+    rebuild_s = time.time() - t0
+    a = [(r.doc_id, r.bm25)
+         for r in bm25_topk_indexed(spark, path, terms, k=10).collect()]
+    b = [(r.doc_id, r.bm25)
+         for r in bm25_topk_indexed(spark, full2, terms, k=10).collect()]
+    assert a == b, "appended store diverged from full rebuild"
+    print(
+        f"  append {m:,} docs {append_s:.1f}s vs rebuild over {n + m:,} "
+        f"docs {rebuild_s:.1f}s ({rebuild_s / append_s:.1f}x); probe "
+        "bit-identical to rebuild OK",
+        flush=True,
+    )
+    assert append_s < rebuild_s, (
+        f"append ({append_s:.1f}s) not cheaper than rebuild "
+        f"({rebuild_s:.1f}s) — the ingest path is not earning its keep"
+    )
+    batch.unpersist()
+    union.unpersist()
     docs.unpersist()
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(full2), ignore_errors=True)
     print("ALL OK", flush=True)
 
 
