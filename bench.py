@@ -107,6 +107,7 @@ ANN = [
     "t_bm25_incremental",    # BM25 from the build+append (ingest-path) index
     "v_ivfpq_knn",           # two-level IVF-PQ probe (ADC + exact rescore)
     "v_knn_graph",           # mutual kNN graph build (block-grid top-k)
+    "v_link_prediction",     # Adamic-Adar wedges over the mutual graph
     "t_hashtf_knn",          # hashed-TF lexical vector search
     "v_adaptive_knn",        # escalating-nprobe filtered serving loop
                              # (memoized result frame: the 0.09 s pin

@@ -1422,3 +1422,125 @@ def v_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "v_link_prediction",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb, list_cosine_similarity(a.v, b.v) AS s
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT sa, sb,
+         row_number() OVER (PARTITION BY sa ORDER BY s DESC, sb) AS r
+  FROM scored),
+knn AS (SELECT * FROM ranked WHERE r <= 5),
+mut AS (
+  SELECT x.sa AS id_a, x.sb AS id_b
+  FROM knn x JOIN knn y ON x.sa = y.sb AND x.sb = y.sa
+  WHERE x.sa < x.sb),
+und AS (
+  SELECT id_a AS u, id_b AS w FROM mut
+  UNION ALL SELECT id_b AS u, id_a AS w FROM mut),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+wt AS (
+  SELECT u, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE)), 0) AS BIGINT) AS q
+  FROM deg WHERE d >= 2),
+cand AS (
+  SELECT a.w AS id_a, b.w AS id_b, wt.q
+  FROM und a JOIN und b ON a.u = b.u AND a.w < b.w
+  JOIN wt ON wt.u = a.u),
+aa AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS common,
+         sum(q) AS sq
+  FROM cand GROUP BY 1, 2),
+nonedge AS (
+  SELECT aa.* FROM aa
+  LEFT JOIN mut ON mut.id_a = aa.id_a AND mut.id_b = aa.id_b
+  WHERE mut.id_a IS NULL)
+SELECT id_a, id_b, common,
+       (round(CAST(sq AS DOUBLE) / 1000000.0, 6) + 0) AS aa_score
+FROM nonedge
+ORDER BY sq DESC, id_a, id_b LIMIT 20
+""",
+)
+def v_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the mutual 5-NN graph: score every
+    NON-adjacent vector pair at graph distance 2 by Σ_z 1/ln(deg z) over
+    common neighbors z (rarer shared neighbors count more — the classic
+    "which edges are missing" heuristic behind graph-ANN index repair and
+    recommend-similar backfills); top-20 predicted links.
+
+    Exactness: each neighbor's 1/ln(deg) quantizes to integer millionths
+    BEFORE the per-pair sum (t_token_entropy discipline), so scores and
+    the top-20 cutoff rank on exact BIGINTs; ln is defined because a
+    common neighbor has degree >= 2 by construction. The wedge join runs
+    on the MUTUAL graph's adjacency (sparse by construction — mutuality
+    is the hubness filter), so candidate pairs are bounded by
+    Σ_z deg(z)² over a degree-capped (<= k) graph, never N².
+
+    Scale path: the underlying directed top-k comes from
+    operators/graph.knn_graph (block-grid BLAS, O(N·√P·k) candidate
+    shuffle); everything after runs on edge-list-sized frames (one
+    neighbor-hash exchange for the wedge join, one degree aggregate)."""
+    from ..operators.graph import knn_graph
+
+    emb = t(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=5)
+    folded = g.select(
+        F.least("src", "dst").alias("id_a"),
+        F.greatest("src", "dst").alias("id_b"),
+    )
+    mut = (
+        folded.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )
+    und = mut.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionByName(
+        mut.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
+    )
+    # degree-1 nodes can never BE a common neighbor (a wedge needs two
+    # distinct edges at z), and 1/ln(1) would raise under ANSI — filter
+    # them before the division instead of relying on the join to prune
+    wt = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "u",
+            F.round(1000000.0 / F.log(F.col("d").cast("double")), 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    a = und.alias("a")
+    b = und.alias("b")
+    wtz = wt.select(F.col("u").alias("z"), "q").alias("wtz")
+    cand = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.w") < F.col("b.w")))
+        .join(wtz, F.col("a.u") == F.col("z"))
+        .select(
+            F.col("a.w").alias("id_a"), F.col("b.w").alias("id_b"), "q"
+        )
+    )
+    aa = cand.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum("q").alias("sq"),
+    )
+    nonedge = aa.join(mut, ["id_a", "id_b"], "left_anti")
+    return (
+        nonedge.select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(F.col("sq").cast("double") / 1000000.0, 6).alias(
+                "aa_score"
+            ),
+            "sq",
+        )
+        .orderBy(F.col("sq").desc(), "id_a", "id_b")
+        .limit(20)
+        .drop("sq")
+    )
