@@ -169,6 +169,7 @@ ANALYTICS = [
     "t_kl_divergence",       # per-source KL drift from the corpus mixture
     "r_survival_km",         # Kaplan-Meier churn survival curve
     "r_bootstrap_ci",        # Poisson-bootstrap grouped mean CI
+    "e_conformal",           # split conformal intervals + test coverage
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

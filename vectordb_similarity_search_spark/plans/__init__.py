@@ -88,6 +88,7 @@ TAIL = [
     "r_bootstrap_ci",
     "t_bm25_incremental",
     "v_link_prediction",
+    "e_conformal",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

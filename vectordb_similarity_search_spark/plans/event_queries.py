@@ -2256,3 +2256,154 @@ def e_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "e_conformal",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_ppm,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 10
+           AS split,
+         event_id
+  FROM events),
+train AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_tr,
+         CAST(sum(v_ppm) AS HUGEINT) AS s_tr
+  FROM s WHERE split < 8 GROUP BY 1),
+cal AS (
+  SELECT s.event_type,
+         abs(CAST(v_ppm AS HUGEINT) * n_tr - s_tr) AS r,
+         event_id
+  FROM s JOIN train ON s.event_type = train.event_type
+  WHERE split = 8),
+calr AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY r, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal),
+q AS (
+  SELECT event_type, CAST(max(n_cal) AS BIGINT) AS n_cal,
+         max(CASE WHEN rk = ((n_cal + 1) * 9 + 9) // 10 THEN r END) AS q_r
+  FROM calr GROUP BY event_type),
+test AS (
+  SELECT s.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(CAST(v_ppm AS HUGEINT) * n_tr - s_tr)
+                            <= q_r THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+  FROM s
+  JOIN train ON s.event_type = train.event_type
+  JOIN q ON s.event_type = q.event_type
+  WHERE split = 9 AND q_r IS NOT NULL
+  GROUP BY 1)
+SELECT t.event_type, tr.n_tr AS n_train, q.n_cal, t.n_test,
+       (round(CAST(q.q_r AS DOUBLE) / 1000000.0 / CAST(tr.n_tr AS DOUBLE), 6)
+          + 0) AS q_hat,
+       (round(CAST(t.n_in AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) + 0)
+         AS coverage
+FROM test t JOIN q ON t.event_type = q.event_type
+JOIN train tr ON t.event_type = tr.event_type
+ORDER BY t.event_type
+""",
+)
+def e_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals for event value per type —
+    the distribution-free ML-ops guardrail: predict each type's value by
+    its TRAIN-split mean, take the ceil((n+1)·0.9)/n-th smallest absolute
+    calibration residual as the interval half-width q_hat, and report
+    the realized TEST-split coverage (validity says it concentrates near
+    90% regardless of the value distribution). Content-keyed 80/10/10
+    split by md5 nibble of event_id (the t_nb_crossval keying family).
+
+    Exactness: values quantize to integer millionths; residuals compare
+    as |v·n_train − Σv| — SCALED by the train count so no mean division
+    ever happens — in exact HUGEINT/DECIMAL(38) arithmetic, and the
+    conformal rank k = ceil(9(n+1)/10) is pure integer arithmetic, so
+    q_hat's order statistic and every coverage comparison are exact; the
+    only doubles are the two round-6 output divisions. Types whose
+    calibration slice is smaller than k drop out (q undefined — the
+    standard conformal small-sample caveat) rather than reporting a
+    vacuous interval.
+
+    Scale shape: one event exchange per split aggregate + a per-type
+    rank window over the CALIBRATION slice only — in production the
+    calibration set is a bounded sample by design (conformal validity
+    needs thousands of points, not the corpus), which keeps that window
+    partition bounded; train/test passes are plain grouped aggregates."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    v_ppm = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+    split = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(cast(event_id as string)), 1, 1)) - 1) % 10"
+    ).cast("int")
+    s = e.select(
+        "event_type", v_ppm.alias("v_ppm"), split.alias("split"), "event_id"
+    )
+    train = s.filter(F.col("split") < 8).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tr"),
+        F.sum(F.col("v_ppm").cast("decimal(38,0)")).alias("s_tr"),
+    )
+    resid = F.abs(
+        F.col("v_ppm").cast("decimal(38,0)") * F.col("n_tr") - F.col("s_tr")
+    )
+    cal = (
+        s.filter(F.col("split") == 8)
+        .join(F.broadcast(train), "event_type")
+        .select("event_type", resid.alias("r"), "event_id")
+    )
+    wrk = Window.partitionBy("event_type").orderBy("r", "event_id")
+    wall = Window.partitionBy("event_type")
+    calr = cal.select(
+        "event_type",
+        "r",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_cal"),
+    )
+    q = calr.groupBy("event_type").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor(((F.col("n_cal") + 1) * 9 + 9) / 10),
+                F.col("r"),
+            )
+        ).alias("q_r"),
+    )
+    test = (
+        s.filter(F.col("split") == 9)
+        .join(F.broadcast(train), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .filter(F.col("q_r").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(resid <= F.col("q_r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_in"),
+        )
+    )
+    return (
+        test.join(F.broadcast(q), "event_type")
+        .join(F.broadcast(train), "event_type")
+        .select(
+            "event_type",
+            F.col("n_tr").alias("n_train"),
+            "n_cal",
+            "n_test",
+            F.round(
+                F.col("q_r").cast("double")
+                / 1000000.0
+                / F.col("n_tr").cast("double"),
+                6,
+            ).alias("q_hat"),
+            F.round(
+                F.col("n_in").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
