@@ -174,3 +174,51 @@ def test_append_empty_batch_is_noop(spark, tmp_path):
     assert text_index_append(docs.filter(F.lit(False)), path) == 0
     assert not os.path.exists(os.path.join(path, "_append_pending"))
     assert spark.read.parquet(f"{path}/_stats/meta").collect() == before
+
+
+def test_appended_postings_compact_with_partitioned_compactor(
+    spark, tmp_path
+):
+    """The ingest path creates one file batch per append inside each
+    bucket dir; the EXISTING partitioned compactor (operators/compact)
+    rewrites the fragmented bucket dirs in place — probes are
+    bit-identical before/after and stay partition-pruned (the lakehouse
+    maintenance loop closes over the text index too)."""
+    from vectordb_similarity_search_spark.operators.compact import (
+        compact_parquet_partitioned,
+        small_file_report,
+    )
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "frag")
+    base = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    text_index_write(base, path, num_buckets=4)
+    for b in range(1, 4):  # three appends → ≥4 file batches per bucket
+        text_index_append(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == b), path
+        )
+    terms = ["table", "scan", "window"]
+    before = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, path, terms, k=10).collect()
+    ]
+    rep0 = small_file_report(f"{path}/postings")
+    assert rep0["worth_compacting"]  # fragmented by the appends
+
+    res = compact_parquet_partitioned(spark, f"{path}/postings", ["bucket"])
+    assert res["rewritten"] and res["dirs_touched"] > 0
+    rep1 = small_file_report(f"{path}/postings")
+    assert rep1["n_files"] < rep0["n_files"]
+
+    after = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, path, terms, k=10).collect()
+    ]
+    assert after == before  # same docs, bit-identical scores
+    plan = plan_of(bm25_topk_indexed(spark, path, terms, k=10))
+    assert any(
+        "bucket" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ), plan
