@@ -170,6 +170,7 @@ ANALYTICS = [
     "r_survival_km",         # Kaplan-Meier churn survival curve
     "r_bootstrap_ci",        # Poisson-bootstrap grouped mean CI
     "e_conformal",           # split conformal intervals + test coverage
+    "e_did",                 # difference-in-differences panel baseline
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -89,6 +89,7 @@ TAIL = [
     "t_bm25_incremental",
     "v_link_prediction",
     "e_conformal",
+    "e_did",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

@@ -2407,3 +2407,103 @@ def e_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "e_did",
+    oracle="""
+WITH bounds AS (
+  SELECT (min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+          + max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) + 1) // 2 AS cut
+  FROM events),
+cells AS (
+  SELECT (strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+           AS treat,
+         CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) >= cut
+              THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events, bounds GROUP BY 1, 2),
+piv AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_events,
+         sum(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE)
+             END) / sum(CASE WHEN treat = 1 AND post = 1 THEN n END) AS t1,
+         sum(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE)
+             END) / sum(CASE WHEN treat = 1 AND post = 0 THEN n END) AS t0,
+         sum(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE)
+             END) / sum(CASE WHEN treat = 0 AND post = 1 THEN n END) AS c1,
+         sum(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE)
+             END) / sum(CASE WHEN treat = 0 AND post = 0 THEN n END) AS c0
+  FROM cells)
+SELECT n_events,
+       (round(t0, 6) + 0) AS treat_pre, (round(t1, 6) + 0) AS treat_post,
+       (round(c0, 6) + 0) AS ctrl_pre, (round(c1, 6) + 0) AS ctrl_post,
+       (round((t1 - t0) - (c1 - c0), 6) + 0) AS did
+FROM piv
+""",
+)
+def e_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: content-keyed 50/50 "treatment"
+    split on user_id (md5 nibble parity — the e_ab_test keying family),
+    pre/post periods cut at the observed day-range midpoint, and
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) over mean
+    event value — the panel-data causal baseline next to e_ab_test's
+    cross-sectional z-test and e_cuped's variance reduction (on a null
+    split like this one, DiD should sit near 0: the parallel-trends
+    sanity check).
+
+    Exactness: cell sums are DECIMAL(18,6), counts BIGINT; the midpoint
+    cut is pure integer epoch arithmetic off ONE min/max aggregate
+    (1-row broadcast onto the single scan — the r_winsorized_mean
+    scalar pattern); the four means and the DiD are identical double
+    expression trees in both engines, round-6.
+
+    Scale shape: one scalar aggregate + one 4-cell grouped aggregate —
+    two scans, map-side partials, nothing else moves."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    bounds = e.agg(
+        F.floor((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("cut")
+    )
+    treat = (
+        F.expr(
+            "(instr('0123456789abcdef', "
+            "substr(md5(cast(user_id as string)), 1, 1)) - 1) % 2"
+        )
+    ).cast("int")
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            treat.alias("treat"),
+            F.when(day >= F.col("cut"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+
+    def cell(tr: int, po: int):
+        cond = (F.col("treat") == tr) & (F.col("post") == po)
+        return F.sum(F.when(cond, F.col("s").cast("double"))) / F.sum(
+            F.when(cond, F.col("n"))
+        )
+
+    piv = cells.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        cell(1, 1).alias("t1"),
+        cell(1, 0).alias("t0"),
+        cell(0, 1).alias("c1"),
+        cell(0, 0).alias("c0"),
+    )
+    return piv.select(
+        "n_events",
+        F.round("t0", 6).alias("treat_pre"),
+        F.round("t1", 6).alias("treat_post"),
+        F.round("c0", 6).alias("ctrl_pre"),
+        F.round("c1", 6).alias("ctrl_post"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did"),
+    )
