@@ -171,6 +171,7 @@ ANALYTICS = [
     "r_bootstrap_ci",        # Poisson-bootstrap grouped mean CI
     "e_conformal",           # split conformal intervals + test coverage
     "e_did",                 # difference-in-differences panel baseline
+    "w_streaks",             # gaps-and-islands longest activity streak
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -90,6 +90,7 @@ TAIL = [
     "v_link_prediction",
     "e_conformal",
     "e_did",
+    "w_streaks",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

@@ -263,3 +263,84 @@ def w_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rn / n, 6).alias("cume"),
         tile.cast("int").alias("decile"),
     )
+
+
+@query(
+    "w_streaks",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+  FROM events),
+isl AS (
+  SELECT user_id, day_idx,
+         day_idx - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day_idx) AS grp
+  FROM ud),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+         min(day_idx) AS start_day
+  FROM isl GROUP BY user_id, grp),
+best AS (
+  SELECT user_id, len, start_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS r,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+  FROM streaks)
+SELECT user_id, len AS best_streak_days,
+       CAST(start_day AS BIGINT) AS streak_start_day, n_streaks
+FROM best WHERE r = 1
+ORDER BY best_streak_days DESC, user_id LIMIT 20
+""",
+)
+def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (top-20) — the
+    gaps-and-islands idiom: day_idx minus its per-user row_number is
+    constant exactly within a run of consecutive days, so one grouped
+    count per (user, island) yields every streak; ties on length break
+    by earliest start. The engagement metric behind "N-day streak"
+    product features, and the one classic window idiom the w_* family
+    did not yet cover.
+
+    Everything is integer epoch-day arithmetic (timezone-free); per-user
+    windows over the DISTINCT (user, day) frame — one user-hash exchange
+    feeds the island assignment, the streak aggregate, and the best-pick
+    window (same partitioning reused, no re-shuffle); the top-20 is a
+    TakeOrdered under a total order."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    wday = Window.partitionBy("user_id").orderBy("day_idx")
+    isl = ud.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(wday)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day_idx").alias("start_day"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    wall = Window.partitionBy("user_id")
+    best = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.row_number().over(wbest).alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_streaks"),
+    )
+    return (
+        best.filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("best_streak_days"),
+            F.col("start_day").cast("long").alias("streak_start_day"),
+            "n_streaks",
+        )
+        .orderBy(F.col("best_streak_days").desc(), "user_id")
+        .limit(20)
+    )
