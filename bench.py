@@ -172,6 +172,8 @@ ANALYTICS = [
     "e_conformal",           # split conformal intervals + test coverage
     "e_did",                 # difference-in-differences panel baseline
     "w_streaks",             # gaps-and-islands longest activity streak
+    "t_temperature_mixture", # n^alpha low-resource upsampling weights
+                             # (unpinned until the next pins refresh)
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

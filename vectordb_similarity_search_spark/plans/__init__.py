@@ -91,6 +91,7 @@ TAIL = [
     "e_conformal",
     "e_did",
     "w_streaks",
+    "t_temperature_mixture",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

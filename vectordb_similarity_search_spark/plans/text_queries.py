@@ -2779,3 +2779,91 @@ def t_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kl_nats"),
     ).orderBy("source")
+
+
+@query(
+    "t_temperature_mixture",
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(sum({SQL_NTOK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+q AS (
+  SELECT source, n_tokens,
+         CAST(round(exp(0.3 * CAST(round(ln(CAST(n_tokens AS DOUBLE))
+                                         * 1000000, 0) AS BIGINT)
+                              / 1000000.0) * 1000000, 0) AS BIGINT) AS qw
+  FROM per),
+tot AS (
+  SELECT q.*,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+         CAST(sum(qw) OVER () AS HUGEINT) AS tot_qw
+  FROM q)
+SELECT source, n_tokens,
+       (round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) + 0)
+         AS raw_share,
+       (round(CAST(qw AS DOUBLE) / CAST(tot_qw AS DOUBLE), 6) + 0)
+         AS temp_share,
+       (round(CAST(qw AS DOUBLE) / CAST(tot_qw AS DOUBLE)
+              * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          + 0) AS upsample_factor
+FROM tot ORDER BY source
+""",
+)
+def t_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R low-resource
+    upsampling rule, public method): sampling share p_s ∝ n_s^α with
+    α = 0.3, reported next to the raw token share and the implied
+    per-source upsample factor p_s·N/n_s — the knob a multilingual or
+    multi-domain pipeline turns when raw proportions would starve small
+    sources (contrast t_domain_mixture, which hits EXPLICIT target
+    shares; temperature needs no target table).
+
+    Exactness: n^α = exp(α·ln n) evaluates on ln values pre-quantized to
+    integer millionths and the result re-quantizes to millionths before
+    the cross-source normalization sum (exact integer arithmetic;
+    identical double expression trees feed both engines' exp), so shares
+    divide exact integers, round-6.
+
+    Scale shape: one per-source aggregate; the two totals ride one
+    window over the ~|sources|-row frame. Nothing else moves."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(n_tokens("text")).cast("long").alias("n_tokens")
+    )
+    ln_ppm = F.round(
+        F.log(F.col("n_tokens").cast("double")) * 1000000, 0
+    ).cast("long")
+    qw = F.round(F.exp(F.lit(0.3) * ln_ppm / 1000000.0) * 1000000, 0).cast(
+        "long"
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "source",
+        "n_tokens",
+        qw.alias("qw"),
+    ).select(
+        "source",
+        "n_tokens",
+        "qw",
+        F.sum("n_tokens").over(w).cast("long").alias("tot_tokens"),
+        F.sum(F.col("qw").cast("decimal(38,0)")).over(w).alias("tot_qw"),
+    )
+    share = F.col("qw").cast("double") / F.col("tot_qw").cast("double")
+    return tot.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("tot_tokens").cast("double"),
+            6,
+        ).alias("raw_share"),
+        F.round(share, 6).alias("temp_share"),
+        F.round(
+            share
+            * F.col("tot_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("upsample_factor"),
+    ).orderBy("source")
