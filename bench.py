@@ -173,7 +173,10 @@ ANALYTICS = [
     "e_did",                 # difference-in-differences panel baseline
     "w_streaks",             # gaps-and-islands longest activity streak
     "t_temperature_mixture", # n^alpha low-resource upsampling weights
-                             # (unpinned until the next pins refresh)
+    "r_lorenz_curve",        # spend-decile cumulative revenue shares
+    "e_burstiness",          # hourly dispersion index (Fano factor)
+                             # (the three above are unpinned until the
+                             # next pins refresh)
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -92,6 +92,8 @@ TAIL = [
     "e_did",
     "w_streaks",
     "t_temperature_mixture",
+    "r_lorenz_curve",
+    "e_burstiness",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

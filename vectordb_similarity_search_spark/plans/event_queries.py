@@ -2507,3 +2507,88 @@ def e_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
         ).alias("did"),
     )
+
+
+@query(
+    "e_burstiness",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS HUGEINT) AS sum_c2
+  FROM hourly GROUP BY 1)
+SELECT event_type, n_hours, n_events,
+       (round(CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) + 0)
+         AS mean_per_hour,
+       (round((CAST(sum_c2 AS DOUBLE)
+               - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+                 / CAST(n_hours AS DOUBLE))
+              / CAST(n_hours AS DOUBLE)
+              / (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6)
+          + 0) AS dispersion,
+       CASE WHEN (CAST(sum_c2 AS DOUBLE)
+                  - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+                    / CAST(n_hours AS DOUBLE))
+                 / CAST(n_hours AS DOUBLE)
+                 / (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                 > 1.5 THEN 'bursty'
+            WHEN (CAST(sum_c2 AS DOUBLE)
+                  - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+                    / CAST(n_hours AS DOUBLE))
+                 / CAST(n_hours AS DOUBLE)
+                 / (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                 < 0.75 THEN 'regular'
+            ELSE 'poisson-like' END AS regime
+FROM stats ORDER BY event_type
+""",
+)
+def e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the index of dispersion
+    (variance-to-mean ratio of hourly counts — the Fano factor). A
+    Poisson arrival process sits at 1; ratios well above flag bursty,
+    campaign-driven, or retry-storm traffic; well below flags throttled/
+    scheduled regularity — the capacity-planning diagnostic beside
+    e_rolling_anomaly's point alerts.
+
+    Exactness: hourly counts are BIGINTs, so n, Σc, Σc² are exact
+    integers (Σc² in HUGEINT/DECIMAL — the t_token_entropy overflow
+    discipline) and variance uses the one-pass sufficient-statistics
+    identity; both engines evaluate the identical double tree, round-6.
+    The regime thresholds compare that same tree, so the CASE can never
+    disagree between engines unless the round-6 value itself did.
+
+    Scale shape: one (type, hour) partial-agg exchange, then a
+    type-sized aggregate. Nothing else moves."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+            "sum_c2"
+        ),
+    )
+    n_h = F.col("n_hours").cast("double")
+    n_e = F.col("n_events").cast("double")
+    mean = n_e / n_h
+    disp = (F.col("sum_c2").cast("double") - n_e * n_e / n_h) / n_h / mean
+    return stats.select(
+        "event_type",
+        "n_hours",
+        "n_events",
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(disp > 1.5, F.lit("bursty"))
+        .when(disp < 0.75, F.lit("regular"))
+        .otherwise(F.lit("poisson-like"))
+        .alias("regime"),
+    ).orderBy("event_type")

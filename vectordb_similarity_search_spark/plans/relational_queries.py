@@ -2829,3 +2829,83 @@ def r_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "r_lorenz_curve",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT spend,
+         CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER)
+           AS decile
+  FROM per_cust),
+per_decile AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(spend) AS decile_spend
+  FROM tiled GROUP BY decile)
+SELECT decile, n_customers,
+       (round(CAST(decile_spend AS DOUBLE), 2) + 0) AS decile_revenue,
+       (round(CAST(sum(decile_spend)
+                   OVER (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+              / CAST(sum(decile_spend) OVER () AS DOUBLE), 6) + 0)
+         AS cum_revenue_share
+FROM per_decile ORDER BY decile
+""",
+)
+def r_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: customers tiled into spend
+    deciles (ascending), each decile's revenue and the CUMULATIVE revenue
+    share — the curve form of the inequality readouts (e_gini_users is
+    its single coefficient, r_pareto_revenue its top-tier summary; the
+    Lorenz deciles are what the chart plots).
+
+    Deciles come from operators/ranking.global_ntile — SQL-exact ntile
+    without the SinglePartition sort exchange (the r_rfm_segments /
+    r_equidepth_histogram machinery), so the tiling holds when the
+    customer dimension itself is huge. Cumulative shares divide exact
+    DECIMAL sums over the 10-row decile frame; the per-customer aggregate
+    is the only fact-sized move."""
+    from ..operators import ranking
+
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    tiled = ranking.global_ntile(
+        per,
+        10,
+        ["spend", "o_custkey"],
+        col_name="decile",
+        # persist + memoize (the r_rfm_segments discipline): the tile's
+        # planning passes reuse the cached aggregate, and a REBUILD of
+        # the same plan runs zero driver jobs (the lazy-build contract)
+        persist=True,
+        memo_key=(sf_dir, "r_lorenz_curve"),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("decile_spend"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return per_decile.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(F.col("decile_spend").cast("double"), 2).alias(
+            "decile_revenue"
+        ),
+        F.round(
+            F.sum("decile_spend").over(wcum).cast("double")
+            / F.sum("decile_spend").over(wall).cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
