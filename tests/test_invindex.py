@@ -147,7 +147,9 @@ def test_append_rejects_duplicate_ids(spark, tmp_path):
     assert n == docs.count()
 
 
-def test_torn_append_refuses_probe_and_append(spark, tmp_path):
+def test_torn_append_refuses_probe_and_append_until_rebuild(
+    spark, tmp_path
+):
     from vectordb_similarity_search_spark.operators.invindex import (
         text_index_append,
     )
@@ -156,10 +158,62 @@ def test_torn_append_refuses_probe_and_append(spark, tmp_path):
     path = str(tmp_path / "torn")
     text_index_write(docs.filter(F.col("doc_id") < 50), path, num_buckets=8)
     open(os.path.join(path, "_append_pending"), "w").close()
+    # simulate swap debris from the crashed append too
+    os.makedirs(os.path.join(path, "_stats", "terms__old_deadbeef"))
     with pytest.raises(RuntimeError, match="torn append"):
         bm25_topk_indexed(spark, path, ["table"], k=5)
     with pytest.raises(RuntimeError, match="torn append"):
         text_index_append(docs.filter(F.col("doc_id") >= 50), path)
+    # the error message's own instruction must actually recover the
+    # store: a rebuild clears the marker + swap debris and serves again
+    text_index_write(docs.filter(F.col("doc_id") < 50), path, num_buckets=8)
+    assert not os.path.exists(os.path.join(path, "_append_pending"))
+    assert not os.path.exists(
+        os.path.join(path, "_stats", "terms__old_deadbeef")
+    )
+    assert bm25_topk_indexed(spark, path, ["table"], k=5).count() > 0
+    assert text_index_append(docs.filter(F.col("doc_id") >= 50), path) > 0
+
+
+def test_append_rejects_in_batch_duplicate_ids(spark, tmp_path):
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "inbatchdup")
+    text_index_write(docs.filter(F.col("doc_id") < 50), path, num_buckets=8)
+    fresh = docs.filter(F.col("doc_id") >= 50)
+    doubled = fresh.unionByName(fresh)
+    with pytest.raises(ValueError, match="more than once"):
+        text_index_append(doubled, path)
+    assert not os.path.exists(os.path.join(path, "_append_pending"))
+    # store untouched: the clean batch still appends afterwards
+    assert text_index_append(fresh, path) == fresh.count()
+
+
+def test_append_tokenizes_the_sidecar_text_column(spark, tmp_path):
+    """text_col is recorded at build; an append batch carrying BOTH a
+    'text' and the build's column must be tokenized on the build's."""
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("doc_id") < 50).withColumnRenamed(
+        "text", "body"
+    )
+    path = str(tmp_path / "bodycol")
+    text_index_write(base, path, num_buckets=8, text_col="body")
+    batch = (
+        docs.filter(F.col("doc_id") >= 50)
+        .withColumn("body", F.col("text"))
+        .withColumn("text", F.lit("decoy decoy"))
+    )
+    text_index_append(batch, path)
+    # 'decoy' must be absent: the append tokenized body, not text
+    assert bm25_topk_indexed(spark, path, ["decoy"], k=5).count() == 0
+    assert bm25_topk_indexed(spark, path, ["table"], k=5).count() > 0
 
 
 def test_append_empty_batch_is_noop(spark, tmp_path):

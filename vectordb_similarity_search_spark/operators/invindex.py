@@ -87,8 +87,52 @@ def text_index_write(
     rows, never text — then df per term and the 1-row corpus stats as
     by-products of the same posting frame. The json sidecar is written
     LAST (commit marker): a reader never sees a store whose postings and
-    stats disagree."""
-    posted = (
+    stats disagree. A rebuild is also the documented RECOVERY from a torn
+    append, so it clears the ``_append_pending`` marker and any stats-dir
+    swap leftovers a crashed append left behind."""
+    root = path.rstrip("/")
+    posted = _postings_frame(docs, id_col, text_col, num_buckets)
+    posted.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{root}/postings"
+    )
+    post_scan = docs.sparkSession.read.parquet(f"{root}/postings")
+    post_scan.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_stats/terms")
+    docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(n_tokens(text_col).cast("double")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+        F.sum(n_tokens(text_col).cast("double")).alias("total_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_stats/meta")
+    docs.select(
+        F.col(id_col), n_tokens(text_col).cast("double").alias("dl")
+    ).write.mode("overwrite").parquet(f"{root}/_docs")
+    _clear_append_leftovers(root)
+    tmp = f"{root}/_meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "num_buckets": num_buckets,
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            f,
+        )
+    os.replace(tmp, f"{root}/_meta.json")
+    for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
+        _invalidate_index_scans(f"{root}/{sub}")
+
+
+def _postings_frame(
+    docs: DataFrame, id_col: str, text_col: str, num_buckets: int
+) -> DataFrame:
+    """The ONE tokenize→explode→(id, term) groupBy→bucket pipeline both
+    the build and the append write — shared so a tokenization or bucket
+    change can never diverge between them (the append==rebuild
+    bit-parity depends on it)."""
+    return (
         docs.select(
             F.col(id_col),
             F.explode(tokens(text_col)).alias("term"),
@@ -98,41 +142,34 @@ def text_index_write(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", _jvm_bucket(F.col("term"), num_buckets))
     )
-    posted.write.partitionBy("bucket").mode("overwrite").parquet(
-        f"{path.rstrip('/')}/postings"
-    )
-    post_scan = docs.sparkSession.read.parquet(f"{path.rstrip('/')}/postings")
-    post_scan.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path.rstrip('/')}/_stats/terms"
-    )
-    docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum(n_tokens(text_col).cast("double")) / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
-        F.sum(n_tokens(text_col).cast("double")).alias("total_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path.rstrip('/')}/_stats/meta"
-    )
-    docs.select(
-        F.col(id_col), n_tokens(text_col).cast("double").alias("dl")
-    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/_docs")
-    tmp = f"{path.rstrip('/')}/_meta.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"num_buckets": num_buckets, "id_col": id_col}, f)
-    os.replace(tmp, f"{path.rstrip('/')}/_meta.json")
-    for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
-        _invalidate_index_scans(f"{path.rstrip('/')}/{sub}")
 
 
-def text_index_append(
-    new_docs: DataFrame,
-    path: str,
-    *,
-    text_col: str = "text",
-) -> int:
+def _require_not_torn(root: str, path: str) -> None:
+    if os.path.exists(f"{root}/_append_pending"):
+        raise RuntimeError(
+            f"inverted index at {path} has a torn append "
+            "(_append_pending survives); rebuild with text_index_write"
+        )
+
+
+def _clear_append_leftovers(root: str) -> None:
+    """Remove the torn-append marker and any stats-dir swap leftovers
+    (``__old_*`` parked snapshots / ``__new_*`` tmp outputs) a crashed
+    append left: called by the rebuild (the documented recovery) and on
+    append entry, so crash debris never accumulates."""
+    import glob
+    import shutil
+
+    try:
+        os.remove(f"{root}/_append_pending")
+    except FileNotFoundError:
+        pass
+    for pat in ("terms__old_*", "terms__new_*", "meta__old_*", "meta__new_*"):
+        for d in glob.glob(f"{root}/_stats/{pat}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def text_index_append(new_docs: DataFrame, path: str) -> int:
     """Grow a written index with ``new_docs`` WITHOUT re-tokenizing the
     existing corpus: tokenize only the batch, append its postings into
     the same bucket partition dirs, and merge the corpus stats by exact
@@ -141,17 +178,26 @@ def text_index_append(
     token counts, every merged statistic is an exactly-represented
     integer in double (until 2^53 corpus tokens), so a probe of the
     appended store is BIT-IDENTICAL to a probe of a full rebuild over
-    the union corpus (pinned in tests/test_invindex.py).
+    the union corpus (pinned in tests/test_invindex.py). The text column
+    comes from the store's sidecar (recorded at build) — an append can
+    never tokenize a different column than the index was built on.
 
-    Duplicate ids are REJECTED before any write (a duplicated doc would
-    double its postings and silently corrupt df) — one broadcast
-    semi-join against the doc-cardinality ``_docs`` table, never the
-    postings. Returns the number of documents appended.
+    Duplicate ids are REJECTED before any write — against the existing
+    ``_docs`` table (one broadcast semi-join, never the postings) AND
+    within the batch itself (an at-least-once upstream that delivers a
+    doc twice in one batch would otherwise double its postings
+    silently). Returns the number of documents appended.
+
+    The batch is PERSISTED for the duration of the append: the postings
+    write, the df merge, and the ``_docs`` append must all see the SAME
+    evaluation of ``new_docs`` (a non-deterministic input re-evaluated
+    per consumer could write postings that disagree with the stats).
 
     Crash protocol: ``_append_pending`` marker first, removed last;
     stats dirs swap via recoverable snapshot renames. A crash mid-append
     leaves the marker, and every probe raises until the store is rebuilt
-    — plain parquet cannot make a multi-directory append atomic, and a
+    (``text_index_write`` clears the marker and any swap leftovers) —
+    plain parquet cannot make a multi-directory append atomic, and a
     silent torn state (postings newer than stats) would serve subtly
     wrong scores instead of an error.
 
@@ -167,12 +213,8 @@ def text_index_append(
     with open(f"{root}/_meta.json") as f:
         meta = json.load(f)
     num_buckets, id_col = meta["num_buckets"], meta["id_col"]
-    pending = f"{root}/_append_pending"
-    if os.path.exists(pending):
-        raise RuntimeError(
-            f"inverted index at {path} has a torn append "
-            "(_append_pending survives); rebuild with text_index_write"
-        )
+    text_col = meta.get("text_col", "text")
+    _require_not_torn(root, path)
     old_meta = spark.read.parquet(f"{root}/_stats/meta").collect()[0]
     if "total_dl" not in old_meta.asDict():
         raise ValueError(
@@ -180,74 +222,80 @@ def text_index_append(
             "_stats/meta); rebuild with text_index_write before appending"
         )
 
-    batch = new_docs.select(
-        F.col(id_col), F.col(text_col).alias("_text")
-    )
-    dup = (
-        spark.read.parquet(f"{root}/_docs")
-        .join(F.broadcast(batch.select(id_col)), id_col, "left_semi")
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"append batch contains ids already in the index "
-            f"(e.g. {dup[0][id_col]!r}); an append must be insert-only"
+    batch = new_docs.select(F.col(id_col), F.col(text_col)).persist()
+    try:
+        in_batch_dup = (
+            batch.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .limit(1)
+            .collect()
         )
-    stats = batch.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(n_tokens("_text").cast("double")).alias("total_dl"),
-    ).collect()[0]
-    n_new = int(stats["n"])
-    if n_new == 0:
-        return 0
+        if in_batch_dup:
+            raise ValueError(
+                f"append batch contains id {in_batch_dup[0][id_col]!r} "
+                "more than once; an append must be insert-only and "
+                "id-unique within the batch"
+            )
+        dup = (
+            spark.read.parquet(f"{root}/_docs")
+            .join(F.broadcast(batch.select(id_col)), id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"append batch contains ids already in the index "
+                f"(e.g. {dup[0][id_col]!r}); an append must be insert-only"
+            )
+        stats = batch.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(n_tokens(text_col).cast("double")).alias("total_dl"),
+        ).collect()[0]
+        n_new = int(stats["n"])
+        if n_new == 0:
+            return 0
 
-    open(pending, "w").close()  # marker FIRST
-    posted = (
+        pending = f"{root}/_append_pending"
+        open(pending, "w").close()  # marker FIRST
+        posted = _postings_frame(batch, id_col, text_col, num_buckets)
+        posted.write.partitionBy("bucket").mode("append").parquet(
+            f"{root}/postings"
+        )
         batch.select(
-            F.col(id_col),
-            F.explode(tokens("_text")).alias("term"),
-            n_tokens("_text").cast("double").alias("dl"),
+            F.col(id_col), n_tokens(text_col).cast("double").alias("dl")
+        ).write.mode("append").parquet(f"{root}/_docs")
+
+        # stats merge: vocabulary-sized union+sum, swapped recoverably
+        new_df = posted.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
         )
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", _jvm_bucket(F.col("term"), num_buckets))
-    )
-    posted.write.partitionBy("bucket").mode("append").parquet(
-        f"{root}/postings"
-    )
-    batch.select(
-        F.col(id_col), n_tokens("_text").cast("double").alias("dl")
-    ).write.mode("append").parquet(f"{root}/_docs")
+        merged_terms = (
+            spark.read.parquet(f"{root}/_stats/terms")
+            .unionByName(new_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        tmp_terms = f"{root}/_stats/terms__new_{uuid.uuid4().hex[:8]}"
+        merged_terms.coalesce(1).write.mode("overwrite").parquet(tmp_terms)
+        swap_snapshot(f"{root}/_stats/terms", tmp_terms)
 
-    # stats merge: vocabulary-sized union+sum, swapped recoverably
-    new_df = posted.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    merged_terms = (
-        spark.read.parquet(f"{root}/_stats/terms")
-        .unionByName(new_df)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
-    tmp_terms = f"{root}/_stats/terms__new_{uuid.uuid4().hex[:8]}"
-    merged_terms.coalesce(1).write.mode("overwrite").parquet(tmp_terms)
-    swap_snapshot(f"{root}/_stats/terms", tmp_terms)
+        n_total = float(old_meta["n"]) + float(stats["n"])
+        dl_total = float(old_meta["total_dl"]) + float(stats["total_dl"])
+        tmp_meta = f"{root}/_stats/meta__new_{uuid.uuid4().hex[:8]}"
+        spark.range(1).select(
+            F.lit(n_total).alias("n"),
+            (F.lit(dl_total) / F.lit(n_total)).alias("avgdl"),
+            F.lit(dl_total).alias("total_dl"),
+        ).coalesce(1).write.mode("overwrite").parquet(tmp_meta)
+        swap_snapshot(f"{root}/_stats/meta", tmp_meta)
 
-    n_total = float(old_meta["n"]) + float(stats["n"])
-    dl_total = float(old_meta["total_dl"]) + float(stats["total_dl"])
-    tmp_meta = f"{root}/_stats/meta__new_{uuid.uuid4().hex[:8]}"
-    spark.range(1).select(
-        F.lit(n_total).alias("n"),
-        (F.lit(dl_total) / F.lit(n_total)).alias("avgdl"),
-        F.lit(dl_total).alias("total_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(tmp_meta)
-    swap_snapshot(f"{root}/_stats/meta", tmp_meta)
-
-    for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
-        _invalidate_index_scans(f"{root}/{sub}")
-    os.remove(pending)  # marker LAST: the append is committed
-    return n_new
+        for sub in ("postings", "_stats/terms", "_stats/meta", "_docs"):
+            _invalidate_index_scans(f"{root}/{sub}")
+        os.remove(pending)  # marker LAST: the append is committed
+        return n_new
+    finally:
+        batch.unpersist()
 
 
 def bm25_topk_indexed(
@@ -270,11 +318,7 @@ def bm25_topk_indexed(
     at 100 TB that is |matching docs|·|terms| tiny rows, never the corpus."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if os.path.exists(f"{path.rstrip('/')}/_append_pending"):
-        raise RuntimeError(
-            f"inverted index at {path} has a torn append "
-            "(_append_pending survives); rebuild with text_index_write"
-        )
+    _require_not_torn(path.rstrip("/"), path)
     with open(f"{path.rstrip('/')}/_meta.json") as f:
         meta = json.load(f)
     num_buckets, id_col = meta["num_buckets"], meta["id_col"]
