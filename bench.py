@@ -175,7 +175,9 @@ ANALYTICS = [
     "t_temperature_mixture", # n^alpha low-resource upsampling weights
     "r_lorenz_curve",        # spend-decile cumulative revenue shares
     "e_burstiness",          # hourly dispersion index (Fano factor)
-                             # (the three above are unpinned until the
+    "t_lang_outliers",       # per-source majority-language deviation audit
+    "v_ood_centroid",        # centroid-argmax confident-mislabel screen
+                             # (the five above are unpinned until the
                              # next pins refresh)
 ]
 

@@ -52,6 +52,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "v_rp_distortion",       # 40-row audit-subset non-equi self-join
     "t_nb_calibration",      # class prior row (same NB stack as t_nb_quality)
     "v_centroid_margin",     # |labels|-row centroid table broadcast
+    "v_ood_centroid",        # same |labels|-row centroid broadcast
     "r_als_recs",            # 5 requested users' factor rows broadcast
     "t_hashtf_knn",          # query doc's norm: one scalar row broadcast
     "r_triangle_count",      # edge-count row + triangle-count row broadcast

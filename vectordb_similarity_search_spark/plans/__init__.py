@@ -94,6 +94,8 @@ TAIL = [
     "t_temperature_mixture",
     "r_lorenz_curve",
     "e_burstiness",
+    "t_lang_outliers",
+    "v_ood_centroid",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

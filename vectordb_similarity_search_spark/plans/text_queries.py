@@ -2867,3 +2867,67 @@ def t_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("upsample_factor"),
     ).orderBy("source")
+
+
+@query(
+    "t_lang_outliers",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+ranked AS (
+  SELECT source, lang, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang) AS r,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM sl),
+major AS (
+  SELECT source, lang AS majority_lang, c AS majority_docs, n_docs
+  FROM ranked WHERE r = 1)
+SELECT m.source, m.n_docs, m.majority_lang,
+       CAST(m.n_docs - m.majority_docs AS BIGINT) AS n_outliers,
+       (round(CAST(m.n_docs - m.majority_docs AS DOUBLE)
+              / CAST(m.n_docs AS DOUBLE), 6) + 0) AS outlier_rate
+FROM major m ORDER BY m.source
+""",
+)
+def t_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-consistency audit per source: the majority language and
+    how many documents deviate from it — the routing-bug detector a
+    multilingual crawl pipeline runs per feed (a source whose outlier
+    rate jumps is mixing feeds or mislabeling languages; pair with
+    t_chisq_lang_source's global independence test).
+
+    Exact end to end: counts are BIGINTs, the majority pick is a
+    deterministic rank (count desc, lang asc tie-break), and the rate is
+    the only double, round-6. One (source, lang) partial-agg exchange;
+    the rank/total windows run on that tiny grouped frame."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    wall = Window.partitionBy("source")
+    ranked = sl.select(
+        "source",
+        "lang",
+        "c",
+        F.row_number().over(wr).alias("r"),
+        F.sum("c").over(wall).cast("long").alias("n_docs"),
+    )
+    out = F.col("n_docs") - F.col("c")
+    return (
+        ranked.filter(F.col("r") == 1)
+        .select(
+            "source",
+            "n_docs",
+            F.col("lang").alias("majority_lang"),
+            out.cast("long").alias("n_outliers"),
+            F.round(
+                out.cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1544,3 +1544,152 @@ def v_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("sq")
     )
+
+
+@query(
+    "v_ood_centroid",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         CAST(unnest(embedding) AS DOUBLE) AS c,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos
+  FROM embeddings),
+cent AS (
+  SELECT label, pos, (round(avg(c), 6) + 0) AS cc FROM comp GROUP BY label, pos),
+carr AS (
+  SELECT label AS clabel, list(cc ORDER BY pos) AS cvec FROM cent GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label AS mlabel, c.clabel,
+         CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) * 1000000, 0) AS BIGINT)
+           AS s_ppm
+  FROM embeddings e CROSS JOIN carr c),
+per_member AS (
+  SELECT vec_id, mlabel,
+         max(CASE WHEN clabel = mlabel THEN s_ppm END) AS own_ppm,
+         max(CASE WHEN clabel <> mlabel
+                  THEN (s_ppm + 1000000) * 1000 + (999 - clabel)
+             END) AS best_key
+  FROM scored GROUP BY 1, 2),
+flags AS (
+  SELECT mlabel,
+         CASE WHEN best_key // 1000 - 1000000 > own_ppm THEN 1 ELSE 0
+              END AS flagged,
+         CASE WHEN best_key // 1000 - 1000000 > own_ppm
+              THEN 999 - best_key % 1000 END AS pred
+  FROM per_member),
+conf AS (
+  SELECT mlabel, pred, CAST(count(*) AS BIGINT) AS c
+  FROM flags WHERE flagged = 1 GROUP BY 1, 2),
+top_conf AS (
+  SELECT mlabel,
+         999 - (max(c * 1000 + (999 - pred)) % 1000) AS top_pred
+  FROM conf GROUP BY mlabel)
+SELECT f.mlabel AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(f.flagged) AS BIGINT) AS n_flagged,
+       (round(CAST(sum(f.flagged) AS DOUBLE) / count(*), 6) + 0)
+         AS flag_rate,
+       CAST(max(t.top_pred) AS INT) AS top_confusion_label
+FROM flags f LEFT JOIN top_conf t ON f.mlabel = t.mlabel
+GROUP BY f.mlabel ORDER BY label
+""",
+)
+def v_ood_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-mislabel screen over the embedding corpus: a member is
+    FLAGGED when some other label's centroid is strictly closer (cosine)
+    than its own — the cheap first pass of label-noise cleaning
+    (Confident Learning-style, public method) beside v_centroid_margin's
+    class-level separability view; per label, the flag count/rate and
+    the most common foreign attraction (top confusion target).
+
+    Exactness: centroids are ROUND-6 (the v_centroids precedent), member
+    cosines quantize to integer millionths, and every comparison,
+    argmax, and mode after that is pure BIGINT arithmetic — the foreign
+    argmax and the confusion mode pack (value, tie-break) into one
+    integer key (s_ppm·1000 + (999 − label), counts likewise), so ties
+    break identically in both engines with no struct/argmax semantics in
+    play. The only double is the round-6 rate.
+
+    Shape: one (label, pos) centroid pass, the |labels|-row centroid
+    table broadcast into ONE corpus scan, a member-keyed conditional
+    aggregate (own vs best-other pivot — no per-member window), then
+    label-sized aggregates."""
+    from ..functions.vector import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("cc"))
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cc"))).alias("_s"))
+        .select("clabel", F.col("_s.cc").alias("cvec"))
+    )
+    s_ppm = F.round(
+        cosine_similarity("v", "cvec") * 1000000, 0
+    ).cast("long")
+    scored = (
+        emb.select(
+            "vec_id",
+            F.col("label").alias("mlabel"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .crossJoin(F.broadcast(carr))
+        .select("vec_id", "mlabel", "clabel", s_ppm.alias("s_ppm"))
+    )
+    own_match = F.col("clabel") == F.col("mlabel")
+    per_member = scored.groupBy("vec_id", "mlabel").agg(
+        F.max(F.when(own_match, F.col("s_ppm"))).alias("own_ppm"),
+        F.max(
+            F.when(
+                ~own_match,
+                # +1e6 shift keeps the packed key NON-NEGATIVE (cosine
+                # can be negative): floor (DuckDB //) and trunc (double
+                # cast) division only agree on non-negative operands
+                (F.col("s_ppm") + 1000000) * 1000 + (999 - F.col("clabel")),
+            )
+        ).alias("best_key"),
+    )
+    flagged = (
+        F.floor(F.col("best_key") / 1000).cast("long") - 1000000
+        > F.col("own_ppm")
+    )
+    flags = per_member.select(
+        "mlabel",
+        F.when(flagged, 1).otherwise(0).alias("flagged"),
+        F.when(flagged, 999 - F.col("best_key") % 1000).alias("pred"),
+    )
+    conf = (
+        flags.filter(F.col("flagged") == 1)
+        .groupBy("mlabel", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top_conf = conf.groupBy("mlabel").agg(
+        (999 - F.max(F.col("c") * 1000 + (999 - F.col("pred"))) % 1000)
+        .alias("top_pred")
+    )
+    return (
+        flags.groupBy("mlabel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.round(
+                F.sum("flagged").cast("double") / F.count(F.lit(1)), 6
+            ).alias("flag_rate"),
+        )
+        .join(F.broadcast(top_conf), "mlabel", "left")
+        .select(
+            F.col("mlabel").alias("label"),
+            "n",
+            "n_flagged",
+            "flag_rate",
+            F.col("top_pred").cast("int").alias("top_confusion_label"),
+        )
+        .orderBy("label")
+    )
