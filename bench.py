@@ -177,7 +177,8 @@ ANALYTICS = [
     "e_burstiness",          # hourly dispersion index (Fano factor)
     "t_lang_outliers",       # per-source majority-language deviation audit
     "v_ood_centroid",        # centroid-argmax confident-mislabel screen
-                             # (the five above are unpinned until the
+    "s_time_split",          # embargoed temporal train/test split audit
+                             # (the six above are unpinned until the
                              # next pins refresh)
 ]
 

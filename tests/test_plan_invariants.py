@@ -47,6 +47,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "t_heldout_ppl",         # 1-row TRAIN-vocab total (t_bigram shape)
     "r_winsorized_mean",     # global p01/p99 percentile row
     "e_did",                 # 1-row day-range midpoint scalar broadcast
+    "s_time_split",          # 1-row cut scalar + 1-row shared-user count
     "r_pareto_revenue",      # 3-row tier-percentage table
     "d_banding_curve",       # 1-row true-pair-count total + 4-row config table
     "v_rp_distortion",       # 40-row audit-subset non-equi self-join

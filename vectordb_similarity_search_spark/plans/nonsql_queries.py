@@ -1972,3 +1972,97 @@ def e_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     targets = _stream_audit_targets(spark, sf_dir)
     return ledger_audit(spark, targets).orderBy("target")
+
+
+@query(
+    "s_time_split",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+  FROM events),
+bounds AS (
+  SELECT min(day_idx) + (max(day_idx) - min(day_idx)) * 4 // 5 AS cut
+  FROM ev),
+tagged AS (
+  SELECT user_id, day_idx,
+         CASE WHEN day_idx < cut - 2 THEN 'train'
+              WHEN day_idx >= cut THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM ev, bounds),
+counts AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(min(day_idx) AS BIGINT) AS first_day,
+         CAST(max(day_idx) AS BIGINT) AS last_day
+  FROM tagged GROUP BY split)
+SELECT split, n_events, n_users, first_day, last_day,
+       CAST(CASE WHEN split = 'embargo' THEN 0
+                 ELSE (SELECT count(*) FROM
+                       (SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+                        INTERSECT
+                        SELECT DISTINCT user_id FROM tagged WHERE split = 'test'))
+            END AS BIGINT) AS n_shared_users
+FROM counts ORDER BY split
+""",
+)
+def s_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embargoed temporal train/test split (the purged walk-forward split
+    of time-series ML, public de Prado-style method): train = strictly
+    before the 80% cut MINUS a 2-day embargo, test = at/after the cut,
+    the embargo rows are QUARANTINED (dropped from both) — the gap stops
+    boundary-straddling state (sessions, rolling features, label
+    horizons) from leaking train information into test. The report also
+    counts train∩test users: unlike s_cluster_split (which forces entity
+    disjointness), a temporal split legitimately shares entities — the
+    number is surfaced so the modeler KNOWS the overlap they are
+    accepting.
+
+    Everything is integer epoch-day arithmetic off one min/max scalar
+    (the e_did midpoint pattern); counts are BIGINT-exact. Shape: one
+    scalar aggregate + one split-grouped aggregate + one distinct-user
+    intersection (two dimension-sized semi frames)."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ev = e.select("user_id", day.alias("day_idx"))
+    bounds = ev.agg(
+        (
+            F.min("day_idx")
+            + F.floor((F.max("day_idx") - F.min("day_idx")) * 4 / 5)
+        )
+        .cast("long")
+        .alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "day_idx",
+        F.when(F.col("day_idx") < F.col("cut") - 2, F.lit("train"))
+        .when(F.col("day_idx") >= F.col("cut"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+    )
+    counts = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("day_idx").cast("long").alias("first_day"),
+        F.max("day_idx").cast("long").alias("last_day"),
+    )
+    tr = tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    te = tagged.filter(F.col("split") == "test").select("user_id").distinct()
+    shared = tr.join(te, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("_shared")
+    )
+    return (
+        counts.crossJoin(F.broadcast(shared))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "first_day",
+            "last_day",
+            F.when(F.col("split") == "embargo", F.lit(0))
+            .otherwise(F.col("_shared"))
+            .cast("long")
+            .alias("n_shared_users"),
+        )
+        .orderBy("split")
+    )
