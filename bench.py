@@ -178,7 +178,9 @@ ANALYTICS = [
     "t_lang_outliers",       # per-source majority-language deviation audit
     "v_ood_centroid",        # centroid-argmax confident-mislabel screen
     "s_time_split",          # embargoed temporal train/test split audit
-                             # (the six above are unpinned until the
+    "r_ab_srm",              # sample-ratio-mismatch chi-square guard
+    "t_dedup_impact",        # per-source dedup token-waste attribution
+                             # (the eight above are unpinned until the
                              # next pins refresh)
 ]
 

@@ -97,6 +97,8 @@ TAIL = [
     "t_lang_outliers",
     "v_ood_centroid",
     "s_time_split",
+    "r_ab_srm",
+    "t_dedup_impact",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

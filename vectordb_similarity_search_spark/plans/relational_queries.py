@@ -2909,3 +2909,78 @@ def r_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_revenue_share"),
     ).orderBy("decile")
+
+
+@query(
+    "r_ab_srm",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1)
+                   % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+  FROM orders),
+counts AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
+tot AS (
+  SELECT variant, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM counts)
+SELECT variant, n, total,
+       (round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0)
+         AS observed_share,
+       (round((CAST(2 * n - total AS DOUBLE)
+               * CAST(2 * n - total AS DOUBLE))
+              / CAST(total AS DOUBLE), 6) + 0) AS chi2,
+       CASE WHEN (CAST(2 * n - total AS DOUBLE)
+                  * CAST(2 * n - total AS DOUBLE))
+                 / CAST(total AS DOUBLE) > 3.841 THEN 'SRM SUSPECTED'
+            ELSE 'ok' END AS verdict
+FROM tot ORDER BY variant
+""",
+)
+def r_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 experiment split — the
+    first check every experimentation platform runs BEFORE reading the
+    metric (a split whose traffic ratio deviates from its design means
+    broken assignment/logging, and any downstream readout is invalid):
+    observed share per variant and the 1-df chi-square against the
+    expected half, with the 0.05 critical value (3.841) as the verdict
+    line. On this content-keyed md5 split the verdict must be 'ok' — a
+    hash split cannot SRM, which is exactly why e_ab_test keys on it.
+
+    Exactness: for a 50/50 design the chi-square collapses to
+    (2n − total)²/total — pure BIGINT arithmetic inside, one double
+    division, round-6; the verdict compares that same tree to a shared
+    literal. One grouped count; the total rides a window over the 2-row
+    frame."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    variant = F.when(
+        F.expr(
+            "(instr('0123456789abcdef', "
+            "substr(md5(cast(o_custkey as string)), 1, 1)) - 1) % 2"
+        )
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    counts = o.groupBy(variant.alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.select(
+        "variant",
+        "n",
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    dev = (2 * F.col("n") - F.col("total")).cast("double")
+    chi2 = dev * dev / F.col("total").cast("double")
+    return tot.select(
+        "variant",
+        "n",
+        "total",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"), 6
+        ).alias("observed_share"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, F.lit("SRM SUSPECTED"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    ).orderBy("variant")

@@ -2931,3 +2931,73 @@ def t_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "t_dedup_impact",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, md5(text) AS h, CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_docs,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rn > 1), 0) AS BIGINT)
+         AS dup_tokens,
+       (round(CAST(coalesce(sum(n_tok) FILTER (WHERE rn > 1), 0) AS DOUBLE)
+              / CAST(sum(n_tok) AS DOUBLE), 6) + 0) AS token_waste
+FROM keyed GROUP BY source ORDER BY source
+""",
+)
+def t_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report per source: how many documents AND how much
+    token mass exact dedup would remove (keep-first by md5, corpus-wide)
+    — the number that decides whether a source's crawl is worth its
+    storage, and the per-source attribution t_exact_dedup's corpus-level
+    summary can't give (a 30% token_waste source is a re-crawl loop; a
+    clean one isn't).
+
+    Keep-first discipline: corpus-wide md5 window ordered by doc_id (the
+    t_line_dedup keying), so a duplicate pair spanning two sources
+    charges the LATER doc's source — dedup cost lands where the
+    re-crawl happened. BIGINT-exact counts/sums; the rate is the only
+    double, round-6. Shape: one md5-keyed window exchange (digests +
+    token counts move, never text), then a source-sized aggregate."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    keyed = d.select(
+        "source",
+        n_tokens("text").cast("long").alias("n_tok"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dup = F.col("rn") > 1
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("dup_docs"),
+            F.coalesce(F.sum(F.when(dup, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "dup_docs",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("token_waste"),
+        )
+        .orderBy("source")
+    )
