@@ -5,9 +5,12 @@ All window orderings carry an explicit unique tie-break key so ranks are
 deterministic — the discipline the reference's np.argsort lacks
 (similarity_search.py:305, SURVEY.md §7 hard part b).
 
-Scale note: every window here partitions by a key (custkey/user) so state is
-bounded per group and the shuffle is a normal hash exchange; there are no
-global (unpartitioned) windows in the catalog.
+Scale note: windows here partition by a key (custkey/user) so state is
+bounded per group and the shuffle is a normal hash exchange. The one
+exception is w_percentile_rank's rank trio over the per-customer
+AGGREGATE, which auto-reroutes onto the bucketed global-rank machinery
+(operators/ranking) past a Catalyst size estimate — below it the plain
+ORDER-BY-only window runs on a dimension-sized frame by design.
 """
 
 from __future__ import annotations
