@@ -180,7 +180,8 @@ ANALYTICS = [
     "s_time_split",          # embargoed temporal train/test split audit
     "r_ab_srm",              # sample-ratio-mismatch chi-square guard
     "t_dedup_impact",        # per-source dedup token-waste attribution
-                             # (the eight above are unpinned until the
+    "w_moving_median",       # robust sliding median (frame percentile)
+                             # (the nine above are unpinned until the
                              # next pins refresh)
 ]
 

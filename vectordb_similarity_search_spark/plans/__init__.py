@@ -99,6 +99,7 @@ TAIL = [
     "s_time_split",
     "r_ab_srm",
     "t_dedup_impact",
+    "w_moving_median",
     # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
     "w_lead_gap_days",
     "r_date_funcs2",

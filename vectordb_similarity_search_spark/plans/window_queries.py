@@ -347,3 +347,44 @@ def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("best_streak_days").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "w_moving_median",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       (round(median(CAST(o_totalprice AS DOUBLE))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0)
+         AS moving_median5
+FROM orders
+""",
+)
+def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust sliding baseline: the 5-order moving MEDIAN per customer —
+    the outlier-resistant twin of w_moving_avg (one fat-finger order
+    drags a moving mean for its whole window; the median shrugs it off),
+    the smoother robust-anomaly pipelines feed (e_mad_outliers' fence
+    logic at row grain).
+
+    Exactness: both engines compute the SQL-standard interpolated median
+    over the identical <= 5 doubles of the frame (the r_percentiles /
+    e_mad_outliers percentile-parity precedent), round-6. Spark's
+    median() refuses window FRAMES (INVALID_WINDOW_SPEC) — the exact
+    percentile(v, 0.5) aggregate is the frame-capable spelling of the
+    same definition. One per-key window exchange; frame state is
+    bounded at 5 rows."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.expr("percentile(cast(o_totalprice as double), 0.5)").over(w),
+            6,
+        ).alias("moving_median5"),
+    )
