@@ -55,3 +55,38 @@ def test_driver_window_holds_every_unstable_query():
     covered = {n.split("_")[0] for n in window | recent_green}
     families = {n.split("_")[0] for n in REGISTRY}
     assert covered >= families, families - covered
+
+
+def test_every_family_inside_the_window():
+    """Stronger than the OR-check above (round-6 lesson): once this
+    window's own CORRECTNESS file is deposited, the latest-green set is a
+    SUBSET of the window, so a family outside the window goes
+    driver-unverified two rounds running. Require every family in the
+    window itself."""
+    in_window = {n.split("_")[0] for n in DRIVER_WINDOW}
+    families = {n.split("_")[0] for n in REGISTRY}
+    assert in_window >= families, families - in_window
+
+
+def test_window_matches_rotation_generator():
+    """Round-6 VERDICT order #7: the committed window must equal
+    scripts/rotate_window.py's output for the committed history (rounds
+    strictly below WINDOW_BUILT_FOR_ROUND), so rotations are mechanical
+    and can never again hand-drop a family."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(root, "scripts", "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    from vectordb_similarity_search_spark import plans
+
+    latest = rw.load_history(root, before_round=plans.WINDOW_BUILT_FOR_ROUND)
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    generated = rw.compute_window(list(REGISTRY), rows_only, latest)
+    assert generated == DRIVER_WINDOW
+    assert set(rw.compute_tail(list(REGISTRY), generated, latest)) == set(TAIL)

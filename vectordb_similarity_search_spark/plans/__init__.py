@@ -15,244 +15,237 @@ from . import text_queries  # noqa: E402,F401
 from . import event_queries  # noqa: E402,F401
 from . import nonsql_queries  # noqa: E402,F401
 
-# ---------------------------------------------------------------------------
-# Round-6 rotation (VERDICT r5 order #1 — executes the committed calendar):
-# the 38 queries that have NEVER received a driver CORRECTNESS row (the 6
-# round-5 late newcomers + the 32 analytics-battery members) plus 11 of the
-# 12 stale r1/r2-era rows take the window; e_tumbling_hourly stays as the
-# unchanged environment canary (the timestamp-normalization seam the r3
-# NANOS->NTZ break hit). w_lead_gap_days spills to round 7 (the w family
-# stays covered: w_percentile_rank is green in CORRECTNESS_r05). Round-6
-# newcomers displace stale rows from the END of the window (r_date_funcs2
-# first), never the never-checked block.
+# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py --write) ---
+# Regenerate with: python scripts/rotate_window.py --write
+# (bump WINDOW_BUILT_FOR_ROUND first; the generator reads CORRECTNESS
+# files of rounds strictly below it). tests/test_registry_order.py pins
+# committed == generated for this marker.
+WINDOW_BUILT_FOR_ROUND = 7
+
 DRIVER_WINDOW = [
-    "e_tumbling_hourly",
-    "r_equidepth_histogram",
-    "t_heldout_ppl",
-    "r_entity_resolution",
-    "v_adaptive_knn",
-    "r_mutual_info",
-    "e_forecast_baseline",
-    "t_pmi_bigrams",
-    "e_changepoint",
-    "t_token_entropy",
-    "e_power_analysis",
-    "r_theil_index",
-    "e_top_sequences",
-    "e_cohort_ltv",
-    "r_market_basket",
-    "t_mixture_sample",
-    "r_target_encoding",
-    "v_hybrid_alpha",
-    "e_ab_test",
-    "e_markov_transitions",
-    "e_gini_users",
-    "t_chisq_lang_source",
-    "e_audience_overlap",
-    "t_readability_ari",
-    "e_funnel_latency",
-    "e_session_stats",
-    "r_pareto_revenue",
-    "e_seasonal_profile",
-    "r_monthly_growth",
-    "e_dau_wau",
-    "t_ks_drift",
-    "v_rp_distortion",
-    "t_nb_calibration",
-    "e_pit_features",
-    "e_ewma_smooth",
-    "r_benford",
-    "t_keyword_tfidf",
-    "r_k_anonymity",
-    "r_dp_counts",
-    "t_lang_guess_confusion",
-    "r_string_funcs2",
-    "v_store_stats",
-    "v_zscore_fit",
-    "v_query_cohort_stats",
-    "v_centroids",
-    "t_token_stats",
-    "r_range_join",
-    "r_hhi_concentration",
-    "e_mad_outliers",
-    "e_stream_audit",
+    "e_tumbling_hourly",  # last driver row r6
+    "e_burstiness",  # never driver-checked
+    "e_conformal",  # never driver-checked
+    "e_did",  # never driver-checked
+    "r_ab_srm",  # never driver-checked
+    "r_bootstrap_ci",  # never driver-checked
+    "r_lorenz_curve",  # never driver-checked
+    "r_survival_km",  # never driver-checked
+    "s_time_split",  # never driver-checked
+    "t_bm25_incremental",  # never driver-checked
+    "t_dedup_impact",  # never driver-checked
+    "t_kl_divergence",  # never driver-checked
+    "t_lang_outliers",  # never driver-checked
+    "t_temperature_mixture",  # never driver-checked
+    "v_link_prediction",  # never driver-checked
+    "v_ood_centroid",  # never driver-checked
+    "w_moving_median",  # never driver-checked
+    "w_streaks",  # never driver-checked
+    "r_date_funcs2",  # last driver row r1
+    "w_lead_gap_days",  # last driver row r1
+    "r_intersect_except",  # last driver row r2
+    "t_ngram_jaccard_pairs",  # last driver row r2
+    "d_dedup_keep",  # last driver row r3
+    "d_embedding_neardup",  # last driver row r3
+    "d_minhash_lsh_pairs",  # last driver row r3
+    "d_semantic_prune",  # last driver row r3
+    "d_simhash_pairs",  # last driver row r3
+    "e_asof_join",  # last driver row r3
+    "e_from_json_filter",  # last driver row r3
+    "e_hourly_top_type",  # last driver row r3
+    "e_interval_join",  # last driver row r3
+    "e_json_extract",  # last driver row r3
+    "e_pivot_user_activity",  # last driver row r3
+    "e_session_windows",  # last driver row r3
+    "e_sliding_2h",  # last driver row r3
+    "e_value_histogram",  # last driver row r3
+    "m_embed_knn",  # last driver row r3
+    "m_embed_knn_bn",  # last driver row r3
+    "m_frame_sample",  # last driver row r3
+    "m_media_decode_stats",  # last driver row r3
+    "p_cohort_stats",  # last driver row r3
+    "p_search_report",  # last driver row r3
+    "r_approx_distinct",  # last driver row r3
+    "r_skew_report",  # last driver row r3
+    "t_bigram_logprob",  # last driver row r3
+    "t_bm25_phrase",  # last driver row r3
+    "t_bm25_topk",  # last driver row r3
+    "t_bpe_tokens",  # last driver row r3
+    "t_chunk_stats",  # last driver row r3
+    "t_decontaminate",  # last driver row r3
 ]
 
-# Past the driver's cap — every query here is re-verified on every test
-# run by the local oracle replica (tests/test_oracle_parity.py).
+# Past the driver's 50-slot cap - every query here is re-verified on every
+# test run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
-    # --- ROUND-6 late newcomers: first driver rows due in the round-7
-    # window (local-replica green every pytest run meanwhile) -----------
-    "t_kl_divergence",
-    "r_survival_km",
-    "r_bootstrap_ci",
-    "t_bm25_incremental",
-    "v_link_prediction",
-    "e_conformal",
-    "e_did",
-    "w_streaks",
-    "t_temperature_mixture",
-    "r_lorenz_curve",
-    "e_burstiness",
-    "t_lang_outliers",
-    "v_ood_centroid",
-    "s_time_split",
-    "r_ab_srm",
-    "t_dedup_impact",
-    "w_moving_median",
-    # --- ROUND-7 spill: stale r1/r2 rows displaced by the 50-slot cap ---
-    "w_lead_gap_days",
-    "r_date_funcs2",
-    "r_intersect_except",
-    "t_ngram_jaccard_pairs",
-    # --- round-5 window (all green in CORRECTNESS_r05) -------------------
-    "d_ppjoin_pairs",
-    "d_novelty_curve",
-    "d_containment_pairs",
-    "d_knn_components",
-    "d_cross_decontaminate",
-    "d_substring_spans",
-    "d_banding_curve",
-    "m_phash_neardup",
-    "m_scene_detect",
-    "m_audio_energy",
-    "p_pca_variance",
-    "r_als_recs",
-    "r_pagerank",
-    "r_triangle_count",
-    "v_knn_graph",
-    "v_ivfpq_knn",
-    "e_cuped",
-    "t_nb_crossval",
-    "v_label_ndcg",
-    "t_bm25_prf",
-    "r_skyline",
-    "r_rfm_segments",
-    "s_sample_weighted",
-    "s_group_sample",
-    "s_cluster_split",
-    "w_percentile_rank",
-    "t_heavy_hitters",
-    "t_token_shards",
-    "t_line_dedup",
-    "t_bm25_indexed",
-    "v_bq_knn",
-    "v_recall_matrix",
-    "v_triplet_mining",
-    "v_grouped_knn",
-    "v_mrl_recall",
-    "v_semantic_cache",
-    "v_centroid_margin",
-    "t_hashtf_knn",
-    "r_snapshot_diff",
-    "r_data_checks",
-    "e_attribution",
-    "e_funnel_conversion",
-    "e_retention_cohorts",
-    "r_winsorized_mean",
-    "e_gapfill_locf",
-    "r_fuzzy_name_pairs",
-    "e_rolling_anomaly",
-    "r_corr_matrix",
-    "t_bpe_apply",
-    # --- stable: latest driver row r3/r4 --------------------------------
-    "s_sample_stratified",
-    "v_ivf_knn_batch",
-    "v_sq8_knn",
-    "v_pq_knn",
-    "v_filtered_knn",
-    "v_range_search",
-    "v_search_docs",
-    "v_mmr_rerank",
-    "v_ivf_knn_filtered",
-    "t_nb_quality",
-    "v_index_stats",
-    "r_table_profile",
-    "v_embedding_drift",
-    "v_late_interaction",
-    "r_pricing_summary",
-    "r_market_revenue",
-    "r_rollup_revenue",
-    "t_exact_dedup",
-    "t_bpe_train",
-    "r_region_nation_revenue",
-    "r_left_join_counts",
-    "r_percentiles",
-    "r_string_agg",
-    "r_above_customer_avg",
-    "r_anti_join",
-    "r_semi_join",
-    "v_knn_l2",
-    "r_grouping_sets",
-    "r_array_agg",
-    "w_moving_avg",
-    "v_embedding_variance",
-    "v_dot_topk",
-    "r_distinct_agg",
-    "r_cube_orders",
-    "r_conditional_stats",
-    "r_case_buckets",
-    "r_string_funcs",
-    "r_date_funcs",
-    "r_in_subquery",
-    "r_union_parties",
-    "r_scalar_math",
-    "r_corr_stats",
-    "r_having",
-    "r_nested_agg",
-    "r_first_last_window",
-    "w_lag_delta",
-    "w_running_sum",
-    "w_share_of_customer",
-    "t_quality_buckets",
-    "v_knn_cosine",
-    "v_sim_join_topk",
-    "v_hybrid_rrf",
-    "v_ivf_knn",
-    "v_ivf_recall_curve",
-    "v_lsh_knn",
-    "r_skew_report",
-    "r_approx_distinct",
-    "w_rank_orders",
-    "t_bm25_topk",
-    "t_doclen_percentiles",
-    "t_top_tokens",
-    "t_idf_common",
-    "t_stopword_ratio",
-    "t_bpe_tokens",
-    "t_fingerprint_pairs",
-    "t_rep_ngram",
-    "t_chunk_stats",
-    "t_pack_sequences",
-    "t_filter_funnel",
-    "t_decontaminate",
-    "t_phrase_stats",
-    "t_scrub_pii",
-    "t_zipf_slope",
-    "t_bm25_phrase",
-    "t_domain_mixture",
-    "t_bigram_logprob",
-    "e_sliding_2h",
-    "e_session_windows",
-    "e_json_extract",
-    "e_asof_join",
-    "e_interval_join",
-    "e_pivot_user_activity",
-    "e_from_json_filter",
-    "e_hourly_top_type",
-    "e_value_histogram",
-    "d_embedding_neardup",
-    "d_minhash_lsh_pairs",
-    "d_simhash_pairs",
-    "d_semantic_prune",
-    "d_dedup_keep",
-    "p_cohort_stats",
-    "p_search_report",
-    "m_embed_knn",
-    "m_embed_knn_bn",
-    "m_media_decode_stats",
-    "m_frame_sample",
+    "e_ab_test",  # last driver row r6
+    "e_audience_overlap",  # last driver row r6
+    "e_changepoint",  # last driver row r6
+    "e_cohort_ltv",  # last driver row r6
+    "e_dau_wau",  # last driver row r6
+    "e_ewma_smooth",  # last driver row r6
+    "e_forecast_baseline",  # last driver row r6
+    "e_funnel_latency",  # last driver row r6
+    "e_gini_users",  # last driver row r6
+    "e_mad_outliers",  # last driver row r6
+    "e_markov_transitions",  # last driver row r6
+    "e_pit_features",  # last driver row r6
+    "e_power_analysis",  # last driver row r6
+    "e_seasonal_profile",  # last driver row r6
+    "e_session_stats",  # last driver row r6
+    "e_stream_audit",  # last driver row r6
+    "e_top_sequences",  # last driver row r6
+    "r_benford",  # last driver row r6
+    "r_dp_counts",  # last driver row r6
+    "r_entity_resolution",  # last driver row r6
+    "r_equidepth_histogram",  # last driver row r6
+    "r_hhi_concentration",  # last driver row r6
+    "r_k_anonymity",  # last driver row r6
+    "r_market_basket",  # last driver row r6
+    "r_monthly_growth",  # last driver row r6
+    "r_mutual_info",  # last driver row r6
+    "r_pareto_revenue",  # last driver row r6
+    "r_range_join",  # last driver row r6
+    "r_string_funcs2",  # last driver row r6
+    "r_target_encoding",  # last driver row r6
+    "r_theil_index",  # last driver row r6
+    "t_chisq_lang_source",  # last driver row r6
+    "t_heldout_ppl",  # last driver row r6
+    "t_keyword_tfidf",  # last driver row r6
+    "t_ks_drift",  # last driver row r6
+    "t_lang_guess_confusion",  # last driver row r6
+    "t_mixture_sample",  # last driver row r6
+    "t_nb_calibration",  # last driver row r6
+    "t_pmi_bigrams",  # last driver row r6
+    "t_readability_ari",  # last driver row r6
+    "t_token_entropy",  # last driver row r6
+    "t_token_stats",  # last driver row r6
+    "v_adaptive_knn",  # last driver row r6
+    "v_centroids",  # last driver row r6
+    "v_hybrid_alpha",  # last driver row r6
+    "v_query_cohort_stats",  # last driver row r6
+    "v_rp_distortion",  # last driver row r6
+    "v_store_stats",  # last driver row r6
+    "v_zscore_fit",  # last driver row r6
+    "d_banding_curve",  # last driver row r5
+    "d_containment_pairs",  # last driver row r5
+    "d_cross_decontaminate",  # last driver row r5
+    "d_knn_components",  # last driver row r5
+    "d_novelty_curve",  # last driver row r5
+    "d_ppjoin_pairs",  # last driver row r5
+    "d_substring_spans",  # last driver row r5
+    "e_attribution",  # last driver row r5
+    "e_cuped",  # last driver row r5
+    "e_funnel_conversion",  # last driver row r5
+    "e_gapfill_locf",  # last driver row r5
+    "e_retention_cohorts",  # last driver row r5
+    "e_rolling_anomaly",  # last driver row r5
+    "m_audio_energy",  # last driver row r5
+    "m_phash_neardup",  # last driver row r5
+    "m_scene_detect",  # last driver row r5
+    "p_pca_variance",  # last driver row r5
+    "r_als_recs",  # last driver row r5
+    "r_corr_matrix",  # last driver row r5
+    "r_data_checks",  # last driver row r5
+    "r_fuzzy_name_pairs",  # last driver row r5
+    "r_pagerank",  # last driver row r5
+    "r_rfm_segments",  # last driver row r5
+    "r_skyline",  # last driver row r5
+    "r_snapshot_diff",  # last driver row r5
+    "r_triangle_count",  # last driver row r5
+    "r_winsorized_mean",  # last driver row r5
+    "s_cluster_split",  # last driver row r5
+    "s_group_sample",  # last driver row r5
+    "s_sample_weighted",  # last driver row r5
+    "t_bm25_indexed",  # last driver row r5
+    "t_bm25_prf",  # last driver row r5
+    "t_bpe_apply",  # last driver row r5
+    "t_hashtf_knn",  # last driver row r5
+    "t_heavy_hitters",  # last driver row r5
+    "t_line_dedup",  # last driver row r5
+    "t_nb_crossval",  # last driver row r5
+    "t_token_shards",  # last driver row r5
+    "v_bq_knn",  # last driver row r5
+    "v_centroid_margin",  # last driver row r5
+    "v_grouped_knn",  # last driver row r5
+    "v_ivfpq_knn",  # last driver row r5
+    "v_knn_graph",  # last driver row r5
+    "v_label_ndcg",  # last driver row r5
+    "v_mrl_recall",  # last driver row r5
+    "v_recall_matrix",  # last driver row r5
+    "v_semantic_cache",  # last driver row r5
+    "v_triplet_mining",  # last driver row r5
+    "w_percentile_rank",  # last driver row r5
+    "r_above_customer_avg",  # last driver row r4
+    "r_anti_join",  # last driver row r4
+    "r_array_agg",  # last driver row r4
+    "r_case_buckets",  # last driver row r4
+    "r_conditional_stats",  # last driver row r4
+    "r_corr_stats",  # last driver row r4
+    "r_cube_orders",  # last driver row r4
+    "r_date_funcs",  # last driver row r4
+    "r_distinct_agg",  # last driver row r4
+    "r_first_last_window",  # last driver row r4
+    "r_grouping_sets",  # last driver row r4
+    "r_having",  # last driver row r4
+    "r_in_subquery",  # last driver row r4
+    "r_left_join_counts",  # last driver row r4
+    "r_market_revenue",  # last driver row r4
+    "r_nested_agg",  # last driver row r4
+    "r_percentiles",  # last driver row r4
+    "r_pricing_summary",  # last driver row r4
+    "r_region_nation_revenue",  # last driver row r4
+    "r_rollup_revenue",  # last driver row r4
+    "r_scalar_math",  # last driver row r4
+    "r_semi_join",  # last driver row r4
+    "r_string_agg",  # last driver row r4
+    "r_string_funcs",  # last driver row r4
+    "r_table_profile",  # last driver row r4
+    "r_union_parties",  # last driver row r4
+    "s_sample_stratified",  # last driver row r4
+    "t_bpe_train",  # last driver row r4
+    "t_exact_dedup",  # last driver row r4
+    "t_nb_quality",  # last driver row r4
+    "t_quality_buckets",  # last driver row r4
+    "v_dot_topk",  # last driver row r4
+    "v_embedding_drift",  # last driver row r4
+    "v_embedding_variance",  # last driver row r4
+    "v_filtered_knn",  # last driver row r4
+    "v_index_stats",  # last driver row r4
+    "v_ivf_knn_batch",  # last driver row r4
+    "v_ivf_knn_filtered",  # last driver row r4
+    "v_knn_l2",  # last driver row r4
+    "v_late_interaction",  # last driver row r4
+    "v_mmr_rerank",  # last driver row r4
+    "v_pq_knn",  # last driver row r4
+    "v_range_search",  # last driver row r4
+    "v_search_docs",  # last driver row r4
+    "v_sq8_knn",  # last driver row r4
+    "w_lag_delta",  # last driver row r4
+    "w_moving_avg",  # last driver row r4
+    "w_running_sum",  # last driver row r4
+    "w_share_of_customer",  # last driver row r4
+    "t_doclen_percentiles",  # last driver row r3
+    "t_domain_mixture",  # last driver row r3
+    "t_filter_funnel",  # last driver row r3
+    "t_fingerprint_pairs",  # last driver row r3
+    "t_idf_common",  # last driver row r3
+    "t_pack_sequences",  # last driver row r3
+    "t_phrase_stats",  # last driver row r3
+    "t_rep_ngram",  # last driver row r3
+    "t_scrub_pii",  # last driver row r3
+    "t_stopword_ratio",  # last driver row r3
+    "t_top_tokens",  # last driver row r3
+    "t_zipf_slope",  # last driver row r3
+    "v_hybrid_rrf",  # last driver row r3
+    "v_ivf_knn",  # last driver row r3
+    "v_ivf_recall_curve",  # last driver row r3
+    "v_knn_cosine",  # last driver row r3
+    "v_lsh_knn",  # last driver row r3
+    "v_sim_join_topk",  # last driver row r3
+    "w_rank_orders",  # last driver row r3
 ]
+# --- END GENERATED WINDOW ---
 
 
 def _reorder() -> None:
