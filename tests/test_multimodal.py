@@ -48,11 +48,17 @@ def test_decode_rejects_unknown_format():
 
 
 def test_decode_raster_without_codec_raises_not_fakes():
-    """A real PNG blob in a codec-less worker must raise (refusing to
-    fake-decode), never fall back to the synth parser."""
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    """A JPEG blob in a codec-less worker must raise (refusing to
+    fake-decode), never fall back to the synth parser; a malformed PNG
+    (magic but no IHDR) is a data error, not a silent fake. Supported
+    PNGs no longer need pillow at all — the dependency-free builtin
+    decoder (operators/codecs.py) handles them (round-7)."""
+    jpg = b"\xff\xd8\xff" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="pillow"):
-        _decode_one(png, pillow_image_mod=None)
+        _decode_one(jpg, pillow_image_mod=None)
+    torn_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(ValueError, match="IHDR"):
+        _decode_one(torn_png, pillow_image_mod=None)
 
 
 def test_decode_pillow_branch_via_injection():
@@ -298,10 +304,15 @@ def test_pillow_decode_real_png_fixture():
     assert mean == pytest.approx((10 + 20 + 30 + 40 + 50 + 60 + 70 + 255) / 8)
 
 
-def test_decode_one_routes_real_png_to_pillow_branch():
+def test_decode_one_routes_real_png_to_builtin_branch():
+    """Supported PNGs route to the dependency-free builtin decoder even
+    when a pillow-shaped module is available (builtin-first keeps the
+    decoder label and stats deterministic across environments); the
+    pillow backstop is reserved for subsets past the builtin's bound
+    (tests/test_codecs.py pins that routing)."""
     data = open(_TINY_PNG, "rb").read()
     w, h, mean, decoder = _decode_one(data, pillow_image_mod=_MiniPngModule)
-    assert (w, h, decoder) == (4, 2, "pillow")
+    assert (w, h, decoder) == (4, 2, "png-builtin")
     assert mean == pytest.approx(66.875)
 
 
@@ -322,3 +333,61 @@ def test_pillow_decode_with_real_pillow():
     w, h, mean = _pillow_decode(data, Image)
     assert (w, h) == (4, 2)
     assert mean == pytest.approx(66.875)
+
+
+def test_synth_real_media_decodes_via_builtin_codecs(spark):
+    """The real-container corpus (genuine PNG/BMP/WAV blobs) decodes
+    end-to-end on executors through the dependency-free builtin codecs,
+    and the decoded dims match the generator's meta — a real parse, not
+    a meta echo."""
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        decode_media,
+        synth_real_media,
+    )
+
+    corpus = synth_real_media(spark, n=18).cache()
+    meta = {
+        r["media_id"]: (r["meta"]["width"], r["meta"]["height"], r["meta"]["format"])
+        for r in corpus.select("media_id", "meta").collect()
+    }
+    rows = decode_media(corpus).collect()
+    assert len(rows) == 18
+    expected_label = {"png": "png-builtin", "bmp": "bmp-builtin", "wav": "wav-builtin"}
+    for r in rows:
+        w, h, fmt = meta[r["media_id"]]
+        assert (r["width"], r["height"]) == (w, h), fmt
+        assert r["decoder"] == expected_label[fmt]
+    corpus.unpersist()
+
+
+def test_audio_energy_wav_matches_pcm_replica(spark):
+    """audio_energy over REAL RIFF/WAVE blobs: windows must match a
+    direct numpy replica of the 16-bit PCM samples scaled >>8."""
+    import numpy as _np
+
+    from vectordb_similarity_search_spark.operators import codecs
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        audio_energy,
+        synth_real_media,
+    )
+
+    corpus = synth_real_media(spark, n=9).filter(F.col("kind") == "audio").cache()
+    blobs = {r["media_id"]: bytes(r["data"]) for r in corpus.collect()}
+    assert blobs, "generator must emit wav rows"
+    got = {
+        (r["media_id"], r["window_idx"]): (r["n_samples"], r["peak"], round(r["rms"], 9))
+        for r in audio_energy(corpus, window=32).collect()
+    }
+    expect = {}
+    for mid, blob in blobs.items():
+        _ch, _rate, _n, pcm = codecs.decode_wav(blob)
+        samples = pcm.astype(_np.int64) >> 8
+        for wi in range(0, len(samples), 32):
+            chunk = samples[wi : wi + 32]
+            expect[(mid, wi // 32)] = (
+                len(chunk),
+                int(_np.abs(chunk).max()),
+                round(float(_np.sqrt(int(_np.dot(chunk, chunk)) / len(chunk))), 9),
+            )
+    assert got == expect
+    corpus.unpersist()

@@ -9,19 +9,25 @@ through Python row-at-a-time, and the schema contract keeps the pipeline
 composable. At scale, partition by ``kind`` (decode cost is per-kind) and
 keep blobs <~100 MB/row (Arrow batch granularity).
 
-The pixel/sample DECODE is a capability-gated seam (round-4 verdict
-stretch order): ``decode_media`` sniffs each blob's container magic and
-routes SYNTH blobs through the deterministic synthetic-header parser
-(always available, fixture-tested) and real raster formats (PNG/JPEG/GIF)
-through Pillow WHEN the library is importable — ``available_decoders()``
-is the probe, resolved independently inside each executor worker. This
-container ships no codec libraries, so here the pillow branch is
-exercised by dependency-injection unit tests (tests/test_multimodal.py
-stubs the PIL.Image module) and real blobs raise a clearly-worded
-``NotImplementedError`` instead of pretending; the ``decoder`` output
-column always reports which branch actually decoded each row. The Spark
-plumbing — schemas, batch iteration, UDF signatures — is identical for
-both branches.
+The pixel/sample DECODE routes per blob by container magic
+(round-4 verdict stretch order; round-7 widens the real-format surface):
+
+- SYNTH blobs → the deterministic synthetic-header parser;
+- **PNG / BMP / WAV → the dependency-free builtin codecs**
+  (operators/codecs.py — stdlib ``zlib`` + numpy; real containers,
+  real pixels/samples, no libraries needed). Builtin-first keeps the
+  ``decoder`` label and stats deterministic across environments;
+- JPEG/GIF (and PNG subsets past the builtin's documented bound) →
+  Pillow WHEN importable — ``available_decoders()`` is the probe,
+  resolved independently inside each executor worker. This container
+  ships no codec libraries, so the pillow branch is exercised by
+  dependency-injection unit tests (tests/test_multimodal.py stubs the
+  PIL.Image module) and undecodable real blobs raise a clearly-worded
+  ``NotImplementedError`` instead of pretending.
+
+The ``decoder`` output column always reports which branch actually
+decoded each row; the Spark plumbing — schemas, batch iteration, UDF
+signatures — is identical for all branches.
 """
 
 from __future__ import annotations
@@ -104,6 +110,63 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_real_media(
+    spark: SparkSession, n: int = 48, seed: int = 7, id_offset: int = 100_000
+) -> DataFrame:
+    """Deterministic corpus of GENUINE containers — zlib-deflated CRC'd
+    grayscale PNGs, 24-bit BI_RGB BMPs, PCM-16 RIFF/WAVE blobs — built
+    with the dependency-free encoders in operators/codecs.py. Per-id RNG
+    (independent of partitioning), ``id_offset`` keeps ids disjoint from
+    ``synth_media``'s so the two corpora union cleanly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["id"]:
+                mid = int(raw_id)
+                rng = np.random.default_rng(seed + mid)
+                slot = mid % 3
+                if slot == 0:  # grayscale PNG
+                    w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+                    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                    data, kind, fmt, frames = (
+                        codecs.encode_png_gray(px), "image", "png", 1,
+                    )
+                elif slot == 1:  # 24-bit BMP
+                    w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    data, kind, fmt, frames = (
+                        codecs.encode_bmp_24(px), "image", "bmp", 1,
+                    )
+                else:  # PCM-16 WAV
+                    n_samp = int(rng.integers(256, 2049))
+                    samples = rng.integers(
+                        -(1 << 14), 1 << 14, size=n_samp, dtype=np.int64
+                    ).astype(np.int16)
+                    data, kind, fmt, frames = (
+                        codecs.encode_wav_pcm16(samples), "audio", "wav", 1,
+                    )
+                    w, h = n_samp, 1
+                rows.append(
+                    {
+                        "media_id": id_offset + mid,
+                        "kind": kind,
+                        "data": data,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "n_frames": frames,
+                            "format": fmt,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -127,15 +190,16 @@ _RASTER_MAGICS = (
 def available_decoders() -> dict[str, bool]:
     """Capability probe: which decode branches can run in THIS process.
     Called independently inside each executor worker (a driver-side probe
-    proves nothing about the workers' site-packages). ``synth`` is always
-    true — the deterministic header parser has no dependencies."""
+    proves nothing about the workers' site-packages). ``synth`` and the
+    ``builtin`` PNG/BMP/WAV codecs (operators/codecs.py — stdlib only)
+    are always true."""
     try:  # pragma: no cover - absent in this container
         from PIL import Image  # noqa: F401
 
         pillow = True
     except Exception:
         pillow = False
-    return {"synth": True, "pillow": pillow}
+    return {"synth": True, "builtin": True, "pillow": pillow}
 
 
 def _fake_decode(data: bytes) -> tuple[int, int, float]:
@@ -163,13 +227,43 @@ def _pillow_decode(data: bytes, image_mod) -> tuple[int, int, float]:
 
 def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float, str]:
     """Route ONE blob to its decode branch by container magic; returns
-    (width, height, mean_byte, decoder_label). ``pillow_image_mod`` is
-    resolved by the caller (once per worker) — None means the library is
-    absent and raster blobs must raise, not silently fall back: a fake
-    number for a real image would poison every stat downstream."""
+    (width, height, mean_byte, decoder_label). PNG/BMP/WAV go through the
+    dependency-free builtin codecs FIRST (deterministic label and stats
+    in every environment); ``pillow_image_mod`` is resolved by the caller
+    (once per worker) and backstops only the subsets the builtins
+    document as out of bounds (16-bit/interlaced PNG) plus JPEG/GIF.
+    None means the library is absent and such blobs must raise, not
+    silently fall back: a fake number for a real image would poison
+    every stat downstream.
+
+    WAV maps onto the raster stat contract as (n_frames, n_channels,
+    mean 8-bit-equivalent amplitude byte) — documented, deterministic,
+    and distinguishable via the ``wav-builtin`` label."""
+    from . import codecs
+
     if data[:5] == b"SYNTH":
         w, h, mean = _fake_decode(data)
         return w, h, mean, "synth-fake"
+    if data[:8] == codecs.PNG_MAGIC:
+        try:
+            w, h, luma = codecs.decode_png(data)
+            return w, h, float(luma.mean()) if luma.size else 0.0, "png-builtin"
+        except NotImplementedError:
+            if pillow_image_mod is None:
+                raise
+            w, h, mean = _pillow_decode(data, pillow_image_mod)
+            return w, h, mean, "pillow"
+    if data[:2] == codecs.BMP_MAGIC:
+        w, h, luma = codecs.decode_bmp(data)
+        return w, h, float(luma.mean()) if luma.size else 0.0, "bmp-builtin"
+    if data[:4] == codecs.WAV_MAGIC and data[8:12] == b"WAVE":
+        n_ch, _rate, n_frames, samples = codecs.decode_wav(data)
+        mean_byte = (
+            float(((samples.astype(np.int32) >> 8) + 128).mean())
+            if samples.size
+            else 0.0
+        )
+        return n_frames, n_ch, mean_byte, "wav-builtin"
     for magic, fmt in _RASTER_MAGICS:
         if data[: len(magic)] == magic:
             if pillow_image_mod is None:
@@ -181,9 +275,8 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
             w, h, mean = _pillow_decode(data, pillow_image_mod)
             return w, h, mean, "pillow"
     raise NotImplementedError(
-        "unrecognized media container (not SYNTH/PNG/JPEG/GIF); real "
-        "audio/video decoding requires codec libraries this environment "
-        "does not ship"
+        "unrecognized media container (not SYNTH/PNG/BMP/WAV/JPEG/GIF); "
+        "other codecs require libraries this environment does not ship"
     )
 
 
@@ -435,18 +528,31 @@ def audio_energy(media: DataFrame, window: int = 16) -> DataFrame:
     Determinism: peak and the sum of squares are exact integers (numpy
     int64); RMS is the one double op sqrt(ssq/n) — bit-stable across
     layouts/sessions, so the catalog query can pin an expected-parquet
-    oracle. A real codec would replace the payload read behind the same
-    schema (see module docstring: decode is stubbed by design).
+    oracle.
+
+    Container routing (round-7): RIFF/WAVE blobs decode through the
+    dependency-free PCM parser (operators/codecs.py) — real 16-bit
+    samples, scaled to the same 8-bit amplitude domain (>>8) so window
+    features are comparable across containers; anything else keeps the
+    original synth-payload read (16-byte header skip, unsigned bytes
+    centered at 128).
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
 
     def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
             out: list[dict] = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                payload = np.frombuffer(bytes(blob)[16:], dtype=np.uint8)
-                samples = payload.astype(np.int64) - 128
+                data = bytes(blob)
+                if data[:4] == codecs.WAV_MAGIC and data[8:12] == b"WAVE":
+                    _ch, _rate, _n, pcm = codecs.decode_wav(data)
+                    samples = (pcm.astype(np.int64) >> 8).astype(np.int64)
+                else:
+                    payload = np.frombuffer(data[16:], dtype=np.uint8)
+                    samples = payload.astype(np.int64) - 128
                 for wi in range(0, len(samples), window):
                     chunk = samples[wi : wi + window]
                     ssq = int(np.dot(chunk, chunk))

@@ -896,21 +896,31 @@ def p_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pass made driver-visible: synthesize the seeded
     binary media corpus (per-id RNG → independent of partitioning and
-    sf_dir), run the Arrow decode (operators/multimodal.decode_media — the
-    documented synth-fake parser; a codec library would swap in at the same
-    seam), aggregate per kind. Oracle: precomputed expected-output
-    parquet."""
+    sf_dir) UNIONED with a corpus of GENUINE containers — real zlib PNGs,
+    24-bit BMPs, PCM-16 WAVs (operators/multimodal.synth_real_media) —
+    and run the Arrow decode (operators/multimodal.decode_media). The
+    SYNTH blobs route through the documented synth-fake parser; the real
+    containers route through the dependency-free builtin codecs
+    (operators/codecs.py), so the driver-checked result covers FOUR real
+    decode branches, one group per (kind, decoder). Oracle: precomputed
+    expected-output parquet."""
     from pyspark.sql import functions as FF
 
-    from ..operators.multimodal import decode_media, synth_media
+    from ..operators.multimodal import (
+        decode_media,
+        synth_media,
+        synth_real_media,
+    )
 
-    decoded = decode_media(synth_media(spark, n=120))
-    return decoded.groupBy("kind").agg(
+    corpus = synth_media(spark, n=120).unionByName(
+        synth_real_media(spark, n=60)
+    )
+    decoded = decode_media(corpus)
+    return decoded.groupBy("kind", "decoder").agg(
         FF.count("*").cast("long").alias("n_media"),
         FF.round(FF.avg("width"), 6).alias("avg_width"),
         FF.round(FF.avg("height"), 6).alias("avg_height"),
         FF.round(FF.avg("mean_byte"), 6).alias("avg_mean_byte"),
-        FF.min("decoder").alias("decoder"),
     )
 
 
