@@ -129,12 +129,23 @@ def main() -> None:
     for g, (lo, hi) in sorted(big.items()):
         sm = sample_means[g]
         true_mean = g * 1000 + 49.9995  # E[pmod/1000] over 0..99999
-        # the HARD invariant: the CI brackets the sample mean (the
-        # bootstrap distribution's center); coverage of the generator's
-        # true mean is ~95% by design and only REPORTED
-        assert lo <= sm <= hi, (
-            f"group {g}: sample mean {sm} outside CI [{lo}, {hi}]"
-        )
+        # Bracketing the sample mean is overwhelmingly likely at the
+        # default 10M rows but NOT a guaranteed invariant of a 3rd/98th
+        # percentile CI, so it is a hard assert only at >= the default
+        # size; a small SMOKE_ROWS override downgrades it to a reported
+        # warning (like the true-mean coverage check) instead of flaking.
+        brackets = lo <= sm <= hi
+        if N_ROWS >= 10_000_000:
+            assert brackets, (
+                f"group {g}: sample mean {sm} outside CI [{lo}, {hi}]"
+            )
+        elif not brackets:
+            print(
+                f"  WARNING group {g}: sample mean {sm} outside CI "
+                f"[{lo}, {hi}] (non-default SMOKE_ROWS={N_ROWS}; "
+                "percentile CIs may legitimately miss at small n)",
+                flush=True,
+            )
         print(
             f"  group {g}: CI [{lo:.3f}, {hi:.3f}] brackets sample mean "
             f"{sm:.3f} (width {hi - lo:.3f}; generator true "

@@ -276,3 +276,30 @@ def test_appended_postings_compact_with_partitioned_compactor(
     assert any(
         "bucket" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ), plan
+
+
+def test_append_refuses_concurrent_marker(spark, tmp_path):
+    """The _append_pending marker is created O_EXCL: a second append
+    entering while one is in flight must fail fast instead of silently
+    interleaving its stats merge (round-6 ADVICE)."""
+    import os as _os
+
+    from vectordb_similarity_search_spark.operators.invindex import (
+        text_index_append,
+        text_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    text_index_write(docs, path, num_buckets=2, id_col="doc_id")
+    # simulate an in-flight append holding the marker
+    _os.close(
+        _os.open(
+            f"{path}/_append_pending", _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+        )
+    )
+    batch = spark.createDataFrame([(3, "delta")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="torn append|in flight"):
+        text_index_append(batch, path)

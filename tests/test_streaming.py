@@ -1059,3 +1059,30 @@ def test_ledger_state_gap_detection(tmp_path):
     assert st["n_batches_applied"] == 3
     assert (st["first_batch_id"], st["last_batch_id"]) == (0, 3)
     assert st["contiguous"] is False
+
+
+def test_dir_fingerprint_sees_two_level_mutations(tmp_path):
+    """A file landing TWO levels below the audited path (nested
+    day=/hour=/ layout) changes no top-level mtime, but the one-level
+    recursion must still bump the fingerprint so a cached audit scan
+    plan is evicted (round-6 ADVICE)."""
+    import os as _os
+
+    from vectordb_similarity_search_spark.streaming.audit import (
+        _dir_fingerprint,
+    )
+
+    root = tmp_path / "tbl"
+    deep = root / "day=2026-01-01" / "hour=03"
+    deep.mkdir(parents=True)
+    (deep / "part-0.parquet").write_bytes(b"a")
+    fp1 = _dir_fingerprint(str(root))
+    # freeze the top-level dir's mtime, then mutate two levels down
+    top_stat = _os.stat(root / "day=2026-01-01")
+    (deep / "part-1.parquet").write_bytes(b"b")
+    _os.utime(
+        root / "day=2026-01-01",
+        ns=(top_stat.st_atime_ns, top_stat.st_mtime_ns),
+    )
+    fp2 = _dir_fingerprint(str(root))
+    assert fp1 != fp2

@@ -155,8 +155,10 @@ def _require_not_torn(root: str, path: str) -> None:
 def _clear_append_leftovers(root: str) -> None:
     """Remove the torn-append marker and any stats-dir swap leftovers
     (``__old_*`` parked snapshots / ``__new_*`` tmp outputs) a crashed
-    append left: called by the rebuild (the documented recovery) and on
-    append entry, so crash debris never accumulates."""
+    append left: called by the REBUILD only (text_index_write — the
+    documented recovery path). An append never cleans up: it refuses to
+    run on a torn store (_require_not_torn) precisely so debris stays in
+    place as evidence until the operator rebuilds."""
     import glob
     import shutil
 
@@ -256,8 +258,20 @@ def text_index_append(new_docs: DataFrame, path: str) -> int:
         if n_new == 0:
             return 0
 
+        # Marker FIRST, created O_EXCL: two concurrent appends would
+        # otherwise both proceed and race the stats merge (lost update,
+        # df/N undercount) while the first finisher's marker removal
+        # unmarks the still-in-flight second — committing inconsistent
+        # stats WITHOUT the torn-store protection. Exclusive creation
+        # makes the second append fail fast instead.
         pending = f"{root}/_append_pending"
-        open(pending, "w").close()  # marker FIRST
+        try:
+            os.close(os.open(pending, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise RuntimeError(
+                f"another append to {path} is in flight (_append_pending "
+                "exists); appends must be serialized per store"
+            ) from None
         posted = _postings_frame(batch, id_col, text_col, num_buckets)
         posted.write.partitionBy("bucket").mode("append").parquet(
             f"{root}/postings"

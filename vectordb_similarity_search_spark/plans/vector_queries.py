@@ -1609,7 +1609,11 @@ def v_ood_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax and the confusion mode pack (value, tie-break) into one
     integer key (s_ppm·1000 + (999 − label), counts likewise), so ties
     break identically in both engines with no struct/argmax semantics in
-    play. The only double is the round-6 rate.
+    play. The only double is the round-6 rate. The key packing strides
+    by 1000, so the label domain must be [0, 999]; rather than decode a
+    wrong top_confusion_label identically in both engines past that
+    bound, the centroid frame raises on any out-of-domain label (a
+    per-label-row check on the tiny broadcast side — free).
 
     Shape: one (label, pos) centroid pass, the |labels|-row centroid
     table broadcast into ONE corpus scan, a member-keyed conditional
@@ -1626,10 +1630,26 @@ def v_ood_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg("col"), 6).alias("cc"))
     )
+    label_in_domain = (F.col("clabel") >= 0) & (F.col("clabel") <= 999)
     carr = (
         cent.groupBy(F.col("label").alias("clabel"))
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cc"))).alias("_s"))
-        .select("clabel", F.col("_s.cc").alias("cvec"))
+        .select(
+            F.when(label_in_domain, F.col("clabel"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "v_ood_centroid: label outside the packing "
+                            "domain [0, 999]: "
+                        ),
+                        F.col("clabel").cast("string"),
+                    )
+                )
+            )
+            .alias("clabel"),
+            F.col("_s.cc").alias("cvec"),
+        )
     )
     s_ppm = F.round(
         cosine_similarity("v", "cvec") * 1000000, 0

@@ -79,19 +79,35 @@ _AUDIT_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _dir_fingerprint(path: str) -> str:
-    """Cheap driver-side mutation fingerprint: top-level entry names +
-    mtimes. A file added/removed inside an immediate partition subdir
-    (``day=.../part-*``, ``cell=.../part-*``) bumps that subdir's mtime; a
-    snapshot swap replaces entries wholesale. Ops-console cardinality —
+    """Cheap driver-side mutation fingerprint: entry names + mtimes at the
+    top level AND one level into subdirectories. The extra level matters
+    for nested partition layouts (``day=.../hour=.../part-*``): a file
+    landing two levels down bumps only its immediate parent's mtime, which
+    a top-level-only listing never sees — the one-level recursion turns
+    that into a visible child-entry mtime change, so stale cached plans
+    are evicted for any layout up to two partition levels deep (deeper
+    layouts are outside the audit contract — see ledger_audit docstring).
+    A snapshot swap replaces entries wholesale. Ops-console cardinality —
     never a Spark job."""
     parts = []
     try:
         with os.scandir(path) as it:
-            for e in it:
-                st = e.stat(follow_symlinks=False)
-                parts.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+            entries = list(it)
     except FileNotFoundError:
         return "<missing>"
+    for e in entries:
+        st = e.stat(follow_symlinks=False)
+        parts.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+        if e.is_dir(follow_symlinks=False):
+            try:
+                with os.scandir(e.path) as sub:
+                    for s in sub:
+                        sst = s.stat(follow_symlinks=False)
+                        parts.append(
+                            f"{e.name}/{s.name}:{sst.st_mtime_ns}:{sst.st_size}"
+                        )
+            except FileNotFoundError:
+                parts.append(f"{e.name}/<vanished>")
     parts.sort()
     return "|".join(parts)
 
