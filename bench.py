@@ -181,8 +181,6 @@ ANALYTICS = [
     "r_ab_srm",              # sample-ratio-mismatch chi-square guard
     "t_dedup_impact",        # per-source dedup token-waste attribution
     "w_moving_median",       # robust sliding median (frame percentile)
-                             # (the nine above are unpinned until the
-                             # next pins refresh)
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
@@ -432,9 +430,18 @@ def main() -> None:
     machine_factor_io = round(
         io_calibration / IO_CALIBRATION_BASELINE_SEC, 3
     )
-    # blended factor for normalization: the query set is part compute,
-    # part columnar scan — geometric mean of the two axes
-    blend_factor = round((machine_factor * machine_factor_io) ** 0.5, 3)
+    # Blended factor for normalization. Weights RE-DERIVED round 7 from
+    # data (VERDICT r6 order #4): least-squares over 4 full bench
+    # sessions x 96 pinned queries (log raw wall vs log probe factors)
+    # fits the compute weight at >= 1 — within a machine epoch the io
+    # probe's session noise (+-17%) anticorrelates with query walls and
+    # the old sqrt(mf*io) blend ADDED dispersion (19.6% normalized vs
+    # 17.3% raw). 0.75/0.25 keeps a quarter-weight io term purely as
+    # insurance for genuine IO-era shifts (the r4 reason the probe
+    # exists) while halving the io-noise leak into normalized totals.
+    # Pin re-derived in the same commit (bench_pins.json blend 1.432 =
+    # 1.566^0.75 * 1.094^0.25 from the SAME pinned session's factors).
+    blend_factor = round(machine_factor**0.75 * machine_factor_io**0.25, 3)
 
     timings = run_group(spark, sf_dir, HEADLINE)
     pipeline = run_group(spark, sf_dir, PIPELINE)
