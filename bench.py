@@ -181,6 +181,8 @@ ANALYTICS = [
     "r_ab_srm",              # sample-ratio-mismatch chi-square guard
     "t_dedup_impact",        # per-source dedup token-waste attribution
     "w_moving_median",       # robust sliding median (frame percentile)
+    "e_hll_rolling_users",   # mergeable-sketch 7d rolling distinct
+    "e_hll_type_rollup",     # leaf-sketch union re-aggregation
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -2076,3 +2076,50 @@ def s_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "e_hll_rolling_users",
+    oracle=_expected_oracle("e_hll_rolling_users", sf_bound=True),
+)
+def e_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ledger, part 1 (operators/sketches.py): ONE
+    linear pass builds per-(day, event_type) HyperLogLog sketches of
+    distinct users, then the trailing 7-day distinct-user estimate per
+    day comes from a bounded self-join + union over the TINY ledger —
+    the raw log is never rescanned per window (at 100 TB the log pass
+    happens once; every window/rollup question afterwards costs
+    days x types rows). Estimates are layout/merge-order independent
+    (register max), so the expected-parquet oracle is stable across
+    sessions; tests additionally pin estimate-vs-exact relative error
+    and leaf-union == direct-sketch equality."""
+    from ..operators.sketches import daily_hll_sketches, rolling_distinct
+
+    ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
+    return (
+        rolling_distinct(ledger, window_days=7)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "est_distinct",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "e_hll_type_rollup",
+    oracle=_expected_oracle("e_hll_type_rollup", sf_bound=True),
+)
+def e_hll_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ledger, part 2: per-event_type whole-range
+    distinct users AND the all-types grand total, every number unioned
+    from the SAME leaf sketches e_hll_rolling_users builds — the
+    re-aggregability property that makes sketch ledgers the scale
+    answer to "distinct by any dimension" (a grand total is NOT the sum
+    of per-type distincts; the union dedupes cross-type users
+    exactly as set semantics require)."""
+    from ..operators.sketches import daily_hll_sketches, rollup_distinct
+
+    ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
+    return rollup_distinct(ledger).orderBy("scope")
