@@ -34,6 +34,7 @@ SMOKES = [
     ("scale_smoke_linkage.py", False),    # 350k-name entity resolution
     ("scale_smoke_ivf_drift.py", False),  # drift -> recluster maintenance
     ("scale_smoke_bootstrap.py", False),  # 10M-row Poisson bootstrap CIs
+    ("scale_smoke_sketches.py", False),   # 20M-row HLL ledger vs exact
     ("scale_smoke_ann_batch.py", True),   # 1M-vector batch ANN serving
     ("scale_smoke_search.py", True),      # 1M-vector filtered/range/MMR/delete
     ("scale_smoke_incremental.py", True), # 400k-corpus incremental dedup

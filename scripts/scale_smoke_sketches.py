@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Mergeable HLL sketch ledger at scale (operators/sketches.py), vanilla
+SparkSession.
+
+What it proves (the 100 TB claims):
+
+- ONE linear pass builds the leaf ledger; the trailing-window distinct
+  query over the LEDGER beats the naive exact recompute (which
+  re-shuffles rows x window_days) by an honest measured factor, while
+  staying within the HLL error bound of the exact answer;
+- leaf-union == direct-sketch estimate equality holds at scale (merge
+  invariance — the property that makes pre-aggregation lossless);
+- incremental maintenance: folding a new day's batch into the stored
+  ledger costs a batch-sized pass, never a history rescan, and its
+  estimates equal a full rebuild bit-for-bit;
+- the rolling plan stays equi-join only (no BroadcastNestedLoopJoin).
+
+    python scripts/scale_smoke_sketches.py          # ~2 min
+    SMOKE_ROWS=50000000 python scripts/...          # bigger run
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_ROWS = int(os.environ.get("SMOKE_ROWS", 20_000_000))
+N_DAYS = 60
+N_USERS = 2_000_000
+WINDOW = 7
+
+failures: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}", flush=True)
+    if not ok:
+        failures.append(name)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hll_sketches,
+        rolling_distinct,
+        sketch_ledger_merge_batch,
+        sketch_ledger_write,
+    )
+
+    # 8g heap: the NAIVE contender's partial-distinct hash state (rows x
+    # window_days (day,user) pairs across 8 threads) OOMs the 1g local
+    # default — the ledger path itself runs fine there, which is half
+    # the story this smoke tells. Shared heap keeps the timing fair.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("scale-smoke-sketches")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(n: int, day_lo: int, day_hi: int):
+        # deterministic skewed events: user popularity is heavy-tailed
+        # (pmod of squared hash), days uniform in [day_lo, day_hi)
+        return spark.range(n).select(
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(
+                    days=day_lo + F.pmod(F.xxhash64("id"), F.lit(day_hi - day_lo)),
+                    hours=F.pmod(F.xxhash64("id", F.lit(9)), F.lit(24)),
+                )
+            ).alias("ts"),
+            F.pmod(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_USERS))
+                * F.pmod(F.xxhash64("id", F.lit(2)), F.lit(97)),
+                F.lit(N_USERS),
+            ).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+        )
+
+    # NOT persisted: the generator is deterministic (per-id hashes), so
+    # both contenders recompute identical input; persisting 20M wide rows
+    # would blow the vanilla session's default heap, and the honest
+    # comparison charges each contender its own input pass anyway.
+    events = gen(N_ROWS, 0, N_DAYS)
+
+    # --- 1. ledger build: the one linear pass --------------------------
+    t0 = time.perf_counter()
+    ledger = daily_hll_sketches(events).persist()
+    n_leaves = ledger.count()
+    wall_build = time.perf_counter() - t0
+
+    # --- 2. rolling window: ledger vs naive exact ----------------------
+    t0 = time.perf_counter()
+    est = {
+        str(r["day"]): r["est_distinct"]
+        for r in rolling_distinct(ledger, WINDOW).collect()
+    }
+    wall_ledger = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    base = events.select(F.to_date("ts").alias("day"), "user_id")
+    contrib = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(WINDOW - 1))).alias("_o"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("_o")).alias("out_day"), "user_id")
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = {
+        str(r["out_day"]): r["d"]
+        for r in contrib.join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    wall_exact = time.perf_counter() - t0
+
+    worst_err = max(
+        abs(est[d] - exact[d]) / exact[d] for d in exact
+    )
+    check(
+        "ledger_rolling_beats_exact_recompute",
+        set(est) == set(exact)
+        # max over ~60 window estimates at lg_k=12 (1.6% RSE): 5% is a
+        # >3-sigma bound for the worst of the batch (3.5% observed)
+        and worst_err < 0.05
+        and wall_ledger < wall_exact,
+        f"rows={N_ROWS:,} leaves={n_leaves} build={wall_build:.1f}s "
+        f"ledger_query={wall_ledger:.1f}s exact_recompute={wall_exact:.1f}s "
+        f"speedup={wall_exact / max(wall_ledger, 1e-9):.1f}x "
+        f"worst_rel_err={worst_err:.4%}",
+    )
+
+    # --- 3. merge invariance at scale ----------------------------------
+    via_leaves = (
+        ledger.agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").cast("long").alias("e"))
+        .first()["e"]
+    )
+    direct = (
+        events.agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+        .select(F.hll_sketch_estimate("s").cast("long").alias("e"))
+        .first()["e"]
+    )
+    check(
+        "leaf_union_equals_direct_sketch",
+        via_leaves == direct,
+        f"union={via_leaves} direct={direct}",
+    )
+
+    # --- 4. incremental maintenance vs rebuild -------------------------
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="smoke_sketch_ledger_")
+    path = os.path.join(store, "ledger")
+    sketch_ledger_write(ledger, path)
+    batch = gen(N_ROWS // 20, N_DAYS, N_DAYS + 1)
+
+    t0 = time.perf_counter()
+    merged = sketch_ledger_merge_batch(spark, batch, path).persist()
+    merged.count()
+    wall_merge = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rebuilt = daily_hll_sketches(events.unionByName(batch)).persist()
+    rebuilt.count()
+    wall_rebuild = time.perf_counter() - t0
+
+    def estimates(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], r["e"])
+            for r in df.select(
+                "day",
+                "event_type",
+                "n_events",
+                F.hll_sketch_estimate("sk").cast("long").alias("e"),
+            ).collect()
+        )
+
+    check(
+        "incremental_merge_matches_rebuild",
+        estimates(merged) == estimates(rebuilt) and wall_merge < wall_rebuild,
+        f"merge={wall_merge:.1f}s rebuild={wall_rebuild:.1f}s "
+        f"speedup={wall_rebuild / max(wall_merge, 1e-9):.1f}x",
+    )
+
+    # --- 5. plan hygiene ------------------------------------------------
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rolling_distinct(ledger, WINDOW).explain(mode="formatted")
+    plan = buf.getvalue()
+    check(
+        "rolling_plan_equi_join_only",
+        "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan,
+    )
+
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    n_checks = 4
+    print(
+        f"{'OK' if not failures else 'FAILED'} "
+        f"({n_checks - len(failures)}/{n_checks})"
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
