@@ -1086,3 +1086,115 @@ def test_dir_fingerprint_sees_two_level_mutations(tmp_path):
     )
     fp2 = _dir_fingerprint(str(root))
     assert fp1 != fp2
+
+
+def test_sketch_ingest_stream_matches_batch(spark, stream_env, tmp_path):
+    """Streaming HLL sketch ledger ingest: after two micro-batches the
+    stored ledger's estimates and event counts equal a one-shot batch
+    build over all events, and a replayed batch id is a no-op for
+    n_events (estimates are replay-safe by algebra regardless)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hll_sketches,
+    )
+    from vectordb_similarity_search_spark.streaming.events import (
+        apply_sketch_batch,
+        sketch_ingest_stream,
+    )
+
+    _, src, chk, _, reader = stream_env
+    rows1 = [
+        (1, _t(9, 5), 1, "click", 1.0),
+        (2, _t(9, 40), 2, "view", 2.0),
+        (3, _t(10, 10), 1, "click", 3.0),
+    ]
+    rows2 = [
+        (4, _t(9, 50), 3, "click", 5.0),
+        (5, _t(11, 1), 1, "buy", 7.0),
+    ]
+    path = str(tmp_path / "sketch_ledger")
+    _write_batch(src, rows1, "b1")
+    q = sketch_ingest_stream(reader(), path, str(chk))
+    q.processAllAvailable()
+    _write_batch(src, rows2, "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    def summary(ledger):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], r["e"])
+            for r in ledger.select(
+                "day",
+                "event_type",
+                "n_events",
+                F.hll_sketch_estimate("sk").cast("long").alias("e"),
+            ).collect()
+        )
+
+    stored = spark.read.parquet(path)
+    batch_equiv = daily_hll_sketches(
+        spark.createDataFrame(
+            rows1 + rows2,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+    )
+    assert summary(stored) == summary(batch_equiv)
+
+    # replayed batch id: marker makes it a no-op (n_events unchanged)
+    replay = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert apply_sketch_batch(replay, 1, path) is False
+    assert summary(spark.read.parquet(path)) == summary(batch_equiv)
+
+
+def test_sketch_upsert_rewrites_only_touched_days(spark, tmp_path):
+    """The O(touched) claim: a batch touching one day must leave every
+    other day partition's files byte-identical on disk."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sketch_ledger_upsert_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+
+    path = str(tmp_path / "ledger")
+    base = [
+        (1, dt.datetime(2026, 3, 1, 9), 1, "click", 1.0),
+        (2, dt.datetime(2026, 3, 2, 9), 2, "click", 1.0),
+        (3, dt.datetime(2026, 3, 3, 9), 3, "click", 1.0),
+    ]
+    assert sketch_ledger_upsert_batch(mk(base), path) == 3
+
+    def file_state(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = file_state("2026-03-01")
+    before_d3 = file_state("2026-03-03")
+    touched = sketch_ledger_upsert_batch(
+        mk([(4, dt.datetime(2026, 3, 2, 15), 9, "view", 1.0)]), path
+    )
+    assert touched == 1
+    assert file_state("2026-03-01") == before_d1
+    assert file_state("2026-03-03") == before_d3
+    # and the touched day actually merged: 2 events now
+    from pyspark.sql import functions as F
+
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[("2026-03-02", "click")] == 1
+    assert got[("2026-03-02", "view")] == 1

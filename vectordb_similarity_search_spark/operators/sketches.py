@@ -30,6 +30,8 @@ mandated large-scale-pipeline superset.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -191,3 +193,50 @@ def sketch_ledger_merge_batch(
         )
     )
     return merged
+
+
+def sketch_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    lg_k: int = DEFAULT_LG_K,
+) -> int:
+    """O(touched-days) ledger maintenance: sketch the batch, read back
+    ONLY the stored day-partitions the batch touches (partition-pruned
+    scan), union-merge, and dynamically overwrite just those day dirs —
+    untouched history is never read or rewritten (the repo's
+    partitioned-merge discipline). Bootstrap: a missing store is created
+    from the batch alone. Returns the number of day partitions written.
+
+    The merged rows are materialized driver-side before the write —
+    touched_days x event_types rows of ~4 KB sketches, a bounded frame —
+    because Spark cannot read and overwrite the same parquet path in one
+    lazy plan (self-overwrite would tear the source mid-write)."""
+    spark = batch.sparkSession
+    delta = daily_hll_sketches(batch, key_col=key_col, lg_k=lg_k)
+    if not os.path.isdir(path):
+        delta.write.partitionBy("day").mode("overwrite").parquet(path)
+        return delta.select("day").distinct().count()
+    touched = [r["day"] for r in delta.select("day").distinct().collect()]
+    if not touched:
+        return 0
+    stored = spark.read.parquet(path).filter(F.col("day").isin(touched))
+    merged_rows = (
+        stored.select("day", "event_type", "n_events", "sk")
+        .unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .collect()
+    )
+    merged = spark.createDataFrame(merged_rows, schema=delta.schema)
+    (
+        merged.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return len(touched)

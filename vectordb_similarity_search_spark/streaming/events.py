@@ -601,3 +601,54 @@ def support_alert_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sketch_ingest_stream(
+    events: DataFrame, ledger_path: str, checkpoint_dir: str
+):
+    """Streaming ingest into the mergeable HLL sketch ledger
+    (operators/sketches.py): each micro-batch folds into the stored
+    per-(day, event_type) distinct-user sketches via the O(touched-days)
+    partition-pruned upsert — a continuous distinct-count feed whose
+    serving queries (rolling windows, type rollups) never rescan the
+    event history.
+
+    Replay safety is TWO-TIER here: the distinct ESTIMATES are
+    replay-safe by algebra (HLL union is a register max — re-merging
+    identical keys cannot drift them), and the applied-batch ledger
+    (same marker protocol as :func:`rollup_ingest_stream`) additionally
+    protects the exact ``n_events`` sums, which a replayed merge WOULD
+    double-count. Same honest crash window as every plain-parquet sink:
+    dying between the merge and the marker write re-applies one batch's
+    event counts on restart (the estimates still cannot drift)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_sketch_batch(batch_df, batch_id, ledger_path)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def apply_sketch_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """The micro-batch apply behind :func:`sketch_ingest_stream`
+    (module-level so replay/audit tooling exercises the PRODUCTION apply
+    path). Returns True if the batch was merged, False if the ledger
+    marked it as a replay."""
+    import os
+
+    from ..operators.sketches import sketch_ledger_upsert_batch
+
+    ledger = f"{ledger_path.rstrip('/')}__applied"
+    marker = os.path.join(ledger, str(batch_id))
+    if os.path.exists(marker):
+        return False  # replayed batch: already merged
+    sketch_ledger_upsert_batch(batch_df, ledger_path)
+    os.makedirs(ledger, exist_ok=True)
+    with open(marker, "w"):
+        pass
+    return True
