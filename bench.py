@@ -183,6 +183,7 @@ ANALYTICS = [
     "w_moving_median",       # robust sliding median (frame percentile)
     "e_hll_rolling_users",   # mergeable-sketch 7d rolling distinct
     "e_hll_type_rollup",     # leaf-sketch union re-aggregation
+    "e_new_users_curve",     # exact first-seen growth curve
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -2592,3 +2592,65 @@ def e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("poisson-like"))
         .alias("regime"),
     ).orderBy("event_type")
+
+
+@query(
+    "e_new_users_curve",
+    oracle="""
+WITH fd AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS first_day
+  FROM events GROUP BY user_id),
+nu AS (
+  SELECT first_day AS day_idx, CAST(count(*) AS BIGINT) AS n_new
+  FROM fd GROUP BY 1),
+days AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+  FROM events)
+SELECT d.day_idx,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(sum(coalesce(n.n_new, 0))
+            OVER (ORDER BY d.day_idx) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN nu n ON d.day_idx = n.day_idx
+ORDER BY d.day_idx
+""",
+)
+def e_new_users_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT first-seen growth curve: per day, how many users appear for
+    the first time, and the running cumulative distinct-user count — the
+    exact counterpart of the HLL ledger's rolling estimate
+    (e_hll_rolling_users): cumulative distinct IS sum-decomposable once
+    each user is attributed to their FIRST day, so this needs no
+    sketches — one user-keyed min aggregate over the log, then
+    day-sized frames. When a window/rollup question cannot be first-seen
+    attributed (trailing 7-day actives), the sketch ledger takes over.
+
+    Day indices are pure integer epoch arithmetic (timezone-free, the
+    e_dau_wau precedent). Shape: ONE user-keyed exchange (min day per
+    user — the only log-sized shuffle), then day-sized aggregates; the
+    running sum's ORDER BY window runs over the ~days-sized frame, which
+    is exactly where a single-partition window is the right plan (the
+    auto-routing threshold would never trip on a day dimension)."""
+    e = t(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    fd = e.select(day_idx.alias("day_idx"), "user_id").groupBy("user_id").agg(
+        F.min("day_idx").alias("first_day")
+    )
+    nu = fd.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    days = e.select(day_idx.alias("day_idx")).distinct()
+    w = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        days.join(nu, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_users"),
+        )
+        .withColumn(
+            "cum_users", F.sum("n_new_users").over(w).cast("long")
+        )
+        .orderBy("day_idx")
+    )
