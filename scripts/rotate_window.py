@@ -167,9 +167,13 @@ def main() -> int:
             src = fh.read()
         block = render(window, tail, built_for, latest)
         pre, _, rest = src.partition(BEGIN)
-        _, _, post = rest.partition(END)
         if not rest:
-            raise SystemExit(f"markers not found in {PLANS_INIT}")
+            raise SystemExit(f"BEGIN marker not found in {PLANS_INIT}")
+        mid, sep, post = rest.partition(END)
+        if not sep:
+            # a missing END would make this write silently truncate the
+            # module tail (_reorder, __all__) — refuse instead
+            raise SystemExit(f"END marker not found in {PLANS_INIT}")
         with open(PLANS_INIT, "w") as fh:
             fh.write(pre + block + post)
         print(f"wrote {len(window)}-slot window + {len(tail)}-entry tail")

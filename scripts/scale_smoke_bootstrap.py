@@ -147,7 +147,8 @@ def main() -> None:
                 flush=True,
             )
         print(
-            f"  group {g}: CI [{lo:.3f}, {hi:.3f}] brackets sample mean "
+            f"  group {g}: CI [{lo:.3f}, {hi:.3f}] "
+            f"{'brackets' if brackets else 'MISSES'} sample mean "
             f"{sm:.3f} (width {hi - lo:.3f}; generator true "
             f"{true_mean:.4f} {'covered' if lo <= true_mean <= hi else 'missed — the ~5%'})",
             flush=True,

@@ -73,9 +73,7 @@ def hll_estimate(sk: Column | str) -> Column:
     return F.hll_sketch_estimate(sk).cast("long")
 
 
-def rolling_distinct(
-    ledger: DataFrame, window_days: int = 7, *, all_types: bool = True
-) -> DataFrame:
+def rolling_distinct(ledger: DataFrame, window_days: int = 7) -> DataFrame:
     """Trailing ``window_days``-day distinct-key estimate per day from
     the LEAF LEDGER alone: each ledger row EXPLODES into the
     ``window_days`` output days it contributes to (a Generate, no join

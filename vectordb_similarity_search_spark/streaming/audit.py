@@ -96,18 +96,31 @@ def _dir_fingerprint(path: str) -> str:
     except FileNotFoundError:
         return "<missing>"
     for e in entries:
-        st = e.stat(follow_symlinks=False)
+        # entries can vanish between the listing and the stat — the
+        # audited targets are LIVE (swap renames, marker deletes); a
+        # vanished entry IS a mutation, record it instead of crashing
+        try:
+            st = e.stat(follow_symlinks=False)
+        except FileNotFoundError:
+            parts.append(f"{e.name}:<vanished>")
+            continue
         parts.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
         if e.is_dir(follow_symlinks=False):
             try:
                 with os.scandir(e.path) as sub:
-                    for s in sub:
-                        sst = s.stat(follow_symlinks=False)
-                        parts.append(
-                            f"{e.name}/{s.name}:{sst.st_mtime_ns}:{sst.st_size}"
-                        )
+                    sub_entries = list(sub)
             except FileNotFoundError:
                 parts.append(f"{e.name}/<vanished>")
+                continue
+            for s in sub_entries:
+                try:
+                    sst = s.stat(follow_symlinks=False)
+                except FileNotFoundError:
+                    parts.append(f"{e.name}/{s.name}:<vanished>")
+                    continue
+                parts.append(
+                    f"{e.name}/{s.name}:{sst.st_mtime_ns}:{sst.st_size}"
+                )
     parts.sort()
     return "|".join(parts)
 

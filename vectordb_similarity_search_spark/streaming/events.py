@@ -291,6 +291,28 @@ def rollup_ingest_stream(
     )
 
 
+def _apply_once(batch_id: int, target_path: str, apply_fn) -> bool:
+    """ONE copy of the applied-batch marker protocol shared by every
+    foreachBatch sink that merges into a plain-parquet target
+    (rollup, sketch ledger): check the marker, run ``apply_fn``, then
+    write the marker. Returns True if applied, False on a replayed
+    batch id. The honest crash window (dying between the apply and the
+    marker write re-applies one batch on restart) is documented at each
+    stream's docstring — closing it needs a transactional table
+    format."""
+    import os
+
+    ledger = f"{target_path.rstrip('/')}__applied"
+    marker = os.path.join(ledger, str(batch_id))
+    if os.path.exists(marker):
+        return False  # replayed batch: already merged
+    apply_fn()
+    os.makedirs(ledger, exist_ok=True)
+    with open(marker, "w"):
+        pass
+    return True
+
+
 def apply_rollup_batch(
     batch_df: DataFrame, batch_id: int, rollup_path: str
 ) -> bool:
@@ -298,19 +320,13 @@ def apply_rollup_batch(
     :func:`rollup_ingest_stream` (module-level so replay/audit tooling
     exercises the PRODUCTION apply path). Returns True if the batch was
     merged, False if the ledger marked it as a replay."""
-    import os
-
     from ..operators.rollup import upsert_rollup
 
-    ledger = f"{rollup_path.rstrip('/')}__applied"
-    marker = os.path.join(ledger, str(batch_id))
-    if os.path.exists(marker):
-        return False  # replayed batch: already merged
-    upsert_rollup(batch_df.sparkSession, rollup_path, batch_df)
-    os.makedirs(ledger, exist_ok=True)
-    with open(marker, "w"):
-        pass
-    return True
+    return _apply_once(
+        batch_id,
+        rollup_path,
+        lambda: upsert_rollup(batch_df.sparkSession, rollup_path, batch_df),
+    )
 
 
 def cdc_merge_stream(
@@ -639,16 +655,10 @@ def apply_sketch_batch(
     (module-level so replay/audit tooling exercises the PRODUCTION apply
     path). Returns True if the batch was merged, False if the ledger
     marked it as a replay."""
-    import os
-
     from ..operators.sketches import sketch_ledger_upsert_batch
 
-    ledger = f"{ledger_path.rstrip('/')}__applied"
-    marker = os.path.join(ledger, str(batch_id))
-    if os.path.exists(marker):
-        return False  # replayed batch: already merged
-    sketch_ledger_upsert_batch(batch_df, ledger_path)
-    os.makedirs(ledger, exist_ok=True)
-    with open(marker, "w"):
-        pass
-    return True
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: sketch_ledger_upsert_batch(batch_df, ledger_path),
+    )
