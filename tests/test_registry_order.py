@@ -90,3 +90,44 @@ def test_window_matches_rotation_generator():
     generated = rw.compute_window(list(REGISTRY), rows_only, latest)
     assert generated == DRIVER_WINDOW
     assert set(rw.compute_tail(list(REGISTRY), generated, latest)) == set(TAIL)
+
+
+def test_rotation_generator_family_guard_evicts_freshest():
+    """Unit-test compute_window's guard branch on synthetic history: a
+    family whose members are all freshly checked must still displace
+    the freshest filler, and canaries/rows-only stay protected."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window_guard", os.path.join(root, "scripts", "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    # 6 names / 4 families, cap 4: e_ canary + stale a_q1/a_q2/c_q1
+    # fill the window; the z_ family (both members fresh, rounds 8/9)
+    # would be dropped without the guard. Expect: z's stalest member
+    # evicts the freshest filler whose family keeps another
+    # representative (a_q2), never the singleton c_q1.
+    names = ["e_tumbling_hourly", "a_q1", "a_q2", "c_q1", "z_q1", "z_q2"]
+    latest = {"a_q1": 1, "a_q2": 2, "c_q1": 3, "z_q1": 9, "z_q2": 8,
+              "e_tumbling_hourly": 9}
+    win = rw.compute_window(names, set(), latest, cap=4)
+    assert win[0] == "e_tumbling_hourly"  # canary protected
+    assert "z_q2" in win  # stalest z member swapped in
+    assert "a_q2" not in win  # the freshest multi-rep filler evicted
+    assert "c_q1" in win  # singleton-family filler NOT evicted
+    assert {n.split("_")[0] for n in win} == {"e", "a", "c", "z"}
+
+    # rows-only are protected from eviction too
+    win2 = rw.compute_window(names, {"c_q1"}, latest, cap=4)
+    assert "c_q1" in win2 and "z_q2" in win2
+    assert {n.split("_")[0] for n in win2} == {"e", "a", "c", "z"}
+
+    # a cap smaller than the family count is genuinely unsatisfiable
+    import pytest
+
+    with pytest.raises(SystemExit):
+        rw.compute_window(names + ["x_q1"], set(), {**latest, "x_q1": 9}, cap=4)

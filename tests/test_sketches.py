@@ -159,3 +159,57 @@ def test_validation():
         daily_hll_sketches(None, lg_k=3)
     with pytest.raises(ValueError, match="window_days"):
         rolling_distinct(None, 0)
+
+
+def test_rolling_by_type_matches_exact_and_full_rolling(spark, events):
+    """Per-type trailing windows: each (day, type) estimate within the
+    HLL bound of the exact per-type distinct, and NOT derivable by
+    splitting the all-types number (union semantics per type)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        rolling_distinct_by_type,
+    )
+
+    ledger = daily_hll_sketches(events)
+    got = {
+        (str(r["day"]), r["event_type"]): r["est_distinct"]
+        for r in rolling_distinct_by_type(ledger, 7).collect()
+    }
+    base = events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    contrib = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+        "day",
+        "event_type",
+        "user_id",
+    ).select(F.date_add("day", "_o").alias("out_day"), "event_type", "user_id")
+    exact = {
+        (str(r["out_day"]), r["event_type"]): r["d"]
+        for r in contrib.join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_sketch_plans_stay_scale_shaped(spark, events):
+    """Pin the plan shapes the 100-TB story depends on: the ledger build
+    is ONE exchange with map-side partials; the rolling query joins the
+    day dimension by BROADCAST (no BNLJ, no sort-merge on the tiny
+    side)."""
+    from tests.conftest import plan_of
+
+    ledger = daily_hll_sketches(events)
+    p_build = plan_of(ledger)
+    tree = p_build.split("(1)")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "partial_hll_sketch_agg" in p_build or "partial" in p_build, p_build
+
+    p_roll = plan_of(rolling_distinct(ledger, 7))
+    assert "BroadcastNestedLoopJoin" not in p_roll
+    assert "CartesianProduct" not in p_roll
+    assert "BroadcastHashJoin" in p_roll, p_roll

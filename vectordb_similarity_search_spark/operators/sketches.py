@@ -238,3 +238,41 @@ def sketch_ledger_upsert_batch(
         .parquet(path)
     )
     return len(touched)
+
+
+def rolling_distinct_by_type(
+    ledger: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Per-event_type trailing window: same explode + broadcast-semi-join
+    shape as :func:`rolling_distinct`, grouped by (day, event_type) —
+    each type's trailing distinct users, deduped within type across
+    days. Output: ``(day, event_type, n_events, est_distinct)``."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
+    contrib = ledger.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+        "day",
+        "event_type",
+        "n_events",
+        "sk",
+    ).select(
+        F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+        "event_type",
+        "n_events",
+        "sk",
+    )
+    rolled = (
+        contrib.join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.hll_union_agg("sk").alias("sk"),
+        )
+    )
+    return rolled.select(
+        F.col("out_day").alias("day"),
+        "event_type",
+        "n_events",
+        hll_estimate("sk").alias("est_distinct"),
+    )
