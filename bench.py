@@ -184,6 +184,8 @@ ANALYTICS = [
     "e_hll_rolling_users",   # mergeable-sketch 7d rolling distinct
     "e_hll_type_rollup",     # leaf-sketch union re-aggregation
     "e_new_users_curve",     # exact first-seen growth curve
+    "r_mann_whitney",        # rank-sum nonparametric A/B metric test
+    "m_wav_loudness",        # real-WAV codec loudness features
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

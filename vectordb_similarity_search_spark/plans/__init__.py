@@ -30,9 +30,11 @@ DRIVER_WINDOW = [
     "e_hll_rolling_users",  # never driver-checked
     "e_hll_type_rollup",  # never driver-checked
     "e_new_users_curve",  # never driver-checked
+    "m_wav_loudness",  # never driver-checked
     "r_ab_srm",  # never driver-checked
     "r_bootstrap_ci",  # never driver-checked
     "r_lorenz_curve",  # never driver-checked
+    "r_mann_whitney",  # never driver-checked
     "r_survival_km",  # never driver-checked
     "s_time_split",  # never driver-checked
     "t_bm25_incremental",  # never driver-checked
@@ -71,8 +73,6 @@ DRIVER_WINDOW = [
     "r_approx_distinct",  # last driver row r3
     "r_skew_report",  # last driver row r3
     "t_bigram_logprob",  # last driver row r3
-    "t_bm25_phrase",  # last driver row r3
-    "t_bm25_topk",  # last driver row r3
 ]
 
 # Past the driver's 50-slot cap - every query here is re-verified on every
@@ -225,6 +225,8 @@ TAIL = [
     "w_moving_avg",  # last driver row r4
     "w_running_sum",  # last driver row r4
     "w_share_of_customer",  # last driver row r4
+    "t_bm25_phrase",  # last driver row r3
+    "t_bm25_topk",  # last driver row r3
     "t_bpe_tokens",  # last driver row r3
     "t_chunk_stats",  # last driver row r3
     "t_decontaminate",  # last driver row r3

@@ -2123,3 +2123,34 @@ def e_hll_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
     return rollup_distinct(ledger).orderBy("scope")
+
+
+@query("m_wav_loudness", oracle=_expected_oracle("m_wav_loudness"))
+def m_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio analytics end-to-end: the genuine PCM-16
+    RIFF/WAVE corpus (operators/multimodal.synth_real_media — real
+    containers, not SYNTH blobs) decodes through the dependency-free
+    WAV parser (operators/codecs.decode_wav) inside audio_energy's
+    Arrow batches, then per-media loudness features aggregate the
+    windowed RMS frame: window count, global peak (exact int), median
+    and p90 RMS (interpolated percentiles over bit-stable doubles,
+    round-6). Oracle: expected-parquet (seeded corpus, sf-independent;
+    estimates deterministic — the RMS doubles are sqrt of exact integer
+    sums)."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.multimodal import audio_energy, synth_real_media
+
+    wavs = synth_real_media(spark, n=60).filter(FF.col("kind") == "audio")
+    win = audio_energy(wavs, window=256)
+    return (
+        win.groupBy("media_id")
+        .agg(
+            FF.count(FF.lit(1)).cast("long").alias("n_windows"),
+            FF.sum("n_samples").cast("long").alias("n_samples"),
+            FF.max("peak").cast("long").alias("peak"),
+            FF.round(FF.expr("percentile(rms, 0.5)"), 6).alias("p50_rms"),
+            FF.round(FF.expr("percentile(rms, 0.9)"), 6).alias("p90_rms"),
+        )
+        .orderBy("media_id")
+    )

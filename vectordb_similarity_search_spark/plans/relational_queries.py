@@ -14,7 +14,7 @@ and is cast to double at the end; see plans/catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import expected_oracle, query, t
@@ -2984,3 +2984,118 @@ def r_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("verdict"),
     ).orderBy("variant")
+
+
+@query(
+    "r_mann_whitney",
+    oracle="""
+WITH assigned AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS seg
+  FROM orders),
+ranked AS (
+  SELECT grp, seg,
+         -- doubled midrank: 2*rank + ties - 1 stays a BIGINT even when
+         -- the midrank itself is a .5 (tie-group average)
+         CAST(2 * rank() OVER (PARTITION BY grp ORDER BY v)
+              + count(*) OVER (PARTITION BY grp, v) - 1 AS BIGINT) AS r2
+  FROM assigned),
+stats AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN seg = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN seg = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN seg = 'A' THEN r2 ELSE 0 END) AS BIGINT)
+           AS r2_a
+  FROM ranked GROUP BY grp)
+SELECT grp, n_a, n_b,
+       (round((CAST(r2_a AS DOUBLE) / 2
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+               ) , 6) + 0) AS u_a,
+       (round((CAST(r2_a AS DOUBLE) / 2
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+              / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                     / 12), 6) + 0) AS z,
+       CASE WHEN abs((CAST(r2_a AS DOUBLE) / 2
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+              / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                     / 12)) > 1.96 THEN 'shifted' ELSE 'ok' END AS verdict
+FROM stats ORDER BY grp
+""",
+)
+def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per order priority: the
+    nonparametric A/B metric test an experimentation platform reaches
+    for when revenue-like metrics are too heavy-tailed for the t-test —
+    segments from the same content-keyed md5 hash split as r_ab_srm,
+    compared on o_totalprice by RANKS.
+
+    Exactness discipline: the tie-averaged midrank is carried DOUBLED
+    (2·rank + ties − 1 — a pure BIGINT even when the midrank is a .5),
+    so the per-group rank sums are exact integer aggregates in both
+    engines; U, the normal-approximation z, and the |z|>1.96 verdict
+    are derived from those integers in rounded doubles (one sqrt each —
+    the exact-int-inside / double-at-the-edge house rule).
+
+    Shape: one window over (grp) ordered by value (grouped sort, never
+    a global single-reducer — priorities are few but each group sorts
+    within its own partitions), then one grp-sized aggregate."""
+    o = t(spark, sf_dir, "orders")
+    seg = F.when(
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+            )
+            - 1
+        )
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assigned = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        seg.alias("seg"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy("v")
+    w_ties = Window.partitionBy("grp", "v")
+    ranked = assigned.select(
+        "grp",
+        "seg",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_ties)
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    stats = ranked.groupBy("grp").agg(
+        F.sum(F.when(F.col("seg") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("seg") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("seg") == "A", F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_a"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    u_a = F.col("r2_a").cast("double") / 2 - n_a * (n_a + 1) / 2
+    z = (u_a - n_a * n_b / 2) / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12)
+    return stats.select(
+        "grp",
+        "n_a",
+        "n_b",
+        (F.round(u_a, 6) + 0).alias("u_a"),
+        (F.round(z, 6) + 0).alias("z"),
+        F.when(F.abs(z) > 1.96, F.lit("shifted"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    ).orderBy("grp")
