@@ -3042,9 +3042,16 @@ def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     are derived from those integers in rounded doubles (one sqrt each —
     the exact-int-inside / double-at-the-edge house rule).
 
-    Shape: one window over (grp) ordered by value (grouped sort, never
-    a global single-reducer — priorities are few but each group sorts
-    within its own partitions), then one grp-sized aggregate."""
+    Shape: one window over (grp) ordered by value, then one grp-sized
+    aggregate. Honest scale bound: with only ~5 priority groups the
+    window's hash(grp) shuffle lands on 5 reducers — fine at fixture
+    scale and for high-cardinality group columns, but a 100 TB run
+    grouped this coarsely should either test on a finer dimension or
+    derive the midranks from a (grp, value)-distinct count frame with
+    the bucketed global-cumsum machinery (operators/ranking.py) — the
+    rank sums only need per-value cumulative counts, not per-row
+    ranks. Documented rather than auto-routed because the routing
+    threshold keys on frame bytes, not group cardinality."""
     o = t(spark, sf_dir, "orders")
     seg = F.when(
         (
