@@ -314,3 +314,127 @@ def test_decode_one_png_pillow_backstop_for_unsupported_subset():
 
     w, h, mean, label = _decode_one(depth16, pillow_image_mod=_Mod)
     assert (w, h, mean, label) == (2, 2, 0.0, "pillow")
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_gray_roundtrip_exact():
+    px = _rng(11).integers(0, 256, size=(23, 17), dtype=np.uint8)
+    blob = codecs.encode_gif_gray(px)
+    assert blob[:6] == b"GIF87a" and blob.endswith(b"\x3b")
+    w, h, luma = codecs.decode_gif(blob)
+    assert (w, h) == (17, 23)
+    np.testing.assert_array_equal(luma, px.reshape(-1))
+
+
+def _lzw_compress(indices, min_code_size):
+    """Spec-derived REAL GIF LZW compressor (greedy longest-match,
+    variable width, table reset at 4096) — independent of the decoder,
+    so the decoder's table-building path is tested against the spec,
+    not against the repo's literal-code encoder."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code, width):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for px in indices:
+        nxt = cur + bytes([int(px)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        cur = bytes([int(px)])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_decoder_inverts_real_compressor():
+    """Repetitive pixels force long table matches and the KwKwK case;
+    enough pixels force a width bump past 9 bits."""
+    rng = _rng(12)
+    # blocky image: runs + repeats to exercise real compression
+    base = rng.integers(0, 8, size=(40, 40), dtype=np.uint8) * 32
+    px = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 80x80
+    stream = _lzw_compress(px.reshape(-1), 8)
+    got = np.frombuffer(
+        codecs._lzw_decode(stream, 8, px.size), np.uint8
+    )
+    np.testing.assert_array_equal(got, px.reshape(-1))
+
+
+def test_gif_hand_assembled_with_real_lzw_and_palette():
+    """Full container with the test's REAL LZW stream and a color
+    palette: decode must produce the 601 luma of the palette lookup."""
+    import struct as _struct
+
+    pal = _rng(13).integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = np.tile(
+        _rng(14).integers(0, 256, size=(4, 30), dtype=np.uint8), (5, 1)
+    )  # 20x30, vertically repetitive
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += pal.tobytes()
+    # throw in a graphic-control extension to exercise the skip path
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])
+    stream = _lzw_compress(idx.reshape(-1), 8)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    gw, gh, luma = codecs.decode_gif(bytes(out))
+    assert (gw, gh) == (w, h)
+    rgb = pal[idx]
+    expected = (
+        rgb[:, :, 0].astype(np.uint32) * 299
+        + rgb[:, :, 1].astype(np.uint32) * 587
+        + rgb[:, :, 2].astype(np.uint32) * 114
+    ) // 1000
+    np.testing.assert_array_equal(luma, expected.reshape(-1).astype(np.uint8))
+
+
+def test_gif_interlaced_raises_and_router_labels():
+    blob = bytearray(codecs.encode_gif_gray(np.zeros((3, 3), dtype=np.uint8)))
+    # image descriptor packed byte: header(6)+lsd(7)+gct(768)+1 sep+8 desc
+    ipacked_off = 6 + 7 + 768 + 9
+    assert blob[ipacked_off - 9] == 0x2C
+    blob[ipacked_off] |= 0x40  # set interlace bit
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codecs.decode_gif(bytes(blob))
+
+    from vectordb_similarity_search_spark.operators.multimodal import _decode_one
+
+    gif = codecs.encode_gif_gray(np.full((4, 5), 77, dtype=np.uint8))
+    w, h, mean, label = _decode_one(gif)
+    assert (w, h, mean, label) == (5, 4, 77.0, "gif-builtin")

@@ -352,7 +352,8 @@ def test_synth_real_media_decodes_via_builtin_codecs(spark):
     }
     rows = decode_media(corpus).collect()
     assert len(rows) == 18
-    expected_label = {"png": "png-builtin", "bmp": "bmp-builtin", "wav": "wav-builtin"}
+    expected_label = {"png": "png-builtin", "bmp": "bmp-builtin",
+                      "wav": "wav-builtin", "gif": "gif-builtin"}
     for r in rows:
         w, h, fmt = meta[r["media_id"]]
         assert (r["width"], r["height"]) == (w, h), fmt

@@ -294,3 +294,175 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000, n_ch: int = 1) -> b
         + pcm
     )
     return WAV_MAGIC + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF8"
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits,
+    LSB-first packing), CLEAR resets the table, EOI ends the stream.
+    Width grows when the next table slot reaches 2^width (GIF spec
+    convention, no early-change)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = bit_count = pos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal acc, bit_count, pos
+        while bit_count < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: treat as end
+            acc |= data[pos] << bit_count
+            bit_count += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bit_count -= width
+        return code
+
+    def fresh_table() -> list[bytes | None]:
+        t: list[bytes | None] = [bytes([i]) for i in range(clear)]
+        t += [None, None]  # clear, eoi slots
+        return t
+
+    table = fresh_table()
+    width = min_code_size + 1
+    # next_code MIRRORS THE ENCODER'S counter: it increments once per
+    # received code (the first code after a clear too, which assigns no
+    # table entry), NOT with the table length — the table itself stays
+    # one slot behind. Tracking table length instead reads the width
+    # bump one code late and desynchronizes against every real encoder
+    # (the giflib RunningCode convention).
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode the FIRST frame of a GIF87a/89a to ``(width, height,
+    luma)`` — global or local color table, non-interlaced (interlaced
+    frames raise ``NotImplementedError``; animations beyond the first
+    frame are out of stats scope by design)."""
+    if data[:4] != GIF_MAGIC or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(stream), mcs, w * h), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            luma = _luma601(pal[idx.reshape(h, w)])
+            return int(w), int(h), luma.reshape(-1)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif_gray(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 array as a real single-frame GIF87a with a
+    256-entry grayscale table. The LZW stream uses the classic
+    minimal-encoder form: literal 9-bit codes with a CLEAR every 253
+    symbols so the code width never grows — byte-for-byte valid per the
+    spec, just uncompressed (every real decoder accepts it)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += gray.tobytes()  # 256x3 grayscale GCT
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])  # LZW min code size
+    # bit writer, LSB-first, 9-bit codes
+    acc = bit_count = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, bit_count
+        acc |= code << bit_count
+        bit_count += 9
+        while bit_count >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bit_count -= 8
+
+    emit(256)  # initial CLEAR
+    for i, px in enumerate(pixels.reshape(-1)):
+        if i and i % 253 == 0:
+            emit(256)  # keep the decoder's table below the width bump
+        emit(int(px))
+    emit(257)  # EOI
+    if bit_count:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -127,7 +127,7 @@ def synth_real_media(
             for raw_id in pdf["id"]:
                 mid = int(raw_id)
                 rng = np.random.default_rng(seed + mid)
-                slot = mid % 3
+                slot = mid % 4
                 if slot == 0:  # grayscale PNG
                     w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
                     px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
@@ -139,6 +139,12 @@ def synth_real_media(
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                     data, kind, fmt, frames = (
                         codecs.encode_bmp_24(px), "image", "bmp", 1,
+                    )
+                elif slot == 3:  # grayscale GIF (LZW container)
+                    w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+                    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                    data, kind, fmt, frames = (
+                        codecs.encode_gif_gray(px), "image", "gif", 1,
                     )
                 else:  # PCM-16 WAV
                     n_samp = int(rng.integers(256, 2049))
@@ -179,11 +185,10 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-# container magics for the real-codec branch (sniffed per blob)
+# container magics with NO builtin decoder (pillow-only; PNG/BMP/GIF/WAV
+# route through operators/codecs.py before this table is consulted)
 _RASTER_MAGICS = (
-    (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
 )
 
 
@@ -256,6 +261,15 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
     if data[:2] == codecs.BMP_MAGIC:
         w, h, luma = codecs.decode_bmp(data)
         return w, h, float(luma.mean()) if luma.size else 0.0, "bmp-builtin"
+    if data[:4] == codecs.GIF_MAGIC:
+        try:
+            w, h, luma = codecs.decode_gif(data)
+            return w, h, float(luma.mean()) if luma.size else 0.0, "gif-builtin"
+        except NotImplementedError:
+            if pillow_image_mod is None:
+                raise
+            w, h, mean = _pillow_decode(data, pillow_image_mod)
+            return w, h, mean, "pillow"
     if data[:4] == codecs.WAV_MAGIC and data[8:12] == b"WAVE":
         n_ch, _rate, n_frames, samples = codecs.decode_wav(data)
         mean_byte = (
@@ -275,7 +289,7 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
             w, h, mean = _pillow_decode(data, pillow_image_mod)
             return w, h, mean, "pillow"
     raise NotImplementedError(
-        "unrecognized media container (not SYNTH/PNG/BMP/WAV/JPEG/GIF); "
+        "unrecognized media container (not SYNTH/PNG/BMP/GIF/WAV/JPEG); "
         "other codecs require libraries this environment does not ship"
     )
 
