@@ -363,7 +363,10 @@ def _lzw_compress(indices, min_code_size):
         if next_code < 4096:
             table[nxt] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            # giflib convention: the width grows when the counter
+            # EXCEEDS 2^width — emission #256 after a clear is the
+            # first 10-bit code, not #255
+            if next_code > (1 << width) and width < 12:
                 width += 1
         else:
             emit(clear, width)
@@ -422,6 +425,22 @@ def test_gif_hand_assembled_with_real_lzw_and_palette():
         + rgb[:, :, 2].astype(np.uint32) * 114
     ) // 1000
     np.testing.assert_array_equal(luma, expected.reshape(-1).astype(np.uint8))
+
+
+def test_gif_lzw_width_boundary_matches_giflib_convention():
+    """THE boundary that desynchronized this decoder twice: with 8-bit
+    codes, emissions #1..#255 after a clear are 9-bit and #256 is the
+    first 10-bit code (giflib `++RunningCode > MaxCode1`). Incompressible
+    pixels make every emission a literal, so emission index == pixel
+    index and the boundary is crossed exactly at pixel 256."""
+    rng = _rng(15)
+    # 600 pixels with no repeated pair -> compressor emits one literal
+    # per pixel, crossing the 9->10 bit boundary at emission #256
+    px = np.arange(600, dtype=np.int64) * 131 % 251
+    px = px.astype(np.uint8)
+    stream = _lzw_compress(px, 8)
+    got = np.frombuffer(codecs._lzw_decode(stream, 8, px.size), np.uint8)
+    np.testing.assert_array_equal(got, px)
 
 
 def test_gif_interlaced_raises_and_router_labels():

@@ -337,9 +337,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     # next_code MIRRORS THE ENCODER'S counter: it increments once per
     # received code (the first code after a clear too, which assigns no
     # table entry), NOT with the table length — the table itself stays
-    # one slot behind. Tracking table length instead reads the width
-    # bump one code late and desynchronizes against every real encoder
-    # (the giflib RunningCode convention).
+    # one slot behind. The width bump is giflib's RunningCode rule
+    # (`++RunningCode > MaxCode1`): grow when the counter EXCEEDS
+    # 2^width, i.e. at 9 bits codes #1..#255 after a clear are 9-bit
+    # and #256 is the first 10-bit code. Both `==` (bump one early,
+    # TIFF-style) and table-length tracking (one late) desynchronize
+    # against real-world GIF encoders — relearned twice this round,
+    # pinned by the boundary test against a spec-faithful compressor.
     next_code = eoi + 1
     prev: bytes | None = None
     while len(out) < n_pixels:
@@ -363,7 +367,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             table.append(prev + entry[:1])
         if next_code < 4096:
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            if next_code > (1 << width) and width < 12:
                 width += 1
         prev = entry
     return bytes(out[:n_pixels])

@@ -13,11 +13,12 @@ The pixel/sample DECODE routes per blob by container magic
 (round-4 verdict stretch order; round-7 widens the real-format surface):
 
 - SYNTH blobs → the deterministic synthetic-header parser;
-- **PNG / BMP / WAV → the dependency-free builtin codecs**
-  (operators/codecs.py — stdlib ``zlib`` + numpy; real containers,
-  real pixels/samples, no libraries needed). Builtin-first keeps the
-  ``decoder`` label and stats deterministic across environments;
-- JPEG/GIF (and PNG subsets past the builtin's documented bound) →
+- **PNG / BMP / GIF / WAV → the dependency-free builtin codecs**
+  (operators/codecs.py — stdlib ``zlib`` + a full GIF LZW decoder +
+  numpy; real containers, real pixels/samples, no libraries needed).
+  Builtin-first keeps the ``decoder`` label and stats deterministic
+  across environments;
+- JPEG (and PNG/GIF subsets past the builtins' documented bounds) →
   Pillow WHEN importable — ``available_decoders()`` is the probe,
   resolved independently inside each executor worker. This container
   ships no codec libraries, so the pillow branch is exercised by
@@ -114,8 +115,9 @@ def synth_real_media(
     spark: SparkSession, n: int = 48, seed: int = 7, id_offset: int = 100_000
 ) -> DataFrame:
     """Deterministic corpus of GENUINE containers — zlib-deflated CRC'd
-    grayscale PNGs, 24-bit BI_RGB BMPs, PCM-16 RIFF/WAVE blobs — built
-    with the dependency-free encoders in operators/codecs.py. Per-id RNG
+    grayscale PNGs, 24-bit BI_RGB BMPs, LZW GIF87a frames, PCM-16
+    RIFF/WAVE blobs — built with the dependency-free encoders in
+    operators/codecs.py. Per-id RNG
     (independent of partitioning), ``id_offset`` keeps ids disjoint from
     ``synth_media``'s so the two corpora union cleanly."""
 
@@ -235,8 +237,9 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
     (width, height, mean_byte, decoder_label). PNG/BMP/WAV go through the
     dependency-free builtin codecs FIRST (deterministic label and stats
     in every environment); ``pillow_image_mod`` is resolved by the caller
-    (once per worker) and backstops only the subsets the builtins
-    document as out of bounds (16-bit/interlaced PNG) plus JPEG/GIF.
+    (once per worker) and backstops the subsets the builtins reject
+    (16-bit/interlaced PNG, interlaced GIF, blobs our parsers call
+    malformed) plus JPEG, the one raster with no builtin.
     None means the library is absent and such blobs must raise, not
     silently fall back: a fake number for a real image would poison
     every stat downstream.
@@ -250,10 +253,15 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
         w, h, mean = _fake_decode(data)
         return w, h, mean, "synth-fake"
     if data[:8] == codecs.PNG_MAGIC:
+        # pillow backstops BOTH documented out-of-bound subsets
+        # (NotImplementedError) and malformed-to-us data (ValueError):
+        # before the builtins existed these blobs routed to pillow
+        # wholesale, and a library may decode variants our parser
+        # rejects. Without pillow the builtin's error propagates.
         try:
             w, h, luma = codecs.decode_png(data)
             return w, h, float(luma.mean()) if luma.size else 0.0, "png-builtin"
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
             if pillow_image_mod is None:
                 raise
             w, h, mean = _pillow_decode(data, pillow_image_mod)
@@ -265,7 +273,7 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
         try:
             w, h, luma = codecs.decode_gif(data)
             return w, h, float(luma.mean()) if luma.size else 0.0, "gif-builtin"
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
             if pillow_image_mod is None:
                 raise
             w, h, mean = _pillow_decode(data, pillow_image_mod)

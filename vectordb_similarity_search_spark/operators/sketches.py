@@ -73,21 +73,15 @@ def hll_estimate(sk: Column | str) -> Column:
     return F.hll_sketch_estimate(sk).cast("long")
 
 
-def rolling_distinct(ledger: DataFrame, window_days: int = 7) -> DataFrame:
-    """Trailing ``window_days``-day distinct-key estimate per day from
-    the LEAF LEDGER alone: each ledger row EXPLODES into the
+def _rolling(
+    ledger: DataFrame, window_days: int, extra_keys: tuple[str, ...]
+) -> DataFrame:
+    """Shared trailing-window engine: each ledger row EXPLODES into the
     ``window_days`` output days it contributes to (a Generate, no join
     predicate), a broadcast equi semi-join keeps only days that actually
-    occur in the ledger, then one ``hll_union_agg`` per day. Cost is
-    O(|ledger| · window_days) on rows that are days×types in number —
-    independent of the raw log size, which is the whole point. (A
-    day-range self-join spells the same thing but plans a
-    BroadcastNestedLoopJoin — the repo's plan-invariant sweep rejects
-    non-equi joins on principle; the explode form is pure
-    Generate + hash join.) Distinct-count is NOT sum-decomposable
-    across days (a user active twice in the window counts once); the
-    sketch union gets the de-duplicated semantics that a sum of daily
-    counts cannot."""
+    occur in the ledger, then one ``hll_union_agg`` per (day, *extra
+    keys). ONE copy serves the all-types and per-type forms so the
+    window semantics cannot diverge."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
@@ -96,16 +90,18 @@ def rolling_distinct(ledger: DataFrame, window_days: int = 7) -> DataFrame:
             F.sequence(F.lit(0), F.lit(window_days - 1))
         ).alias("_off"),
         "day",
+        *extra_keys,
         "n_events",
         "sk",
     ).select(
         F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+        *extra_keys,
         "n_events",
         "sk",
     )
     rolled = (
         contrib.join(F.broadcast(days), "out_day", "left_semi")
-        .groupBy("out_day")
+        .groupBy("out_day", *extra_keys)
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.hll_union_agg("sk").alias("sk"),
@@ -113,9 +109,24 @@ def rolling_distinct(ledger: DataFrame, window_days: int = 7) -> DataFrame:
     )
     return rolled.select(
         F.col("out_day").alias("day"),
+        *extra_keys,
         "n_events",
         hll_estimate("sk").alias("est_distinct"),
     )
+
+
+def rolling_distinct(ledger: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing ``window_days``-day distinct-key estimate per day from
+    the LEAF LEDGER alone. Cost is O(|ledger| · window_days) on rows
+    that are days×types in number — independent of the raw log size,
+    which is the whole point. (A day-range self-join spells the same
+    thing but plans a BroadcastNestedLoopJoin — the repo's
+    plan-invariant sweep rejects non-equi joins on principle; the
+    explode form in :func:`_rolling` is pure Generate + hash join.)
+    Distinct-count is NOT sum-decomposable across days (a user active
+    twice in the window counts once); the sketch union gets the
+    de-duplicated semantics that a sum of daily counts cannot."""
+    return _rolling(ledger, window_days, ())
 
 
 def rollup_distinct(ledger: DataFrame) -> DataFrame:
@@ -243,36 +254,8 @@ def sketch_ledger_upsert_batch(
 def rolling_distinct_by_type(
     ledger: DataFrame, window_days: int = 7
 ) -> DataFrame:
-    """Per-event_type trailing window: same explode + broadcast-semi-join
-    shape as :func:`rolling_distinct`, grouped by (day, event_type) —
-    each type's trailing distinct users, deduped within type across
-    days. Output: ``(day, event_type, n_events, est_distinct)``."""
-    if window_days < 1:
-        raise ValueError(f"window_days must be >= 1, got {window_days}")
-    days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
-    contrib = ledger.select(
-        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
-        "day",
-        "event_type",
-        "n_events",
-        "sk",
-    ).select(
-        F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
-        "event_type",
-        "n_events",
-        "sk",
-    )
-    rolled = (
-        contrib.join(F.broadcast(days), "out_day", "left_semi")
-        .groupBy("out_day", "event_type")
-        .agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.hll_union_agg("sk").alias("sk"),
-        )
-    )
-    return rolled.select(
-        F.col("out_day").alias("day"),
-        "event_type",
-        "n_events",
-        hll_estimate("sk").alias("est_distinct"),
-    )
+    """Per-event_type trailing window: :func:`_rolling` grouped by
+    (day, event_type) — each type's trailing distinct users, deduped
+    within type across days. Output: ``(day, event_type, n_events,
+    est_distinct)``."""
+    return _rolling(ledger, window_days, ("event_type",))

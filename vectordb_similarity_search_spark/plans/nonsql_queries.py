@@ -896,13 +896,15 @@ def p_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pass made driver-visible: synthesize the seeded
     binary media corpus (per-id RNG → independent of partitioning and
-    sf_dir) UNIONED with a corpus of GENUINE containers — real zlib PNGs,
-    24-bit BMPs, PCM-16 WAVs (operators/multimodal.synth_real_media) —
+    sf_dir) UNIONED with a corpus of GENUINE containers — real zlib
+    PNGs, 24-bit BMPs, LZW GIFs, PCM-16 WAVs
+    (operators/multimodal.synth_real_media) —
     and run the Arrow decode (operators/multimodal.decode_media). The
     SYNTH blobs route through the documented synth-fake parser; the real
     containers route through the dependency-free builtin codecs
-    (operators/codecs.py), so the driver-checked result covers FOUR real
-    decode branches, one group per (kind, decoder). Oracle: precomputed
+    (operators/codecs.py), so the driver-checked result covers FIVE
+    decode branches (synth-fake, png-, bmp-, gif-, wav-builtin), one
+    group per (kind, decoder). Oracle: precomputed
     expected-output parquet."""
     from pyspark.sql import functions as FF
 

@@ -3072,11 +3072,14 @@ def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("grp").orderBy("v")
     w_ties = Window.partitionBy("grp", "v")
+    # rank() is IntegerType: cast to long BEFORE doubling, or the int32
+    # product wraps silently past 2^30 rows per group (non-ANSI Spark) —
+    # exactly the fat-group regime the scale note below discusses
     ranked = assigned.select(
         "grp",
         "seg",
         (
-            2 * F.rank().over(w_rank)
+            2 * F.rank().over(w_rank).cast("long")
             + F.count(F.lit(1)).over(w_ties)
             - 1
         ).cast("long").alias("r2"),
