@@ -186,6 +186,7 @@ ANALYTICS = [
     "e_new_users_curve",     # exact first-seen growth curve
     "r_mann_whitney",        # rank-sum nonparametric A/B metric test
     "m_wav_loudness",        # real-WAV codec loudness features
+    "e_hll_rolling_by_type", # per-type sketch-ledger rolling distinct
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -37,7 +37,8 @@ FIXTURE_QUERIES = [
     "t_mixture_sample", "v_recall_matrix", "m_phash_neardup",
     "d_banding_curve", "r_pagerank", "m_audio_energy", "r_als_recs",
     "m_scene_detect", "v_adaptive_knn", "e_stream_audit",
-    "e_hll_rolling_users", "e_hll_type_rollup", "m_wav_loudness",
+    "e_hll_rolling_users", "e_hll_type_rollup", "e_hll_rolling_by_type",
+    "m_wav_loudness",
 ]
 
 

@@ -27,6 +27,7 @@ DRIVER_WINDOW = [
     "e_burstiness",  # never driver-checked
     "e_conformal",  # never driver-checked
     "e_did",  # never driver-checked
+    "e_hll_rolling_by_type",  # never driver-checked
     "e_hll_rolling_users",  # never driver-checked
     "e_hll_type_rollup",  # never driver-checked
     "e_new_users_curve",  # never driver-checked
@@ -72,7 +73,6 @@ DRIVER_WINDOW = [
     "p_search_report",  # last driver row r3
     "r_approx_distinct",  # last driver row r3
     "r_skew_report",  # last driver row r3
-    "t_bigram_logprob",  # last driver row r3
 ]
 
 # Past the driver's 50-slot cap - every query here is re-verified on every
@@ -225,6 +225,7 @@ TAIL = [
     "w_moving_avg",  # last driver row r4
     "w_running_sum",  # last driver row r4
     "w_share_of_customer",  # last driver row r4
+    "t_bigram_logprob",  # last driver row r3
     "t_bm25_phrase",  # last driver row r3
     "t_bm25_topk",  # last driver row r3
     "t_bpe_tokens",  # last driver row r3

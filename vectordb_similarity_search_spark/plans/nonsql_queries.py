@@ -2156,3 +2156,35 @@ def m_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "e_hll_rolling_by_type",
+    oracle=_expected_oracle("e_hll_rolling_by_type", sf_bound=True),
+)
+def e_hll_rolling_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ledger, part 3: the PER-TYPE trailing 7-day
+    distinct-user estimates — the same leaf sketches
+    e_hll_rolling_users unions all-types, re-aggregated per (day,
+    event_type) through the shared _rolling engine
+    (operators/sketches.rolling_distinct_by_type). One ledger, three
+    driver-checked readouts (rolling, per-type rolling, type/total
+    rollup): the re-aggregability that makes sketch ledgers the scale
+    answer to distinct-counts. Oracle: precomputed expected-output
+    parquet (estimates layout/merge-order independent)."""
+    from ..operators.sketches import (
+        daily_hll_sketches,
+        rolling_distinct_by_type,
+    )
+
+    ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
+    return (
+        rolling_distinct_by_type(ledger, window_days=7)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "est_distinct",
+        )
+        .orderBy("day", "event_type")
+    )
