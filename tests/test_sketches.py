@@ -213,3 +213,118 @@ def test_sketch_plans_stay_scale_shaped(spark, events):
     assert "BroadcastNestedLoopJoin" not in p_roll
     assert "CartesianProduct" not in p_roll
     assert "BroadcastHashJoin" in p_roll, p_roll
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_upsert_stages_executor_side_and_survives_torn_commit(
+    spark, tmp_path
+):
+    """Round-8 advisory fix: the upsert commit is marker-protected. A
+    crash mid-swap (simulated by rebuilding the exact torn state the
+    marker describes: staged merged slice present, live day dir already
+    deleted) must be repaired losslessly by the next maintenance entry —
+    the pre-crash history for the touched day comes back merged, not
+    lost, and untouched days stay byte-identical."""
+    import json
+    import os
+    import shutil
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sketch_ledger_repair,
+        sketch_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "ledger")
+    base = [
+        (1, dt.datetime(2026, 4, 1, 9), 1, "click", 1.0),
+        (2, dt.datetime(2026, 4, 2, 9), 2, "click", 1.0),
+    ]
+    assert sketch_ledger_upsert_batch(_mk_batch(spark, base), path) == 2
+
+    # build the torn state a mid-commit crash leaves: stage the merged
+    # slice for day 2 via a REAL upsert against a copy, then transplant
+    # its staged output and marker into the live store with the live day
+    # dir removed (the exact moment between rmtree and replace)
+    shadow = str(tmp_path / "shadow")
+    shutil.copytree(path, shadow)
+    batch = [(3, dt.datetime(2026, 4, 2, 15), 9, "view", 1.0)]
+    assert sketch_ledger_upsert_batch(_mk_batch(spark, batch), shadow) == 1
+    staged = os.path.join(path, "_staging", "day=2026-04-02")
+    shutil.copytree(os.path.join(shadow, "day=2026-04-02"), staged)
+    with open(os.path.join(path, "_upsert_pending.json"), "w") as fh:
+        json.dump({"days": ["2026-04-02"], "staging": "_staging"}, fh)
+    shutil.rmtree(os.path.join(path, "day=2026-04-02"))
+
+    assert sketch_ledger_repair(path) == 1
+    assert not os.path.exists(os.path.join(path, "_upsert_pending.json"))
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # pre-crash click survived the torn overwrite; the batch merged in
+    assert got[("2026-04-02", "click")] == 1
+    assert got[("2026-04-02", "view")] == 1
+    assert got[("2026-04-01", "click")] == 1
+
+
+def test_ledger_meta_rejects_mismatched_maintenance(spark, tmp_path):
+    """Advisory fix: a merge/upsert whose lg_k or column mapping differs
+    from the stored ledger's build configuration must be refused up
+    front, not silently accepted."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sketch_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "ledger")
+    rows = [(1, dt.datetime(2026, 5, 1, 9), 1, "click", 1.0)]
+    assert sketch_ledger_upsert_batch(_mk_batch(spark, rows), path) == 1
+    with pytest.raises(ValueError, match="lg_k"):
+        sketch_ledger_upsert_batch(_mk_batch(spark, rows), path, lg_k=14)
+    with pytest.raises(ValueError, match="key_col"):
+        sketch_ledger_merge_batch(
+            spark, _mk_batch(spark, rows), path, key_col="event_id"
+        )
+
+
+def test_ledger_custom_columns_thread_through_maintenance(spark, tmp_path):
+    """Advisory fix: a ledger built over non-default key/type/ts columns
+    is incrementally maintainable by passing the same mapping."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sketch_ledger_upsert_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "stamp timestamp, actor long, action string"
+        )
+
+    path = str(tmp_path / "ledger")
+    kw = {"key_col": "actor", "type_col": "action", "ts_col": "stamp"}
+    assert (
+        sketch_ledger_upsert_batch(
+            mk([(dt.datetime(2026, 6, 1, 9), 1, "click")]), path, **kw
+        )
+        == 1
+    )
+    assert (
+        sketch_ledger_upsert_batch(
+            mk([(dt.datetime(2026, 6, 1, 15), 2, "view")]), path, **kw
+        )
+        == 1
+    )
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2026-06-01", "click"): 1,
+        ("2026-06-01", "view"): 1,
+    }

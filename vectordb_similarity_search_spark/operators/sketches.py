@@ -30,7 +30,9 @@ mandated large-scale-pipeline superset.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,11 +165,101 @@ def rollup_distinct(ledger: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def sketch_ledger_write(ledger: DataFrame, path: str) -> int:
+_META_FILE = "_ledger_meta.json"
+_PENDING_FILE = "_upsert_pending.json"
+_STAGING_DIR = "_staging"
+
+
+def _write_ledger_meta(
+    path: str, *, key_col: str, type_col: str, ts_col: str, lg_k: int
+) -> None:
+    meta = {
+        "key_col": key_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "lg_k": lg_k,
+    }
+    tmp = os.path.join(path, _META_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META_FILE))
+
+
+def _check_ledger_meta(
+    path: str, *, key_col: str, type_col: str, ts_col: str, lg_k: int
+) -> None:
+    """Refuse a maintenance call whose configuration differs from the
+    stored ledger's (advisory fix: a mismatched lg_k or column mapping
+    used to be silently accepted and only blow up — or worse, quietly
+    skew — deep inside the union)."""
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.isfile(meta_path):
+        return  # pre-meta store: keep accepting (documented compat)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    got = {
+        "key_col": key_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "lg_k": lg_k,
+    }
+    diffs = {k: (meta[k], got[k]) for k in got if meta.get(k) != got[k]}
+    if diffs:
+        raise ValueError(
+            f"ledger at {path} was built with {meta}; maintenance call "
+            f"disagrees on {diffs} — pass the stored configuration or "
+            "rebuild the ledger"
+        )
+
+
+def sketch_ledger_repair(path: str) -> int:
+    """Complete a torn upsert commit (crash between day-dir swaps).
+    The pending marker is written O_EXCL BEFORE any day dir is mutated
+    and the full merged state of every touched day sits in the staging
+    dir, so repair = finish moving staged day dirs into place — each
+    move is idempotent (an already-moved day has no staged dir left).
+    Returns the number of day dirs repaired (0 = store was clean)."""
+    marker = os.path.join(path, _PENDING_FILE)
+    if not os.path.isfile(marker):
+        return 0
+    with open(marker) as fh:
+        pending = json.load(fh)
+    staging = os.path.join(path, pending["staging"])
+    fixed = 0
+    for day in pending["days"]:
+        staged = os.path.join(staging, f"day={day}")
+        if not os.path.isdir(staged):
+            continue  # this day's swap already completed pre-crash
+        live = os.path.join(path, f"day={day}")
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.replace(staged, live)
+        fixed += 1
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.remove(marker)
+    return fixed
+
+
+def sketch_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lg_k: int = DEFAULT_LG_K,
+) -> int:
     """Materialize the leaf ledger (binary sketch column round-trips
     through parquet). Partitioned by day so maintenance and windowed
-    reads prune to the touched days."""
+    reads prune to the touched days. A ``_ledger_meta.json`` sidecar
+    records the build configuration (key/type/ts columns, lg_k) so the
+    incremental maintenance entry points can validate against it instead
+    of silently accepting a mismatched merge."""
     ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    _write_ledger_meta(
+        path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+    )
     return ledger.sparkSession.read.parquet(path).count()
 
 
@@ -177,21 +269,30 @@ def sketch_ledger_merge_batch(
     path: str,
     *,
     key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
     lg_k: int = DEFAULT_LG_K,
 ) -> DataFrame:
     """Incremental maintenance: fold a NEW batch of raw events into the
     stored ledger WITHOUT rescanning history — sketch the batch (one
     pass over batch rows only), then per (day, event_type) union against
     the stored sketch where one exists. Returns the merged ledger frame
-    (caller snapshots it back with :func:`sketch_ledger_write`-style
-    swap; kept pure here so tests can pin merged == full-rebuild
-    estimates bit-for-bit). Late-arriving data for an old day is just
-    another union. Replay semantics: the DISTINCT estimates are
-    replay-safe (HLL union is a register max — identical keys cannot
-    drift it), but the ``n_events`` sum assumes exactly-once batches;
-    an at-least-once upstream must dedupe before merging."""
+    LAZILY — no sketch blob ever passes through the driver; the caller
+    snapshots it with :func:`sketch_ledger_upsert_batch` (staged
+    executor-side write) or pins merged == full-rebuild estimates in
+    tests. Late-arriving data for an old day is just another union.
+    Replay semantics: the DISTINCT estimates are replay-safe (HLL union
+    is a register max — identical keys cannot drift it), but the
+    ``n_events`` sum assumes exactly-once batches; an at-least-once
+    upstream must dedupe before merging."""
+    sketch_ledger_repair(path)
+    _check_ledger_meta(
+        path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+    )
     stored = spark.read.parquet(path)
-    delta = daily_hll_sketches(batch, key_col=key_col, lg_k=lg_k)
+    delta = daily_hll_sketches(
+        batch, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+    )
     merged = (
         stored.select("day", "event_type", "n_events", "sk")
         .unionByName(delta)
@@ -209,29 +310,59 @@ def sketch_ledger_upsert_batch(
     path: str,
     *,
     key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
     lg_k: int = DEFAULT_LG_K,
 ) -> int:
     """O(touched-days) ledger maintenance: sketch the batch, read back
     ONLY the stored day-partitions the batch touches (partition-pruned
-    scan), union-merge, and dynamically overwrite just those day dirs —
-    untouched history is never read or rewritten (the repo's
-    partitioned-merge discipline). Bootstrap: a missing store is created
-    from the batch alone. Returns the number of day partitions written.
+    scan), union-merge, and swap just those day dirs — untouched history
+    is never read or rewritten (the repo's partitioned-merge
+    discipline). Bootstrap: a missing store is created from the batch
+    alone. Returns the number of day partitions written.
 
-    The merged rows are materialized driver-side before the write —
-    touched_days x event_types rows of ~4 KB sketches, a bounded frame —
-    because Spark cannot read and overwrite the same parquet path in one
-    lazy plan (self-overwrite would tear the source mid-write)."""
+    Write path (round-8, replacing the driver-side collect): the merged
+    touched-day slice is STAGED executor-side (one partitioned parquet
+    write under ``_staging`` — an underscore dir, invisible to parquet
+    readers of the store), then committed by swapping day dirs under an
+    O_EXCL pending marker. Sketch blobs never round-trip through the
+    driver, so a year-wide backfill over a high-cardinality type column
+    streams through executors like any other write. Crash semantics: a
+    crash BEFORE the marker leaves the store untouched (stale staging is
+    swept on the next call); a crash mid-commit is repaired from the
+    staged slice by :func:`sketch_ledger_repair` (run at every entry) —
+    no touched-day history can be lost, closing the torn-overwrite
+    window the dynamic-overwrite form had. The residual at-least-once
+    window is the documented one: a crash between a completed commit and
+    the caller's applied-batch marker re-applies one batch's
+    ``n_events`` (estimates cannot drift — register max)."""
     spark = batch.sparkSession
-    delta = daily_hll_sketches(batch, key_col=key_col, lg_k=lg_k)
+    if os.path.isdir(path):
+        sketch_ledger_repair(path)
+        _check_ledger_meta(
+            path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+        )
+    delta = daily_hll_sketches(
+        batch, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+    )
     if not os.path.isdir(path):
         delta.write.partitionBy("day").mode("overwrite").parquet(path)
+        _write_ledger_meta(
+            path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
+        )
         return delta.select("day").distinct().count()
-    touched = [r["day"] for r in delta.select("day").distinct().collect()]
-    if not touched:
+    # touched-day list: a bounded driver frame (days, not blobs)
+    touched_days = sorted(
+        r["day"] for r in delta.select("day").distinct().collect()
+    )
+    if not touched_days:
         return 0
-    stored = spark.read.parquet(path).filter(F.col("day").isin(touched))
-    merged_rows = (
+    touched = [str(d) for d in touched_days]  # ISO names = partition dirs
+    staging = os.path.join(path, _STAGING_DIR)
+    if os.path.isdir(staging):  # stale pre-marker staging from a crash
+        shutil.rmtree(staging)
+    stored = spark.read.parquet(path).filter(F.col("day").isin(touched_days))
+    merged = (
         stored.select("day", "event_type", "n_events", "sk")
         .unionByName(delta)
         .groupBy("day", "event_type")
@@ -239,15 +370,28 @@ def sketch_ledger_upsert_batch(
             F.sum("n_events").cast("long").alias("n_events"),
             F.hll_union_agg("sk").alias("sk"),
         )
-        .collect()
     )
-    merged = spark.createDataFrame(merged_rows, schema=delta.schema)
-    (
-        merged.write.partitionBy("day")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    # stage executor-side: the lazy read of `path` executes HERE, before
+    # any live day dir is mutated — no self-overwrite torn read
+    merged.write.partitionBy("day").mode("overwrite").parquet(staging)
+    # commit under an O_EXCL marker (advisory fix: the marker + staged
+    # slice make a mid-commit crash repairable instead of lossy)
+    marker = os.path.join(path, _PENDING_FILE)
+    fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"days": touched, "staging": _STAGING_DIR}, fh)
+    # NO try/finally cleanup here: if a swap raises (or the process
+    # dies), the marker + staged slice must SURVIVE so the next entry's
+    # sketch_ledger_repair can finish the commit; cleanup only happens
+    # after every day dir is in place.
+    for day in touched:
+        live = os.path.join(path, f"day={day}")
+        staged = os.path.join(staging, f"day={day}")
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.replace(staged, live)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(marker)
     return len(touched)
 
 
