@@ -604,3 +604,111 @@ def test_dimension_global_plans_route_past_threshold(spark, monkeypatch):
         assert [(f.name, f.dataType) for f in base.schema] == [
             (f.name, f.dataType) for f in routed.schema
         ], name
+
+
+def test_grouped_cumsum_matches_per_group_window(spark):
+    """grouped_cumsum == sum() OVER (PARTITION BY grp ORDER BY o ROWS
+    UNBOUNDED PRECEDING) bit-for-bit on a (grp, order)-unique frame with
+    NULL order keys and NULL values, and the bucketed plan hashes on
+    (grp, bucket) — never on the bare bounded-cardinality group key."""
+    from vectordb_similarity_search_spark.operators.ranking import (
+        auto_grouped_cumsum,
+        grouped_cumsum,
+    )
+
+    rows = []
+    for g in range(5):
+        for i in range(600):
+            o = None if i % 97 == 0 else (i * 13) % 1000 + g
+            v = None if i % 31 == 0 else ((i * 7) % 50) + 1
+            rows.append((f"g{g}", o, v, g * 1000 + i))
+    df = (
+        spark.createDataFrame(rows, "grp string, o int, v long, uid long")
+        # (grp, o) must be unique: aggregate ties away first, exactly
+        # like the counts-frame callers do
+        .groupBy("grp", "o")
+        .agg(F.sum("v").alias("v"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("o").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cs", F.sum("v").over(w))
+    got = grouped_cumsum(df, "v", ["grp"], "o", col_name="cs", buckets=8)
+    assert want.schema == got.schema
+    key = ["grp", "o"]
+    assert want.orderBy(*key).collect() == got.orderBy(*key).collect()
+    # routed == plain through the auto form at both thresholds
+    small = auto_grouped_cumsum(df, "v", ["grp"], "o", col_name="cs",
+                                max_bytes=1 << 60)
+    big = auto_grouped_cumsum(df, "v", ["grp"], "o", col_name="cs",
+                              max_bytes=-1)
+    assert small.orderBy(*key).collect() == big.orderBy(*key).collect()
+    # the bucketed branch's window partitions on (grp, _grc_bucket):
+    # the plan must show the composite hashpartitioning, and no
+    # partitioning on grp alone
+    plan = _explain_str(big)
+    assert "_grc_bucket" in plan
+    import re
+
+    bare = re.findall(r"hashpartitioning\(grp#\d+, 3?\d+\)", plan)
+    assert not bare, bare
+
+
+def test_mann_whitney_bucketed_branch_bit_identical(spark, sf_dir):
+    """The round-7 perf-weak fix: r_mann_whitney's routed (bucketed
+    grouped-cumsum) branch returns bit-identical stats to the plain
+    branch — forced by dropping the routing threshold to zero."""
+    from vectordb_similarity_search_spark.operators import ranking
+    from vectordb_similarity_search_spark.plans.relational_queries import (
+        r_mann_whitney,
+    )
+
+    plain = r_mann_whitney(spark, sf_dir).collect()
+    orig = ranking.DIMENSION_WINDOW_MAX_BYTES
+    ranking.DIMENSION_WINDOW_MAX_BYTES = -1
+    try:
+        routed = r_mann_whitney(spark, sf_dir).collect()
+    finally:
+        ranking.DIMENSION_WINDOW_MAX_BYTES = orig
+    assert plain == routed
+
+
+def test_grouped_rolling_halo_bit_identical_to_plain_window(spark):
+    """grouped_rolling's routed branch (time-quantile buckets + exact
+    predecessor-tail halo rows, cascading across thin buckets) produces
+    bit-identical trailing-frame aggregates to the plain per-group
+    window — including float stddev — on a frame with a SPARSE group
+    (rows only at the extremes, so intermediate buckets are empty and
+    the halo must cascade) and NULL values inside frames."""
+    from vectordb_similarity_search_spark.operators.ranking import (
+        grouped_rolling,
+    )
+
+    rows = []
+    for i in range(4000):
+        rows.append(("dense", i, float((i * 37) % 100) if i % 17 else None))
+    # sparse series: 30 rows at the start, 30 at the end — every routed
+    # bucket between them is empty for this group
+    for i in range(30):
+        rows.append(("sparse", i, float(i)))
+        rows.append(("sparse", 3960 + i, float(i * 2)))
+    df = spark.createDataFrame(rows, "grp string, o long, v double")
+
+    def run(max_bytes):
+        frame, w, keep = grouped_rolling(
+            df, ["grp"], ["o"], 20, buckets=8, max_bytes=max_bytes
+        )
+        return (
+            frame.withColumn("mu", F.avg("v").over(w))
+            .withColumn("sd", F.stddev_samp("v").over(w))
+            .withColumn("n", F.count("v").over(w))
+            .where(keep)
+            .select("grp", "o", "mu", "sd", "n")
+            .orderBy("grp", "o")
+            .collect()
+        )
+
+    plain = run(1 << 60)
+    routed = run(-1)
+    assert plain == routed
+    assert len(plain) == len(rows)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..util import PersistRegistry, evict_other_apps
 
@@ -588,4 +589,253 @@ def auto_cumsum(
     return global_cumsum(
         df, value_col, keys,
         descending=descending, buckets=buckets, col_name=col_name,
+    )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    value_col: str,
+    grp_cols: list[str],
+    order_col: str,
+    *,
+    buckets: int = 32,
+    col_name: str = "cumsum",
+) -> DataFrame:
+    """Per-group running ``sum(value_col)`` ordered by ``order_col`` —
+    identical to ``sum(v) OVER (PARTITION BY grp ORDER BY o ROWS
+    UNBOUNDED PRECEDING)`` — WITHOUT a per-group row-sized sort: the
+    plain window hashes every row of a group onto one reducer, so a
+    BOUNDED-cardinality group column (k order priorities, k regions)
+    funnels the whole table through ≤k tasks at 100 TB. Here the window
+    partitions on (group, quantile-bucket of ``order_col``) instead —
+    k·``buckets`` sorts of ~1/buckets of a group each — and per-(group,
+    bucket) exclusive-prefix SUM offsets (one tiny collected aggregate,
+    ≤ k·buckets rows, exact int/Decimal arithmetic) are broadcast-joined
+    back on top of the within-bucket running sum.
+
+    Contract: rows must be UNIQUE on (``grp_cols``, ``order_col``) — the
+    caller aggregates ties first (a (grp, value)-distinct counts frame,
+    the r_mann_whitney shape), which any rank/midrank derivation needs
+    anyway. Group cardinality must be bounded (the offsets frame is
+    collected); high-cardinality groups don't need this machinery — the
+    plain per-group window already spreads across reducers. NULL order
+    keys sort FIRST (Spark ASC default), matching the plain window."""
+    if not grp_cols:
+        raise ValueError("grp_cols must name at least one group column")
+    ok = F.col(order_col)
+
+    fracs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(order_col, fracs, 10_000).alias("q")
+    ).first()
+    bounds = sorted(set(row["q"] or []))
+    nonnull = (
+        F.lit(0) if not bounds else _bucket_expr(ok, bounds, descending=False)
+    )
+    bucketed = df.withColumn(
+        "_grc_bucket", F.when(ok.isNull(), F.lit(-1)).otherwise(nonnull)
+    )
+
+    # per-(group, bucket) totals -> exclusive prefix offsets within each
+    # group, shipped back as a broadcast frame (≤ |groups|·buckets rows)
+    spark = df.sparkSession
+    totals = (
+        bucketed.groupBy(*grp_cols, "_grc_bucket")
+        .agg(F.sum(value_col).alias("_grc_sum"))
+        .collect()
+    )
+    by_grp: dict[tuple, list] = {}
+    for r in totals:
+        by_grp.setdefault(tuple(r[g] for g in grp_cols), []).append(
+            (r["_grc_bucket"], r["_grc_sum"])
+        )
+    off_rows = []
+    for gkey, lst in by_grp.items():
+        acc = None
+        for b, s in sorted(lst, key=lambda t: t[0]):
+            if acc is not None:
+                off_rows.append((*gkey, b, acc))
+            if s is not None:
+                acc = s if acc is None else acc + s
+    # offset dtype: match what sum(value_col) widens to (Decimal scale,
+    # long for ints) by reusing the aggregate's own schema
+    sum_type = (
+        df.select(F.sum(value_col).alias("_t")).schema["_t"].dataType
+    )
+    grp_fields = [df.schema[g] for g in grp_cols]
+    off_schema = T.StructType(
+        [
+            *grp_fields,
+            T.StructField("_grc_bucket", T.IntegerType()),
+            T.StructField("_grc_offset", sum_type),
+        ]
+    )
+    offsets = spark.createDataFrame(off_rows, off_schema)
+
+    w = Window.partitionBy(*grp_cols, "_grc_bucket").orderBy(
+        ok.asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(value_col).over(w)
+    joined = bucketed.withColumn("_grc_bucket", F.col("_grc_bucket").cast("int")).join(
+        F.broadcast(offsets), [*grp_cols, "_grc_bucket"], "left"
+    )
+    off = F.col("_grc_offset")
+    out = joined.withColumn(
+        col_name,
+        F.when(off.isNull(), running)
+        .when(running.isNull(), off)
+        .otherwise(running + off),
+    ).drop("_grc_bucket", "_grc_offset")
+    # match the plain-window result type exactly (sum + offset may widen)
+    want = df.select(
+        F.sum(value_col).over(
+            Window.partitionBy(*grp_cols).orderBy(ok.asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("_t")
+    ).schema["_t"].dataType
+    return out.withColumn(col_name, F.col(col_name).cast(want))
+
+
+def grouped_rolling(
+    df: DataFrame,
+    grp_cols: list[str],
+    order_cols: list[str],
+    lookback: int,
+    *,
+    buckets: int = 32,
+    max_bytes: int | None = None,
+) -> tuple[DataFrame, "WindowSpec", Column]:  # noqa: F821
+    """Trailing ``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING``
+    frames over COARSE series (a handful of event types / sensors)
+    without funneling each series through one reducer: returns
+    ``(frame, window_spec, keep)`` — build the rolling aggregates over
+    ``window_spec`` on ``frame``, then filter with ``keep``.
+
+    Below the size estimate this is the plain per-group window. Past it,
+    rows are quantile-bucketed on the leading order column and every
+    real row's ``lookback`` predecessors are made PRESENT in its
+    (group, bucket) partition by duplicating exact predecessor tails as
+    flagged HALO rows: per (group, destination-bucket) the driver walks
+    the collected per-(group, bucket) row counts (a ≤|groups|·buckets
+    frame) backwards, taking the tail of each earlier bucket until
+    ``lookback`` rows are covered — so thin buckets cascade correctly.
+    Halo rows feed frames only; ``keep`` drops them from the output.
+    Frame contents are identical row-for-row to the plain window's, so
+    aggregates (including float ones) are bit-identical — pinned in
+    tests/test_ranking.py.
+
+    Ordering contract: ``order_cols`` ascending, leading column numeric
+    or timestamp (bucket bounds come from ``percentile_approx``); rows
+    equal on the LEADING column always share a bucket, and the full
+    ``order_cols`` tuple must be a total order within each group."""
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    limit = DIMENSION_WINDOW_MAX_BYTES if max_bytes is None else max_bytes
+    keep_all = F.lit(True)
+    if estimated_plan_bytes(df) <= limit:
+        w = Window.partitionBy(*grp_cols).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        ).rowsBetween(-lookback, -1)
+        return df, w, keep_all
+
+    lead = order_cols[0]
+    dtype = df.schema[lead].dataType.simpleString()
+    key = (
+        F.unix_micros(F.col(lead)) if dtype == "timestamp" else F.col(lead)
+    )
+    fracs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(key, fracs, 10_000).alias("q")
+    ).first()
+    bounds = sorted(set(row["q"] or []))
+    bexpr = (
+        F.lit(0) if not bounds else _bucket_expr(key, bounds, descending=False)
+    )
+    base = df.withColumn(
+        "_grw_bucket",
+        F.when(key.isNull(), F.lit(-1)).otherwise(bexpr).cast("int"),
+    ).withColumn("_grw_halo", F.lit(False))
+
+    counts = (
+        base.groupBy(*grp_cols, "_grw_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    by_grp: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_grp.setdefault(tuple(r[g] for g in grp_cols), []).append(
+            (r["_grw_bucket"], r["_n"])
+        )
+    # (grp..., src_bucket, dst_bucket, take_last_k): nearest-first walk —
+    # from each earlier bucket take its TAIL until lookback rows covered
+    map_rows = []
+    for gkey, lst in by_grp.items():
+        lst.sort()
+        for i in range(1, len(lst)):
+            need, j = lookback, i - 1
+            while need > 0 and j >= 0:
+                take = min(need, lst[j][1])
+                map_rows.append((*gkey, lst[j][0], lst[i][0], take))
+                need -= take
+                j -= 1
+    frame = base
+    if map_rows:
+        spark = df.sparkSession
+        grp_fields = [df.schema[g] for g in grp_cols]
+        map_schema = T.StructType(
+            [
+                *grp_fields,
+                T.StructField("_grw_bucket", T.IntegerType()),
+                T.StructField("_grw_dst", T.IntegerType()),
+                T.StructField("_grw_take", T.LongType()),
+            ]
+        )
+        mapping = spark.createDataFrame(
+            [(*m[:-1], int(m[-1])) for m in map_rows], map_schema
+        )
+        w_desc = Window.partitionBy(*grp_cols, "_grw_bucket").orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        halo = (
+            base.withColumn("_grw_rnd", F.row_number().over(w_desc))
+            .join(F.broadcast(mapping), [*grp_cols, "_grw_bucket"])
+            .filter(F.col("_grw_rnd") <= F.col("_grw_take"))
+            .withColumn("_grw_bucket", F.col("_grw_dst"))
+            .withColumn("_grw_halo", F.lit(True))
+            .drop("_grw_rnd", "_grw_dst", "_grw_take")
+        )
+        frame = base.unionByName(halo)
+    w = Window.partitionBy(*grp_cols, "_grw_bucket").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(-lookback, -1)
+    return frame, w, ~F.col("_grw_halo")
+
+
+def auto_grouped_cumsum(
+    df: DataFrame,
+    value_col: str,
+    grp_cols: list[str],
+    order_col: str,
+    *,
+    col_name: str = "cumsum",
+    buckets: int = 32,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Per-group running sum: the plain ``PARTITION BY grp`` window while
+    the frame's size estimate is small (the sort is tiny, whatever the
+    group cardinality), :func:`grouped_cumsum` past it (bounded-
+    cardinality groups stop funneling onto ≤k reducers). The routing
+    threshold keys on the bytes of the frame ACTUALLY windowed — callers
+    pass the tie-aggregated distinct frame, not raw rows — so a huge
+    distinct frame over a coarse group column routes correctly."""
+    limit = DIMENSION_WINDOW_MAX_BYTES if max_bytes is None else max_bytes
+    if estimated_plan_bytes(df) <= limit:
+        w = Window.partitionBy(*grp_cols).orderBy(
+            F.col(order_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn(col_name, F.sum(value_col).over(w))
+    return grouped_cumsum(
+        df, value_col, grp_cols, order_col,
+        buckets=buckets, col_name=col_name,
     )

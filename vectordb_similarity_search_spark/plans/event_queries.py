@@ -493,20 +493,27 @@ def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-type window exchange), state bounded by the frame length —
     the same plan shape Structured Streaming would run with a
     transformWithState rolling buffer. Warm-up guard (n >= 5) and
-    constant-series guard (sd > 0) are explicit, not NaN-driven."""
+    constant-series guard (sd > 0) are explicit, not NaN-driven.
+
+    Scale routing (round-8 coarse-window lint): ~5 event types means the
+    plain per-type window sorts the whole log on 5 reducers at 100 TB,
+    so the trailing frame routes through operators/ranking.
+    grouped_rolling past the size threshold — time-quantile buckets with
+    exact predecessor-tail HALO rows keep every trailing frame complete
+    while each (type, bucket) partition sorts ~1/buckets of a series;
+    bit-identical to the plain window (parity pinned in
+    tests/test_ranking.py)."""
+    from ..operators.ranking import grouped_rolling
+
     e = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
+    frame, w, keep = grouped_rolling(
+        e, ["event_type"], ["ts", "event_id"], 20
     )
-    scored = e.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count("value").over(w).alias("n"),
+    scored = (
+        frame.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sd", F.stddev_samp("value").over(w))
+        .withColumn("n", F.count("value").over(w))
+        .where(keep)
     )
     return (
         scored.where(
@@ -2328,12 +2335,17 @@ def e_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard conformal small-sample caveat) rather than reporting a
     vacuous interval.
 
-    Scale shape: one event exchange per split aggregate + a per-type
-    rank window over the CALIBRATION slice only — in production the
-    calibration set is a bounded sample by design (conformal validity
-    needs thousands of points, not the corpus), which keeps that window
-    partition bounded; train/test passes are plain grouped aggregates."""
-    from pyspark.sql import Window
+    Scale shape (round-8, routed past the coarse-window lint): the
+    conformal rank is an ORDER STATISTIC, which never needs per-row
+    ranks — a (type, residual)-distinct counts frame plus a per-type
+    cumulative count locates the k-th smallest residual exactly (the
+    value whose inclusive cum first reaches k), and the cumulative count
+    comes from operators/ranking.auto_grouped_cumsum: a plain per-type
+    window while the distinct frame is small, the bucketed
+    (type, residual-quantile-bucket) form past the size threshold — so a
+    corpus-sized calibration slice over ~5 event types never sorts on 5
+    reducers. Train/test passes are plain grouped aggregates."""
+    from ..operators.ranking import auto_grouped_cumsum
 
     e = t(spark, sf_dir, "events")
     v_ppm = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
@@ -2354,24 +2366,31 @@ def e_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = (
         s.filter(F.col("split") == 8)
         .join(F.broadcast(train), "event_type")
-        .select("event_type", resid.alias("r"), "event_id")
+        .select("event_type", resid.alias("r"))
     )
-    wrk = Window.partitionBy("event_type").orderBy("r", "event_id")
-    wall = Window.partitionBy("event_type")
-    calr = cal.select(
-        "event_type",
-        "r",
-        F.row_number().over(wrk).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n_cal"),
+    # k-th smallest residual per type WITHOUT per-row ranks: tie-distinct
+    # counts + per-type cumulative count; the k-th order statistic is the
+    # residual whose inclusive cum first reaches k (identical to the old
+    # row_number()==k selection — ties share a value, so whichever tied
+    # ROW ranked k-th, the VALUE is this one)
+    cal_counts = cal.groupBy("event_type", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    q = calr.groupBy("event_type").agg(
-        F.max("n_cal").cast("long").alias("n_cal"),
-        F.max(
-            F.when(
-                F.col("rk") == F.floor(((F.col("n_cal") + 1) * 9 + 9) / 10),
-                F.col("r"),
-            )
-        ).alias("q_r"),
+    cum = auto_grouped_cumsum(
+        cal_counts, "c", ["event_type"], "r", col_name="cum"
+    )
+    ncal = cal_counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_cal")
+    )
+    k = F.floor(((F.col("n_cal") + 1) * 9 + 9) / 10)
+    q = (
+        cum.join(F.broadcast(ncal), "event_type")
+        .filter((F.col("cum") >= k) & (F.col("cum") - F.col("c") < k))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.max("r").alias("q_r"),
+        )
     )
     test = (
         s.filter(F.col("split") == 9)

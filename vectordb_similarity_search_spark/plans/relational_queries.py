@@ -3042,16 +3042,22 @@ def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     are derived from those integers in rounded doubles (one sqrt each —
     the exact-int-inside / double-at-the-edge house rule).
 
-    Shape: one window over (grp) ordered by value, then one grp-sized
-    aggregate. Honest scale bound: with only ~5 priority groups the
-    window's hash(grp) shuffle lands on 5 reducers — fine at fixture
-    scale and for high-cardinality group columns, but a 100 TB run
-    grouped this coarsely should either test on a finer dimension or
-    derive the midranks from a (grp, value)-distinct count frame with
-    the bucketed global-cumsum machinery (operators/ranking.py) — the
-    rank sums only need per-value cumulative counts, not per-row
-    ranks. Documented rather than auto-routed because the routing
-    threshold keys on frame bytes, not group cardinality."""
+    Scale shape (round-8, closing the round-7 perf-weak finding): rank
+    sums never need per-row ranks — only per-VALUE cumulative counts.
+    One (grp, value) aggregate produces the tie-distinct counts frame
+    (high-cardinality shuffle keys, distributes like any groupBy); the
+    within-group cumulative count comes from
+    operators/ranking.auto_grouped_cumsum — a plain per-group window
+    while that DISTINCT frame is small, and past the size threshold the
+    bucketed form (window on (grp, value-quantile-bucket) + broadcast
+    exclusive-prefix offsets), so a near-continuous value column over
+    ~5 priority groups never funnels the table through 5 reducers. The
+    doubled midrank of value v is then 2*cum - c + 1 (cum the inclusive
+    cumulative count, c the tie count) and the A-side rank sum is
+    sum(c_a * r2v) — bit-identical to the per-row form (parity pinned
+    both branches in tests/test_ranking.py)."""
+    from ..operators.ranking import auto_grouped_cumsum
+
     o = t(spark, sf_dir, "orders")
     seg = F.when(
         (
@@ -3070,30 +3076,25 @@ def r_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         seg.alias("seg"),
     )
-    w_rank = Window.partitionBy("grp").orderBy("v")
-    w_ties = Window.partitionBy("grp", "v")
-    # rank() is IntegerType: cast to long BEFORE doubling, or the int32
-    # product wraps silently past 2^30 rows per group (non-ANSI Spark) —
-    # exactly the fat-group regime the scale note below discusses
-    ranked = assigned.select(
-        "grp",
-        "seg",
-        (
-            2 * F.rank().over(w_rank).cast("long")
-            + F.count(F.lit(1)).over(w_ties)
-            - 1
-        ).cast("long").alias("r2"),
-    )
-    stats = ranked.groupBy("grp").agg(
+    counts = assigned.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
         F.sum(F.when(F.col("seg") == "A", 1).otherwise(0))
         .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("seg") == "B", 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
-        F.sum(F.when(F.col("seg") == "A", F.col("r2")).otherwise(0))
-        .cast("long")
-        .alias("r2_a"),
+        .alias("c_a"),
+    )
+    cum = auto_grouped_cumsum(counts, "c", ["grp"], "v", col_name="cum")
+    per_val = cum.select(
+        "grp",
+        "c",
+        "c_a",
+        # doubled midrank of this value: min-rank = cum-c+1, ties = c ->
+        # 2*(cum-c+1) + c - 1 = 2*cum - c + 1 (all BIGINT arithmetic)
+        (2 * F.col("cum") - F.col("c") + 1).alias("r2v"),
+    )
+    stats = per_val.groupBy("grp").agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("c_a")).cast("long").alias("n_b"),
+        F.sum(F.col("c_a") * F.col("r2v")).cast("long").alias("r2_a"),
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")

@@ -448,19 +448,21 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-slice sequence packing audit (the standard LLM training
     layout: concatenate each source's token stream in doc_id order, cut
     every 1024 tokens): sequences produced and documents straddling a cut
-    boundary, from one window cumsum — integer-exact, no data movement
-    beyond the per-source shuffle."""
-    from pyspark.sql import Window
+    boundary, from one per-source cumsum — integer-exact. The cumsum
+    routes through operators/ranking.auto_grouped_cumsum (round-8
+    coarse-window lint): `source` has ~20 distinct values, so a plain
+    PARTITION BY source window funnels the corpus through 20 reducers at
+    100 TB; past the size threshold the bucketed form windows on
+    (source, doc_id-quantile-bucket) instead — bit-identical (parity
+    pinned in tests/test_ranking.py)."""
+    from ..operators.ranking import auto_grouped_cumsum
 
     d = t(spark, sf_dir, "documents")
     seq_len = 1024
     tok = d.select("doc_id", "source", n_tokens("text").alias("nt"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = tok.select("source", "nt", F.sum("nt").over(w).alias("cum"))
+    cum = auto_grouped_cumsum(
+        tok, "nt", ["source"], "doc_id", col_name="cum"
+    ).select("source", "nt", "cum")
     crosses = F.floor((F.col("cum") - F.col("nt")) / float(seq_len)) != F.floor(
         (F.col("cum") - 1) / float(seq_len)
     )
@@ -1862,13 +1864,18 @@ def t_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scalar). Returns (lang, n_a, n_b, ks); ks is NULL when a language
     has only one group (statistic undefined).
 
-    Shape: empirical CDFs are cumulative RANGE windows (ties collapse —
-    the frame includes all equal x) over ONE per-lang sort exchange; the
-    sup-norm is a plain max aggregate on the same frame. Counts stay
-    integer until the final double division (identical IEEE quotient in
-    both engines), so no float-sum ordering is in play. One shuffle of
-    (lang, x, g) triples — never documents."""
-    from pyspark.sql import Window
+    Shape (round-8, routed past the coarse-window lint): an empirical
+    CDF with tie-collapsing RANGE semantics is exactly an inclusive
+    cumulative count over the (lang, x)-DISTINCT counts frame, so the
+    per-lang windows never see raw document rows — and the cumulative
+    counts route through operators/ranking.auto_grouped_cumsum (plain
+    per-lang window while the distinct frame is small, bucketed
+    (lang, x-quantile) windows past the threshold: ~5 langs never means
+    5 reducers). Group totals are a broadcast lang-sized aggregate.
+    Counts stay integer until the final double division (identical IEEE
+    quotient in both engines), so no float-sum ordering is in play."""
+    from ..operators.ranking import auto_grouped_cumsum
+
     docs = t(spark, sf_dir, "documents")
     pts = docs.select(
         "lang",
@@ -1879,14 +1886,27 @@ def t_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("g"),
     )
-    w_cum = Window.partitionBy("lang").orderBy("x")
-    w_all = Window.partitionBy("lang")
-    cdf = pts.select(
+    counts = pts.groupBy("lang", "x").agg(
+        F.sum("g").cast("long").alias("a_c"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    cum = auto_grouped_cumsum(
+        auto_grouped_cumsum(counts, "a_c", ["lang"], "x", col_name="ca"),
+        "c",
+        ["lang"],
+        "x",
+        col_name="ct",
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("a_c").cast("long").alias("ta"),
+        (F.sum("c") - F.sum("a_c")).cast("long").alias("tb"),
+    )
+    cdf = cum.join(F.broadcast(totals), "lang").select(
         "lang",
-        F.sum("g").over(w_cum).alias("ca"),
-        F.sum(F.lit(1) - F.col("g")).over(w_cum).alias("cb"),
-        F.sum("g").over(w_all).alias("ta"),
-        F.sum(F.lit(1) - F.col("g")).over(w_all).alias("tb"),
+        "ca",
+        (F.col("ct") - F.col("ca")).alias("cb"),
+        "ta",
+        "tb",
     )
     d = F.when(
         (F.col("ta") > 0) & (F.col("tb") > 0),
