@@ -218,6 +218,23 @@ def _min_of(fn, *, warm: int = 1, runs: int = N_TIMED_RUNS) -> float:
     return best
 
 
+def _stable_probe(fn, *, warm: int = 1, batches: int = 3) -> float:
+    """Probe statistic (round-8 stabilization): the MEDIAN of ``batches``
+    min-of-3 batches. A single min-of-3 is one co-tenancy spike away from
+    a 1.5-2x session swing (observed round 7: compute probe 2.02x pin
+    while the io probe ran 0.8x); the median of three batches rejects one
+    bad batch outright. The per-batch statistic stays min-of-3, so the
+    value scale matches the committed probe pins (median-of-mins biases
+    a few percent above a single min — far inside the ±17% session noise
+    the blend regression already absorbs; pins unchanged by design)."""
+    for _ in range(warm):
+        fn()
+    vals = []
+    for _ in range(batches):
+        vals.append(_min_of(fn, warm=0))
+    return sorted(vals)[len(vals) // 2]
+
+
 def calibration_probe(spark) -> float:
     """Fixed machine-speed probe, independent of the repo's query plans and
     of the testdata: 50M-row range → xxhash64 per row (codegen compute) →
@@ -235,7 +252,7 @@ def calibration_probe(spark) -> float:
             .write.format("noop").mode("overwrite").save()
         )
 
-    return round(_min_of(run), 3)
+    return round(_stable_probe(run), 3)
 
 
 def io_calibration_probe(spark) -> float:
@@ -270,7 +287,7 @@ def io_calibration_probe(spark) -> float:
             )
             .write.parquet(path)
         )
-        return round(_min_of(run), 3)
+        return round(_stable_probe(run), 3)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

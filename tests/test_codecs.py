@@ -457,3 +457,121 @@ def test_gif_interlaced_raises_and_router_labels():
     gif = codecs.encode_gif_gray(np.full((4, 5), 77, dtype=np.uint8))
     w, h, mean, label = _decode_one(gif)
     assert (w, h, mean, label) == (5, 4, 77.0, "gif-builtin")
+
+
+def test_malformed_blobs_raise_valueerror_not_batch_killers():
+    """Round-8 advisory: malformed data must surface as ValueError — the
+    class _decode_one backstops to pillow — never as IndexError /
+    struct.error / zlib.error, which would kill the whole Arrow batch.
+    Each case held a non-ValueError escape hatch before the fix."""
+    import struct as _s
+    import zlib as _z
+
+    # PNG: palette index beyond the PLTE (1-entry palette, index 3)
+    def chunk(typ, body):
+        return (
+            _s.pack(">I", len(body)) + typ + body
+            + _s.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00" + bytes([3, 0])  # filter 0, indices 3 and 0
+    bad_png = (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x10\x20\x30")
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        codecs.decode_png(bad_png)
+
+    # PNG: truncated chunk walk (length field exceeds the blob)
+    good = codecs.encode_png_gray(np.full((4, 4), 9, np.uint8))
+    with pytest.raises(ValueError):
+        codecs.decode_png(good[:20])
+    # PNG: pixel data shorter than h*(1+stride)
+    short_raw = _z.compress(b"\x00" + b"\x01")  # 1 of 2 scanlines
+    bad_px = (
+        codecs.PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", short_raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(bad_px)
+
+    # GIF: truncated mid sub-block walk
+    gif = codecs.encode_gif_gray(np.full((6, 6), 50, np.uint8))
+    with pytest.raises(ValueError):
+        codecs.decode_gif(gif[: len(gif) // 2])
+    # GIF: pixel index beyond a small local color table
+    # (hand-build: 4-entry GCT but literal pixel code 7 at mcs=3)
+    hdr = b"GIF87a" + _s.pack("<HHBBB", 1, 1, 0x80 | 0x01, 0, 0)
+    gct = bytes(12)  # 4 entries x 3
+    desc = b"\x2c" + _s.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+    # mcs=3: clear=8, eoi=9, 4-bit codes LSB-first: CLEAR(8), 7, EOI(9)
+    acc = 8 | (7 << 4) | (9 << 8)
+    stream = bytes([acc & 0xFF, (acc >> 8) & 0xFF])
+    bad_gif = hdr + gct + desc + bytes([3, len(stream)]) + stream + b"\x00\x3b"
+    with pytest.raises(ValueError, match="outside"):
+        codecs.decode_gif(bad_gif)
+
+    # BMP: header truncated / palette index beyond a short color table
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"BM" + bytes(10))
+    pal_hdr = (
+        b"BM"
+        + _s.pack("<IHHI", 14 + 40 + 8 + 4, 0, 0, 14 + 40 + 8)
+        + _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 2, 2)
+    )
+    bad_bmp = pal_hdr + bytes(8) + bytes([9, 0, 0, 0])  # idx 9, 2 colors
+    with pytest.raises(ValueError, match="outside"):
+        codecs.decode_bmp(bad_bmp)
+
+    # WAV: fmt chunk shorter than 16 bytes
+    bad_wav = (
+        b"RIFF" + _s.pack("<I", 14) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(ValueError, match="fmt"):
+        codecs.decode_wav(bad_wav)
+
+
+def test_decode_one_bmp_pillow_backstop():
+    """Round-8 advisory: the BMP branch backstops to pillow exactly like
+    PNG/GIF — an out-of-subset (RLE-compressed) BMP routes to an injected
+    PIL-compatible module instead of raising when one is importable, and
+    still raises honestly when none is."""
+    import struct as _s
+
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        _decode_one,
+    )
+
+    rle_bmp = (
+        b"BM"
+        + _s.pack("<IHHI", 62, 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 8, 0, 0, 0, 0)  # BI_RLE8
+        + bytes(8)
+    )
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_one(rle_bmp)
+
+    class _FakeImg:
+        size = (2, 2)
+
+        def convert(self, mode):
+            return self
+
+        def tobytes(self):
+            return bytes([10, 20, 30, 40])
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(buf):
+            return _FakeImg()
+
+    w, h, mean, label = _decode_one(rle_bmp, pillow_image_mod=_FakeImageMod)
+    assert (w, h, label) == (2, 2, "pillow")
+    assert mean == 25.0

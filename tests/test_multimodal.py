@@ -57,7 +57,7 @@ def test_decode_raster_without_codec_raises_not_fakes():
     with pytest.raises(NotImplementedError, match="pillow"):
         _decode_one(jpg, pillow_image_mod=None)
     torn_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
-    with pytest.raises(ValueError, match="IHDR"):
+    with pytest.raises(ValueError, match="IHDR|truncated"):
         _decode_one(torn_png, pillow_image_mod=None)
 
 

@@ -97,8 +97,15 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
+        # malformed-data discipline (round-8 advisory): truncated chunks
+        # must surface as ValueError — the error class the decode router
+        # backstops — never as an IndexError/struct.error batch-killer
+        if pos + 12 + ln > len(data):
+            raise ValueError("PNG chunk truncated")
         body = data[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("PNG IHDR truncated")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
@@ -119,11 +126,23 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if ctype not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {ctype}")
     ch = _PNG_CHANNELS[ctype]
-    pixels = _unfilter(zlib.decompress(idat), w, h, ch).reshape(h, w, ch)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT undecodable: {exc}") from exc
+    if len(raw) < h * (1 + w * ch):
+        raise ValueError("PNG pixel data truncated")
+    pixels = _unfilter(raw, w, h, ch).reshape(h, w, ch)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        rgb = palette[pixels[:, :, 0]]
+        idx = pixels[:, :, 0]
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} outside the "
+                f"{len(palette)}-entry PLTE"
+            )
+        rgb = palette[idx]
         luma = _luma601(rgb)
     elif ctype == 0:
         luma = pixels[:, :, 0]
@@ -179,6 +198,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     height) and top-down (negative height) row order, 4-byte row pad."""
     if data[:2] != BMP_MAGIC:
         raise ValueError("not a BMP")
+    if len(data) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        raise ValueError("BMP header truncated")
     (pix_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
     if hdr_size < 40:
@@ -193,6 +214,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     top_down = h_signed < 0
     h = abs(h_signed)
     row_bytes = (w * bpp // 8 + 3) & ~3
+    if pix_off + row_bytes * h > len(data) or w <= 0:
+        raise ValueError("BMP pixel data truncated")
     rows = np.frombuffer(
         data, dtype=np.uint8, count=row_bytes * h, offset=pix_off
     ).reshape(h, row_bytes)
@@ -202,10 +225,17 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
         # palette: BITMAPINFOHEADER colors are BGRA quads after the header
         (used,) = struct.unpack("<I", data[46:50])
         n_colors = used or 256
+        if 14 + hdr_size + n_colors * 4 > len(data):
+            raise ValueError("BMP color table truncated")
         pal = np.frombuffer(
             data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
         ).reshape(n_colors, 4)
         idx = rows[:, :w]
+        if idx.size and int(idx.max()) >= n_colors:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} outside the "
+                f"{n_colors}-entry color table"
+            )
         bgr = pal[idx][:, :, :3]
         luma = _luma601(bgr[:, :, ::-1])
     else:
@@ -258,6 +288,8 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
         if typ == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt, n_ch, rate, _byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -380,39 +412,56 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     frame are out of stats scope by design)."""
     if data[:4] != GIF_MAGIC or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("GIF header truncated")
+
+    # malformed-data discipline (round-8 advisory): every block-walk read
+    # is bounds-checked so truncation surfaces as ValueError (the class
+    # the decode router backstops), never IndexError
+    def need(upto: int) -> None:
+        if upto > len(data):
+            raise ValueError("GIF block data truncated")
+
     sw, sh = struct.unpack("<HH", data[6:10])
     packed = data[10]
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        need(pos + n * 3)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + length-prefixed sub-blocks
             pos += 2
+            need(pos + 1)
             while data[pos] != 0:
                 pos += 1 + data[pos]
+                need(pos + 1)
             pos += 1
         elif b == 0x2C:  # image descriptor
+            need(pos + 10)
             _l, _t, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
             ipacked = data[pos + 9]
             pos += 10
             pal = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
+                need(pos + n * 3)
                 pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF")
             if pal is None:
                 raise ValueError("GIF frame without a color table")
+            need(pos + 2)
             mcs = data[pos]
             pos += 1
             stream = bytearray()
             while data[pos] != 0:
                 ln = data[pos]
+                need(pos + 1 + ln + 1)
                 stream += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
@@ -421,6 +470,11 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
             )
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
+            if idx.size and int(idx.max()) >= len(pal):
+                raise ValueError(
+                    f"GIF pixel index {int(idx.max())} outside the "
+                    f"{len(pal)}-entry color table"
+                )
             luma = _luma601(pal[idx.reshape(h, w)])
             return int(w), int(h), luma.reshape(-1)
         elif b == 0x3B:  # trailer

@@ -267,8 +267,17 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
             w, h, mean = _pillow_decode(data, pillow_image_mod)
             return w, h, mean, "pillow"
     if data[:2] == codecs.BMP_MAGIC:
-        w, h, luma = codecs.decode_bmp(data)
-        return w, h, float(luma.mean()) if luma.size else 0.0, "bmp-builtin"
+        # same backstop contract as PNG/GIF (round-8 advisory): pillow,
+        # when importable, decodes the subsets past the builtin bound
+        # (RLE/1/4/16-bit, core headers) and malformed-to-us blobs
+        try:
+            w, h, luma = codecs.decode_bmp(data)
+            return w, h, float(luma.mean()) if luma.size else 0.0, "bmp-builtin"
+        except (NotImplementedError, ValueError):
+            if pillow_image_mod is None:
+                raise
+            w, h, mean = _pillow_decode(data, pillow_image_mod)
+            return w, h, mean, "pillow"
     if data[:4] == codecs.GIF_MAGIC:
         try:
             w, h, luma = codecs.decode_gif(data)
