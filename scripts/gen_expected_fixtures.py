@@ -31,15 +31,17 @@ FIXTURE_QUERIES = [
     "p_pca_variance", "m_media_decode_stats", "m_frame_sample",
     "d_minhash_lsh_pairs", "d_simhash_pairs", "t_fingerprint_pairs",
     "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
-    "d_dedup_keep", "v_ivf_knn", "v_lsh_knn", "r_approx_distinct",
+    "d_dedup_keep", "v_ivf_knn", "v_lsh_knn",
     "v_ivf_knn_batch", "t_bpe_train", "v_mmr_rerank", "v_ivf_knn_filtered",
     "v_index_stats", "s_sample_weighted", "t_bpe_apply",
     "t_mixture_sample", "v_recall_matrix", "m_phash_neardup",
     "d_banding_curve", "r_pagerank", "m_audio_energy", "r_als_recs",
     "m_scene_detect", "v_adaptive_knn", "e_stream_audit",
-    "e_hll_rolling_users", "e_hll_type_rollup", "e_hll_rolling_by_type",
     "m_wav_loudness",
 ]
+# Round-8 VERDICT #3: r_approx_distinct and the three e_hll_* queries
+# are no longer fixture-oracled — they carry exact counts + a tolerance
+# boolean and full DuckDB SQL twins.
 
 
 def main() -> None:

@@ -2082,7 +2082,19 @@ def s_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e_hll_rolling_users",
-    oracle=_expected_oracle("e_hll_rolling_users", sf_bound=True),
+    oracle="""
+WITH base AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM base),
+cnt AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST((SELECT sum(c.n) FROM cnt c
+             WHERE c.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS n_events,
+       CAST((SELECT count(DISTINCT b.user_id) FROM base b
+             WHERE b.day BETWEEN d.day - 6 AND d.day) AS BIGINT)
+         AS exact_distinct,
+       TRUE AS est_ok
+FROM days d ORDER BY day
+""",
 )
 def e_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch ledger, part 1 (operators/sketches.py): ONE
@@ -2091,19 +2103,51 @@ def e_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     day comes from a bounded self-join + union over the TINY ledger —
     the raw log is never rescanned per window (at 100 TB the log pass
     happens once; every window/rollup question afterwards costs
-    days x types rows). Estimates are layout/merge-order independent
-    (register max), so the expected-parquet oracle is stable across
-    sessions; tests additionally pin estimate-vs-exact relative error
-    and leaf-union == direct-sketch equality."""
+    days x types rows).
+
+    INDEPENDENT oracle (round-8 VERDICT #3, replacing the engine-
+    generated expected-parquet pin): the verification query computes the
+    EXACT trailing distinct beside the ledger estimate and asserts the
+    HLL accuracy contract (|est − exact| / exact ≤ 5%; lg_k=12 → ~0.8%
+    RSE, so the gate is >6σ and deterministic) as a boolean the DuckDB
+    twin pins to TRUE. The exact pass exists for the driver check only —
+    the production serving path is the ledger-only estimate (the
+    rolling_distinct operator; its layout/merge-order determinism is
+    pinned in tests/test_sketches.py)."""
     from ..operators.sketches import daily_hll_sketches, rolling_distinct
 
     ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
+    est = rolling_distinct(ledger, window_days=7)
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = pairs.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "user_id")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .withColumnRenamed("out_day", "day")
+    )
+    ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= 0.05
+    )
     return (
-        rolling_distinct(ledger, window_days=7)
+        est.join(exact, "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_events",
-            "est_distinct",
+            "exact_distinct",
+            ok.alias("est_ok"),
         )
         .orderBy("day")
     )
@@ -2111,7 +2155,18 @@ def e_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e_hll_type_rollup",
-    oracle=_expected_oracle("e_hll_type_rollup", sf_bound=True),
+    oracle="""
+WITH per AS (
+  SELECT 'type:' || event_type AS scope, count(*) AS n,
+         count(DISTINCT user_id) AS d
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT 'total' AS scope, count(*) AS n, count(DISTINCT user_id) AS d
+  FROM events)
+SELECT scope, CAST(n AS BIGINT) AS n_events,
+       CAST(d AS BIGINT) AS exact_distinct, TRUE AS est_ok
+FROM (SELECT * FROM per UNION ALL SELECT * FROM tot) ORDER BY scope
+""",
 )
 def e_hll_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch ledger, part 2: per-event_type whole-range
@@ -2120,11 +2175,36 @@ def e_hll_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregability property that makes sketch ledgers the scale
     answer to "distinct by any dimension" (a grand total is NOT the sum
     of per-type distincts; the union dedupes cross-type users
-    exactly as set semantics require)."""
+    exactly as set semantics require).
+
+    INDEPENDENT oracle (round-8 VERDICT #3): exact distincts beside the
+    sketch estimates, the ≤5% accuracy contract pinned as a TRUE boolean
+    in the DuckDB twin — see e_hll_rolling_users."""
     from ..operators.sketches import daily_hll_sketches, rollup_distinct
 
     ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
-    return rollup_distinct(ledger).orderBy("scope")
+    est = rollup_distinct(ledger)
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "exact_distinct",
+    )
+    tot = e.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).select(F.lit("total").alias("scope"), "exact_distinct")
+    exact = per.unionByName(tot)
+    ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= 0.05
+    )
+    return (
+        est.join(exact, "scope")
+        .select("scope", "n_events", "exact_distinct", ok.alias("est_ok"))
+        .orderBy("scope")
+    )
 
 
 @query("m_wav_loudness", oracle=_expected_oracle("m_wav_loudness"))
@@ -2160,7 +2240,29 @@ def m_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e_hll_rolling_by_type",
-    oracle=_expected_oracle("e_hll_rolling_by_type", sf_bound=True),
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id FROM events),
+days AS (SELECT DISTINCT day FROM base),
+cnt AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+-- a (day, type) cell exists when the type was active anywhere in the
+-- trailing window ending that day (the ledger _rolling semantics)
+cells AS (
+  SELECT DISTINCT d.day, c.event_type
+  FROM days d JOIN cnt c ON c.day BETWEEN d.day - 6 AND d.day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type,
+       CAST((SELECT sum(c.n) FROM cnt c
+             WHERE c.event_type = d.event_type
+               AND c.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS n_events,
+       CAST((SELECT count(DISTINCT b.user_id) FROM base b
+             WHERE b.event_type = d.event_type
+               AND b.day BETWEEN d.day - 6 AND d.day) AS BIGINT)
+         AS exact_distinct,
+       TRUE AS est_ok
+FROM cells d ORDER BY day, event_type
+""",
 )
 def e_hll_rolling_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch ledger, part 3: the PER-TYPE trailing 7-day
@@ -2170,21 +2272,58 @@ def e_hll_rolling_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.rolling_distinct_by_type). One ledger, three
     driver-checked readouts (rolling, per-type rolling, type/total
     rollup): the re-aggregability that makes sketch ledgers the scale
-    answer to distinct-counts. Oracle: precomputed expected-output
-    parquet (estimates layout/merge-order independent)."""
+    answer to distinct-counts.
+
+    INDEPENDENT oracle (round-8 VERDICT #3): exact per-(day, type)
+    trailing distincts beside the estimates, the ≤5% accuracy contract
+    pinned as a TRUE boolean in the DuckDB twin — see
+    e_hll_rolling_users."""
     from ..operators.sketches import (
         daily_hll_sketches,
         rolling_distinct_by_type,
     )
 
     ledger = daily_hll_sketches(t(spark, sf_dir, "events"))
+    est = rolling_distinct_by_type(ledger, window_days=7)
+    triples = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .distinct()
+    )
+    days = (
+        triples.select("day").distinct().select(F.col("day").alias("out_day"))
+    )
+    # semi-join on out_day ONLY: a (day, type) cell exists when the type
+    # was active anywhere in the trailing window ending that day — the
+    # same contract as the ledger's _rolling engine
+    exact = (
+        triples.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "event_type",
+            "user_id",
+        )
+        .select(
+            F.date_add("day", "_o").alias("out_day"), "event_type", "user_id"
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .withColumnRenamed("out_day", "day")
+    )
+    ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= 0.05
+    )
     return (
-        rolling_distinct_by_type(ledger, window_days=7)
+        est.join(exact, ["day", "event_type"])
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",
             "n_events",
-            "est_distinct",
+            "exact_distinct",
+            ok.alias("est_ok"),
         )
         .orderBy("day", "event_type")
     )

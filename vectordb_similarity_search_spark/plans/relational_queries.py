@@ -738,20 +738,40 @@ def r_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "r_approx_distinct",
-    oracle=expected_oracle("r_approx_distinct", sf_bound=True),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderstatus
+""",
 )
 def r_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts. Oracle: expected-output
-    parquet — sketch values are engine-specific (no SQL twin), but HLL
-    register updates are max-merges, commutative and associative, so the
-    estimate is a pure function of the value set independent of partition
-    layout (verified bit-identical across session core counts); the ±5%
-    accuracy property vs exact counts is pinned in
-    tests/test_fingerprint.py."""
+    """HyperLogLog++ approximate distinct counts, INDEPENDENTLY oracled
+    (round-8 VERDICT #3, replacing the engine-generated expected-parquet
+    pin): the query carries the exact distinct count beside the sketch
+    estimate and asserts the ±5% accuracy contract as a boolean the
+    DuckDB twin pins to TRUE — a broken sketch (or a broken exactness
+    bound) now fails the driver hash-compare outright. The estimate
+    itself stays out of the hashed output (HLL++ register values are
+    engine-specific; its determinism across layouts is pinned in
+    tests/test_fingerprint.py). rsd=0.02 → the 5% gate is ~2.5σ, and
+    both sides are deterministic for fixed data, so the boolean is
+    stable at every fixture scale."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
         F.count("*").alias("n_orders"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (err <= 0.05).alias("approx_ok"),
     )
 
 
