@@ -28,20 +28,22 @@ SF_FREE_DIR = "/root/testdata/sf0.001"
 SF_BOUND_DIR = "/root/testdata/sf0.01"
 FIXTURE_QUERIES = [
     "m_embed_knn", "m_embed_knn_bn", "p_cohort_stats", "p_search_report",
-    "p_pca_variance", "m_media_decode_stats", "m_frame_sample",
+    "p_pca_variance", "m_media_decode_stats",
     "d_minhash_lsh_pairs", "d_simhash_pairs", "t_fingerprint_pairs",
     "d_semantic_prune", "s_sample_stratified", "v_ivf_recall_curve",
     "d_dedup_keep", "v_ivf_knn", "v_lsh_knn",
     "v_ivf_knn_batch", "t_bpe_train", "v_mmr_rerank", "v_ivf_knn_filtered",
     "v_index_stats", "s_sample_weighted", "t_bpe_apply",
     "t_mixture_sample", "v_recall_matrix", "m_phash_neardup",
-    "d_banding_curve", "r_pagerank", "m_audio_energy", "r_als_recs",
-    "m_scene_detect", "v_adaptive_knn", "e_stream_audit",
-    "m_wav_loudness",
+    "d_banding_curve", "r_pagerank", "r_als_recs",
+    "v_adaptive_knn", "e_stream_audit",
 ]
-# Round-8 VERDICT #3: r_approx_distinct and the three e_hll_* queries
-# are no longer fixture-oracled — they carry exact counts + a tolerance
-# boolean and full DuckDB SQL twins.
+# Round-8 VERDICT #3 shrink: r_approx_distinct and the three e_hll_*
+# queries now carry exact counts + a tolerance boolean with full DuckDB
+# SQL twins; m_audio_energy / m_wav_loudness / m_frame_sample /
+# m_scene_detect moved to GENERATOR-TRUTH twins over the fixtures
+# written by scripts/gen_media_ground_truth.py (raw pre-encode samples /
+# frame digests / deltas — independent of every engine decode path).
 
 
 def main() -> None:

@@ -575,3 +575,162 @@ def test_decode_one_bmp_pillow_backstop():
     w, h, mean, label = _decode_one(rle_bmp, pillow_image_mod=_FakeImageMod)
     assert (w, h, label) == (2, 2, "pillow")
     assert mean == 25.0
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 8 — the last raster codec, closing the pillow seam)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_and_smooth_roundtrip_exact():
+    """DC-only content must survive exactly; a blockwise-smooth gradient
+    at quality 95 reproduces exactly too (all energy in low-frequency
+    coefficients the q95 table keeps at step 1-2)."""
+    px = np.full((24, 17), 97, np.uint8)
+    w, h, luma = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=95))
+    assert (w, h) == (17, 24)
+    np.testing.assert_array_equal(luma.reshape(24, 17), px)
+
+    ramp = np.tile((np.arange(32, dtype=np.uint8) * 4), (16, 1))
+    w, h, luma = codecs.decode_jpeg(codecs.encode_jpeg(ramp, quality=95))
+    np.testing.assert_array_equal(luma.reshape(16, 32), ramp)
+
+
+def test_jpeg_noise_roundtrip_bounded_and_orientation_correct():
+    """Incompressible noise at quality 95 stays within the quantization
+    error bound, and the decode is orientation-true: a horizontal ramp
+    must come back closer to itself than to its transpose-pattern — the
+    test that a zigzag/IDCT transpose bug cannot pass."""
+    rng = np.random.default_rng(11)
+    nz = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    w, h, luma = codecs.decode_jpeg(codecs.encode_jpeg(nz, quality=95))
+    err = np.abs(luma.reshape(40, 33).astype(int) - nz.astype(int))
+    assert err.mean() < 3 and err.max() <= 15, (err.mean(), err.max())
+
+    hramp = np.tile((np.arange(16, dtype=np.uint8) * 16), (16, 1))
+    vramp = hramp.T.copy()
+    for img in (hramp, vramp):
+        _, _, luma = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+        got = luma.reshape(16, 16).astype(int)
+        self_err = np.abs(got - img.astype(int)).mean()
+        flip_err = np.abs(got - img.T.astype(int)).mean()
+        assert self_err <= 1 and flip_err > 20 * (self_err + 0.05), (
+            self_err,
+            flip_err,
+        )
+
+
+def test_jpeg_orientation_test_kills_miszigzagged_decoder(monkeypatch):
+    """GIF-lesson discipline: the orientation test above must be PROVEN
+    to kill the classic wrong variant. A decoder reading coefficients
+    through a TRANSPOSED zigzag (the row/col swap bug) must fail it."""
+    hramp = np.tile((np.arange(16, dtype=np.uint8) * 16), (16, 1))
+    blob = codecs.encode_jpeg(hramp, quality=95)
+    zz_t = [(i % 8) * 8 + i // 8 for i in codecs._ZZ]
+    monkeypatch.setattr(codecs, "_ZZ", zz_t)
+    _, _, luma = codecs.decode_jpeg(blob)
+    got = luma.reshape(16, 16).astype(int)
+    self_err = np.abs(got - hramp.astype(int)).mean()
+    assert self_err > 10, self_err  # the wrong variant CANNOT stay close
+
+
+def test_jpeg_color_chroma_channels_not_swapped():
+    """Pure red and pure blue constants decode to their distinct 601
+    lumas (76 vs 29) — a Cb/Cr swap maps one onto the other's range."""
+    for rgbv, want in (((255, 0, 0), 76), ((0, 0, 255), 29)):
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = rgbv
+        for ss in ("4:4:4", "4:2:0"):
+            _, _, luma = codecs.decode_jpeg(
+                codecs.encode_jpeg(img, quality=95, subsample=ss)
+            )
+            got = float(luma.mean())
+            assert abs(got - want) <= 3, (rgbv, ss, got)
+
+
+def test_jpeg_subsampled_sizes_and_odd_dims():
+    """4:2:0 with odd dimensions: the chroma planes pad/crop correctly
+    and the luma channel still reproduces a smooth image closely."""
+    rng = np.random.default_rng(5)
+    base = np.linspace(30, 220, 21 * 19).reshape(21, 19)
+    img = np.stack(
+        [base, np.roll(base, 3, axis=1), base[::-1]], axis=-1
+    ).astype(np.uint8)
+    w, h, luma = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=95, subsample="4:2:0")
+    )
+    assert (w, h) == (19, 21)
+    want = (
+        img[..., 0].astype(np.uint32) * 299
+        + img[..., 1].astype(np.uint32) * 587
+        + img[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    err = np.abs(luma.reshape(21, 19).astype(int) - want.astype(int))
+    assert err.mean() < 6, err.mean()
+
+
+def test_jpeg_restart_markers_bit_identical():
+    """DRI/RSTn only resets predictors and byte-aligns — decoded pixels
+    must equal the no-restart encode exactly."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90))
+    rst = codecs.decode_jpeg(
+        codecs.encode_jpeg(px, quality=90, restart_interval=2)
+    )
+    assert plain[:2] == rst[:2]
+    np.testing.assert_array_equal(plain[2], rst[2])
+
+
+def test_jpeg_honest_bounds_and_malformed():
+    """Progressive raises NotImplementedError; truncation and garbage
+    raise ValueError (the router-backstopped class)."""
+    px = np.full((8, 8), 50, np.uint8)
+    blob = bytearray(codecs.encode_jpeg(px, quality=90))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytes(blob[:sof]) + b"\xff\xc2" + bytes(blob[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(blob[: len(blob) // 2]))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="quality"):
+        codecs.encode_jpeg(px, quality=0)
+
+
+def test_jpeg_router_label_and_pillow_backstop():
+    """_decode_one routes JPEG through the builtin (deterministic label)
+    and backstops out-of-subset streams to an injected pillow module."""
+    from vectordb_similarity_search_spark.operators.multimodal import (
+        _decode_one,
+    )
+
+    px = np.full((6, 9), 123, np.uint8)
+    blob = codecs.encode_jpeg(px, quality=95)
+    w, h, mean, label = _decode_one(blob)
+    assert (w, h, label) == (9, 6, "jpeg-builtin")
+    assert abs(mean - 123.0) < 1.0
+
+    sof = blob.find(b"\xff\xc0")
+    prog = blob[:sof] + b"\xff\xc2" + blob[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        _decode_one(prog)
+
+    class _FakeImg:
+        size = (9, 6)
+
+        def convert(self, mode):
+            return self
+
+        def tobytes(self):
+            return bytes([7] * 54)
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(buf):
+            return _FakeImg()
+
+    w, h, mean, label = _decode_one(prog, pillow_image_mod=_FakeImageMod)
+    assert (w, h, label) == (9, 6, "pillow")

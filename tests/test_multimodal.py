@@ -53,9 +53,20 @@ def test_decode_raster_without_codec_raises_not_fakes():
     (magic but no IHDR) is a data error, not a silent fake. Supported
     PNGs no longer need pillow at all — the dependency-free builtin
     decoder (operators/codecs.py) handles them (round-7)."""
-    jpg = b"\xff\xd8\xff" + b"\x00" * 32
-    with pytest.raises(NotImplementedError, match="pillow"):
-        _decode_one(jpg, pillow_image_mod=None)
+    # round-8: baseline JPEG decodes builtin; an OUT-OF-SUBSET stream
+    # (progressive) in a codec-less worker must raise the honest
+    # NotImplementedError, and junk with a JPEG magic is a data error
+    import numpy as _np
+
+    from vectordb_similarity_search_spark.operators import codecs as _c
+
+    blob = _c.encode_jpeg(_np.full((8, 8), 9, _np.uint8))
+    sof = blob.find(b"\xff\xc0")
+    prog = blob[:sof] + b"\xff\xc2" + blob[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        _decode_one(prog, pillow_image_mod=None)
+    with pytest.raises(ValueError):
+        _decode_one(b"\xff\xd8\xff" + b"\x00" * 32, pillow_image_mod=None)
     torn_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
     with pytest.raises(ValueError, match="IHDR|truncated"):
         _decode_one(torn_png, pillow_image_mod=None)
@@ -353,11 +364,15 @@ def test_synth_real_media_decodes_via_builtin_codecs(spark):
     rows = decode_media(corpus).collect()
     assert len(rows) == 18
     expected_label = {"png": "png-builtin", "bmp": "bmp-builtin",
-                      "wav": "wav-builtin", "gif": "gif-builtin"}
+                      "wav": "wav-builtin", "gif": "gif-builtin",
+                      "jpeg": "jpeg-builtin"}
+    seen = set()
     for r in rows:
         w, h, fmt = meta[r["media_id"]]
         assert (r["width"], r["height"]) == (w, h), fmt
         assert r["decoder"] == expected_label[fmt]
+        seen.add(fmt)
+    assert seen == set(expected_label), seen  # all five container formats
     corpus.unpersist()
 
 

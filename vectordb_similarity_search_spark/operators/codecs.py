@@ -524,3 +524,594 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — round-8, closing the last pillow seam
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag index: _ZIGZAG[k] = (row, col) of the k-th coefficient in scan
+# order (ITU-T T.81 Figure A.6); precomputed as flat natural-order index
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# orthonormal 8-point DCT-II matrix: block = M @ spatial @ M.T is the
+# forward transform, spatial = M.T @ block @ M the inverse (float64 —
+# deterministic across sessions/platforms per IEEE 754)
+_DCT_M = np.array(
+    [
+        [
+            (np.float64(1.0) / np.sqrt(np.float64(8.0)))
+            if u == 0
+            else np.float64(0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# standard luminance quantization table (ITU-T T.81 Annex K.1, natural
+# row-major order) — public spec constants, quality-scaled at encode
+_STD_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_STD_CHROMA_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quantization table."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a JPEG BITS/HUFFVAL table (canonical
+    assignment, T.81 Annex C)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _simple_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A spec-valid (BITS, HUFFVAL) covering ``symbols``: all codes share
+    the smallest length L with 2^L - 1 >= n (the all-ones code of any
+    length stays unused, as T.81's table derivation guarantees), except
+    n > 255 spills one symbol a level down (BITS entries are bytes)."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    if n <= 255:
+        bits[length - 1] = n
+    else:
+        bits[length - 1] = 255
+        bits[length] = n - 255
+    return bits, list(symbols)
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: number of bits in |v|."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a real
+    baseline sequential JFIF JPEG: quality-scaled Annex-K quantization
+    tables, canonical Huffman tables BUILT by :func:`_simple_table` and
+    carried in DHT (the format is self-describing — no dependence on the
+    Annex-K typical tables), optional 4:2:0 chroma subsampling (2x2 mean)
+    and optional restart markers every ``restart_interval`` MCUs."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qt_luma = _quality_scale(_STD_LUMA_Q, quality)
+    qt_chroma = _quality_scale(_STD_CHROMA_Q, quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qtab = [qt_luma]
+        qid = [0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "4:2:0":
+            # pad to even, then 2x2 mean
+            def down(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (
+                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtab = [qt_luma, qt_chroma, qt_chroma]
+        qid = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component quantized coefficient blocks, MCU traversal order
+    comp_blocks: list[list[np.ndarray]] = []
+    for plane, (sh, sv), qt in zip(planes, samp, qtab):
+        ph = mcus_y * 8 * sv
+        pw = mcus_x * 8 * sh
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _DCT_M @ blk @ _DCT_M.T
+                        q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+                        blocks.append(q.reshape(-1)[_ZZ])
+        comp_blocks.append(blocks)
+
+    # gather symbol statistics? No — fixed simple tables over the FULL
+    # symbol alphabet keep the encoder deterministic and spec-valid
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits, dc_vals = _simple_table(dc_syms)
+    ac_bits, ac_vals = _simple_table(sorted(set(ac_syms)))
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    n_comp = len(planes)
+    preds = [0] * n_comp
+    # interleaved MCU scan (also the non-interleaved single-component
+    # case when n_comp == 1)
+    blocks_per_mcu = [s[0] * s[1] for s in samp]
+    idx = [0] * n_comp
+    rst = 0
+    total_mcus = mcus_x * mcus_y
+    body = bytearray()
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad_to_byte()
+            body += bw.out
+            bw = _BitWriter()
+            body += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * n_comp
+        for c in range(n_comp):
+            for _ in range(blocks_per_mcu[c]):
+                zz = comp_blocks[c][idx[c]]
+                idx[c] += 1
+                diff = int(zz[0]) - preds[c]
+                preds[c] = int(zz[0])
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
+                bw.put(code, ln)
+                if cat:
+                    val = diff if diff >= 0 else diff + (1 << cat) - 1
+                    bw.put(val, cat)
+                run = 0
+                last_nz = 0
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = (nz[-1] + 1) if nz.size else 0
+                k = 1
+                while k <= last_nz:
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    cat = _category(v)
+                    code, ln = ac_codes[(run << 4) | cat]
+                    bw.put(code, ln)
+                    val = v if v >= 0 else v + (1 << cat) - 1
+                    bw.put(val, cat)
+                    run = 0
+                    k += 1
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]
+                    bw.put(code, ln)
+    bw.pad_to_byte()
+    body += bw.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt_luma.reshape(-1)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xDB, bytes([0x01]) + bytes(qt_chroma.reshape(-1)[_ZZ].astype(np.uint8))
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, n_comp))
+    for c in range(n_comp):
+        sof += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], qid[c]])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([n_comp])
+    for c in range(n_comp):
+        sos += bytes([c + 1, 0x00])  # every component uses tables 0/0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: 0xFF00 byte
+    stuffing is undone inline; a restart marker (0xFFD0-D7) must be
+    consumed explicitly via :meth:`restart` (reads past one are an
+    error). Truncation raises ValueError."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "JPEG restart marker inside a coded segment "
+                    "(stream desynchronized)"
+                )
+            else:
+                # EOI or another marker: no more entropy bits
+                raise ValueError("JPEG entropy data ended at a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ValueError("JPEG restart marker expected and not found")
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Decode one Huffman symbol: extend the code bit by bit until it
+    matches a (length, code) entry (JPEG codes are <= 16 bits)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 EXTEND: map a ``cat``-bit magnitude to its signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a BASELINE sequential DCT JPEG to ``(width, height, luma)``
+    — dependency-free, like the other builtin codecs. Supported: 8-bit
+    baseline (SOF0) and extended-sequential (SOF1) Huffman scans,
+    grayscale or 3-component YCbCr with arbitrary sampling factors
+    (4:4:4, 4:2:0, 4:2:2, ...), one interleaved scan, restart intervals.
+    Progressive (SOF2), hierarchical, lossless and arithmetic-coded
+    variants raise ``NotImplementedError`` (honest bound — pillow
+    backstops them where importable); malformed data raises
+    ``ValueError`` (the class the decode router backstops).
+
+    Pixel convention: IDCT is the orthonormal float64 inverse of the
+    encoder's forward matrix; chroma upsampling is pixel replication;
+    color conversion is the JFIF YCbCr->RGB matrix, clipped and rounded,
+    then ITU-R 601 integer luma (the PIL ``convert("L")`` convention the
+    other codecs share). Entropy decoding is sequential per blob by
+    nature; blobs stay inside Arrow batches (operators/multimodal.py),
+    so no per-pixel Python crosses the executor boundary."""
+    if data[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    pos = 2
+    sos_pos = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                if p + 65 > len(body):
+                    raise ValueError("JPEG DQT truncated")
+                zz = np.frombuffer(body, np.uint8, 64, p + 1).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZZ] = zz
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                if p + 17 > len(body):
+                    raise ValueError("JPEG DHT truncated")
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(body):
+                    raise ValueError("JPEG DHT truncated")
+                vals = list(body[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF truncated")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("JPEG invalid sampling factors")
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} outside the baseline/"
+                "extended-sequential Huffman subset"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "JPEG multi-scan (non-interleaved) streams"
+                )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS truncated")
+            for c in range(ns):
+                cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(
+                    (x for x in comps if x["id"] == cid), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG SOS names an unknown component")
+                comp["td"], comp["ta"] = tbl >> 4, tbl & 0x0F
+                scan_comps.append(comp)
+            sos_pos = pos + 2 + seg_len
+            break
+        # APPn, COM, and anything unrecognized: skip by length
+        pos += 2 + seg_len
+    if sos_pos is None or h is None:
+        raise ValueError("JPEG missing SOS/SOF")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        c["qt"] = qtables[c["tq"]].reshape(8, 8).astype(np.float64)
+        c["bw"] = mcus_x * c["h"]  # blocks per row
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+        dc_t = htables.get((0, c.get("td", 0)))
+        ac_t = htables.get((1, c.get("ta", 0)))
+        if dc_t is None or ac_t is None:
+            raise ValueError("JPEG missing Huffman table")
+        c["dc_t"], c["ac_t"] = dc_t, ac_t
+
+    br = _BitReader(data, sos_pos)
+    preds = {c["id"]: 0 for c in comps}
+    nat_of_zz = np.array(_ZZ, dtype=np.int64)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.restart()
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in scan_comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    sym = _huff_decode(br, c["dc_t"])
+                    diff = _extend(br.bits(sym), sym) if sym else 0
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, c["ac_t"])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        cat = rs & 0x0F
+                        zz[k] = _extend(br.bits(cat), cat)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[nat_of_zz] = zz
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
+
+    planes = []
+    for c in comps:
+        coef = c["coef"] * c["qt"]  # dequant, all blocks at once
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_M, coef, _DCT_M)
+        px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full-resolution grid by replication, then crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        luma = planes[0]
+    else:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        r = np.clip(np.round(y + 1.402 * cr), 0, 255).astype(np.uint8)
+        g = np.clip(
+            np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        ).astype(np.uint8)
+        b = np.clip(np.round(y + 1.772 * cb), 0, 255).astype(np.uint8)
+        luma = _luma601(np.stack([r, g, b], axis=-1))
+    return int(w), int(h), luma.reshape(-1)

@@ -115,9 +115,9 @@ def synth_real_media(
     spark: SparkSession, n: int = 48, seed: int = 7, id_offset: int = 100_000
 ) -> DataFrame:
     """Deterministic corpus of GENUINE containers — zlib-deflated CRC'd
-    grayscale PNGs, 24-bit BI_RGB BMPs, LZW GIF87a frames, PCM-16
-    RIFF/WAVE blobs — built with the dependency-free encoders in
-    operators/codecs.py. Per-id RNG
+    grayscale PNGs, 24-bit BI_RGB BMPs, LZW GIF87a frames, baseline
+    DCT JPEGs (round 8), PCM-16 RIFF/WAVE blobs — built with the
+    dependency-free encoders in operators/codecs.py. Per-id RNG
     (independent of partitioning), ``id_offset`` keeps ids disjoint from
     ``synth_media``'s so the two corpora union cleanly."""
 
@@ -129,7 +129,7 @@ def synth_real_media(
             for raw_id in pdf["id"]:
                 mid = int(raw_id)
                 rng = np.random.default_rng(seed + mid)
-                slot = mid % 4
+                slot = mid % 5
                 if slot == 0:  # grayscale PNG
                     w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
                     px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
@@ -147,6 +147,12 @@ def synth_real_media(
                     px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
                     data, kind, fmt, frames = (
                         codecs.encode_gif_gray(px), "image", "gif", 1,
+                    )
+                elif slot == 4:  # baseline sequential JPEG (grayscale)
+                    w, h = int(rng.integers(8, 49)), int(rng.integers(8, 49))
+                    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                    data, kind, fmt, frames = (
+                        codecs.encode_jpeg(px, quality=90), "image", "jpeg", 1,
                     )
                 else:  # PCM-16 WAV
                     n_samp = int(rng.integers(256, 2049))
@@ -187,11 +193,12 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-# container magics with NO builtin decoder (pillow-only; PNG/BMP/GIF/WAV
-# route through operators/codecs.py before this table is consulted)
-_RASTER_MAGICS = (
-    (b"\xff\xd8\xff", "jpeg"),
-)
+# container magics with NO builtin decoder (pillow-only): none since
+# round 8 — JPEG was the last raster behind the pillow seam and now has
+# a dependency-free baseline decoder (operators/codecs.decode_jpeg);
+# pillow remains the backstop for subsets past the builtins' documented
+# bounds (progressive/arithmetic JPEG, 16-bit PNG, interlaced GIF, ...)
+_RASTER_MAGICS: tuple = ()
 
 
 def available_decoders() -> dict[str, bool]:
@@ -295,14 +302,16 @@ def _decode_one(data: bytes, *, pillow_image_mod=None) -> tuple[int, int, float,
             else 0.0
         )
         return n_frames, n_ch, mean_byte, "wav-builtin"
-    for magic, fmt in _RASTER_MAGICS:
-        if data[: len(magic)] == magic:
+    if data[:3] == codecs.JPEG_MAGIC:
+        # round-8: baseline sequential decode is builtin; pillow
+        # backstops progressive/arithmetic/multi-scan subsets and
+        # malformed-to-us blobs, exactly like PNG/BMP/GIF
+        try:
+            w, h, luma = codecs.decode_jpeg(data)
+            return w, h, float(luma.mean()) if luma.size else 0.0, "jpeg-builtin"
+        except (NotImplementedError, ValueError):
             if pillow_image_mod is None:
-                raise NotImplementedError(
-                    f"blob is {fmt} but no codec library is importable in "
-                    "this worker (install pillow); refusing to fake-decode "
-                    "a real image"
-                )
+                raise
             w, h, mean = _pillow_decode(data, pillow_image_mod)
             return w, h, mean, "pillow"
     raise NotImplementedError(

@@ -55,6 +55,15 @@ def expected_oracle(name: str, *, sf_bound: bool = False) -> str:
     )
 
 
+def fixture_table(filename: str) -> str:
+    """DuckDB ``read_parquet`` path of a GENERATOR-TRUTH fixture table
+    (scripts/gen_media_ground_truth.py): unlike :func:`expected_oracle`,
+    the oracle SQL built over one of these does REAL aggregation work —
+    the fixture holds raw generator-side samples/digests (independent of
+    every engine decode path), not the query's own frozen output."""
+    return os.path.join(FIXTURES_DIR, filename)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -31,7 +31,7 @@ from ..operators.dedup import (
 )
 from .catalog import FIXTURES_DIR
 from .catalog import expected_oracle as _expected_oracle
-from .catalog import query, t
+from .catalog import fixture_table, query, t
 
 
 def _committed_centers_path(sf_dir: str, n_cells: int, seed: int) -> str:
@@ -967,7 +967,18 @@ def d_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_frame_sample", oracle=_expected_oracle("m_frame_sample"))
+@query(
+    "m_frame_sample",
+    oracle=f"""
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_bytes) AS BIGINT) AS sampled_bytes,
+       CAST(bit_xor(crc) AS BIGINT) AS content_digest
+FROM read_parquet('{fixture_table("media_frames_truth.parquet")}')
+WHERE frame_idx % 2 = 0
+GROUP BY media_id
+""",
+)
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling pass made driver-visible (the multimodal
     explode-shape transform): synthesize the seeded binary media corpus,
@@ -975,8 +986,13 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.frame_sample — real byte slicing over the synth
     container), and reduce per video to frame count, sampled bytes and a
     content digest (xor of per-frame crc32s — order-independent, so the
-    aggregate is partition-stable). Oracle: precomputed expected-output
-    parquet (per-id seeded generation → sf- and session-independent)."""
+    aggregate is partition-stable).
+
+    INDEPENDENT oracle (round-8 VERDICT #3): the DuckDB twin applies the
+    every-2nd sampling rule IN SQL over the GENERATOR-TRUTH frame table
+    (per-frame sizes + crc32 digests computed from the corpus RNG
+    payloads by scripts/gen_media_ground_truth.py, no engine import) —
+    the engine's byte-slicing must reproduce the digests bit-for-bit."""
     from ..operators.multimodal import frame_sample, synth_media
 
     frames = frame_sample(synth_media(spark, n=120), every=2)
@@ -1314,17 +1330,34 @@ def r_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_audio_energy", oracle=_expected_oracle("m_audio_energy"))
+@query(
+    "m_audio_energy",
+    oracle=f"""
+SELECT media_id,
+       CAST(sample_idx // 16 AS INT) AS window_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(max(abs(amp)) AS INT) AS peak,
+       round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / count(*)), 6) AS rms
+FROM read_parquet('{fixture_table("media_pcm_truth.parquet")}')
+WHERE corpus = 'synth'
+GROUP BY media_id, window_idx
+""",
+)
 def m_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality feature extraction made driver-visible: the seeded
     binary media corpus's audio blobs cut into 16-sample windows, each
     reduced to peak amplitude and RMS energy
     (operators/multimodal.audio_energy — real byte parsing + exact
-    integer sums over the synth container; the decode stays stubbed by
-    design, see the module docstring). The table VAD/loudness pipelines
-    start from. Oracle: precomputed expected-output parquet (per-id
-    seeded generation → sf- and session-independent; RMS is one
-    bit-stable sqrt per window)."""
+    integer sums over the synth container). The table VAD/loudness
+    pipelines start from.
+
+    INDEPENDENT oracle (round-8 VERDICT #3, replacing the engine-
+    generated expected-parquet pin): the DuckDB twin computes the same
+    windows/peaks/RMS from the GENERATOR-TRUTH sample table
+    (tests/fixtures/media_pcm_truth.parquet — raw pre-encode amplitudes
+    replayed from the corpus RNG by scripts/gen_media_ground_truth.py,
+    no engine import), so a byte-parsing or windowing bug in the engine
+    path fails the hash-compare instead of being frozen into the pin."""
     from ..operators.multimodal import audio_energy, synth_media
 
     media = synth_media(spark, n=120).filter(F.col("kind") == "audio")
@@ -1729,7 +1762,25 @@ def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_scene_detect", oracle=_expected_oracle("m_scene_detect"))
+@query(
+    "m_scene_detect",
+    oracle=f"""
+WITH d AS (
+  SELECT * FROM
+  read_parquet('{fixture_table("media_scene_truth.parquet")}')),
+cuts AS (
+  SELECT media_id, frame_idx FROM d WHERE 1000 * delta >= 10000 * 64)
+SELECT d.media_id,
+       CAST(max(d.n_frames) AS INT) AS n_frames,
+       CAST(count(c.frame_idx) AS INT) AS n_cuts,
+       CAST(count(c.frame_idx) + 1 AS INT) AS n_scenes,
+       CAST(min(c.frame_idx) AS INT) AS first_cut,
+       CAST(max(c.frame_idx) AS INT) AS last_cut
+FROM d LEFT JOIN cuts c
+  ON c.media_id = d.media_id AND c.frame_idx = d.frame_idx
+GROUP BY d.media_id ORDER BY d.media_id
+""",
+)
 def m_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene-cut detection made driver-visible: synthesize the
     seeded scene-structured video corpus (2-5 scenes per blob, base frame
@@ -1737,10 +1788,17 @@ def m_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.scene_changes — integer cross-multiplied mean
     byte-delta decisions, one Arrow pass over the binary column).  The
     detector's exactness against the INJECTED boundaries is pinned by
-    tests/test_multimodal.py; this fixture oracle pins the end-to-end
-    driver-facing result (seeded generator -> sf-independent).  Completes
-    the video path: frame_sample (sampling), m_phash_neardup (near-dup),
-    m_audio_energy (audio), m_scene_detect (temporal structure)."""
+    tests/test_multimodal.py.  Completes the video path: frame_sample
+    (sampling), m_phash_neardup (near-dup), m_audio_energy (audio),
+    m_scene_detect (temporal structure).
+
+    INDEPENDENT oracle (round-8 VERDICT #3): the DuckDB twin applies the
+    cut rule (1000·delta >= threshold·FRAME_BYTES) and the scene/first/
+    last aggregation IN SQL over the GENERATOR-TRUTH delta table
+    (consecutive-frame |delta| sums computed from the corpus RNG frames
+    by scripts/gen_media_ground_truth.py, no engine import) — the
+    engine's payload slicing, reshaping and integer decision must
+    reproduce them exactly."""
     from ..operators.multimodal import scene_changes, synth_scene_media
 
     media = synth_scene_media(spark, n=48, seed=7)
@@ -2207,7 +2265,25 @@ def e_hll_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_wav_loudness", oracle=_expected_oracle("m_wav_loudness"))
+@query(
+    "m_wav_loudness",
+    oracle=f"""
+WITH w AS (
+  SELECT media_id, sample_idx // 256 AS wi,
+         count(*) AS n, max(abs(amp)) AS peak,
+         sqrt(CAST(sum(amp * amp) AS DOUBLE) / count(*)) AS rms
+  FROM read_parquet('{fixture_table("media_pcm_truth.parquet")}')
+  WHERE corpus = 'real'
+  GROUP BY media_id, wi)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(n) AS BIGINT) AS n_samples,
+       CAST(max(peak) AS BIGINT) AS peak,
+       (round(quantile_cont(rms, 0.5), 6) + 0) AS p50_rms,
+       (round(quantile_cont(rms, 0.9), 6) + 0) AS p90_rms
+FROM w GROUP BY media_id ORDER BY media_id
+""",
+)
 def m_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec audio analytics end-to-end: the genuine PCM-16
     RIFF/WAVE corpus (operators/multimodal.synth_real_media — real
@@ -2216,9 +2292,15 @@ def m_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches, then per-media loudness features aggregate the
     windowed RMS frame: window count, global peak (exact int), median
     and p90 RMS (interpolated percentiles over bit-stable doubles,
-    round-6). Oracle: expected-parquet (seeded corpus, sf-independent;
-    estimates deterministic — the RMS doubles are sqrt of exact integer
-    sums)."""
+    round-6).
+
+    INDEPENDENT oracle (round-8 VERDICT #3): the DuckDB twin computes
+    the same windows and percentiles from the GENERATOR-TRUTH PCM table
+    (the pre-encode int16 samples scaled >>8, replayed from the corpus
+    RNG with no engine import) — the WAV encode+decode round trip is on
+    the hash-compare path, so a codec bug fails the driver gate.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    (n-1)·p linear-interpolation definition; round-6 on both sides."""
     from pyspark.sql import functions as FF
 
     from ..operators.multimodal import audio_energy, synth_real_media
