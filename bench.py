@@ -15,8 +15,10 @@ Protocol (round 4 — self-evidencing against environment drift):
   broadcast build) and then the MIN of 3 timed runs is reported — min of
   warm runs estimates plan cost with compile/scheduler noise stripped;
 * a fixed CALIBRATION probe (pure spark.range compute + one tiny shuffle,
-  no data dependency) runs under the same protocol; its ratio against the
-  committed ``CALIBRATION_BASELINE_SEC`` (measured round 4, BASELINE.md)
+  no data dependency) runs as the MEDIAN of three min-of-3 batches
+  (round-8 stabilization — one co-tenancy spike no longer swings the
+  session blend; see _stable_probe); its ratio against the committed
+  ``CALIBRATION_BASELINE_SEC`` (measured round 4, BASELINE.md)
   is the machine factor for the run. ``queries_normalized`` divides each
   raw timing by that factor, so cross-round comparisons separate "the VM
   got slower" (uniform machine factor shift) from "a plan regressed"
@@ -187,6 +189,7 @@ ANALYTICS = [
     "r_mann_whitney",        # rank-sum nonparametric A/B metric test
     "m_wav_loudness",        # real-WAV codec loudness features
     "e_hll_rolling_by_type", # per-type sketch-ledger rolling distinct
+    "e_stream_sketch_audit", # streaming sketch-ledger exactly-once audit
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
