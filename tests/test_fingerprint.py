@@ -64,6 +64,10 @@ def test_postings_form_matches_pairs(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """Round-8 form: the query itself now carries the exact count and
+    the ±5% contract as a driver-hashed boolean — this test re-derives
+    the exact counts independently and pins both the boolean and the
+    carried exact value against them."""
     rows = REGISTRY["r_approx_distinct"].fn(spark, sf_dir).collect()
     o = load_table(spark, sf_dir, "orders")
     exact = {
@@ -72,5 +76,7 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    assert {r.o_orderstatus for r in rows} == set(exact)
     for r in rows:
-        assert abs(r.approx_customers - exact[r.o_orderstatus]) <= 0.05 * exact[r.o_orderstatus]
+        assert r.exact_customers == exact[r.o_orderstatus]
+        assert r.approx_ok is True

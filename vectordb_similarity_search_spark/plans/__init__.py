@@ -20,64 +20,113 @@ from . import nonsql_queries  # noqa: E402,F401
 # (bump WINDOW_BUILT_FOR_ROUND first; the generator reads CORRECTNESS
 # files of rounds strictly below it). tests/test_registry_order.py pins
 # committed == generated for this marker.
-WINDOW_BUILT_FOR_ROUND = 7
+WINDOW_BUILT_FOR_ROUND = 8
 
 DRIVER_WINDOW = [
-    "e_tumbling_hourly",  # last driver row r6
-    "e_burstiness",  # never driver-checked
-    "e_conformal",  # never driver-checked
-    "e_did",  # never driver-checked
-    "e_hll_rolling_by_type",  # never driver-checked
-    "e_hll_rolling_users",  # never driver-checked
-    "e_hll_type_rollup",  # never driver-checked
-    "e_new_users_curve",  # never driver-checked
-    "m_wav_loudness",  # never driver-checked
-    "r_ab_srm",  # never driver-checked
-    "r_bootstrap_ci",  # never driver-checked
-    "r_lorenz_curve",  # never driver-checked
-    "r_mann_whitney",  # never driver-checked
-    "r_survival_km",  # never driver-checked
-    "s_time_split",  # never driver-checked
-    "t_bm25_incremental",  # never driver-checked
-    "t_dedup_impact",  # never driver-checked
-    "t_kl_divergence",  # never driver-checked
-    "t_lang_outliers",  # never driver-checked
-    "t_temperature_mixture",  # never driver-checked
-    "v_link_prediction",  # never driver-checked
-    "v_ood_centroid",  # never driver-checked
-    "w_moving_median",  # never driver-checked
-    "w_streaks",  # never driver-checked
-    "r_date_funcs2",  # last driver row r1
-    "w_lead_gap_days",  # last driver row r1
-    "r_intersect_except",  # last driver row r2
-    "t_ngram_jaccard_pairs",  # last driver row r2
-    "d_dedup_keep",  # last driver row r3
-    "d_embedding_neardup",  # last driver row r3
-    "d_minhash_lsh_pairs",  # last driver row r3
-    "d_semantic_prune",  # last driver row r3
-    "d_simhash_pairs",  # last driver row r3
-    "e_asof_join",  # last driver row r3
-    "e_from_json_filter",  # last driver row r3
-    "e_hourly_top_type",  # last driver row r3
-    "e_interval_join",  # last driver row r3
-    "e_json_extract",  # last driver row r3
-    "e_pivot_user_activity",  # last driver row r3
-    "e_session_windows",  # last driver row r3
-    "e_sliding_2h",  # last driver row r3
-    "e_value_histogram",  # last driver row r3
-    "m_embed_knn",  # last driver row r3
-    "m_embed_knn_bn",  # last driver row r3
-    "m_frame_sample",  # last driver row r3
-    "m_media_decode_stats",  # last driver row r3
-    "p_cohort_stats",  # last driver row r3
-    "p_search_report",  # last driver row r3
-    "r_approx_distinct",  # last driver row r3
-    "r_skew_report",  # last driver row r3
+    "e_tumbling_hourly",  # last driver row r7
+    "e_stream_sketch_audit",  # never driver-checked
+    "t_bigram_logprob",  # last driver row r3
+    "t_bm25_phrase",  # last driver row r3
+    "t_bm25_topk",  # last driver row r3
+    "t_bpe_tokens",  # last driver row r3
+    "t_chunk_stats",  # last driver row r3
+    "t_decontaminate",  # last driver row r3
+    "t_doclen_percentiles",  # last driver row r3
+    "t_domain_mixture",  # last driver row r3
+    "t_filter_funnel",  # last driver row r3
+    "t_fingerprint_pairs",  # last driver row r3
+    "t_idf_common",  # last driver row r3
+    "t_pack_sequences",  # last driver row r3
+    "t_phrase_stats",  # last driver row r3
+    "t_rep_ngram",  # last driver row r3
+    "t_scrub_pii",  # last driver row r3
+    "t_stopword_ratio",  # last driver row r3
+    "t_top_tokens",  # last driver row r3
+    "t_zipf_slope",  # last driver row r3
+    "v_hybrid_rrf",  # last driver row r3
+    "v_ivf_knn",  # last driver row r3
+    "v_ivf_recall_curve",  # last driver row r3
+    "v_knn_cosine",  # last driver row r3
+    "v_lsh_knn",  # last driver row r3
+    "v_sim_join_topk",  # last driver row r3
+    "w_rank_orders",  # last driver row r3
+    "r_above_customer_avg",  # last driver row r4
+    "r_anti_join",  # last driver row r4
+    "r_array_agg",  # last driver row r4
+    "r_case_buckets",  # last driver row r4
+    "r_conditional_stats",  # last driver row r4
+    "r_corr_stats",  # last driver row r4
+    "r_cube_orders",  # last driver row r4
+    "r_date_funcs",  # last driver row r4
+    "r_distinct_agg",  # last driver row r4
+    "r_first_last_window",  # last driver row r4
+    "r_grouping_sets",  # last driver row r4
+    "r_having",  # last driver row r4
+    "r_in_subquery",  # last driver row r4
+    "r_left_join_counts",  # last driver row r4
+    "r_market_revenue",  # last driver row r4
+    "r_nested_agg",  # last driver row r4
+    "r_percentiles",  # last driver row r4
+    "r_pricing_summary",  # last driver row r4
+    "r_region_nation_revenue",  # last driver row r4
+    "s_sample_stratified",  # last driver row r4
+    "p_pca_variance",  # last driver row r5
+    "m_audio_energy",  # last driver row r5
+    "d_banding_curve",  # last driver row r5
 ]
 
 # Past the driver's 50-slot cap - every query here is re-verified on every
 # test run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
+    "d_dedup_keep",  # last driver row r7
+    "d_embedding_neardup",  # last driver row r7
+    "d_minhash_lsh_pairs",  # last driver row r7
+    "d_semantic_prune",  # last driver row r7
+    "d_simhash_pairs",  # last driver row r7
+    "e_asof_join",  # last driver row r7
+    "e_burstiness",  # last driver row r7
+    "e_conformal",  # last driver row r7
+    "e_did",  # last driver row r7
+    "e_from_json_filter",  # last driver row r7
+    "e_hll_rolling_by_type",  # last driver row r7
+    "e_hll_rolling_users",  # last driver row r7
+    "e_hll_type_rollup",  # last driver row r7
+    "e_hourly_top_type",  # last driver row r7
+    "e_interval_join",  # last driver row r7
+    "e_json_extract",  # last driver row r7
+    "e_new_users_curve",  # last driver row r7
+    "e_pivot_user_activity",  # last driver row r7
+    "e_session_windows",  # last driver row r7
+    "e_sliding_2h",  # last driver row r7
+    "e_value_histogram",  # last driver row r7
+    "m_embed_knn",  # last driver row r7
+    "m_embed_knn_bn",  # last driver row r7
+    "m_frame_sample",  # last driver row r7
+    "m_media_decode_stats",  # last driver row r7
+    "m_wav_loudness",  # last driver row r7
+    "p_cohort_stats",  # last driver row r7
+    "p_search_report",  # last driver row r7
+    "r_ab_srm",  # last driver row r7
+    "r_approx_distinct",  # last driver row r7
+    "r_bootstrap_ci",  # last driver row r7
+    "r_date_funcs2",  # last driver row r7
+    "r_intersect_except",  # last driver row r7
+    "r_lorenz_curve",  # last driver row r7
+    "r_mann_whitney",  # last driver row r7
+    "r_skew_report",  # last driver row r7
+    "r_survival_km",  # last driver row r7
+    "s_time_split",  # last driver row r7
+    "t_bm25_incremental",  # last driver row r7
+    "t_dedup_impact",  # last driver row r7
+    "t_kl_divergence",  # last driver row r7
+    "t_lang_outliers",  # last driver row r7
+    "t_ngram_jaccard_pairs",  # last driver row r7
+    "t_temperature_mixture",  # last driver row r7
+    "v_link_prediction",  # last driver row r7
+    "v_ood_centroid",  # last driver row r7
+    "w_lead_gap_days",  # last driver row r7
+    "w_moving_median",  # last driver row r7
+    "w_streaks",  # last driver row r7
     "e_ab_test",  # last driver row r6
     "e_audience_overlap",  # last driver row r6
     "e_changepoint",  # last driver row r6
@@ -127,7 +176,6 @@ TAIL = [
     "v_rp_distortion",  # last driver row r6
     "v_store_stats",  # last driver row r6
     "v_zscore_fit",  # last driver row r6
-    "d_banding_curve",  # last driver row r5
     "d_containment_pairs",  # last driver row r5
     "d_cross_decontaminate",  # last driver row r5
     "d_knn_components",  # last driver row r5
@@ -140,10 +188,8 @@ TAIL = [
     "e_gapfill_locf",  # last driver row r5
     "e_retention_cohorts",  # last driver row r5
     "e_rolling_anomaly",  # last driver row r5
-    "m_audio_energy",  # last driver row r5
     "m_phash_neardup",  # last driver row r5
     "m_scene_detect",  # last driver row r5
-    "p_pca_variance",  # last driver row r5
     "r_als_recs",  # last driver row r5
     "r_corr_matrix",  # last driver row r5
     "r_data_checks",  # last driver row r5
@@ -176,25 +222,6 @@ TAIL = [
     "v_semantic_cache",  # last driver row r5
     "v_triplet_mining",  # last driver row r5
     "w_percentile_rank",  # last driver row r5
-    "r_above_customer_avg",  # last driver row r4
-    "r_anti_join",  # last driver row r4
-    "r_array_agg",  # last driver row r4
-    "r_case_buckets",  # last driver row r4
-    "r_conditional_stats",  # last driver row r4
-    "r_corr_stats",  # last driver row r4
-    "r_cube_orders",  # last driver row r4
-    "r_date_funcs",  # last driver row r4
-    "r_distinct_agg",  # last driver row r4
-    "r_first_last_window",  # last driver row r4
-    "r_grouping_sets",  # last driver row r4
-    "r_having",  # last driver row r4
-    "r_in_subquery",  # last driver row r4
-    "r_left_join_counts",  # last driver row r4
-    "r_market_revenue",  # last driver row r4
-    "r_nested_agg",  # last driver row r4
-    "r_percentiles",  # last driver row r4
-    "r_pricing_summary",  # last driver row r4
-    "r_region_nation_revenue",  # last driver row r4
     "r_rollup_revenue",  # last driver row r4
     "r_scalar_math",  # last driver row r4
     "r_semi_join",  # last driver row r4
@@ -202,7 +229,6 @@ TAIL = [
     "r_string_funcs",  # last driver row r4
     "r_table_profile",  # last driver row r4
     "r_union_parties",  # last driver row r4
-    "s_sample_stratified",  # last driver row r4
     "t_bpe_train",  # last driver row r4
     "t_exact_dedup",  # last driver row r4
     "t_nb_quality",  # last driver row r4
@@ -225,31 +251,6 @@ TAIL = [
     "w_moving_avg",  # last driver row r4
     "w_running_sum",  # last driver row r4
     "w_share_of_customer",  # last driver row r4
-    "t_bigram_logprob",  # last driver row r3
-    "t_bm25_phrase",  # last driver row r3
-    "t_bm25_topk",  # last driver row r3
-    "t_bpe_tokens",  # last driver row r3
-    "t_chunk_stats",  # last driver row r3
-    "t_decontaminate",  # last driver row r3
-    "t_doclen_percentiles",  # last driver row r3
-    "t_domain_mixture",  # last driver row r3
-    "t_filter_funnel",  # last driver row r3
-    "t_fingerprint_pairs",  # last driver row r3
-    "t_idf_common",  # last driver row r3
-    "t_pack_sequences",  # last driver row r3
-    "t_phrase_stats",  # last driver row r3
-    "t_rep_ngram",  # last driver row r3
-    "t_scrub_pii",  # last driver row r3
-    "t_stopword_ratio",  # last driver row r3
-    "t_top_tokens",  # last driver row r3
-    "t_zipf_slope",  # last driver row r3
-    "v_hybrid_rrf",  # last driver row r3
-    "v_ivf_knn",  # last driver row r3
-    "v_ivf_recall_curve",  # last driver row r3
-    "v_knn_cosine",  # last driver row r3
-    "v_lsh_knn",  # last driver row r3
-    "v_sim_join_topk",  # last driver row r3
-    "w_rank_orders",  # last driver row r3
 ]
 # --- END GENERATED WINDOW ---
 

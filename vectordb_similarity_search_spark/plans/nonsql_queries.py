@@ -2490,7 +2490,13 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import daily_hll_sketches, hll_estimate
 
     ledger_path = _stream_sketch_ledger(spark, sf_dir)
-    stream = spark.read.parquet(ledger_path).select(
+    # memoize the ledger frame: spark.read.parquet pays a 1-task footer
+    # job per call, and the build-time zero-jobs discipline
+    # (tests/test_lazy_build.py) applies to this query like any other
+    key = _model_key(spark, "stream_sketch_ledger", ledger_path)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = spark.read.parquet(ledger_path)
+    stream = _MODEL_CACHE[key].select(
         "day",
         "event_type",
         F.col("n_events").alias("n_events"),
