@@ -92,9 +92,44 @@ def main() -> int:
         routed_sum == plain_sum,
         f"(sum-of-cumsum {routed_sum})",
     )
+    # The scale property is the per-task SORT bound, not the wall at 5M:
+    # the plain window sorts N/groups rows on one reducer (fine at 5M,
+    # a wall at 100 TB); the routed form bounds every sort at roughly
+    # N/(groups*buckets) whatever N grows to. The extra linear passes
+    # (quantile probe, offset aggregate, halo/offset join) cost a
+    # constant factor that the auto_* thresholds keep OFF small frames.
+    part_plain = (
+        df.groupBy("grp").count().agg(F.max("count")).first()[0]
+    )
+    from vectordb_similarity_search_spark.operators.ranking import (
+        _bucket_expr,
+    )
+
+    fracs = [i / 32 for i in range(1, 32)]
+    bounds = sorted(
+        set(
+            df.select(F.percentile_approx("o", fracs, 10_000).alias("q"))
+            .first()["q"]
+        )
+    )
+    part_routed = (
+        df.withColumn("_b", _bucket_expr(F.col("o"), bounds, descending=False))
+        .groupBy("grp", "_b")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    check(
+        "routed per-task sort bound",
+        part_routed * 8 < part_plain,
+        f"(max sorted rows per task: plain {part_plain} -> routed "
+        f"{part_routed})",
+    )
     print(
         f"  cumsum wall: routed {t_routed:.1f}s vs plain coarse window "
-        f"{t_plain:.1f}s at {N} rows / 5 groups"
+        f"{t_plain:.1f}s at {N} rows / 5 groups (plain wins the toy wall "
+        "- its 5-reducer sort is cheap at 5M, which is exactly why the "
+        "auto_* threshold keeps small frames on it)"
     )
 
     # slice parity: exact row-level equality on a 200k sample window
