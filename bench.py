@@ -190,6 +190,7 @@ ANALYTICS = [
     "m_wav_loudness",        # real-WAV codec loudness features
     "e_hll_rolling_by_type", # per-type sketch-ledger rolling distinct
     "e_stream_sketch_audit", # streaming sketch-ledger exactly-once audit
+    "e_cms_user_counts",     # count-min frequency ledger, top-user probes
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -61,6 +61,7 @@ BNLJ_BOUNDED_BROADCAST = {
     "e_power_analysis",      # 1-row stats x 3-row literal MDE cross
     "t_nb_crossval",         # vocab x 3-row literal fold cross
     "t_bm25_prf",            # corpus-stats row + fb-ids + term-frame broadcasts
+    "e_cms_user_counts",     # 1-row N-total scalar broadcast (tolerance bound)
 }
 
 

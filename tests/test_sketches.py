@@ -328,3 +328,78 @@ def test_ledger_custom_columns_thread_through_maintenance(spark, tmp_path):
         ("2026-06-01", "click"): 1,
         ("2026-06-01", "view"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch ledger (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_overcount_bounded(spark, events):
+    """The two structural CMS contracts, for EVERY key (not just heavy
+    ones): est >= exact always (counters only add colliding mass), and
+    est - exact <= 3*ceil(N/width) for this seeded hash family and
+    corpus (~3x the expected colliding mass per row, min over depth)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        daily_cms_sketches,
+    )
+
+    ledger = daily_cms_sketches(events)
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = cms_estimate(ledger, exact, "user_id")
+    n_total = events.count()
+    rows = exact.join(est, "user_id").collect()
+    assert len(rows) == exact.count()
+    bound = 3 * -(-n_total // CMS_WIDTH)
+    for r in rows:
+        assert r["est"] >= r["exact_n"], (r["user_id"], r["est"], r["exact_n"])
+        assert r["est"] - r["exact_n"] <= bound, (
+            r["user_id"],
+            r["est"],
+            r["exact_n"],
+            bound,
+        )
+
+
+def test_cms_ledger_mergeable_and_layout_independent(spark, events):
+    """Mergeability is plain integer addition: a ledger built from
+    day-split halves and SUMMED must equal the direct build cell by
+    cell, and a repartitioned build is bit-identical (pure row
+    function + sum — no order sensitivity anywhere)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_cms_sketches,
+    )
+
+    def cells(ledger):
+        return sorted(
+            (str(r["day"]), r["r"], r["c"], r["cnt"])
+            for r in ledger.collect()
+        )
+
+    direct = daily_cms_sketches(events)
+    a = events.filter(F.dayofmonth("ts") <= 10)
+    b = events.filter(F.dayofmonth("ts") > 10)
+    merged = (
+        daily_cms_sketches(a)
+        .unionByName(daily_cms_sketches(b))
+        .groupBy("day", "r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert cells(merged) == cells(direct)
+    shuffled = daily_cms_sketches(events.repartition(13, "event_type"))
+    assert cells(shuffled) == cells(direct)
+
+
+def test_cms_validation():
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_cms_sketches,
+    )
+
+    with pytest.raises(ValueError, match="depth"):
+        daily_cms_sketches(None, depth=0)
+    with pytest.raises(ValueError, match="width"):
+        daily_cms_sketches(None, width=4)

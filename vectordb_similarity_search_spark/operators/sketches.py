@@ -403,3 +403,111 @@ def rolling_distinct_by_type(
     within type across days. Output: ``(day, event_type, n_events,
     est_distinct)``."""
     return _rolling(ledger, window_days, ("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch ledger (round 8): the FREQUENCY twin of the HLL ledger
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+
+
+def daily_cms_sketches(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """ONE linear pass over the event log → a sparse COUNT-MIN ledger
+    ``(day, r, c, cnt)``: per day, ``depth`` hash rows of ``width``
+    counters over ``key_col`` (xxhash64 seeded by the row index, keys
+    hashed through a canonical string cast so build and probe agree on
+    types). The frequency twin of :func:`daily_hll_sketches`: distinct
+    questions union HLL registers, frequency questions SUM counters —
+    both mergeable, both deterministic (integer sums of a pure row
+    function), both answerable from days×depth×width-bounded state
+    without rescanning the log. Classic CMS guarantees hold per fixed
+    hash family: estimates NEVER undercount, and overcount is bounded by
+    colliding mass (~N/width per row, min over ``depth`` rows)."""
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if width < 16:
+        raise ValueError(f"width must be >= 16, got {width}")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        F.xxhash64(F.col("_k").cast("string"), F.lit(r)),
+                        F.lit(width),
+                    )
+                    .cast("int")
+                    .alias("c"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        events.select(
+            F.to_date(ts_col).alias("day"), F.col(key_col).alias("_k")
+        )
+        .select("day", cells.alias("rc"))
+        .groupBy("day", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    ledger: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for a SMALL candidate key frame from
+    the CMS ledger: roll the ledger up over days (element-wise counter
+    SUM — the mergeability), probe each key's ``depth`` cells, take the
+    min. Returns ``(key_col, est)``. The candidate frame is broadcast
+    (candidates come from a heavy-hitter pass or a business list — kNN
+    of the frequency world); a missing counter reads 0. ``depth`` and
+    ``width`` must match the build — pass them together."""
+    rolled = ledger.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    probes = (
+        keys.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .select(
+            "_k",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(
+                                F.xxhash64(
+                                    F.col("_k").cast("string"), F.lit(r)
+                                ),
+                                F.lit(width),
+                            )
+                            .cast("int")
+                            .alias("c"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .select("_k", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    )
+    return (
+        F.broadcast(probes)
+        .join(rolled, ["r", "c"], "left")
+        .groupBy("_k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("_k").alias(key_col), F.col("est").cast("long"))
+    )

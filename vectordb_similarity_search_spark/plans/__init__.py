@@ -24,6 +24,7 @@ WINDOW_BUILT_FOR_ROUND = 8
 
 DRIVER_WINDOW = [
     "e_tumbling_hourly",  # last driver row r7
+    "e_cms_user_counts",  # never driver-checked
     "e_stream_sketch_audit",  # never driver-checked
     "t_bigram_logprob",  # last driver row r3
     "t_bm25_phrase",  # last driver row r3
@@ -68,7 +69,6 @@ DRIVER_WINDOW = [
     "r_nested_agg",  # last driver row r4
     "r_percentiles",  # last driver row r4
     "r_pricing_summary",  # last driver row r4
-    "r_region_nation_revenue",  # last driver row r4
     "s_sample_stratified",  # last driver row r4
     "p_pca_variance",  # last driver row r5
     "m_audio_energy",  # last driver row r5
@@ -222,6 +222,7 @@ TAIL = [
     "v_semantic_cache",  # last driver row r5
     "v_triplet_mining",  # last driver row r5
     "w_percentile_rank",  # last driver row r5
+    "r_region_nation_revenue",  # last driver row r4
     "r_rollup_revenue",  # last driver row r4
     "r_scalar_math",  # last driver row r4
     "r_semi_join",  # last driver row r4

@@ -2534,3 +2534,63 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "e_cms_user_counts",
+    oracle="""
+WITH top AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT 20)
+SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+       TRUE AS ge_ok, TRUE AS tol_ok
+FROM top ORDER BY exact_n DESC, user_id
+""",
+)
+def e_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketch ledger (round 8 — the frequency twin
+    of the HLL distinct ledger, operators/sketches.daily_cms_sketches):
+    ONE linear pass over the event log builds per-day sparse counter
+    rows; every later frequency question — here, event counts for the
+    20 heaviest users — probes the days-rolled ledger
+    (depth×width-bounded state, element-wise counter SUM is the merge),
+    never the log. Candidates come from the exact top-20 (the
+    verification harness; a production pipeline feeds Misra-Gries
+    candidates from operators/heavyhitters.py — CMS then serves point
+    lookups for ANY key without a per-key log scan).
+
+    INDEPENDENT oracle: the DuckDB twin recomputes the exact counts and
+    pins the two structural CMS contracts as TRUE booleans — ``ge_ok``
+    (a count-min estimate can NEVER undercount: counters only ever add
+    colliding mass) and ``tol_ok`` (overcount ≤ 3·ceil(N/width), ~3×
+    the expected colliding mass — deterministic for the fixed seeded
+    hash family and fixture data at every sf). A broken hash family,
+    merge, or probe fails the driver hash-compare outright."""
+    from ..operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        daily_cms_sketches,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ledger = daily_cms_sketches(e)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(ledger, top, "user_id")
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("_n_total"))
+    tol = 3 * F.ceil(F.col("_n_total") / F.lit(CMS_WIDTH))
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("ge_ok"),
+            ((F.col("est") - F.col("exact_n")) <= tol).alias("tol_ok"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    )
