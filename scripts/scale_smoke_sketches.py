@@ -209,7 +209,46 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(store, ignore_errors=True)
-    n_checks = 4
+
+    # --- 5. count-min frequency ledger at the same scale (round 8) -----
+    from vectordb_similarity_search_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        daily_cms_sketches,
+    )
+
+    t0 = time.perf_counter()
+    cms = daily_cms_sketches(events).persist()
+    n_cells = cms.count()
+    t_cms_build = time.perf_counter() - t0
+    # exact counts for the 50 heaviest users (the candidate set a
+    # Misra-Gries pass would feed)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(50)
+    ).persist()
+    t0 = time.perf_counter()
+    est = {r["user_id"]: r["est"]
+           for r in cms_estimate(cms, top, "user_id").collect()}
+    t_cms_probe = time.perf_counter() - t0
+    bound = 3 * -(-N_ROWS // CMS_WIDTH)
+    bad = [
+        (r["user_id"], est[r["user_id"]], r["exact_n"])
+        for r in top.collect()
+        if not (0 <= est[r["user_id"]] - r["exact_n"] <= bound)
+    ]
+    check(
+        "cms_top50_never_undercount_and_bounded",
+        not bad,
+        f"(ledger {n_cells} cells, build {t_cms_build:.1f}s, "
+        f"probe {t_cms_probe:.1f}s, bound {bound})",
+    )
+    cms.unpersist()
+    top.unpersist()
+
+    n_checks = 5
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"
