@@ -41,7 +41,8 @@ FIXTURE_QUERIES = [
 # Round-8 VERDICT #3 shrink: r_approx_distinct and the three e_hll_*
 # queries now carry exact counts + a tolerance boolean with full DuckDB
 # SQL twins; m_audio_energy / m_wav_loudness / m_frame_sample /
-# m_scene_detect moved to GENERATOR-TRUTH twins over the fixtures
+# m_scene_detect moved to GENERATOR-TRUTH twins;
+# e_stream_audit's twin now encodes the scenario contract + SQL row counts over the fixtures
 # written by scripts/gen_media_ground_truth.py (raw pre-encode samples /
 # frame digests / deltas — independent of every engine decode path).
 

@@ -2018,7 +2018,25 @@ def _stream_audit_targets(
 
 @query(
     "e_stream_audit",
-    oracle=_expected_oracle("e_stream_audit", sf_bound=True),
+    oracle="""
+WITH r AS (
+  SELECT 'rollup_hourly' AS target,
+         CAST(3 AS BIGINT) AS n_batches_applied,
+         CAST(0 AS BIGINT) AS first_batch_id,
+         CAST(2 AS BIGINT) AS last_batch_id,
+         TRUE AS contiguous,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT date_trunc('hour', ts), event_type
+             FROM events)) AS table_rows),
+v AS (
+  SELECT 'vector_index' AS target,
+         CAST(3 AS BIGINT) AS n_batches_applied,
+         CAST(0 AS BIGINT) AS first_batch_id,
+         CAST(2 AS BIGINT) AS last_batch_id,
+         TRUE AS contiguous,
+         (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS table_rows)
+SELECT * FROM r UNION ALL SELECT * FROM v ORDER BY target
+""",
 )
 def e_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingest audit (the ops-observability twin of
@@ -2034,10 +2052,18 @@ def e_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference has no durable ingest at all (in-memory dicts,
     similarity_search.py:268-271); this is engine-extension surface.
-    Oracle: expected-parquet (the scenario is a pure content function of
-    the fixture tables). Scale: ledger parsing is a driver-side listdir
-    of one marker per micro-batch; the only jobs are one bounded count
-    per audited target."""
+
+    INDEPENDENT oracle (round-8 VERDICT #3, replacing the engine-run
+    expected-parquet pin): the DuckDB twin encodes the SCENARIO CONTRACT
+    directly — batch counts / id ranges / contiguity as the literals the
+    exactly-once protocol must leave behind, and the live row counts
+    recomputed by SQL from the fixture tables (rollup rows = distinct
+    (hour, event_type) cells of events; vector rows = count of
+    embeddings — tombstones are logical). A replayed batch that
+    double-merged would push table_rows or n_batches off these values
+    and fail the hash-compare. Scale: ledger parsing is a driver-side
+    listdir of one marker per micro-batch; the only jobs are one bounded
+    count per audited target."""
     from ..streaming.audit import ledger_audit
 
     targets = _stream_audit_targets(spark, sf_dir)
