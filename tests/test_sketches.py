@@ -403,3 +403,48 @@ def test_cms_validation():
         daily_cms_sketches(None, depth=0)
     with pytest.raises(ValueError, match="width"):
         daily_cms_sketches(None, width=4)
+
+
+def test_cms_upsert_touched_days_only_and_matches_rebuild(spark, tmp_path):
+    """CMS persisted maintenance through the shared staged-commit
+    engine: only touched day dirs are rewritten, the merged store equals
+    a full rebuild cell-by-cell, and a mismatched hash-family config is
+    refused."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        cms_ledger_upsert_batch,
+        daily_cms_sketches,
+    )
+
+    path = str(tmp_path / "cms")
+    base = [
+        (1, dt.datetime(2026, 7, 1, 9), 11, "click", 1.0),
+        (2, dt.datetime(2026, 7, 2, 9), 12, "click", 1.0),
+        (3, dt.datetime(2026, 7, 3, 9), 13, "click", 1.0),
+    ]
+    assert cms_ledger_upsert_batch(_mk_batch(spark, base), path) == 3
+
+    def file_state(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = file_state("2026-07-01")
+    batch = [(4, dt.datetime(2026, 7, 2, 15), 11, "view", 1.0)]
+    assert cms_ledger_upsert_batch(_mk_batch(spark, batch), path) == 1
+    assert file_state("2026-07-01") == before_d1
+
+    def cells(df):
+        return sorted(
+            (str(r["day"]), r["r"], r["c"], r["cnt"]) for r in df.collect()
+        )
+
+    rebuilt = daily_cms_sketches(_mk_batch(spark, base + batch))
+    assert cells(spark.read.parquet(path)) == cells(rebuilt)
+
+    with pytest.raises(ValueError, match="width"):
+        cms_ledger_upsert_batch(_mk_batch(spark, batch), path, width=1024)

@@ -170,24 +170,14 @@ _PENDING_FILE = "_upsert_pending.json"
 _STAGING_DIR = "_staging"
 
 
-def _write_ledger_meta(
-    path: str, *, key_col: str, type_col: str, ts_col: str, lg_k: int
-) -> None:
-    meta = {
-        "key_col": key_col,
-        "type_col": type_col,
-        "ts_col": ts_col,
-        "lg_k": lg_k,
-    }
+def _write_ledger_meta(path: str, meta: dict) -> None:
     tmp = os.path.join(path, _META_FILE + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, _META_FILE))
 
 
-def _check_ledger_meta(
-    path: str, *, key_col: str, type_col: str, ts_col: str, lg_k: int
-) -> None:
+def _check_ledger_meta(path: str, got: dict) -> None:
     """Refuse a maintenance call whose configuration differs from the
     stored ledger's (advisory fix: a mismatched lg_k or column mapping
     used to be silently accepted and only blow up — or worse, quietly
@@ -197,13 +187,7 @@ def _check_ledger_meta(
         return  # pre-meta store: keep accepting (documented compat)
     with open(meta_path) as fh:
         meta = json.load(fh)
-    got = {
-        "key_col": key_col,
-        "type_col": type_col,
-        "ts_col": ts_col,
-        "lg_k": lg_k,
-    }
-    diffs = {k: (meta[k], got[k]) for k in got if meta.get(k) != got[k]}
+    diffs = {k: (meta.get(k), got[k]) for k in got if meta.get(k) != got[k]}
     if diffs:
         raise ValueError(
             f"ledger at {path} was built with {meta}; maintenance call "
@@ -241,6 +225,69 @@ def sketch_ledger_repair(path: str) -> int:
     return fixed
 
 
+def _hll_meta(key_col: str, type_col: str, ts_col: str, lg_k: int) -> dict:
+    return {
+        "kind": "hll",
+        "key_col": key_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "lg_k": lg_k,
+    }
+
+
+def _staged_day_upsert(path: str, delta: DataFrame, merge_fn, meta: dict) -> int:
+    """Shared O(touched-days) persisted-ledger upsert engine (HLL and
+    CMS ledgers delegate here; ``merge_fn(stored_slice, delta)`` is the
+    only sketch-specific part): bootstrap a missing store from the delta
+    alone; otherwise repair any torn commit, validate the stored
+    configuration, read back ONLY the touched day partitions, merge,
+    STAGE the merged slice executor-side (no sketch state through the
+    driver), and swap day dirs under an O_EXCL pending marker. Crash
+    semantics as documented on :func:`sketch_ledger_upsert_batch`."""
+    spark = delta.sparkSession
+    if os.path.isdir(path):
+        sketch_ledger_repair(path)
+        _check_ledger_meta(path, meta)
+    else:
+        delta.write.partitionBy("day").mode("overwrite").parquet(path)
+        _write_ledger_meta(path, meta)
+        return delta.select("day").distinct().count()
+    # touched-day list: a bounded driver frame (days, not sketch state)
+    touched_days = sorted(
+        r["day"] for r in delta.select("day").distinct().collect()
+    )
+    if not touched_days:
+        return 0
+    touched = [str(d) for d in touched_days]  # ISO names = partition dirs
+    staging = os.path.join(path, _STAGING_DIR)
+    if os.path.isdir(staging):  # stale pre-marker staging from a crash
+        shutil.rmtree(staging)
+    stored = spark.read.parquet(path).filter(F.col("day").isin(touched_days))
+    merged = merge_fn(stored, delta)
+    # stage executor-side: the lazy read of `path` executes HERE, before
+    # any live day dir is mutated — no self-overwrite torn read
+    merged.write.partitionBy("day").mode("overwrite").parquet(staging)
+    # commit under an O_EXCL marker (round-8 advisory fix: the marker +
+    # staged slice make a mid-commit crash repairable instead of lossy)
+    marker = os.path.join(path, _PENDING_FILE)
+    fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"days": touched, "staging": _STAGING_DIR}, fh)
+    # NO try/finally cleanup here: if a swap raises (or the process
+    # dies), the marker + staged slice must SURVIVE so the next entry's
+    # sketch_ledger_repair can finish the commit; cleanup only happens
+    # after every day dir is in place.
+    for day in touched:
+        live = os.path.join(path, f"day={day}")
+        staged = os.path.join(staging, f"day={day}")
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.replace(staged, live)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(marker)
+    return len(touched)
+
+
 def sketch_ledger_write(
     ledger: DataFrame,
     path: str,
@@ -257,9 +304,7 @@ def sketch_ledger_write(
     incremental maintenance entry points can validate against it instead
     of silently accepting a mismatched merge."""
     ledger.write.partitionBy("day").mode("overwrite").parquet(path)
-    _write_ledger_meta(
-        path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
-    )
+    _write_ledger_meta(path, _hll_meta(key_col, type_col, ts_col, lg_k))
     return ledger.sparkSession.read.parquet(path).count()
 
 
@@ -286,14 +331,16 @@ def sketch_ledger_merge_batch(
     ``n_events`` sum assumes exactly-once batches; an at-least-once
     upstream must dedupe before merging."""
     sketch_ledger_repair(path)
-    _check_ledger_meta(
-        path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
-    )
+    _check_ledger_meta(path, _hll_meta(key_col, type_col, ts_col, lg_k))
     stored = spark.read.parquet(path)
     delta = daily_hll_sketches(
         batch, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
     )
-    merged = (
+    return _hll_merge(stored, delta)
+
+
+def _hll_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
         stored.select("day", "event_type", "n_events", "sk")
         .unionByName(delta)
         .groupBy("day", "event_type")
@@ -302,7 +349,6 @@ def sketch_ledger_merge_batch(
             F.hll_union_agg("sk").alias("sk"),
         )
     )
-    return merged
 
 
 def sketch_ledger_upsert_batch(
@@ -336,63 +382,12 @@ def sketch_ledger_upsert_batch(
     window is the documented one: a crash between a completed commit and
     the caller's applied-batch marker re-applies one batch's
     ``n_events`` (estimates cannot drift — register max)."""
-    spark = batch.sparkSession
-    if os.path.isdir(path):
-        sketch_ledger_repair(path)
-        _check_ledger_meta(
-            path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
-        )
     delta = daily_hll_sketches(
         batch, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
     )
-    if not os.path.isdir(path):
-        delta.write.partitionBy("day").mode("overwrite").parquet(path)
-        _write_ledger_meta(
-            path, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
-        )
-        return delta.select("day").distinct().count()
-    # touched-day list: a bounded driver frame (days, not blobs)
-    touched_days = sorted(
-        r["day"] for r in delta.select("day").distinct().collect()
+    return _staged_day_upsert(
+        path, delta, _hll_merge, _hll_meta(key_col, type_col, ts_col, lg_k)
     )
-    if not touched_days:
-        return 0
-    touched = [str(d) for d in touched_days]  # ISO names = partition dirs
-    staging = os.path.join(path, _STAGING_DIR)
-    if os.path.isdir(staging):  # stale pre-marker staging from a crash
-        shutil.rmtree(staging)
-    stored = spark.read.parquet(path).filter(F.col("day").isin(touched_days))
-    merged = (
-        stored.select("day", "event_type", "n_events", "sk")
-        .unionByName(delta)
-        .groupBy("day", "event_type")
-        .agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.hll_union_agg("sk").alias("sk"),
-        )
-    )
-    # stage executor-side: the lazy read of `path` executes HERE, before
-    # any live day dir is mutated — no self-overwrite torn read
-    merged.write.partitionBy("day").mode("overwrite").parquet(staging)
-    # commit under an O_EXCL marker (advisory fix: the marker + staged
-    # slice make a mid-commit crash repairable instead of lossy)
-    marker = os.path.join(path, _PENDING_FILE)
-    fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"days": touched, "staging": _STAGING_DIR}, fh)
-    # NO try/finally cleanup here: if a swap raises (or the process
-    # dies), the marker + staged slice must SURVIVE so the next entry's
-    # sketch_ledger_repair can finish the commit; cleanup only happens
-    # after every day dir is in place.
-    for day in touched:
-        live = os.path.join(path, f"day={day}")
-        staged = os.path.join(staging, f"day={day}")
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        os.replace(staged, live)
-    shutil.rmtree(staging, ignore_errors=True)
-    os.remove(marker)
-    return len(touched)
 
 
 def rolling_distinct_by_type(
@@ -510,4 +505,70 @@ def cms_estimate(
         .groupBy("_k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(F.col("_k").alias(key_col), F.col("est").cast("long"))
+    )
+
+
+def _cms_meta(key_col: str, ts_col: str, depth: int, width: int) -> dict:
+    return {
+        "kind": "cms",
+        "key_col": key_col,
+        "ts_col": ts_col,
+        "depth": depth,
+        "width": width,
+    }
+
+
+def _cms_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    # counter merge IS integer addition — the whole mergeability story
+    return (
+        stored.select("day", "r", "c", "cnt")
+        .unionByName(delta)
+        .groupBy("day", "r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> int:
+    """Materialize a count-min ledger, day-partitioned like the HLL
+    store, with the hash-family configuration (depth/width + column
+    mapping) in the ``_ledger_meta.json`` sidecar — a probe or merge
+    built with a DIFFERENT family would silently read garbage cells, so
+    maintenance validates against the stored config up front."""
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    _write_ledger_meta(path, _cms_meta(key_col, ts_col, depth, width))
+    return ledger.sparkSession.read.parquet(path).count()
+
+
+def cms_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> int:
+    """O(touched-days) count-min maintenance through the SAME staged
+    day-swap engine as the HLL ledger (:func:`_staged_day_upsert`:
+    partition-pruned read-back, executor-side staging, O_EXCL pending
+    marker, lossless crash repair) — only the merge differs, and for CMS
+    it is plain integer addition of counter cells. Unlike HLL estimates,
+    CMS counts are NOT replay-safe by algebra (re-adding a batch doubles
+    its mass), so this path must sit behind an applied-batch marker
+    (streaming/events._apply_once) exactly like the exact ``n_events``
+    column of the HLL ledger. Returns the number of day partitions
+    written."""
+    delta = daily_cms_sketches(
+        batch, key_col=key_col, ts_col=ts_col, depth=depth, width=width
+    )
+    return _staged_day_upsert(
+        path, delta, _cms_merge, _cms_meta(key_col, ts_col, depth, width)
     )
