@@ -499,9 +499,11 @@ def cms_estimate(
         )
         .select("_k", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     )
+    # broadcast the ROLLED ledger (<= depth*width rows): the left side of
+    # a left-outer join cannot be the broadcast build side, so hinting
+    # the probe frame would be silently ignored by the planner
     return (
-        F.broadcast(probes)
-        .join(rolled, ["r", "c"], "left")
+        probes.join(F.broadcast(rolled), ["r", "c"], "left")
         .groupBy("_k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(F.col("_k").alias(key_col), F.col("est").cast("long"))
