@@ -640,7 +640,7 @@ def test_jpeg_color_chroma_channels_not_swapped():
     for rgbv, want in (((255, 0, 0), 76), ((0, 0, 255), 29)):
         img = np.zeros((16, 16, 3), np.uint8)
         img[..., 0], img[..., 1], img[..., 2] = rgbv
-        for ss in ("4:4:4", "4:2:0"):
+        for ss in ("4:4:4", "4:2:2", "4:2:0"):
             _, _, luma = codecs.decode_jpeg(
                 codecs.encode_jpeg(img, quality=95, subsample=ss)
             )
@@ -656,17 +656,18 @@ def test_jpeg_subsampled_sizes_and_odd_dims():
     img = np.stack(
         [base, np.roll(base, 3, axis=1), base[::-1]], axis=-1
     ).astype(np.uint8)
-    w, h, luma = codecs.decode_jpeg(
-        codecs.encode_jpeg(img, quality=95, subsample="4:2:0")
-    )
-    assert (w, h) == (19, 21)
-    want = (
-        img[..., 0].astype(np.uint32) * 299
-        + img[..., 1].astype(np.uint32) * 587
-        + img[..., 2].astype(np.uint32) * 114
-    ) // 1000
-    err = np.abs(luma.reshape(21, 19).astype(int) - want.astype(int))
-    assert err.mean() < 6, err.mean()
+    for ss in ("4:2:0", "4:2:2"):
+        w, h, luma = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=95, subsample=ss)
+        )
+        assert (w, h) == (19, 21), ss
+        want = (
+            img[..., 0].astype(np.uint32) * 299
+            + img[..., 1].astype(np.uint32) * 587
+            + img[..., 2].astype(np.uint32) * 114
+        ) // 1000
+        err = np.abs(luma.reshape(21, 19).astype(int) - want.astype(int))
+        assert err.mean() < 6, (ss, err.mean())
 
 
 def test_jpeg_restart_markers_bit_identical():

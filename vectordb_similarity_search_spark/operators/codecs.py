@@ -673,7 +673,7 @@ def encode_jpeg(
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
-    if subsample not in ("4:4:4", "4:2:0"):
+    if subsample not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
@@ -693,18 +693,23 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample == "4:2:0":
-            # pad to even, then 2x2 mean
-            def down(p):
-                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
-                            mode="edge")
-                return (
-                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
-                    .mean(axis=(1, 3))
-                )
+        def down(p, fy, fx):
+            # pad to the factor, then fy x fx mean
+            ph = np.pad(
+                p,
+                ((0, -p.shape[0] % fy), (0, -p.shape[1] % fx)),
+                mode="edge",
+            )
+            return ph.reshape(
+                ph.shape[0] // fy, fy, ph.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
 
-            planes = [y, down(cb), down(cr)]
+        if subsample == "4:2:0":
+            planes = [y, down(cb, 2, 2), down(cr, 2, 2)]
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "4:2:2":  # horizontal-only chroma halving
+            planes = [y, down(cb, 1, 2), down(cr, 1, 2)]
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
