@@ -735,3 +735,24 @@ def test_jpeg_router_label_and_pillow_backstop():
 
     w, h, mean, label = _decode_one(prog, pillow_image_mod=_FakeImageMod)
     assert (w, h, label) == (9, 6, "pillow")
+
+
+def test_jpeg_non_divisible_sampling_raises_not_implemented():
+    """Advisory fix: spec-legal but non-divisible sampling combos (e.g.
+    Y 3x1 with Cb 2x1) must raise NotImplementedError — the replication
+    upsampler's integer repeat factor would silently misalign the
+    planes — so the decode router's pillow backstop handles them."""
+    img = np.stack(
+        [np.full((16, 16), v, np.uint8) for v in (90, 120, 200)], axis=-1
+    )
+    blob = bytearray(codecs.encode_jpeg(img, quality=90, subsample="4:2:0"))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
+    # per-component id(1) sampling(1) tq(1): Y sampling at sof+11,
+    # Cb sampling at sof+14
+    assert blob[sof + 11] == 0x22  # 4:2:0 encode: Y is 2x2
+    blob[sof + 11] = 0x31  # Y 3x1
+    blob[sof + 14] = 0x21  # Cb 2x1 -> hmax=3 not divisible by 2
+    with pytest.raises(NotImplementedError, match="sampling"):
+        codecs.decode_jpeg(bytes(blob))

@@ -448,3 +448,141 @@ def test_cms_upsert_touched_days_only_and_matches_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="width"):
         cms_ledger_upsert_batch(_mk_batch(spark, batch), path, width=1024)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 advisory fixes: null days, empty deltas, concurrency, sidecar
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_rejects_null_day_and_stream_apply_drops(spark, tmp_path):
+    """A null ts yields a NULL day, which a day-partitioned ledger cannot
+    address (isin() never matches NULL; the dir swap would look for
+    'day=None' while Spark stages '__HIVE_DEFAULT_PARTITION__'). The
+    library upsert refuses loudly; the STREAMING apply path drops the
+    malformed rows under its documented contract so a single bad event
+    cannot wedge the stream on every retry."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sketch_ledger_upsert_batch,
+    )
+    from vectordb_similarity_search_spark.streaming.events import (
+        apply_sketch_batch,
+    )
+
+    rows = [
+        (1, dt.datetime(2026, 8, 1, 9), 1, "click", 1.0),
+        (2, None, 2, "view", 1.0),
+    ]
+    path = str(tmp_path / "ledger")
+    with pytest.raises(ValueError, match="NULL day"):
+        sketch_ledger_upsert_batch(_mk_batch(spark, rows), path)
+    assert not os.path.isdir(path)  # refused BEFORE any store mutation
+
+    assert apply_sketch_batch(_mk_batch(spark, rows), 0, path) is True
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("2026-08-01", "click"): 1}  # null-ts row dropped
+
+
+def test_upsert_empty_delta_is_noop(spark, tmp_path):
+    """Advisory fix: a zero-row first micro-batch must NOT bootstrap a
+    store containing only _SUCCESS (unreadable by the next upsert's
+    schema inference) — and an empty delta against an existing store is
+    a clean no-op."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        cms_ledger_upsert_batch,
+        sketch_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "ledger")
+    empty = _mk_batch(spark, [])
+    assert sketch_ledger_upsert_batch(empty, path) == 0
+    assert not os.path.isdir(path)  # no unreadable husk left behind
+
+    rows = [(1, dt.datetime(2026, 8, 2, 9), 1, "click", 1.0)]
+    assert sketch_ledger_upsert_batch(_mk_batch(spark, rows), path) == 1
+    assert sketch_ledger_upsert_batch(empty, path) == 0
+    assert spark.read.parquet(path).count() == 1
+
+    cpath = str(tmp_path / "cms")
+    assert cms_ledger_upsert_batch(empty, cpath) == 0
+    assert not os.path.isdir(cpath)
+
+
+def test_concurrent_upsert_raises_descriptive_error(
+    spark, tmp_path, monkeypatch
+):
+    """Advisory fix: a pending marker appearing mid-upsert (another LIVE
+    writer — entry-time repair already consumed any crashed one) must
+    surface as a descriptive single-writer violation, not a raw
+    FileExistsError traceback."""
+    import os
+
+    import vectordb_similarity_search_spark.operators.sketches as sk
+
+    path = str(tmp_path / "ledger")
+    rows = [(1, dt.datetime(2026, 8, 3, 9), 1, "click", 1.0)]
+    assert sk.sketch_ledger_upsert_batch(_mk_batch(spark, rows), path) == 1
+
+    # freeze entry-time repair so the hand-planted marker survives to the
+    # commit point, simulating a concurrent writer's marker
+    monkeypatch.setattr(sk, "sketch_ledger_repair", lambda p: 0)
+    with open(os.path.join(path, "_upsert_pending.json"), "w") as fh:
+        fh.write('{"days": [], "staging": "_staging"}')
+    with pytest.raises(RuntimeError, match="concurrent"):
+        sk.sketch_ledger_upsert_batch(_mk_batch(spark, rows), path)
+
+
+def test_write_sidecar_cross_checked_against_frame(spark, tmp_path):
+    """Advisory fix: sketch_ledger_write/cms_ledger_write must not
+    record caller kwargs the frame contradicts — a wrong sidecar later
+    rejects correct maintenance and validates wrong maintenance."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        cms_ledger_write,
+        daily_cms_sketches,
+        daily_hll_sketches,
+        sketch_ledger_write,
+    )
+
+    rows = [
+        (1, dt.datetime(2026, 8, 4, 9), 1, "click", 1.0),
+        (2, dt.datetime(2026, 8, 4, 10), 2, "view", 1.0),
+    ]
+    batch = _mk_batch(spark, rows)
+
+    # HLL: frame built with lg_k=14, write claims the default 12
+    with pytest.raises(ValueError, match="lg_k"):
+        sketch_ledger_write(
+            daily_hll_sketches(batch, lg_k=14), str(tmp_path / "h1")
+        )
+    # not a ledger frame at all
+    with pytest.raises(ValueError, match="missing columns"):
+        sketch_ledger_write(batch, str(tmp_path / "h2"))
+    # matching config passes
+    assert (
+        sketch_ledger_write(
+            daily_hll_sketches(batch, lg_k=14), str(tmp_path / "h3"), lg_k=14
+        )
+        > 0
+    )
+
+    # CMS: frame built with depth=8, write claims the default 4
+    with pytest.raises(ValueError, match="hash family"):
+        cms_ledger_write(daily_cms_sketches(batch, depth=8), str(tmp_path / "c1"))
+    with pytest.raises(ValueError, match="missing columns"):
+        cms_ledger_write(batch, str(tmp_path / "c2"))
+    assert (
+        cms_ledger_write(
+            daily_cms_sketches(batch, depth=2, width=64),
+            str(tmp_path / "c3"),
+            depth=2,
+            width=64,
+        )
+        > 0
+    )

@@ -1041,6 +1041,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # the replication upsampler repeats each chroma sample an
+        # INTEGER number of times; spec-legal non-divisible combos
+        # (e.g. Y 3x1 with Cb 2x1) would silently truncate the repeat
+        # factor and misalign the planes — route them to the decode
+        # router's pillow backstop instead
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"JPEG non-divisible sampling factors "
+                f"({c['h']}x{c['v']} vs max {hmax}x{vmax})"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     for c in comps:

@@ -243,21 +243,40 @@ def _staged_day_upsert(path: str, delta: DataFrame, merge_fn, meta: dict) -> int
     configuration, read back ONLY the touched day partitions, merge,
     STAGE the merged slice executor-side (no sketch state through the
     driver), and swap day dirs under an O_EXCL pending marker. Crash
-    semantics as documented on :func:`sketch_ledger_upsert_batch`."""
+    semantics as documented on :func:`sketch_ledger_upsert_batch`.
+    SINGLE-WRITER: concurrent upserts against one ledger path are a
+    contract violation (the entry-time repair would sweep a live
+    writer's staging); a concurrent commit is detected at the marker
+    open and refused with a descriptive error."""
     spark = delta.sparkSession
-    if os.path.isdir(path):
+    exists = os.path.isdir(path)
+    if exists:
         sketch_ledger_repair(path)
         _check_ledger_meta(path, meta)
-    else:
+    # touched-day list: a bounded driver frame (days, not sketch state)
+    day_vals = [r["day"] for r in delta.select("day").distinct().collect()]
+    if any(d is None for d in day_vals):
+        # A null day (null/invalid ts) cannot be addressed by a
+        # day-partitioned ledger: F.col('day').isin(...) never matches
+        # NULL and the dir-name swap would look for 'day=None' while
+        # Spark stages '__HIVE_DEFAULT_PARTITION__' — a lossy torn
+        # commit. Refuse loudly; the streaming apply_*_batch paths drop
+        # null-ts rows up front under their documented contract.
+        raise ValueError(
+            "ledger delta contains a NULL day (null or unparseable "
+            "timestamps): filter null-ts rows before the upsert — a "
+            "day-partitioned ledger cannot store them"
+        )
+    if not day_vals:
+        # empty delta (e.g. a zero-row first micro-batch): bootstrapping
+        # would write a store holding only _SUCCESS, which the next
+        # upsert's schema inference cannot read — skip entirely
+        return 0
+    if not exists:
         delta.write.partitionBy("day").mode("overwrite").parquet(path)
         _write_ledger_meta(path, meta)
-        return delta.select("day").distinct().count()
-    # touched-day list: a bounded driver frame (days, not sketch state)
-    touched_days = sorted(
-        r["day"] for r in delta.select("day").distinct().collect()
-    )
-    if not touched_days:
-        return 0
+        return len(day_vals)
+    touched_days = sorted(day_vals)
     touched = [str(d) for d in touched_days]  # ISO names = partition dirs
     staging = os.path.join(path, _STAGING_DIR)
     if os.path.isdir(staging):  # stale pre-marker staging from a crash
@@ -270,7 +289,20 @@ def _staged_day_upsert(path: str, delta: DataFrame, merge_fn, meta: dict) -> int
     # commit under an O_EXCL marker (round-8 advisory fix: the marker +
     # staged slice make a mid-commit crash repairable instead of lossy)
     marker = os.path.join(path, _PENDING_FILE)
-    fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        # entry-time repair consumed any CRASHED writer's marker, so a
+        # marker here means another LIVE writer committed concurrently —
+        # the single-writer contract (see the upsert docstrings) was
+        # violated; refuse with a actionable error instead of the raw
+        # O_EXCL traceback
+        raise RuntimeError(
+            f"concurrent ledger maintenance detected at {path}: another "
+            "writer's pending marker appeared mid-upsert. Sketch ledgers "
+            "are SINGLE-WRITER (serialize maintenance per ledger path); "
+            "retry after the other writer finishes"
+        ) from None
     with os.fdopen(fd, "w") as fh:
         json.dump({"days": touched, "staging": _STAGING_DIR}, fh)
     # NO try/finally cleanup here: if a swap raises (or the process
@@ -302,10 +334,45 @@ def sketch_ledger_write(
     reads prune to the touched days. A ``_ledger_meta.json`` sidecar
     records the build configuration (key/type/ts columns, lg_k) so the
     incremental maintenance entry points can validate against it instead
-    of silently accepting a mismatched merge."""
+    of silently accepting a mismatched merge.
+
+    The sidecar is CROSS-CHECKED against the frame before it is trusted
+    (advisory fix: a ledger built one way but written with different
+    kwargs used to get a wrong sidecar, after which correct maintenance
+    was rejected and wrong maintenance validated): the ledger schema
+    must be the canonical ``(day, event_type, n_events, sk)`` and every
+    sketch blob's serialized lgK header byte must equal the claimed
+    ``lg_k`` — both piggyback on the read-back pass the row count
+    already pays. The source key/type/ts column NAMES are not
+    recoverable from the frame and stay caller-asserted."""
+    need = {"day", "event_type", "n_events", "sk"}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"HLL ledger frame is missing columns {sorted(missing)}; "
+            "build it with daily_hll_sketches"
+        )
     ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    # DataSketches HLL preamble: serialized byte 3 (1-indexed pos 4) is
+    # lgK in every mode (LIST/SET/HLL) — verified in tests
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                (F.substring("sk", 4, 1) != F.lit(bytes([lg_k]))).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad_lgk"),
+    ).first()
+    if stats["bad_lgk"]:
+        raise ValueError(
+            f"{stats['bad_lgk']} sketch blob(s) were built with a "
+            f"different lg_k than the claimed {lg_k}; pass the lg_k the "
+            "ledger was built with"
+        )
     _write_ledger_meta(path, _hll_meta(key_col, type_col, ts_col, lg_k))
-    return ledger.sparkSession.read.parquet(path).count()
+    return stats["n"]
 
 
 def sketch_ledger_merge_batch(
@@ -381,7 +448,13 @@ def sketch_ledger_upsert_batch(
     window the dynamic-overwrite form had. The residual at-least-once
     window is the documented one: a crash between a completed commit and
     the caller's applied-batch marker re-applies one batch's
-    ``n_events`` (estimates cannot drift — register max)."""
+    ``n_events`` (estimates cannot drift — register max).
+
+    Contract: SINGLE WRITER per ledger path (serialize maintenance; a
+    detected concurrent commit raises), and NO null-day rows in the
+    batch (null/unparseable ``ts`` cannot live in a day-partitioned
+    store — the streaming apply path drops them before calling here,
+    direct callers must filter or the upsert raises)."""
     delta = daily_hll_sketches(
         batch, key_col=key_col, type_col=type_col, ts_col=ts_col, lg_k=lg_k
     )
@@ -543,10 +616,41 @@ def cms_ledger_write(
     store, with the hash-family configuration (depth/width + column
     mapping) in the ``_ledger_meta.json`` sidecar — a probe or merge
     built with a DIFFERENT family would silently read garbage cells, so
-    maintenance validates against the stored config up front."""
+    maintenance validates against the stored config up front.
+
+    The sidecar is CROSS-CHECKED against the frame before it is trusted
+    (advisory fix, same rationale as :func:`sketch_ledger_write`): the
+    schema must be ``(day, r, c, cnt)``, and the cell coordinates must
+    fit the claimed family — a nonempty ledger's max row index must be
+    exactly ``depth - 1`` (every key writes all ``depth`` rows) and its
+    max column must be ``< width``. A width LARGER than the build's is
+    not detectable from coordinates alone and stays caller-asserted, as
+    do the source column names."""
+    need = {"day", "r", "c", "cnt"}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"CMS ledger frame is missing columns {sorted(missing)}; "
+            "build it with daily_cms_sketches"
+        )
     ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("r").alias("max_r"),
+        F.max("c").alias("max_c"),
+    ).first()
+    if stats["n"] and (
+        stats["max_r"] != depth - 1 or stats["max_c"] >= width
+    ):
+        raise ValueError(
+            f"CMS ledger cells (max r={stats['max_r']}, max "
+            f"c={stats['max_c']}) do not fit the claimed hash family "
+            f"(depth={depth}, width={width}); pass the family the "
+            "ledger was built with"
+        )
     _write_ledger_meta(path, _cms_meta(key_col, ts_col, depth, width))
-    return ledger.sparkSession.read.parquet(path).count()
+    return stats["n"]
 
 
 def cms_ledger_upsert_batch(
@@ -567,7 +671,8 @@ def cms_ledger_upsert_batch(
     its mass), so this path must sit behind an applied-batch marker
     (streaming/events._apply_once) exactly like the exact ``n_events``
     column of the HLL ledger. Returns the number of day partitions
-    written."""
+    written. Same single-writer and no-null-day contracts as
+    :func:`sketch_ledger_upsert_batch`."""
     delta = daily_cms_sketches(
         batch, key_col=key_col, ts_col=ts_col, depth=depth, width=width
     )

@@ -654,11 +654,20 @@ def apply_sketch_batch(
     """The micro-batch apply behind :func:`sketch_ingest_stream`
     (module-level so replay/audit tooling exercises the PRODUCTION apply
     path). Returns True if the batch was merged, False if the ledger
-    marked it as a replay."""
+    marked it as a replay.
+
+    Null-ts contract (advisory fix): rows with a NULL/unparseable ``ts``
+    cannot live in a day-partitioned ledger (the upsert would raise on
+    every retry, wedging the stream with its staged slice discarded), so
+    they are DROPPED here before the merge — the documented availability
+    trade; a pipeline that must not lose malformed rows routes them to a
+    dead-letter sink upstream."""
     from ..operators.sketches import sketch_ledger_upsert_batch
 
     return _apply_once(
         batch_id,
         ledger_path,
-        lambda: sketch_ledger_upsert_batch(batch_df, ledger_path),
+        lambda: sketch_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
     )
