@@ -248,7 +248,114 @@ def main() -> None:
     cms.unpersist()
     top.unpersist()
 
-    n_checks = 5
+    # --- 6. quantile rank-sketch ledger at the same scale (round 9) ----
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rolling_percentiles,
+    )
+
+    ev_val = events.withColumn(
+        "value",
+        # ~100k distinct positive values: enough spread to probe many
+        # buckets while keeping the EXACT contender feasible (Spark's
+        # exact percentile buffers per-distinct-value counts per group —
+        # 10M distinct OOMs the shared 8g heap; the LEDGER path is
+        # cardinality-independent either way)
+        (F.pmod(F.xxhash64("user_id", "ts"), F.lit(100_000)) / 100.0),
+    )
+    t0 = time.perf_counter()
+    qled = daily_qsk_sketches(ev_val).persist()
+    n_qleaves = qled.count()
+    t_q_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    qest = {
+        str(r["day"]): (r["p5"], r["p9"], r["p99"])
+        for r in rolling_percentiles(qled, WINDOW).collect()
+    }
+    t_q_ledger = time.perf_counter() - t0
+
+    # EXACT contender, scale-shaped: Spark's built-in exact
+    # ``percentile`` buffers a boxed per-distinct-value map per group
+    # per task and OOMs the shared heap at this scale, so the honest
+    # exact recompute is distributed (out_day, value) counts + the same
+    # in-array (n-1)p rank interpolation over EXACT values — feasible
+    # only because this corpus has ~100k distinct values; at real-world
+    # cardinality even this collapses, which is the ledger's point.
+    t0 = time.perf_counter()
+    vbase = ev_val.select(F.to_date("ts").alias("day"), "value")
+    vdays = vbase.select("day").distinct().select(
+        F.col("day").alias("out_day")
+    )
+    vcounts = (
+        vbase.select(
+            F.explode(F.sequence(F.lit(0), F.lit(WINDOW - 1))).alias("_o"),
+            "day",
+            "value",
+        )
+        .select(F.date_add("day", F.col("_o")).alias("out_day"), "value")
+        .join(F.broadcast(vdays), "out_day", "left_semi")
+        .groupBy("out_day", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("out_day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.array_sort(F.collect_list(F.struct("value", "cnt"))).alias(
+                "arr"
+            ),
+        )
+    )
+
+    def rank_val(r):
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("double").alias("vv"),
+        )
+        res = F.aggregate(
+            F.col("arr"),
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["vv"].isNotNull(), acc["vv"])
+                .when(acc["cum"] + x["cnt"] >= r, x["value"])
+                .alias("vv"),
+            ),
+        )
+        return res["vv"]
+
+    qx_cols = [F.col("out_day")]
+    for q, nm in ((0.5, "x5"), (0.9, "x9"), (0.99, "x99")):
+        pos = (F.col("n") - 1).cast("double") * F.lit(q)
+        i = F.floor(pos).cast("long")
+        frac = pos - i.cast("double")
+        lo = rank_val(i + 1)
+        hi = rank_val(F.least(i + 2, F.col("n")))
+        qx_cols.append(((1.0 - frac) * lo + frac * hi).alias(nm))
+    qexact = {
+        str(r["out_day"]): (r["x5"], r["x9"], r["x99"])
+        for r in vcounts.select(*qx_cols).collect()
+    }
+    t_q_exact = time.perf_counter() - t0
+    qbound = qsk_relative_bound() * (1 + 1e-6)
+    q_worst = max(
+        abs(e - x) / x
+        for d in qexact
+        for e, x in zip(qest[d], qexact[d])
+    )
+    check(
+        "qsk_rolling_within_bound_and_beats_exact",
+        set(qest) == set(qexact)
+        and q_worst <= qbound
+        and t_q_ledger < t_q_exact,
+        f"leaves={n_qleaves} build={t_q_build:.1f}s "
+        f"ledger_query={t_q_ledger:.1f}s exact_recompute={t_q_exact:.1f}s "
+        f"speedup={t_q_exact / max(t_q_ledger, 1e-9):.1f}x "
+        f"worst_rel_err={q_worst:.4%} (structural bound {qbound:.4%})",
+    )
+    qled.unpersist()
+
+    n_checks = 6
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"

@@ -586,3 +586,228 @@ def test_write_sidecar_cross_checked_against_frame(spark, tmp_path):
         )
         > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile rank-sketch ledger (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_qsk_rolling_within_structural_bound(spark, events):
+    """The theorem the ledger sells: every trailing-window percentile
+    estimate within 2^(1/(2k)) - 1 of the exact continuous percentile
+    (ranks are exact; order stats provably in the buckets read)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rolling_percentiles,
+    )
+
+    ev = events.withColumn(
+        "value", (F.pmod(F.xxhash64("user_id", "ts"), F.lit(100000)) / 100.0)
+    )
+    got = {
+        str(r["day"]): (r["n"], r["p5"], r["p9"], r["p99"])
+        for r in rolling_percentiles(daily_qsk_sketches(ev), 7).collect()
+    }
+    base = ev.select(F.to_date("ts").alias("day"), "value")
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = {
+        str(r["out_day"]): (r["n"], r["x5"], r["x9"], r["x99"])
+        for r in base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "value",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "value")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.5)").alias("x5"),
+            F.expr("percentile(value, 0.9)").alias("x9"),
+            F.expr("percentile(value, 0.99)").alias("x99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    bound = qsk_relative_bound() * (1 + 1e-6)
+    for day, (n, *ests) in got.items():
+        xn, *xs = exact[day]
+        assert n == xn
+        for est, x in zip(ests, xs):
+            assert abs(est - x) <= x * bound + 1e-9, (day, est, x)
+
+
+def test_qsk_merge_is_addition_and_layout_independent(spark, events):
+    """Leaf merge = integer bucket-count sum: day-split halves summed
+    equal the direct build cell-by-cell; a repartitioned build is
+    bit-identical (pure row function + sum)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+    )
+
+    ev = events.withColumn(
+        "value", (F.pmod(F.xxhash64("user_id"), F.lit(5000)) / 7.0)
+    )
+
+    def cells(led):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["b"], r["cnt"])
+            for r in led.collect()
+        )
+
+    direct = daily_qsk_sketches(ev)
+    merged = (
+        daily_qsk_sketches(ev.filter(F.dayofmonth("ts") <= 10))
+        .unionByName(daily_qsk_sketches(ev.filter(F.dayofmonth("ts") > 10)))
+        .groupBy("day", "event_type", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert cells(merged) == cells(direct)
+    shuffled = daily_qsk_sketches(ev.repartition(13, "event_type"))
+    assert cells(shuffled) == cells(direct)
+
+
+def test_qsk_rollup_handles_signs_zeros_and_totals(spark):
+    """Signed + zero values through the mirrored bucket scheme, and the
+    total row genuinely re-aggregates the same leaves (a total
+    percentile is not derivable from per-type percentiles)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rollup_percentiles,
+    )
+
+    rows = []
+    for i in range(2000):
+        v = (i - 700) * 0.37  # negatives, zero at i=700, positives
+        rows.append(
+            (i, dt.datetime(2026, 9, 1 + i % 5, 9), i, ["a", "bb"][i % 2], v)
+        )
+    ev = _mk_batch(spark, rows)
+    got = {
+        r["scope"]: (r["n"], r["p5"], r["p9"], r["p99"])
+        for r in rollup_percentiles(daily_qsk_sketches(ev)).collect()
+    }
+    bound = qsk_relative_bound() * (1 + 1e-6)
+    import numpy as np
+
+    vals = {"a": [], "bb": [], "total": []}
+    for i in range(2000):
+        v = (i - 700) * 0.37
+        vals[["a", "bb"][i % 2]].append(v)
+        vals["total"].append(v)
+    for scope_key, data in vals.items():
+        scope = scope_key if scope_key == "total" else f"type:{scope_key}"
+        n, *ests = got[scope]
+        assert n == len(data)
+        for est, q in zip(ests, (0.5, 0.9, 0.99)):
+            x = float(np.percentile(np.array(data), q * 100))
+            # same-sign guarantee: these quantiles are positive here
+            assert abs(est - x) <= abs(x) * bound + 1e-9, (scope, q, est, x)
+
+
+def test_qsk_upsert_touched_days_only_and_matches_rebuild(spark, tmp_path):
+    """Persisted maintenance through the shared staged-commit engine:
+    untouched day dirs stay byte-identical, the merged store equals a
+    full rebuild cell-by-cell, and a mismatched k is refused."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "qsk")
+    base = [
+        (1, dt.datetime(2026, 9, 11, 9), 11, "click", 1.25),
+        (2, dt.datetime(2026, 9, 12, 9), 12, "click", 40.0),
+        (3, dt.datetime(2026, 9, 13, 9), 13, "click", 0.0),
+    ]
+    assert qsk_ledger_upsert_batch(_mk_batch(spark, base), path) == 3
+
+    def file_state(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = file_state("2026-09-11")
+    batch = [(4, dt.datetime(2026, 9, 12, 15), 11, "view", -3.5)]
+    assert qsk_ledger_upsert_batch(_mk_batch(spark, batch), path) == 1
+    assert file_state("2026-09-11") == before_d1
+
+    def cells(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["b"], r["cnt"])
+            for r in df.collect()
+        )
+
+    rebuilt = daily_qsk_sketches(_mk_batch(spark, base + batch))
+    assert cells(spark.read.parquet(path)) == cells(rebuilt)
+
+    with pytest.raises(ValueError, match="'k'"):
+        qsk_ledger_upsert_batch(_mk_batch(spark, batch), path, k=64)
+
+
+def test_qsk_validation_and_write_cross_check(spark, tmp_path):
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_ledger_write,
+        rolling_percentiles,
+    )
+
+    with pytest.raises(ValueError, match="k must"):
+        daily_qsk_sketches(None, k=0)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_percentiles(None, 0)
+    rows = [(1, dt.datetime(2026, 9, 14, 9), 1, "click", 2.0)]
+    with pytest.raises(ValueError, match="missing columns"):
+        qsk_ledger_write(_mk_batch(spark, rows), str(tmp_path / "q1"))
+    assert (
+        qsk_ledger_write(
+            daily_qsk_sketches(_mk_batch(spark, rows)), str(tmp_path / "q2")
+        )
+        == 1
+    )
+
+
+def test_qsk_stream_apply_exactly_once(spark, tmp_path):
+    """The production micro-batch apply (streaming/events.apply_qsk_batch):
+    marker-protected replay is a no-op (bucket counts are NOT replay-safe
+    by algebra), and the stored ledger equals a one-shot build."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+    )
+    from vectordb_similarity_search_spark.streaming.events import (
+        apply_cms_batch,
+        apply_qsk_batch,
+    )
+
+    rows = [
+        (1, dt.datetime(2026, 9, 20, 9), 1, "click", 3.0),
+        (2, dt.datetime(2026, 9, 21, 9), 2, "view", 9.0),
+        (3, dt.datetime(2026, 9, 21, 10), 3, "view", 27.0),
+    ]
+    path = str(tmp_path / "qsk")
+    assert apply_qsk_batch(_mk_batch(spark, rows[:2]), 0, path) is True
+    assert apply_qsk_batch(_mk_batch(spark, rows[2:]), 1, path) is True
+    assert apply_qsk_batch(_mk_batch(spark, rows[:2]), 0, path) is False
+
+    def cells(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["b"], r["cnt"])
+            for r in df.collect()
+        )
+
+    assert cells(spark.read.parquet(path)) == cells(
+        daily_qsk_sketches(_mk_batch(spark, rows))
+    )
+
+    # CMS twin of the same protocol
+    cpath = str(tmp_path / "cms")
+    assert apply_cms_batch(_mk_batch(spark, rows[:2]), 0, cpath) is True
+    assert apply_cms_batch(_mk_batch(spark, rows[:2]), 0, cpath) is False

@@ -679,3 +679,296 @@ def cms_ledger_upsert_batch(
     return _staged_day_upsert(
         path, delta, _cms_merge, _cms_meta(key_col, ts_col, depth, width)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile (rank) sketch ledger (round 9): the PERCENTILE sibling of the
+# HLL (distinct) and CMS (frequency) ledgers
+# ---------------------------------------------------------------------------
+#
+# Why not Spark's KLL (``kll_sketch_agg``) or ``approx_percentile``: KLL
+# compaction is RANDOMIZED per run, which breaks this repo's
+# determinism/oracle bar (see the module docstring), and
+# approx_percentile exposes no mergeable persisted state. The ledger
+# here is an HDR-histogram-style log-bucket rank sketch (the public
+# HdrHistogram / Prometheus-native-histogram idea): each value maps to
+# a deterministic geometric bucket with ``QSK_SUB_BUCKETS`` sub-buckets
+# per octave, leaves are exact per-(day, event_type, bucket) counts, and
+# the merge is plain integer addition — associative, commutative,
+# layout-independent, and persistable through the same staged day-swap
+# engine as the other two ledgers.
+#
+# Accuracy is a THEOREM, not a tuning: bucket counts (hence ranks) are
+# exact, so the rank-r order statistic provably lies inside the bucket
+# the estimator finds, and the geometric-midpoint estimate is within
+# 2^(1/(2k)) - 1 relative error of it (~1.09% at k=32). The interpolated
+# form below keeps that bound against the CONTINUOUS (n-1)p percentile
+# definition Spark's ``percentile`` and DuckDB's ``quantile_cont``
+# share, because a convex combination of per-point bounds is a bound on
+# the convex combination.
+
+QSK_SUB_BUCKETS = 32
+_QSK_OFFSET = 1 << 20  # > k*|log2(double range)| for any sane k
+
+
+def _qsk_bucket(v: Column, k: int) -> Column:
+    """Deterministic signed log-bucket index: 0 for zero, mirrored
+    negative indices for negative values, monotone in ``v``."""
+    kk = F.lit(float(k))
+    return (
+        F.when(v == 0, F.lit(0).cast("long"))
+        .when(v > 0, (F.floor(F.log2(v) * kk) + F.lit(_QSK_OFFSET)))
+        .otherwise(-(F.floor(F.log2(-v) * kk) + F.lit(_QSK_OFFSET)))
+        .cast("long")
+    )
+
+
+def _qsk_mid(b: Column, k: int) -> Column:
+    """Geometric midpoint of bucket ``b`` — the value estimate."""
+    kk = F.lit(float(k))
+    return (
+        F.when(b == 0, F.lit(0.0))
+        .when(
+            b > 0,
+            F.pow(F.lit(2.0), (b.cast("double") - _QSK_OFFSET + 0.5) / kk),
+        )
+        .otherwise(
+            -F.pow(F.lit(2.0), (-b.cast("double") - _QSK_OFFSET + 0.5) / kk)
+        )
+    )
+
+
+def qsk_relative_bound(k: int = QSK_SUB_BUCKETS) -> float:
+    """The structural relative-error bound of the rank sketch:
+    ``2^(1/(2k)) - 1`` (~0.0109 at the default k=32). Same-sign data
+    only (a mixed-sign interpolation is bounded in absolute mass, not
+    relative — see :func:`rolling_percentiles`)."""
+    return 2.0 ** (1.0 / (2.0 * k)) - 1.0
+
+
+def daily_qsk_sketches(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = QSK_SUB_BUCKETS,
+) -> DataFrame:
+    """ONE linear pass over the log → the rank-sketch leaf ledger
+    ``(day, event_type, b, cnt)``: exact counts per deterministic
+    log-bucket of ``value_col``. NULL values are dropped (percentile
+    semantics ignore NULLs on every engine). Leaf volume is bounded by
+    days × types × occupied buckets (a few hundred buckets spans the
+    full double range at k=32) — independent of the raw row count,
+    which is what makes a daily p50/p99 monitor over 100 TB a ledger
+    merge instead of a log rescan."""
+    if not 1 <= k <= 4096:
+        raise ValueError(f"k must be in [1, 4096], got {k}")
+    v = F.col("_v")
+    return (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(type_col).alias("event_type"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(v.isNotNull())
+        .select("day", "event_type", _qsk_bucket(v, k).alias("b"))
+        .groupBy("day", "event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _qsk_percentiles_from_buckets(
+    grouped: DataFrame, keys: list[str], qs: tuple[float, ...], k: int
+) -> DataFrame:
+    """Shared estimator: ``grouped`` holds (keys..., b, cnt); per key
+    group, sort the (bucket, count) pairs IN-ARRAY (bounded by occupied
+    buckets, never by row count) and read each quantile with the
+    continuous (n-1)p definition — rank scan via ``F.aggregate``, no
+    window, no Python."""
+
+    def rank_mid(arr: Column, r: Column) -> Column:
+        # bucket mid of the 1-indexed rank-r element: single HOF pass
+        # over the sorted (b, cnt) array with exact cumulative counts
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("bb"),
+        )
+        res = F.aggregate(
+            arr,
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["bb"].isNotNull(), acc["bb"])
+                .when(acc["cum"] + x["cnt"] >= r, x["b"])
+                .alias("bb"),
+            ),
+        )
+        return _qsk_mid(res["bb"], k)
+
+    per = grouped.groupBy(*keys).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.array_sort(F.collect_list(F.struct("b", "cnt"))).alias("_arr"),
+    )
+    cols = [*keys, F.col("n")]
+    n = F.col("n")
+    for q in qs:
+        pos = (n - 1).cast("double") * F.lit(float(q))  # 0-indexed
+        i = F.floor(pos).cast("long")
+        frac = pos - i.cast("double")
+        lo = rank_mid(F.col("_arr"), i + 1)
+        hi = rank_mid(F.col("_arr"), F.least(i + 2, n))
+        est = (1.0 - frac) * lo + frac * hi
+        cols.append(est.alias(f"p{str(q).replace('0.', '')}"))
+    return per.select(*cols)
+
+
+def rolling_percentiles(
+    ledger: DataFrame,
+    window_days: int = 7,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    k: int = QSK_SUB_BUCKETS,
+) -> DataFrame:
+    """Trailing ``window_days``-day value percentiles per day from the
+    LEAF LEDGER alone — the daily p50/p99 monitor that motivates the
+    ledger. Same explode + broadcast-semi-join window engine as the HLL
+    :func:`_rolling` (Generate + hash join, no BNLJ); the per-day merge
+    is an integer bucket-count sum, then the shared in-array estimator
+    reads the quantiles. Output: ``(day, n, p5, p9, p99, ...)`` with
+    one ``p*`` column per requested quantile.
+
+    Error contract (same-sign data): each estimate is within
+    :func:`qsk_relative_bound` of the exact continuous percentile —
+    ranks are exact, the order statistics provably sit in the buckets
+    the scan finds, and the (n-1)p interpolation is a convex
+    combination of two per-point-bounded estimates."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
+    contrib = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            "b",
+            "cnt",
+        )
+        .select(F.date_add(F.col("day"), F.col("_off")).alias("out_day"), "b", "cnt")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    out = _qsk_percentiles_from_buckets(contrib, ["out_day"], qs, k)
+    return out.withColumnRenamed("out_day", "day")
+
+
+def rollup_percentiles(
+    ledger: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    k: int = QSK_SUB_BUCKETS,
+) -> DataFrame:
+    """Re-aggregability readout: whole-range percentiles per event_type
+    AND all-types total, every number a bucket-count SUM over the SAME
+    leaves (a total percentile is NOT derivable from per-type
+    percentiles — only from mergeable state). Output: ``(scope, n,
+    p*...)`` with 'type:<event_type>' rows plus one 'total' row."""
+    per = _qsk_percentiles_from_buckets(
+        ledger.groupBy("event_type", "b").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
+        ["event_type"],
+        qs,
+        k,
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        *[c for c in ("n",)],
+        *[F.col(c) for c in _q_names(qs)],
+    )
+    tot = _qsk_percentiles_from_buckets(
+        ledger.groupBy("b").agg(F.sum("cnt").cast("long").alias("cnt")),
+        [],
+        qs,
+        k,
+    ).select(F.lit("total").alias("scope"), "n", *_q_names(qs))
+    return per.unionByName(tot)
+
+
+def _q_names(qs: tuple[float, ...]) -> list[str]:
+    return [f"p{str(q).replace('0.', '')}" for q in qs]
+
+
+def _qsk_meta(value_col: str, type_col: str, ts_col: str, k: int) -> dict:
+    return {
+        "kind": "qsk",
+        "value_col": value_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "k": k,
+    }
+
+
+def _qsk_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    # like CMS: the merge IS integer addition of bucket counts
+    return (
+        stored.select("day", "event_type", "b", "cnt")
+        .unionByName(delta)
+        .groupBy("day", "event_type", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def qsk_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = QSK_SUB_BUCKETS,
+) -> int:
+    """Materialize a rank-sketch ledger, day-partitioned, with the
+    bucketing configuration in the ``_ledger_meta.json`` sidecar (a
+    probe or merge with a different ``k`` reads garbage buckets, so
+    maintenance validates up front). Schema is cross-checked against
+    the frame; ``k`` itself is not recoverable from bucket indices
+    (any k yields in-range longs) and stays caller-asserted, like the
+    CMS width-larger case."""
+    need = {"day", "event_type", "b", "cnt"}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"rank-sketch ledger frame is missing columns "
+            f"{sorted(missing)}; build it with daily_qsk_sketches"
+        )
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    _write_ledger_meta(path, _qsk_meta(value_col, type_col, ts_col, k))
+    return ledger.sparkSession.read.parquet(path).count()
+
+
+def qsk_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = QSK_SUB_BUCKETS,
+) -> int:
+    """O(touched-days) rank-sketch maintenance through the SAME staged
+    day-swap engine as the HLL/CMS ledgers (partition-pruned read-back,
+    executor-side staging, O_EXCL pending marker, lossless crash
+    repair); the merge is integer addition of bucket counts. Like CMS —
+    and unlike HLL register-max — bucket counts are NOT replay-safe by
+    algebra, so this path sits behind an applied-batch marker
+    (streaming/events.apply_qsk_batch). Returns the number of day
+    partitions written. Same single-writer and no-null-day contracts as
+    :func:`sketch_ledger_upsert_batch`."""
+    delta = daily_qsk_sketches(
+        batch, value_col=value_col, type_col=type_col, ts_col=ts_col, k=k
+    )
+    return _staged_day_upsert(
+        path, delta, _qsk_merge, _qsk_meta(value_col, type_col, ts_col, k)
+    )

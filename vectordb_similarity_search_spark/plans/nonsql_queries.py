@@ -2620,3 +2620,100 @@ def e_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
     )
+
+
+@query(
+    "e_qsk_rolling_percentiles",
+    oracle="""
+WITH vals AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+              WHERE value IS NOT NULL),
+days AS (SELECT DISTINCT day FROM vals)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST((SELECT count(*) FROM vals v
+             WHERE v.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS n_vals,
+       (round((SELECT quantile_cont(v.value, 0.5) FROM vals v
+               WHERE v.day BETWEEN d.day - 6 AND d.day), 6) + 0)
+         AS exact_p50,
+       (round((SELECT quantile_cont(v.value, 0.9) FROM vals v
+               WHERE v.day BETWEEN d.day - 6 AND d.day), 6) + 0)
+         AS exact_p90,
+       (round((SELECT quantile_cont(v.value, 0.99) FROM vals v
+               WHERE v.day BETWEEN d.day - 6 AND d.day), 6) + 0)
+         AS exact_p99,
+       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+FROM days d ORDER BY day
+""",
+)
+def e_qsk_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rank-sketch ledger (round 9 — the percentile
+    sibling of the HLL and CMS ledgers, operators/sketches.
+    daily_qsk_sketches): ONE linear pass over the event log builds exact
+    per-(day, type, log-bucket) counts, then the trailing 7-day
+    p50/p90/p99 of ``value`` per day comes from integer bucket-count
+    merges over the ledger — the daily percentile monitor that at 100 TB
+    must NOT rescan the log per question (leaf volume is capped at
+    days × types × occupied buckets, a few hundred per leaf at k=32,
+    independent of row count). Spark's randomized KLL is deliberately
+    not used — it breaks the repo's determinism bar; this HDR-style
+    sketch is deterministic AND carries a structural error bound.
+
+    INDEPENDENT oracle (the e_cms_user_counts precedent): the DuckDB
+    twin recomputes the exact trailing percentiles (quantile_cont —
+    the same (n-1)p definition as Spark's percentile) and the trailing
+    counts, and pins the accuracy contract as TRUE booleans:
+    |est − exact| ≤ (2^(1/(2k)) − 1)·exact (~1.09% at k=32). The bound
+    is a THEOREM for same-sign data — ranks are exact, so the order
+    statistics provably lie in the buckets the estimator reads — hence
+    deterministic at every sf; the 1e-6 slack absorbs float rounding.
+    ``n_vals`` comes from the STREAM-OF-RECORD ledger (sum of bucket
+    counts), so a lossy ledger build fails the count column outright."""
+    from ..operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rolling_percentiles,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ledger = daily_qsk_sketches(e)
+    est = rolling_percentiles(ledger, 7, (0.5, 0.9, 0.99))
+    pairs = e.select(F.to_date("ts").alias("day"), "value").filter(
+        F.col("value").isNotNull()
+    )
+    days = pairs.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "value",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "value")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("_x50"),
+            F.expr("percentile(value, 0.9)").alias("_x90"),
+            F.expr("percentile(value, 0.99)").alias("_x99"),
+        )
+        .withColumnRenamed("out_day", "day")
+    )
+    tol = qsk_relative_bound() * (1.0 + 1e-6)
+
+    def ok(est_c: str, x_c: str):
+        return (
+            F.abs(F.col(est_c) - F.col(x_c)) <= F.col(x_c) * tol + 1e-9
+        )
+
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_vals"),
+            F.round("_x50", 6).alias("exact_p50"),
+            F.round("_x90", 6).alias("exact_p90"),
+            F.round("_x99", 6).alias("exact_p99"),
+            ok("p5", "_x50").alias("ok_p50"),
+            ok("p9", "_x90").alias("ok_p90"),
+            ok("p99", "_x99").alias("ok_p99"),
+        )
+        .orderBy("day")
+    )

@@ -671,3 +671,42 @@ def apply_sketch_batch(
             batch_df.filter(F.col("ts").isNotNull()), ledger_path
         ),
     )
+
+
+def apply_cms_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the COUNT-MIN frequency ledger
+    (operators/sketches.cms_ledger_upsert_batch) behind the same
+    applied-batch marker — CMS counters are NOT replay-safe by algebra
+    (re-adding a batch doubles its mass), so the marker is what makes
+    the stream exactly-once. Null-ts rows are dropped under the
+    :func:`apply_sketch_batch` contract."""
+    from ..operators.sketches import cms_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: cms_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
+
+
+def apply_qsk_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the QUANTILE rank-sketch ledger
+    (operators/sketches.qsk_ledger_upsert_batch) behind the same
+    applied-batch marker — bucket counts, like CMS counters, are NOT
+    replay-safe by algebra. Null-ts rows are dropped under the
+    :func:`apply_sketch_batch` contract."""
+    from ..operators.sketches import qsk_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: qsk_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
