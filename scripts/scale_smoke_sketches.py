@@ -355,7 +355,63 @@ def main() -> None:
     )
     qled.unpersist()
 
-    n_checks = 6
+    # --- 7. theta set-operation ledger at the same scale (round 9) -----
+    # Production-shaped sampling rate (p = 1/64 here; 2^-12 at 100 TB):
+    # the intersection estimate must land within the binomial error of
+    # the EXACT pairwise overlap, and the sampled ledger must be ~p of
+    # the distinct rows (the map-side filter is the scale story).
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_theta_sketches,
+        theta_overlap,
+    )
+
+    t0 = time.perf_counter()
+    tled = daily_theta_sketches(events, num=1, den=64).persist()
+    n_trows = tled.count()
+    t_t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    test_rows = {
+        (r["type_a"], r["type_b"]): (r["est_both"], r["est_union"])
+        for r in theta_overlap(tled, num=1, den=64).collect()
+    }
+    t_t_query = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ut = events.select("event_type", "user_id").distinct()
+    texact = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .collect()
+    }
+    t_t_exact = time.perf_counter() - t0
+    t_worst = max(
+        abs(test_rows[k][0] - x) / x for k, x in texact.items()
+    )
+    n_dist = ut.count()
+    check(
+        "theta_overlap_within_binomial_error",
+        set(test_rows) == set(texact)
+        # ~1.3M-key intersections at p=1/64: rel std ~ 0.7%; 3% is >4σ
+        and t_worst < 0.03
+        # leaf rows are (day, type, h) triples: bounded by p of the raw
+        # row count — the map-side filter ran before the shuffle
+        and n_trows < N_ROWS / 64 * 1.3,
+        f"sampled_rows={n_trows:,} (of {n_dist:,} distinct) "
+        f"build={t_t_build:.1f}s overlap_query={t_t_query:.1f}s "
+        f"exact_selfjoin={t_t_exact:.1f}s worst_rel_err={t_worst:.4%}",
+    )
+    tled.unpersist()
+
+    n_checks = 7
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"

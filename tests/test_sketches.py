@@ -811,3 +811,132 @@ def test_qsk_stream_apply_exactly_once(spark, tmp_path):
     cpath = str(tmp_path / "cms")
     assert apply_cms_batch(_mk_batch(spark, rows[:2]), 0, cpath) is True
     assert apply_cms_batch(_mk_batch(spark, rows[:2]), 0, cpath) is False
+
+
+# ---------------------------------------------------------------------------
+# Theta-style set-operation ledger (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_theta_overlap_estimates_close_to_exact(spark, events):
+    """Pairwise intersection/union estimates from the sampled ledger
+    within the fixture-validated tolerance of exact set algebra."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_theta_sketches,
+        theta_overlap,
+        theta_rollup_distinct,
+    )
+
+    ledger = daily_theta_sketches(events)
+    got = {
+        (r["type_a"], r["type_b"]): (r["est_both"], r["est_union"])
+        for r in theta_overlap(ledger).collect()
+    }
+    ut = events.select("event_type", "user_id").distinct().collect()
+    sets: dict = {}
+    for r in ut:
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    import itertools
+
+    for a, b in itertools.combinations(sorted(sets), 2):
+        xb = len(sets[a] & sets[b])
+        xu = len(sets[a] | sets[b])
+        eb, eu = got[(a, b)]
+        assert abs(eb - xb) <= 0.25 * xb, (a, b, eb, xb)
+        assert abs(eu - xu) <= 0.25 * xu, (a, b, eu, xu)
+    roll = {
+        r["scope"]: r["est_distinct"]
+        for r in theta_rollup_distinct(ledger).collect()
+    }
+    total = len(set().union(*sets.values()))
+    assert abs(roll["total"] - total) <= 0.25 * total
+    for k, s in sets.items():
+        assert abs(roll[f"type:{k}"] - len(s)) <= 0.25 * len(s)
+
+
+def test_theta_merge_idempotent_and_layout_independent(spark, events):
+    """The distinct-union merge: split halves unioned equal the direct
+    build, re-merging the SAME rows is a no-op (replay safety by
+    algebra), and a repartitioned build is bit-identical."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        _theta_merge,
+        daily_theta_sketches,
+    )
+
+    def cells(led):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["h"]) for r in led.collect()
+        )
+
+    direct = daily_theta_sketches(events)
+    a = daily_theta_sketches(events.filter(F.dayofmonth("ts") <= 10))
+    b = daily_theta_sketches(events.filter(F.dayofmonth("ts") > 10))
+    assert cells(_theta_merge(a, b)) == cells(direct)
+    assert cells(_theta_merge(direct, direct)) == cells(direct)  # replay
+    shuffled = daily_theta_sketches(events.repartition(13, "event_type"))
+    assert cells(shuffled) == cells(direct)
+
+
+def test_theta_ledger_lifecycle_and_validation(spark, tmp_path):
+    """Persisted maintenance through the shared staged engine: upsert
+    merges, a REPLAYED upsert leaves the store identical (idempotent
+    algebra), mismatched config refused, and the write cross-check
+    catches hashes that violate the claimed sampling predicate."""
+    import os
+
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_theta_sketches,
+        theta_ledger_upsert_batch,
+        theta_ledger_write,
+        theta_overlap,
+    )
+
+    path = str(tmp_path / "theta")
+    rows = [
+        (i, dt.datetime(2026, 10, 1 + i % 3, 9), i % 40, "click", 1.0)
+        for i in range(120)
+    ] + [
+        (1000 + i, dt.datetime(2026, 10, 1 + i % 3, 10), i % 25, "view", 1.0)
+        for i in range(75)
+    ]
+    assert theta_ledger_upsert_batch(_mk_batch(spark, rows), path) == 3
+
+    def cells(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["h"]) for r in df.collect()
+        )
+
+    before = cells(spark.read.parquet(path))
+    # replayed upsert: distinct-union is idempotent — store unchanged
+    assert theta_ledger_upsert_batch(_mk_batch(spark, rows), path) == 3
+    assert cells(spark.read.parquet(path)) == before
+    assert cells(spark.read.parquet(path)) == cells(
+        daily_theta_sketches(_mk_batch(spark, rows))
+    )
+
+    with pytest.raises(ValueError, match="den"):
+        theta_ledger_upsert_batch(_mk_batch(spark, rows), path, num=1, den=2)
+
+    # write cross-check: a full-rate (den=1 impossible; use num=7,den=8)
+    # ledger written claiming a STRICTER predicate is caught
+    led_78 = daily_theta_sketches(_mk_batch(spark, rows), num=7, den=8)
+    with pytest.raises(ValueError, match="sampling"):
+        theta_ledger_write(led_78, str(tmp_path / "t2"), num=1, den=8)
+    with pytest.raises(ValueError, match="missing columns"):
+        theta_ledger_write(_mk_batch(spark, rows), str(tmp_path / "t3"))
+    assert theta_ledger_write(led_78, str(tmp_path / "t4"), num=7, den=8) > 0
+
+    # estimates survive the parquet round-trip
+    est = theta_overlap(spark.read.parquet(path))
+    assert est.count() >= 1
+
+    # streaming apply: marker-gated no-op on replay
+    from vectordb_similarity_search_spark.streaming.events import (
+        apply_theta_batch,
+    )
+
+    spath = str(tmp_path / "theta_stream")
+    assert apply_theta_batch(_mk_batch(spark, rows), 0, spath) is True
+    assert apply_theta_batch(_mk_batch(spark, rows), 0, spath) is False
+    with pytest.raises(ValueError, match="num"):
+        daily_theta_sketches(None, num=2, den=2)

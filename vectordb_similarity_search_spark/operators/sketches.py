@@ -972,3 +972,256 @@ def qsk_ledger_upsert_batch(
     return _staged_day_upsert(
         path, delta, _qsk_merge, _qsk_meta(value_col, type_col, ts_col, k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-style distinct set-operation ledger (round 9): the SET-ALGEBRA
+# sibling — intersection/union cardinality across arbitrary segments
+# ---------------------------------------------------------------------------
+#
+# HLL answers "how many distinct" but cannot intersect (only union); the
+# theta family (Apache DataSketches) keeps a HASH SAMPLE of the keys so
+# A∩B is estimable by intersecting samples. The form here is the
+# fixed-threshold variant: keep key k iff ``xxhash64(k) mod den < num``
+# (sampling rate p = num/den). That is DETERMINISTIC (no per-run
+# randomness — the repo's oracle bar), MERGEABLE by plain distinct-union
+# (hence replay-safe by algebra, like HLL register max), and every set
+# operation runs on the samples: |A ∩ B| ≈ |S_A ∩ S_B| / p,
+# |A ∪ B| ≈ |S_A ∪ S_B| / p. Error is the binomial sampling error
+# ~ sqrt((1-p)/(p·n)) relative — the accuracy/size dial is ``num/den``
+# (at 100 TB you run p = 2^-12 and keep ~0.02% of keys; the fixture
+# queries run p = 3/4 because their segments hold only hundreds of
+# keys).
+
+THETA_NUM = 3
+THETA_DEN = 4
+
+
+def _theta_keep(key: Column, num: int, den: int) -> Column:
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(den)) < F.lit(num)
+
+
+def daily_theta_sketches(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num: int = THETA_NUM,
+    den: int = THETA_DEN,
+) -> DataFrame:
+    """ONE linear pass over the log → the sampled-key leaf ledger
+    ``(day, event_type, h)``: the distinct retained key hashes per
+    (day, segment). The map-side sample filter runs BEFORE the distinct
+    shuffle, so the shuffle carries only p·n rows — that is the whole
+    scale story. The 64-bit hash is the element identity downstream
+    (cross-key collisions are negligible and deterministic)."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    key = F.col(key_col)
+    return (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(type_col).alias("event_type"),
+            F.xxhash64(key.cast("string")).alias("h"),
+        )
+        .filter(F.pmod(F.col("h"), F.lit(den)) < F.lit(num))
+        .distinct()
+    )
+
+
+def theta_overlap(
+    ledger: DataFrame, *, num: int = THETA_NUM, den: int = THETA_DEN
+) -> DataFrame:
+    """Pairwise segment set-operation estimates from the LEDGER alone:
+    for every segment pair (type_a < type_b) with at least one shared
+    sample, the sampled counts and the scaled estimates of |A|, |B|,
+    |A ∩ B|, |A ∪ B| and Jaccard. Pairs with ZERO sampled co-occurrence
+    are omitted (their intersection estimate is 0); callers needing a
+    full matrix left-join this onto their pair skeleton.
+
+    Spark shape (the e_audience_overlap idiom, plans/event_queries.py):
+    leaves roll up to distinct (segment, h), per-h segment sets are
+    bounded arrays, ordered pairs generate IN-ARRAY — the shuffle
+    carries h→set rows, never segment×segment×h tuples, and no
+    cross/nested-loop join appears anywhere."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    scale = float(den) / float(num)
+    th = ledger.select("event_type", "h").distinct()
+    per_type = th.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    pairs = (
+        th.groupBy("h")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .where(F.size("types") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda a: F.transform(
+                            F.filter(F.col("types"), lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.type_a", "pr.type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("m_both"))
+    )
+    pop = F.broadcast(per_type)
+    joined = (
+        pairs.join(pop, pairs.type_a == pop.event_type)
+        .select("type_a", "type_b", "m_both", F.col("m").alias("m_a"))
+        .join(pop, F.col("type_b") == pop.event_type)
+        .select("type_a", "type_b", "m_a", F.col("m").alias("m_b"), "m_both")
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        "m_a",
+        "m_b",
+        "m_both",
+        (F.col("m_a") * scale).alias("est_a"),
+        (F.col("m_b") * scale).alias("est_b"),
+        (F.col("m_both") * scale).alias("est_both"),
+        ((F.col("m_a") + F.col("m_b") - F.col("m_both")) * scale).alias(
+            "est_union"
+        ),
+        (
+            F.col("m_both").cast("double")
+            / (F.col("m_a") + F.col("m_b") - F.col("m_both")).cast("double")
+        ).alias("est_jaccard"),
+    )
+
+
+def theta_rollup_distinct(
+    ledger: DataFrame, *, num: int = THETA_NUM, den: int = THETA_DEN
+) -> DataFrame:
+    """Per-segment and all-segments distinct-key estimates from the
+    ledger (the union side of the algebra — what HLL also gives, here
+    from the same state that serves intersections). Output: ``(scope,
+    m, est_distinct)`` with 'type:<event_type>' rows plus 'total'."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    scale = float(den) / float(num)
+    th = ledger.select("event_type", "h").distinct()
+    per = th.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"), "m"
+    )
+    tot = (
+        ledger.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .select(F.lit("total").alias("scope"), "m")
+    )
+    return per.unionByName(tot).select(
+        "scope", "m", (F.col("m") * scale).alias("est_distinct")
+    )
+
+
+def _theta_meta(
+    key_col: str, type_col: str, ts_col: str, num: int, den: int
+) -> dict:
+    return {
+        "kind": "theta",
+        "key_col": key_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "num": num,
+        "den": den,
+    }
+
+
+def _theta_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    # set union IS distinct — idempotent, hence replay-safe by algebra
+    return (
+        stored.select("day", "event_type", "h").unionByName(delta).distinct()
+    )
+
+
+def theta_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num: int = THETA_NUM,
+    den: int = THETA_DEN,
+) -> int:
+    """Materialize a theta ledger, day-partitioned, sampling-rate config
+    in the sidecar. Cross-check (advisory discipline): the schema must
+    be ``(day, event_type, h)`` and every stored hash must satisfy the
+    claimed keep-predicate ``h mod den < num`` — a ledger sampled at a
+    LOWER rate than claimed can slip through when its kept set is a
+    subset of the claimed one (documented residual, like the CMS
+    width-larger case); a higher-rate or wrong-hash ledger is caught."""
+    need = {"day", "event_type", "h"}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"theta ledger frame is missing columns {sorted(missing)}; "
+            "build it with daily_theta_sketches"
+        )
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                (~(F.pmod(F.col("h"), F.lit(den)) < F.lit(num))).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad"),
+    ).first()
+    if stats["bad"]:
+        raise ValueError(
+            f"{stats['bad']} stored hash(es) violate the claimed sampling "
+            f"predicate (h mod {den} < {num}); pass the num/den the "
+            "ledger was built with"
+        )
+    _write_ledger_meta(
+        path, _theta_meta(key_col, type_col, ts_col, num, den)
+    )
+    return stats["n"]
+
+
+def theta_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num: int = THETA_NUM,
+    den: int = THETA_DEN,
+) -> int:
+    """O(touched-days) theta maintenance through the shared staged
+    day-swap engine; the merge is distinct-union, which is IDEMPOTENT —
+    unlike CMS/QSK counts, a replayed batch cannot drift a theta ledger,
+    so the applied-batch marker on the streaming path is purely a cost
+    guard. Returns the number of day partitions written. Same
+    single-writer and no-null-day contracts as
+    :func:`sketch_ledger_upsert_batch`."""
+    delta = daily_theta_sketches(
+        batch,
+        key_col=key_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        num=num,
+        den=den,
+    )
+    return _staged_day_upsert(
+        path,
+        delta,
+        _theta_merge,
+        _theta_meta(key_col, type_col, ts_col, num, den),
+    )

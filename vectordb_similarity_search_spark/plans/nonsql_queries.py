@@ -2717,3 +2717,126 @@ def e_qsk_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "e_sketch_overlap",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || '|' ||
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS k
+  FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.k = b.k AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+pop AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both,
+       (round(CAST(n_both AS DOUBLE)
+              / CAST(pa.n + pb.n - n_both AS DOUBLE), 6) + 0) AS jaccard,
+       TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_both, TRUE AS ok_jaccard
+FROM pairs
+JOIN pop pa ON pa.event_type = type_a
+JOIN pop pb ON pb.event_type = type_b
+ORDER BY type_a, type_b
+""",
+)
+def e_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style SET-OPERATION sketch ledger (round 9 — the scale twin
+    of e_audience_overlap, operators/sketches.daily_theta_sketches):
+    segment-intersection/union cardinality across event-type segments
+    keyed by user-DAY activity, estimated from a deterministic
+    fixed-threshold hash sample (keep k iff xxhash64(k) mod 4 < 3). HLL
+    can union but never intersect; the theta sample intersects — and the
+    map-side sample filter runs before any shuffle, so at 100 TB the
+    distinct/overlap machinery touches p·n rows (p = 2^-12 in
+    production; 3/4 here because fixture segments hold only hundreds of
+    keys). The merge is distinct-union: idempotent, hence replay-safe by
+    algebra, persisted through the same staged day-swap engine as the
+    HLL/CMS/QSK ledgers.
+
+    INDEPENDENT oracle (the e_cms_user_counts precedent): the DuckDB
+    twin recomputes the EXACT pairwise overlap matrix (the
+    e_audience_overlap self-join, with user-day keys) and pins the
+    sampling-accuracy contract as TRUE booleans — |est − exact| ≤
+    25%·exact for the three cardinalities and ≤ 0.06 absolute for
+    Jaccard. The tolerances are fixture-validated with ≥2× headroom
+    over the worst measured error at sf0.001/0.01/0.1 (11.1%, 0.023)
+    and are DETERMINISTIC for the fixed hash family and data; the
+    statistical sqrt((1-p)/(p·n)) scaling is exercised at 20M rows in
+    scripts/scale_smoke_sketches.py."""
+    from ..operators.sketches import daily_theta_sketches, theta_overlap
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "k",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.to_date("ts").cast("string"),
+        ),
+    )
+    est = theta_overlap(daily_theta_sketches(e, key_col="k"))
+
+    ut = e.select("event_type", "k").distinct()
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    exact_pairs = (
+        ut.groupBy("k")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .where(F.size("types") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda a: F.transform(
+                            F.filter(F.col("types"), lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.type_a", "pr.type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    pop = F.broadcast(per_type)
+    exact = (
+        exact_pairs.join(pop, exact_pairs.type_a == pop.event_type)
+        .select("type_a", "type_b", "n_both", F.col("n").alias("n_a"))
+        .join(pop, F.col("type_b") == pop.event_type)
+        .select("type_a", "type_b", "n_a", F.col("n").alias("n_b"), "n_both")
+    )
+    ex_j = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    ).cast("double")
+
+    def rel_ok(est_c: str, x: Column):
+        return F.abs(F.coalesce(F.col(est_c), F.lit(0.0)) - x) <= 0.25 * x
+
+    return (
+        exact.join(est, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(ex_j, 6).alias("jaccard"),
+            rel_ok("est_a", F.col("n_a").cast("double")).alias("ok_a"),
+            rel_ok("est_b", F.col("n_b").cast("double")).alias("ok_b"),
+            rel_ok("est_both", F.col("n_both").cast("double")).alias(
+                "ok_both"
+            ),
+            (
+                F.abs(F.coalesce(F.col("est_jaccard"), F.lit(0.0)) - ex_j)
+                <= 0.06
+            ).alias("ok_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -693,6 +693,26 @@ def apply_cms_batch(
     )
 
 
+def apply_theta_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the THETA set-operation ledger
+    (operators/sketches.theta_ledger_upsert_batch). The distinct-union
+    merge is IDEMPOTENT — a replayed batch cannot drift the ledger —
+    so the applied-batch marker here is purely a cost guard, not a
+    correctness requirement. Null-ts rows are dropped under the
+    :func:`apply_sketch_batch` contract."""
+    from ..operators.sketches import theta_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: theta_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
+
+
 def apply_qsk_batch(
     batch_df: DataFrame, batch_id: int, ledger_path: str
 ) -> bool:
