@@ -1225,3 +1225,21 @@ def theta_ledger_upsert_batch(
         _theta_merge,
         _theta_meta(key_col, type_col, ts_col, num, den),
     )
+
+
+def ledger_percentiles(
+    ledger: DataFrame,
+    keys: tuple[str, ...] = ("day", "event_type"),
+    qs: tuple[float, ...] = (0.5,),
+    *,
+    k: int = QSK_SUB_BUCKETS,
+) -> DataFrame:
+    """Percentile estimates grouped by arbitrary ledger key columns —
+    the generic readout behind :func:`rolling_percentiles` (day windows)
+    and :func:`rollup_percentiles` (type/total scopes); the streaming
+    ingest audit reads per-(day, type) medians through this. Output:
+    ``(keys..., n, p*...)``."""
+    grouped = ledger.groupBy(*keys, "b").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return _qsk_percentiles_from_buckets(grouped, list(keys), qs, k)

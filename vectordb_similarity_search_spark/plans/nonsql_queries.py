@@ -2441,25 +2441,32 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
     """Build-once streaming sketch-ledger scenario for
     ``e_stream_sketch_audit``: three deterministic content-hash
     micro-batches of the events table applied through the PRODUCTION
-    foreachBatch path (streaming/events.apply_sketch_batch — the same
-    function sketch_ingest_stream drives), plus one REPLAY of batch 1
-    that the applied-batch marker must turn into a no-op. Memoized under
-    the system tmp dir; the DONE marker commits atomically (the
+    foreachBatch paths for ALL FOUR ledger kinds (streaming/events.
+    apply_sketch_batch / apply_cms_batch / apply_qsk_batch /
+    apply_theta_batch — the same functions the ingest streams drive),
+    plus one REPLAY of batch 1 per kind that the applied-batch marker
+    must turn into a no-op. Returns the scenario base dir holding
+    ``hll`` / ``cms`` / ``qsk`` / ``theta`` subdir ledgers. Memoized
+    under the system tmp dir; the DONE marker commits atomically (the
     _stream_audit_targets pattern)."""
     import shutil
 
-    from ..streaming.events import apply_sketch_batch
+    from ..streaming.events import (
+        apply_cms_batch,
+        apply_qsk_batch,
+        apply_sketch_batch,
+        apply_theta_batch,
+    )
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|sketchaudit1|"
+        f"{os.path.abspath(sf_dir)}|sketchaudit2|"
         f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_sketchaudit_{key}")
-    ledger = os.path.join(base, "ledger")
     done = os.path.join(base, "_DONE")
     if os.path.exists(done):
-        return ledger
+        return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
@@ -2476,15 +2483,60 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
                 f"{what} returned {actual}, expected {expected}"
             )
 
-    for b, batch in enumerate(batches):
-        _applied(True, apply_sketch_batch(batch, b, ledger),
-                 f"sketch batch {b}")
-    _applied(False, apply_sketch_batch(batches[1], 1, ledger),
-             "sketch replay of batch 1")
+    kinds = {
+        "hll": apply_sketch_batch,
+        "cms": apply_cms_batch,
+        "qsk": apply_qsk_batch,
+        "theta": apply_theta_batch,
+    }
+    for kind, apply_fn in kinds.items():
+        ledger = os.path.join(base, kind)
+        for b, batch in enumerate(batches):
+            _applied(True, apply_fn(batch, b, ledger), f"{kind} batch {b}")
+        _applied(
+            False, apply_fn(batches[1], 1, ledger), f"{kind} replay of 1"
+        )
     with open(done + ".tmp", "w"):
         pass
     os.replace(done + ".tmp", done)
-    return ledger
+    return base
+
+
+def _stream_ledger_frame(spark: SparkSession, base: str, kind: str):
+    """Memoized read of one scenario ledger: spark.read.parquet pays a
+    1-task footer job per call, and the build-time zero-jobs discipline
+    (tests/test_lazy_build.py) applies to this query like any other."""
+    path = os.path.join(base, kind)
+    key = _model_key(spark, f"stream_sketch_{kind}", path)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = spark.read.parquet(path)
+    return _MODEL_CACHE[key]
+
+
+def _cells_match(
+    stream: DataFrame,
+    oneshot: DataFrame,
+    keys: list[str],
+    coords: list[str],
+    value: str | None = None,
+) -> DataFrame:
+    """Per-``keys`` boolean: the stream-maintained ledger slice is
+    cell-for-cell identical to a one-shot batch build (full-outer join
+    on the cell coordinates; any missing or differing cell flips the
+    group to false). ``value`` None means presence IS the cell (theta's
+    hash sets) — the full-outer miss test does all the work."""
+    val = F.col(value) if value else F.lit(1)
+    s = stream.select(*keys, *coords, val.alias("_sv"))
+    o = oneshot.select(*keys, *coords, val.alias("_ov"))
+    return (
+        s.join(o, [*keys, *coords], "full_outer")
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.coalesce(F.col("_sv") == F.col("_ov"), F.lit(False))
+            ).alias("match")
+        )
+    )
 
 
 @query(
@@ -2493,70 +2545,167 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       (round(quantile_cont(value, 0.5), 6) + 0) AS exact_p50,
        TRUE AS est_ok,
-       TRUE AS replay_consistent
+       TRUE AS replay_consistent,
+       TRUE AS qsk_ok,
+       TRUE AS qsk_replay,
+       TRUE AS cms_mass_ok,
+       TRUE AS cms_replay,
+       TRUE AS theta_replay
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
 )
 def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming HLL sketch-ledger ingest, driver-checked end-to-end
-    (round-8 VERDICT #7): the stored ledger produced by THREE
-    micro-batches through the production apply path PLUS one replayed
-    batch (streaming/events.apply_sketch_batch — marker-protected,
-    O(touched-days) upsert) must carry (a) exactly-once event counts —
-    ``n_events`` comes from the STREAM-MAINTAINED ledger and the DuckDB
-    twin computes it from the raw events table, so a double-merged
-    replay fails the hash outright; (b) estimates within the HLL
-    accuracy contract of the exact distincts (est_ok, ≤5% at lg_k=12);
-    and (c) estimates bit-equal to a ONE-SHOT batch ledger build over
-    the same rows (replay_consistent — the merge-order-independence
-    algebra tests pin, asserted here on the driver path). Full SQL twin:
-    every exact column recomputed by DuckDB from the events table; the
-    booleans pinned TRUE."""
-    from ..operators.sketches import daily_hll_sketches, hll_estimate
+    """Streaming sketch-ledger ingest for ALL FOUR ledger kinds,
+    driver-checked end-to-end (round-8 VERDICT #7, extended to
+    CMS/QSK/THETA per round-9 order #4): the stored ledgers produced by
+    THREE micro-batches through the production apply paths PLUS one
+    replayed batch per kind (streaming/events.apply_*_batch —
+    marker-protected, O(touched-days) upserts) must carry
 
-    ledger_path = _stream_sketch_ledger(spark, sf_dir)
-    # memoize the ledger frame: spark.read.parquet pays a 1-task footer
-    # job per call, and the build-time zero-jobs discipline
-    # (tests/test_lazy_build.py) applies to this query like any other
-    key = _model_key(spark, "stream_sketch_ledger", ledger_path)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = spark.read.parquet(ledger_path)
-    stream = _MODEL_CACHE[key].select(
+    - exactly-once event counts: ``n_events`` comes from the
+      STREAM-MAINTAINED HLL ledger and the DuckDB twin computes it from
+      the raw events table, so a double-merged replay fails the hash
+      outright;
+    - HLL estimates within the accuracy contract (est_ok, ≤5% at
+      lg_k=12) and bit-equal to a one-shot batch build
+      (replay_consistent — merge-order independence on the driver path);
+    - QSK per-(day, type) median estimates within the structural
+      2^(1/(2k))−1 bound of the exact median (qsk_ok — ``exact_p50``
+      itself is recomputed by DuckDB's quantile_cont on the hash path)
+      and stream cells == one-shot cells (qsk_replay);
+    - CMS mass conservation: each event adds exactly 1 to counter row
+      r=0, so the per-day row-0 counter sum must equal the day's event
+      count — a replayed merge doubles the mass and fails
+      (cms_mass_ok) — plus cell-for-cell stream == one-shot
+      (cms_replay);
+    - THETA stream cells == one-shot cells (theta_replay — here the
+      algebra itself is idempotent; the boolean proves the marker +
+      distinct-union path delivers it).
+
+    Full SQL twin: every exact column recomputed by DuckDB from the
+    events table; the booleans pinned TRUE."""
+    from ..operators.sketches import (
+        daily_cms_sketches,
+        daily_hll_sketches,
+        daily_qsk_sketches,
+        daily_theta_sketches,
+        hll_estimate,
+        ledger_percentiles,
+        qsk_relative_bound,
+    )
+
+    base = _stream_sketch_ledger(spark, sf_dir)
+    events = t(spark, sf_dir, "events")
+
+    # --- HLL: exactly-once counts + accuracy + replay consistency ----
+    hll_stream = _stream_ledger_frame(spark, base, "hll")
+    stream = hll_stream.select(
         "day",
         "event_type",
-        F.col("n_events").alias("n_events"),
+        "n_events",
         hll_estimate("sk").alias("_est_stream"),
     )
-    oneshot = daily_hll_sketches(t(spark, sf_dir, "events")).select(
+    oneshot = daily_hll_sketches(events).select(
         "day",
         "event_type",
         F.col("n_events").alias("_n_oneshot"),
         hll_estimate("sk").alias("_est_oneshot"),
     )
-    exact = (
-        t(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("day"), "event_type")
-        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    exact = events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.expr("percentile(value, 0.5)").alias("_x50"),
     )
     est_ok = (
         F.abs(F.col("_est_stream") - F.col("exact_distinct"))
         / F.col("exact_distinct")
         <= 0.05
     )
-    replay_consistent = (
-        F.col("_est_stream") == F.col("_est_oneshot")
-    ) & (F.col("n_events") == F.col("_n_oneshot"))
+    replay_consistent = (F.col("_est_stream") == F.col("_est_oneshot")) & (
+        F.col("n_events") == F.col("_n_oneshot")
+    )
+
+    # --- QSK: accuracy vs exact median + cell parity ------------------
+    qsk_stream = _stream_ledger_frame(spark, base, "qsk")
+    qsk_est = ledger_percentiles(
+        qsk_stream, ("day", "event_type"), (0.5,)
+    ).select("day", "event_type", F.col("p5").alias("_q50"))
+    qsk_replay = _cells_match(
+        qsk_stream,
+        daily_qsk_sketches(events),
+        ["day", "event_type"],
+        ["b"],
+        "cnt",
+    ).withColumnRenamed("match", "qsk_replay")
+    qtol = qsk_relative_bound() * (1.0 + 1e-6)
+    qsk_ok = F.when(
+        F.col("_x50").isNull() & F.col("_q50").isNull(), F.lit(True)
+    ).otherwise(
+        F.coalesce(
+            F.abs(F.col("_q50") - F.col("_x50"))
+            <= F.col("_x50") * qtol + 1e-9,
+            F.lit(False),
+        )
+    )
+
+    # --- CMS: per-day mass conservation + cell parity -----------------
+    cms_stream = _stream_ledger_frame(spark, base, "cms")
+    cms_mass = cms_stream.filter(F.col("r") == 0).groupBy("day").agg(
+        F.sum("cnt").cast("long").alias("_mass")
+    )
+    cms_replay = (
+        _cells_match(
+            cms_stream, daily_cms_sketches(events), ["day"], ["r", "c"], "cnt"
+        )
+        .withColumnRenamed("match", "cms_replay")
+    )
+    day_counts = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_day")
+    )
+    cms_day = (
+        cms_mass.join(cms_replay, "day")
+        .join(day_counts, "day")
+        .select(
+            "day",
+            (F.col("_mass") == F.col("_n_day")).alias("cms_mass_ok"),
+            "cms_replay",
+        )
+    )
+
+    # --- THETA: cell parity (idempotent algebra through the marker) ---
+    theta_replay = _cells_match(
+        _stream_ledger_frame(spark, base, "theta"),
+        daily_theta_sketches(events),
+        ["day", "event_type"],
+        ["h"],
+    ).withColumnRenamed("match", "theta_replay")
+
+    # LEFT joins from the HLL/exact skeleton: a (day, type) cell with
+    # zero SAMPLED theta keys (possible at tiny sf) is absent from both
+    # the stream and one-shot theta ledgers — vacuously consistent, so
+    # missing matches coalesce to TRUE; a cell present in exactly one
+    # side comes back from _cells_match as an explicit False.
     return (
         stream.join(oneshot, ["day", "event_type"])
         .join(exact, ["day", "event_type"])
+        .join(qsk_est, ["day", "event_type"], "left")
+        .join(qsk_replay, ["day", "event_type"], "left")
+        .join(theta_replay, ["day", "event_type"], "left")
+        .join(F.broadcast(cms_day), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",
             "n_events",
             "exact_distinct",
+            F.round("_x50", 6).alias("exact_p50"),
             est_ok.alias("est_ok"),
             replay_consistent.alias("replay_consistent"),
+            qsk_ok.alias("qsk_ok"),
+            F.coalesce("qsk_replay", F.lit(True)).alias("qsk_replay"),
+            F.coalesce("cms_mass_ok", F.lit(False)).alias("cms_mass_ok"),
+            F.coalesce("cms_replay", F.lit(False)).alias("cms_replay"),
+            F.coalesce("theta_replay", F.lit(True)).alias("theta_replay"),
         )
         .orderBy("day", "event_type")
     )
