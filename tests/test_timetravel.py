@@ -171,3 +171,94 @@ def test_crash_recovery_with_retained_versions_keeps_chronology(spark, table):
     assert v1.filter(F.col("k") == 1).head().v == 1.0  # the ORIGINAL state
     v2 = read_version(spark, table, 2)
     assert v2.filter(F.col("k") == 1).head().v == 99.0  # post-merge state
+
+
+def test_vacuum_versions_prunes_and_keeps_readable(spark, table):
+    """Round-9 VERDICT #6: retention-bounded vacuum — versions beyond
+    keep_last deleted, kept versions still readable, validation on the
+    knob."""
+    from vectordb_similarity_search_spark.operators.timetravel import (
+        vacuum_versions,
+    )
+
+    for i in range(4):
+        merge_parquet(
+            spark, table, _batch(spark, [(i, "x", -1.0)]), ["k"],
+            retain_history=10,
+        )
+    assert list_versions(table) == [1, 2, 3, 4]
+    assert vacuum_versions(table, keep_last=2) == [1, 2]
+    assert list_versions(table) == [3, 4]
+    assert read_version(spark, table, 3).count() == 100
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, table, 1)
+    # idempotent; keep_last larger than retained is a no-op
+    assert vacuum_versions(table, keep_last=2) == []
+    assert vacuum_versions(table, keep_last=99) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(table, keep_last=0)
+
+
+def test_vacuum_refuses_torn_swap_and_recovers_live_parks(spark, table):
+    """A mid-swap torn table (live dir missing, park present) must be
+    REFUSED — vacuuming around a torn swap could GC the only surviving
+    lineage; a LIVE table with a parked snapshot is recovered (park
+    archived as a version) before retention is applied."""
+    from vectordb_similarity_search_spark.operators.timetravel import (
+        vacuum_versions,
+    )
+
+    merge_parquet(
+        spark, table, _batch(spark, [(1, "s1", 9.0)]), ["k"],
+        retain_history=5,
+    )
+    # live + park: recover-then-prune counts the park as a version
+    park = table + "__old_cafe0001"
+    shutil.copytree(table, park)
+    assert vacuum_versions(table, keep_last=1) == [1]
+    assert list_versions(table) == [2]
+    assert not os.path.exists(park)
+
+    # torn: live dir missing, park present -> refuse
+    os.rename(table, table + "__old_dead0002")
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        vacuum_versions(table, keep_last=1)
+    # restore for tmp_path hygiene
+    os.rename(table + "__old_dead0002", table)
+
+    with pytest.raises(ValueError, match="no table"):
+        vacuum_versions(str(table) + "_missing", keep_last=1)
+
+
+def test_compact_preserves_history_and_vacuums(spark, table):
+    """Round-9: compaction of a VERSIONED table must carry _history
+    across the snapshot swap (it used to die with the old snapshot) and
+    can run retention GC as part of the same scheduled pass."""
+    from vectordb_similarity_search_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    for i in range(3):
+        merge_parquet(
+            spark, table, _batch(spark, [(i, "y", 7.0)]), ["k"],
+            retain_history=10,
+        )
+    assert list_versions(table) == [1, 2, 3]
+    before = {(r.k, r.s, r.v) for r in spark.read.parquet(table).collect()}
+
+    rep = compact_parquet(spark, table, target_file_bytes=1 << 30,
+                          vacuum_keep=2)
+    # tiny table -> single target file; rewrite happened (2 input files)
+    assert rep["rewritten"] is True
+    assert rep["vacuumed_versions"] == [1]
+    assert list_versions(table) == [2, 3]
+    after = {(r.k, r.s, r.v) for r in spark.read.parquet(table).collect()}
+    assert after == before
+    assert read_version(spark, table, 2).count() == 100
+
+    # a second compaction is a no-op rewrite but GC still applies
+    rep2 = compact_parquet(spark, table, target_file_bytes=1 << 30,
+                           vacuum_keep=1)
+    assert rep2["rewritten"] is False
+    assert rep2["vacuumed_versions"] == [2]
+    assert list_versions(table) == [3]

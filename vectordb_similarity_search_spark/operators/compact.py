@@ -88,6 +88,7 @@ def compact_parquet(
     *,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     sort_cols: list[str] | None = None,
+    vacuum_keep: int | None = None,
 ) -> dict:
     """Rewrite a FLAT parquet directory into ``ceil(bytes/target)``
     files. With ``sort_cols`` the rewrite re-clusters
@@ -96,14 +97,36 @@ def compact_parquet(
     round-robin ``repartition`` balances file sizes exactly. No-op (no
     job at all) when the table already has no more files than the
     target — safe to run on a schedule. Recoverable snapshot swap; a
-    crashed previous run is healed on entry."""
+    crashed previous run is healed on entry.
+
+    Versioned tables (round-9): a table carrying ``_history`` swaps
+    through ``timetravel.history_preserving_swap`` — retained versions
+    survive the rewrite instead of dying with the old snapshot (the
+    rewrite holds the same logical rows, so no new version is cut).
+    ``vacuum_keep`` wires retention GC into the compaction schedule:
+    after a successful rewrite, archived versions beyond the N newest
+    are deleted (``timetravel.vacuum_versions``)."""
+    from .timetravel import HISTORY_DIR, recover_history, vacuum_versions
+
     restore_snapshot(table_path)
+    recover_history(table_path)  # finish an interrupted archive, if any
     files = _data_files(table_path)
     if not files:
         raise ValueError(f"no parquet data files under {table_path}")
     n_target = max(1, math.ceil(_dir_bytes(files) / target_file_bytes))
     if n_target >= len(files):
-        return {"files_before": len(files), "files_after": len(files), "rewritten": False}
+        # the rewrite is a no-op but scheduled retention GC still runs
+        vacuumed = (
+            vacuum_versions(table_path, keep_last=vacuum_keep)
+            if vacuum_keep is not None
+            else []
+        )
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "rewritten": False,
+            "vacuumed_versions": vacuumed,
+        }
 
     from ..sources.zonemap import SIDECAR, write_zone_map
 
@@ -126,7 +149,12 @@ def compact_parquet(
         out = df.repartition(n_target)
     tmp = f"{table_path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     out.write.parquet(tmp)
-    swap_snapshot(table_path, tmp)
+    if os.path.isdir(os.path.join(table_path, HISTORY_DIR)):
+        from .timetravel import history_preserving_swap
+
+        history_preserving_swap(table_path, tmp)
+    else:
+        swap_snapshot(table_path, tmp)
     from .merge import _invalidate_foreign_scan_caches
 
     _invalidate_foreign_scan_caches(table_path)
@@ -134,10 +162,14 @@ def compact_parquet(
         # the old sidecar died with the old snapshot; re-commit stats
         # for the same columns (plus any new clustering columns)
         write_zone_map(table_path, sorted(set(zone_cols or []) | set(sort_cols or [])))
+    vacuumed: list[int] = []
+    if vacuum_keep is not None:
+        vacuumed = vacuum_versions(table_path, keep_last=vacuum_keep)
     return {
         "files_before": len(files),
         "files_after": len(_data_files(table_path)),
         "rewritten": True,
+        "vacuumed_versions": vacuumed,
     }
 
 

@@ -146,3 +146,62 @@ def archive_swap(
             os.path.join(_hist(table_path), f"v{v:06d}"), ignore_errors=True
         )
     return nxt
+
+
+def history_preserving_swap(table_path: str, new_path: str) -> None:
+    """``util.swap_snapshot`` for REWRITES of a versioned table
+    (compaction): the retained ``_history`` moves onto the new snapshot
+    instead of dying with the old one; the previous snapshot itself is
+    NOT archived — a compaction rewrite holds the same logical rows, so
+    it is the same version. Crash honesty: the rename windows are the
+    documented swap_snapshot ones (table briefly missing → parked copy
+    intact, ``util.restore_snapshot`` recovers); a crash AFTER the new
+    snapshot is live but before park cleanup leaves the park with the
+    history still inside, and :func:`recover_history` (run on entry by
+    versioned writers, compaction, and :func:`vacuum_versions`) hoists
+    the history back and archives the park as a version — conservative
+    (a byte-identical version appears) but lossless; vacuum prunes it
+    later."""
+    import uuid
+
+    park = f"{table_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, park)
+    os.rename(new_path, table_path)
+    _hoist_history(table_path, park)
+    shutil.rmtree(park)
+
+
+def vacuum_versions(table_path: str, *, keep_last: int) -> list[int]:
+    """Retention-bounded version GC (round-9 VERDICT #6): delete
+    archived versions under ``_history`` beyond the ``keep_last``
+    newest — the missing half of the retention story (``archive_swap``
+    prunes only at swap time, so a long-quiet table written with a
+    large ``retain`` accumulates versions unboundedly). Returns the
+    deleted version numbers, oldest first.
+
+    Safety: REFUSES a mid-swap torn table (live dir missing while a
+    parked ``__old_*`` snapshot exists — ``util.restore_snapshot``'s
+    case): vacuuming around a torn swap could GC the only surviving
+    lineage. A LIVE table with parked snapshots is first recovered
+    (parks archived as versions, numbering completed) so retention
+    counts them — recover-then-prune, never prune-around."""
+    import glob
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    parks = sorted(glob.glob(f"{table_path.rstrip('/')}__old_*"))
+    if not os.path.isdir(table_path):
+        if parks:
+            raise RuntimeError(
+                f"table at {table_path} is mid-swap (live dir missing, "
+                f"parked snapshot(s) {parks}); run util.restore_snapshot "
+                "— every versioned writer does on entry — before "
+                "vacuuming"
+            )
+        raise ValueError(f"no table at {table_path}")
+    recover_history(table_path)
+    versions = list_versions(table_path)
+    doomed = versions[:-keep_last]
+    for v in doomed:
+        shutil.rmtree(os.path.join(_hist(table_path), f"v{v:06d}"))
+    return doomed
