@@ -191,6 +191,9 @@ ANALYTICS = [
     "e_hll_rolling_by_type", # per-type sketch-ledger rolling distinct
     "e_stream_sketch_audit", # streaming sketch-ledger exactly-once audit
     "e_cms_user_counts",     # count-min frequency ledger, top-user probes
+    # round-9 additions (same rule; pinned at round-9 close)
+    "e_qsk_rolling_percentiles",  # quantile rank-sketch 7d rolling p50/p99
+    "e_sketch_overlap",      # theta-sampled segment set-operation matrix
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the
