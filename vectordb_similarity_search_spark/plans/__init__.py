@@ -20,64 +20,113 @@ from . import nonsql_queries  # noqa: E402,F401
 # (bump WINDOW_BUILT_FOR_ROUND first; the generator reads CORRECTNESS
 # files of rounds strictly below it). tests/test_registry_order.py pins
 # committed == generated for this marker.
-WINDOW_BUILT_FOR_ROUND = 8
+WINDOW_BUILT_FOR_ROUND = 9
 
 DRIVER_WINDOW = [
-    "e_tumbling_hourly",  # last driver row r7
-    "e_cms_user_counts",  # never driver-checked
-    "e_stream_sketch_audit",  # never driver-checked
-    "t_bigram_logprob",  # last driver row r3
-    "t_bm25_phrase",  # last driver row r3
-    "t_bm25_topk",  # last driver row r3
-    "t_bpe_tokens",  # last driver row r3
-    "t_chunk_stats",  # last driver row r3
-    "t_decontaminate",  # last driver row r3
-    "t_doclen_percentiles",  # last driver row r3
-    "t_domain_mixture",  # last driver row r3
-    "t_filter_funnel",  # last driver row r3
-    "t_fingerprint_pairs",  # last driver row r3
-    "t_idf_common",  # last driver row r3
-    "t_pack_sequences",  # last driver row r3
-    "t_phrase_stats",  # last driver row r3
-    "t_rep_ngram",  # last driver row r3
-    "t_scrub_pii",  # last driver row r3
-    "t_stopword_ratio",  # last driver row r3
-    "t_top_tokens",  # last driver row r3
-    "t_zipf_slope",  # last driver row r3
-    "v_hybrid_rrf",  # last driver row r3
-    "v_ivf_knn",  # last driver row r3
-    "v_ivf_recall_curve",  # last driver row r3
-    "v_knn_cosine",  # last driver row r3
-    "v_lsh_knn",  # last driver row r3
-    "v_sim_join_topk",  # last driver row r3
-    "w_rank_orders",  # last driver row r3
-    "r_above_customer_avg",  # last driver row r4
-    "r_anti_join",  # last driver row r4
-    "r_array_agg",  # last driver row r4
-    "r_case_buckets",  # last driver row r4
-    "r_conditional_stats",  # last driver row r4
-    "r_corr_stats",  # last driver row r4
-    "r_cube_orders",  # last driver row r4
-    "r_date_funcs",  # last driver row r4
-    "r_distinct_agg",  # last driver row r4
-    "r_first_last_window",  # last driver row r4
-    "r_grouping_sets",  # last driver row r4
-    "r_having",  # last driver row r4
-    "r_in_subquery",  # last driver row r4
-    "r_left_join_counts",  # last driver row r4
-    "r_market_revenue",  # last driver row r4
-    "r_nested_agg",  # last driver row r4
-    "r_percentiles",  # last driver row r4
-    "r_pricing_summary",  # last driver row r4
-    "s_sample_stratified",  # last driver row r4
-    "p_pca_variance",  # last driver row r5
-    "m_audio_energy",  # last driver row r5
-    "d_banding_curve",  # last driver row r5
+    "e_tumbling_hourly",  # last driver row r8
+    "e_qsk_rolling_percentiles",  # never driver-checked
+    "e_sketch_overlap",  # never driver-checked
+    "r_region_nation_revenue",  # last driver row r4
+    "r_rollup_revenue",  # last driver row r4
+    "r_scalar_math",  # last driver row r4
+    "r_semi_join",  # last driver row r4
+    "r_string_agg",  # last driver row r4
+    "r_string_funcs",  # last driver row r4
+    "r_table_profile",  # last driver row r4
+    "r_union_parties",  # last driver row r4
+    "t_bpe_train",  # last driver row r4
+    "t_exact_dedup",  # last driver row r4
+    "t_nb_quality",  # last driver row r4
+    "t_quality_buckets",  # last driver row r4
+    "v_dot_topk",  # last driver row r4
+    "v_embedding_drift",  # last driver row r4
+    "v_embedding_variance",  # last driver row r4
+    "v_filtered_knn",  # last driver row r4
+    "v_index_stats",  # last driver row r4
+    "v_ivf_knn_batch",  # last driver row r4
+    "v_ivf_knn_filtered",  # last driver row r4
+    "v_knn_l2",  # last driver row r4
+    "v_late_interaction",  # last driver row r4
+    "v_mmr_rerank",  # last driver row r4
+    "v_pq_knn",  # last driver row r4
+    "v_range_search",  # last driver row r4
+    "v_search_docs",  # last driver row r4
+    "v_sq8_knn",  # last driver row r4
+    "w_lag_delta",  # last driver row r4
+    "w_moving_avg",  # last driver row r4
+    "w_running_sum",  # last driver row r4
+    "w_share_of_customer",  # last driver row r4
+    "d_containment_pairs",  # last driver row r5
+    "d_cross_decontaminate",  # last driver row r5
+    "d_knn_components",  # last driver row r5
+    "d_novelty_curve",  # last driver row r5
+    "d_ppjoin_pairs",  # last driver row r5
+    "d_substring_spans",  # last driver row r5
+    "e_attribution",  # last driver row r5
+    "e_cuped",  # last driver row r5
+    "e_funnel_conversion",  # last driver row r5
+    "e_gapfill_locf",  # last driver row r5
+    "e_retention_cohorts",  # last driver row r5
+    "e_rolling_anomaly",  # last driver row r5
+    "m_phash_neardup",  # last driver row r5
+    "m_scene_detect",  # last driver row r5
+    "r_als_recs",  # last driver row r5
+    "s_cluster_split",  # last driver row r5
+    "p_cohort_stats",  # last driver row r7
 ]
 
 # Past the driver's 50-slot cap - every query here is re-verified on every
 # test run by the local oracle replica (tests/test_oracle_parity.py).
 TAIL = [
+    "d_banding_curve",  # last driver row r8
+    "e_cms_user_counts",  # last driver row r8
+    "e_stream_sketch_audit",  # last driver row r8
+    "m_audio_energy",  # last driver row r8
+    "p_pca_variance",  # last driver row r8
+    "r_above_customer_avg",  # last driver row r8
+    "r_anti_join",  # last driver row r8
+    "r_array_agg",  # last driver row r8
+    "r_case_buckets",  # last driver row r8
+    "r_conditional_stats",  # last driver row r8
+    "r_corr_stats",  # last driver row r8
+    "r_cube_orders",  # last driver row r8
+    "r_date_funcs",  # last driver row r8
+    "r_distinct_agg",  # last driver row r8
+    "r_first_last_window",  # last driver row r8
+    "r_grouping_sets",  # last driver row r8
+    "r_having",  # last driver row r8
+    "r_in_subquery",  # last driver row r8
+    "r_left_join_counts",  # last driver row r8
+    "r_market_revenue",  # last driver row r8
+    "r_nested_agg",  # last driver row r8
+    "r_percentiles",  # last driver row r8
+    "r_pricing_summary",  # last driver row r8
+    "s_sample_stratified",  # last driver row r8
+    "t_bigram_logprob",  # last driver row r8
+    "t_bm25_phrase",  # last driver row r8
+    "t_bm25_topk",  # last driver row r8
+    "t_bpe_tokens",  # last driver row r8
+    "t_chunk_stats",  # last driver row r8
+    "t_decontaminate",  # last driver row r8
+    "t_doclen_percentiles",  # last driver row r8
+    "t_domain_mixture",  # last driver row r8
+    "t_filter_funnel",  # last driver row r8
+    "t_fingerprint_pairs",  # last driver row r8
+    "t_idf_common",  # last driver row r8
+    "t_pack_sequences",  # last driver row r8
+    "t_phrase_stats",  # last driver row r8
+    "t_rep_ngram",  # last driver row r8
+    "t_scrub_pii",  # last driver row r8
+    "t_stopword_ratio",  # last driver row r8
+    "t_top_tokens",  # last driver row r8
+    "t_zipf_slope",  # last driver row r8
+    "v_hybrid_rrf",  # last driver row r8
+    "v_ivf_knn",  # last driver row r8
+    "v_ivf_recall_curve",  # last driver row r8
+    "v_knn_cosine",  # last driver row r8
+    "v_lsh_knn",  # last driver row r8
+    "v_sim_join_topk",  # last driver row r8
+    "w_rank_orders",  # last driver row r8
     "d_dedup_keep",  # last driver row r7
     "d_embedding_neardup",  # last driver row r7
     "d_minhash_lsh_pairs",  # last driver row r7
@@ -104,7 +153,6 @@ TAIL = [
     "m_frame_sample",  # last driver row r7
     "m_media_decode_stats",  # last driver row r7
     "m_wav_loudness",  # last driver row r7
-    "p_cohort_stats",  # last driver row r7
     "p_search_report",  # last driver row r7
     "r_ab_srm",  # last driver row r7
     "r_approx_distinct",  # last driver row r7
@@ -176,21 +224,6 @@ TAIL = [
     "v_rp_distortion",  # last driver row r6
     "v_store_stats",  # last driver row r6
     "v_zscore_fit",  # last driver row r6
-    "d_containment_pairs",  # last driver row r5
-    "d_cross_decontaminate",  # last driver row r5
-    "d_knn_components",  # last driver row r5
-    "d_novelty_curve",  # last driver row r5
-    "d_ppjoin_pairs",  # last driver row r5
-    "d_substring_spans",  # last driver row r5
-    "e_attribution",  # last driver row r5
-    "e_cuped",  # last driver row r5
-    "e_funnel_conversion",  # last driver row r5
-    "e_gapfill_locf",  # last driver row r5
-    "e_retention_cohorts",  # last driver row r5
-    "e_rolling_anomaly",  # last driver row r5
-    "m_phash_neardup",  # last driver row r5
-    "m_scene_detect",  # last driver row r5
-    "r_als_recs",  # last driver row r5
     "r_corr_matrix",  # last driver row r5
     "r_data_checks",  # last driver row r5
     "r_fuzzy_name_pairs",  # last driver row r5
@@ -200,7 +233,6 @@ TAIL = [
     "r_snapshot_diff",  # last driver row r5
     "r_triangle_count",  # last driver row r5
     "r_winsorized_mean",  # last driver row r5
-    "s_cluster_split",  # last driver row r5
     "s_group_sample",  # last driver row r5
     "s_sample_weighted",  # last driver row r5
     "t_bm25_indexed",  # last driver row r5
@@ -222,36 +254,6 @@ TAIL = [
     "v_semantic_cache",  # last driver row r5
     "v_triplet_mining",  # last driver row r5
     "w_percentile_rank",  # last driver row r5
-    "r_region_nation_revenue",  # last driver row r4
-    "r_rollup_revenue",  # last driver row r4
-    "r_scalar_math",  # last driver row r4
-    "r_semi_join",  # last driver row r4
-    "r_string_agg",  # last driver row r4
-    "r_string_funcs",  # last driver row r4
-    "r_table_profile",  # last driver row r4
-    "r_union_parties",  # last driver row r4
-    "t_bpe_train",  # last driver row r4
-    "t_exact_dedup",  # last driver row r4
-    "t_nb_quality",  # last driver row r4
-    "t_quality_buckets",  # last driver row r4
-    "v_dot_topk",  # last driver row r4
-    "v_embedding_drift",  # last driver row r4
-    "v_embedding_variance",  # last driver row r4
-    "v_filtered_knn",  # last driver row r4
-    "v_index_stats",  # last driver row r4
-    "v_ivf_knn_batch",  # last driver row r4
-    "v_ivf_knn_filtered",  # last driver row r4
-    "v_knn_l2",  # last driver row r4
-    "v_late_interaction",  # last driver row r4
-    "v_mmr_rerank",  # last driver row r4
-    "v_pq_knn",  # last driver row r4
-    "v_range_search",  # last driver row r4
-    "v_search_docs",  # last driver row r4
-    "v_sq8_knn",  # last driver row r4
-    "w_lag_delta",  # last driver row r4
-    "w_moving_avg",  # last driver row r4
-    "w_running_sum",  # last driver row r4
-    "w_share_of_customer",  # last driver row r4
 ]
 # --- END GENERATED WINDOW ---
 
