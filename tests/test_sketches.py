@@ -940,3 +940,56 @@ def test_theta_ledger_lifecycle_and_validation(spark, tmp_path):
     assert apply_theta_batch(_mk_batch(spark, rows), 0, spath) is False
     with pytest.raises(ValueError, match="num"):
         daily_theta_sketches(None, num=2, den=2)
+
+
+def test_qsk_rolling_by_type_within_bound(spark, events):
+    """Per-type trailing percentiles: every (day, type) estimate within
+    the structural bound of the exact per-type trailing percentile —
+    and NOT derivable from the all-types rolling (union semantics per
+    type, same argument as rolling_distinct_by_type)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rolling_percentiles_by_type,
+    )
+
+    ev = events.withColumn(
+        "value", (F.pmod(F.xxhash64("user_id", "ts"), F.lit(50000)) / 50.0)
+    )
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["p5"], r["p9"])
+        for r in rolling_percentiles_by_type(
+            daily_qsk_sketches(ev), 7, (0.5, 0.9)
+        ).collect()
+    }
+    base = ev.select(F.to_date("ts").alias("day"), "event_type", "value")
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = {
+        (str(r["out_day"]), r["event_type"]): (r["n"], r["x5"], r["x9"])
+        for r in base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "event_type",
+            "value",
+        )
+        .select(
+            F.date_add("day", "_o").alias("out_day"), "event_type", "value"
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.5)").alias("x5"),
+            F.expr("percentile(value, 0.9)").alias("x9"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    bound = qsk_relative_bound() * (1 + 1e-6)
+    for key, (n, *ests) in got.items():
+        xn, *xs = exact[key]
+        assert n == xn
+        for est, x in zip(ests, xs):
+            assert abs(est - x) <= x * bound + 1e-9, (key, est, x)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_percentiles_by_type(None, 0)

@@ -864,6 +864,47 @@ def rolling_percentiles(
     return out.withColumnRenamed("out_day", "day")
 
 
+def rolling_percentiles_by_type(
+    ledger: DataFrame,
+    window_days: int = 7,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    k: int = QSK_SUB_BUCKETS,
+) -> DataFrame:
+    """Per-event_type trailing-window percentiles — the QSK sibling of
+    :func:`rolling_distinct_by_type`: same explode + broadcast-semi-join
+    window engine, bucket counts merged per (day, type) before the
+    shared in-array estimator. Output: ``(day, event_type, n, p*...)``.
+    Same error contract as :func:`rolling_percentiles`."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
+    contrib = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            "event_type",
+            "b",
+            "cnt",
+        )
+        .select(
+            F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+            "event_type",
+            "b",
+            "cnt",
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    out = _qsk_percentiles_from_buckets(
+        contrib, ["out_day", "event_type"], qs, k
+    )
+    return out.withColumnRenamed("out_day", "day")
+
+
 def rollup_percentiles(
     ledger: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
