@@ -993,3 +993,48 @@ def test_qsk_rolling_by_type_within_bound(spark, events):
             assert abs(est - x) <= x * bound + 1e-9, (key, est, x)
     with pytest.raises(ValueError, match="window_days"):
         rolling_percentiles_by_type(None, 0)
+
+
+def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
+    """One retention GC serves every day-partitioned ledger kind: day
+    dirs older than keep_days behind the newest stored day are deleted
+    (data-relative horizon — deterministic), the newest always survives,
+    reads and rolling queries over the retained horizon still work, and
+    the validation knob is checked."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        qsk_ledger_upsert_batch,
+        rolling_percentiles,
+        sketch_ledger_retention,
+        sketch_ledger_upsert_batch,
+    )
+
+    rows = [
+        (i, dt.datetime(2026, 11, 1 + i, 9), i, "click", float(i + 1))
+        for i in range(6)
+    ]
+    hll = str(tmp_path / "hll")
+    qsk = str(tmp_path / "qsk")
+    assert sketch_ledger_upsert_batch(_mk_batch(spark, rows), hll) == 6
+    assert qsk_ledger_upsert_batch(_mk_batch(spark, rows), qsk) == 6
+
+    assert sketch_ledger_retention(hll, keep_days=3) == [
+        "2026-11-01", "2026-11-02", "2026-11-03",
+    ]
+    got = sorted(
+        str(r["day"]) for r in spark.read.parquet(hll).collect()
+    )
+    assert got == ["2026-11-04", "2026-11-05", "2026-11-06"]
+
+    assert sketch_ledger_retention(qsk, keep_days=1) == [
+        f"2026-11-0{i}" for i in range(1, 6)
+    ]
+    est = rolling_percentiles(spark.read.parquet(qsk), 1).collect()
+    assert len(est) == 1 and est[0]["n"] == 1  # newest day serves fine
+
+    # idempotent; keep_days covering everything is a no-op
+    assert sketch_ledger_retention(qsk, keep_days=1) == []
+    assert sketch_ledger_retention(qsk, keep_days=99) == []
+    with pytest.raises(ValueError, match="keep_days"):
+        sketch_ledger_retention(qsk, keep_days=0)
+    with pytest.raises(ValueError, match="no ledger"):
+        sketch_ledger_retention(str(tmp_path / "nope"), keep_days=1)

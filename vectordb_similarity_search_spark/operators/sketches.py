@@ -1284,3 +1284,45 @@ def ledger_percentiles(
         F.sum("cnt").cast("long").alias("cnt")
     )
     return _qsk_percentiles_from_buckets(grouped, list(keys), qs, k)
+
+
+def sketch_ledger_retention(path: str, *, keep_days: int) -> list[str]:
+    """Retention GC for ANY day-partitioned sketch ledger — HLL, CMS,
+    QSK, and theta stores share the ``day=YYYY-MM-DD`` layout, so one
+    function serves all four (the ledger sibling of
+    ``timetravel.vacuum_versions``, round-9): drop day partitions older
+    than ``keep_days`` behind the NEWEST stored day. The horizon is
+    DATA-relative, not wall-clock — deterministic for a given store, so
+    tests and replays see stable results. Returns the deleted day
+    names, oldest first.
+
+    A trailing-window serving query over the retained horizon is
+    unaffected as long as ``keep_days`` ≥ its window (the rolling
+    readers derive output days from stored leaves, so pruned history
+    simply falls out of scope). Entry-time torn-commit repair runs
+    first, exactly like the maintenance entry points; the single-writer
+    contract applies here too (retention racing an upsert could delete
+    a day the upsert is re-staging)."""
+    import datetime
+    import re
+
+    if keep_days < 1:
+        raise ValueError(f"keep_days must be >= 1, got {keep_days}")
+    if not os.path.isdir(path):
+        raise ValueError(f"no ledger at {path}")
+    sketch_ledger_repair(path)
+    days = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"day=(\d{4}-\d{2}-\d{2})", name)
+        if m:
+            days.append(m.group(1))
+    if not days:
+        return []
+    newest = max(datetime.date.fromisoformat(d) for d in days)
+    cutoff = newest - datetime.timedelta(days=keep_days - 1)
+    doomed = sorted(
+        d for d in days if datetime.date.fromisoformat(d) < cutoff
+    )
+    for d in doomed:
+        shutil.rmtree(os.path.join(path, f"day={d}"))
+    return doomed
