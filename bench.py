@@ -194,6 +194,7 @@ ANALYTICS = [
     # round-9 additions (same rule; pinned at round-9 close)
     "e_qsk_rolling_percentiles",  # quantile rank-sketch 7d rolling p50/p99
     "e_sketch_overlap",      # theta-sampled segment set-operation matrix
+    "e_qsk_type_percentiles",  # quantile-ledger type/total re-aggregation
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

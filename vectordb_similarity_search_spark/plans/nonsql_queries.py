@@ -2989,3 +2989,76 @@ def e_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "e_qsk_type_percentiles",
+    oracle="""
+WITH per AS (
+  SELECT 'type:' || event_type AS scope, count(*) AS n,
+         quantile_cont(value, 0.5) AS x50, quantile_cont(value, 0.99) AS x99
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+tot AS (
+  SELECT 'total' AS scope, count(*) AS n,
+         quantile_cont(value, 0.5) AS x50, quantile_cont(value, 0.99) AS x99
+  FROM events WHERE value IS NOT NULL)
+SELECT scope, CAST(n AS BIGINT) AS n_vals,
+       (round(x50, 6) + 0) AS exact_p50,
+       (round(x99, 6) + 0) AS exact_p99,
+       TRUE AS ok_p50, TRUE AS ok_p99
+FROM (SELECT * FROM per UNION ALL SELECT * FROM tot) ORDER BY scope
+""",
+)
+def e_qsk_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile rank-sketch ledger, RE-AGGREGABILITY readout (the
+    rollup sibling of e_qsk_rolling_percentiles — the e_hll_type_rollup
+    pattern): per-event_type whole-range p50/p99 AND the all-types
+    total, every number an integer bucket-count SUM over the SAME
+    leaves (operators/sketches.rollup_percentiles). A total percentile
+    is NOT derivable from per-type percentiles — only from mergeable
+    state; this is the property that lets ONE ledger serve every
+    grouping question at 100 TB without a log rescan per question.
+
+    INDEPENDENT oracle: DuckDB recomputes the exact per-scope
+    percentiles (quantile_cont) and counts; the structural
+    2^(1/(2k))−1 accuracy bound is pinned as TRUE booleans — same
+    theorem as the rolling form, deterministic at every sf."""
+    from ..operators.sketches import (
+        daily_qsk_sketches,
+        qsk_relative_bound,
+        rollup_percentiles,
+    )
+
+    e = t(spark, sf_dir, "events")
+    est = rollup_percentiles(daily_qsk_sketches(e), (0.5, 0.99))
+    vals = e.filter(F.col("value").isNotNull())
+    per = vals.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_x50"),
+        F.expr("percentile(value, 0.99)").alias("_x99"),
+    ).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "_x50",
+        "_x99",
+    )
+    tot = vals.agg(
+        F.expr("percentile(value, 0.5)").alias("_x50"),
+        F.expr("percentile(value, 0.99)").alias("_x99"),
+    ).select(F.lit("total").alias("scope"), "_x50", "_x99")
+    exact = per.unionByName(tot)
+    tol = qsk_relative_bound() * (1.0 + 1e-6)
+
+    def ok(est_c: str, x_c: str):
+        return F.abs(F.col(est_c) - F.col(x_c)) <= F.col(x_c) * tol + 1e-9
+
+    return (
+        est.join(exact, "scope")
+        .select(
+            "scope",
+            F.col("n").alias("n_vals"),
+            F.round("_x50", 6).alias("exact_p50"),
+            F.round("_x99", 6).alias("exact_p99"),
+            ok("p5", "_x50").alias("ok_p50"),
+            ok("p99", "_x99").alias("ok_p99"),
+        )
+        .orderBy("scope")
+    )
