@@ -1038,3 +1038,47 @@ def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
         sketch_ledger_retention(qsk, keep_days=0)
     with pytest.raises(ValueError, match="no ledger"):
         sketch_ledger_retention(str(tmp_path / "nope"), keep_days=1)
+
+
+def test_qsk_theta_plans_stay_scale_shaped(spark, events):
+    """Plan-shape pins for the round-9 ledgers (the HLL plan-test
+    discipline): the theta leaf build's sample Filter runs BELOW its
+    one distinct Exchange (the map-side p·n claim — at 100 TB the
+    shuffle must carry only sampled rows) with a partial aggregate
+    before the exchange; the qsk builds/readouts plan one exchange for
+    the leaf aggregation and broadcast-only joins for the window — no
+    BNLJ, no cartesian anywhere."""
+    import re
+
+    from tests.conftest import plan_of
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_qsk_sketches,
+        daily_theta_sketches,
+        rolling_percentiles,
+        theta_overlap,
+    )
+
+    ev = events.withColumn("value", F.col("user_id").cast("double"))
+
+    p_theta = plan_of(daily_theta_sketches(ev))
+    tree = p_theta.split("(1)")[0]
+    filt = re.search(r"Filter \((\d+)\)", tree)
+    exch = re.search(r"Exchange \((\d+)\)", tree)
+    assert filt and exch, tree
+    # formatted-plan numbering is bottom-up: a smaller id = deeper node,
+    # so the sample filter must carry a smaller id than the shuffle
+    assert int(filt.group(1)) < int(exch.group(1)), tree
+    assert tree.count("Exchange") == 1, tree
+
+    p_qsk = plan_of(daily_qsk_sketches(ev))
+    qtree = p_qsk.split("(1)")[0]
+    assert qtree.count("Exchange") == 1, qtree
+
+    for frame in (
+        rolling_percentiles(daily_qsk_sketches(ev), 7),
+        theta_overlap(daily_theta_sketches(ev)),
+    ):
+        p = plan_of(frame)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
