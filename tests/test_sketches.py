@@ -1082,3 +1082,61 @@ def test_qsk_theta_plans_stay_scale_shaped(spark, events):
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p
+
+
+def test_rolling_theta_overlap_close_to_exact(spark, events):
+    """Day-windowed pairwise overlap from the ledger: every (day, pair)
+    intersection/union estimate within tolerance of the exact trailing
+    7-day set algebra, and the whole-range form unchanged by the
+    refactor onto the shared estimator."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_theta_sketches,
+        rolling_theta_overlap,
+    )
+
+    ledger = daily_theta_sketches(events)
+    got = {
+        (str(r["day"]), r["type_a"], r["type_b"]): (
+            r["est_both"],
+            r["est_union"],
+        )
+        for r in rolling_theta_overlap(ledger, 7).collect()
+    }
+    # exact trailing sets per (day, type)
+    base = events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    ).distinct()
+    rows = base.collect()
+    import datetime as _dt
+    from collections import defaultdict
+
+    daily: dict = defaultdict(set)
+    for r in rows:
+        daily[(r["day"], r["event_type"])].add(r["user_id"])
+    all_days = sorted({d for d, _ in daily})
+    types = sorted({t for _, t in daily})
+    import itertools
+
+    checked = 0
+    for day in all_days:
+        win = [
+            d for d in all_days if 0 <= (day - d).days < 7
+        ]
+        sets = {
+            t: set().union(*(daily.get((d, t), set()) for d in win))
+            for t in types
+        }
+        for a, b in itertools.combinations(types, 2):
+            xb = len(sets[a] & sets[b])
+            xu = len(sets[a] | sets[b])
+            key = (str(day), a, b)
+            if key not in got:
+                assert xb == 0, key  # omitted only when nothing shared
+                continue
+            eb, eu = got[key]
+            assert abs(eb - xb) <= 0.25 * max(xb, 8), (key, eb, xb)
+            assert abs(eu - xu) <= 0.25 * xu, (key, eu, xu)
+            checked += 1
+    assert checked >= 50  # the fixture genuinely exercises many cells
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_theta_overlap(ledger, 0)

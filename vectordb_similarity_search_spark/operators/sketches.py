@@ -1088,16 +1088,28 @@ def theta_overlap(
     cross/nested-loop join appears anywhere."""
     if not 1 <= num < den:
         raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
-    scale = float(den) / float(num)
-    th = ledger.select("event_type", "h").distinct()
-    per_type = th.groupBy("event_type").agg(
+    return _theta_pairwise(
+        ledger.select("event_type", "h").distinct(),
+        [],
+        float(den) / float(num),
+    )
+
+
+def _theta_pairwise(
+    th: DataFrame, keys: list[str], scale: float
+) -> DataFrame:
+    """Shared pairwise estimator over a DISTINCT ``(*keys, event_type,
+    h)`` sample frame — whole-range (keys=[]) and day-windowed
+    (keys=["out_day"]) forms spell the same algebra through one copy."""
+    per_type = th.groupBy(*keys, "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("m")
     )
     pairs = (
-        th.groupBy("h")
+        th.groupBy(*keys, "h")
         .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
         .where(F.size("types") > 1)
         .select(
+            *keys,
             F.explode(
                 F.flatten(
                     F.transform(
@@ -1110,21 +1122,35 @@ def theta_overlap(
                         ),
                     )
                 )
-            ).alias("pr")
+            ).alias("pr"),
         )
-        .groupBy("pr.type_a", "pr.type_b")
+        .groupBy(*keys, "pr.type_a", "pr.type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("m_both"))
     )
     pop = F.broadcast(per_type)
-    joined = (
-        pairs.join(pop, pairs.type_a == pop.event_type)
-        .select("type_a", "type_b", "m_both", F.col("m").alias("m_a"))
-        .join(pop, F.col("type_b") == pop.event_type)
-        .select("type_a", "type_b", "m_a", F.col("m").alias("m_b"), "m_both")
+    a = pop.select(
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
+        F.col("event_type").alias("type_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = pop.select(
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
+        F.col("event_type").alias("type_b"),
+        F.col("m").alias("m_b"),
+    )
+    joined = pairs.join(
+        a,
+        [pairs["type_a"] == a["type_a"]]
+        + [pairs[k] == a[f"_ka_{k}"] for k in keys],
+    ).join(
+        b,
+        [pairs["type_b"] == b["type_b"]]
+        + [pairs[k] == b[f"_kb_{k}"] for k in keys],
     )
     return joined.select(
-        "type_a",
-        "type_b",
+        *[pairs[k] for k in keys],
+        pairs["type_a"],
+        pairs["type_b"],
         "m_a",
         "m_b",
         "m_both",
@@ -1139,6 +1165,48 @@ def theta_overlap(
             / (F.col("m_a") + F.col("m_b") - F.col("m_both")).cast("double")
         ).alias("est_jaccard"),
     )
+
+
+def rolling_theta_overlap(
+    ledger: DataFrame,
+    window_days: int = 7,
+    *,
+    num: int = THETA_NUM,
+    den: int = THETA_DEN,
+) -> DataFrame:
+    """Per-day TRAILING-WINDOW pairwise overlap estimates — the rolling
+    audience-overlap metric ("7-day Jaccard between segments, daily")
+    from the ledger alone: the same explode + broadcast-semi-join
+    window engine as the HLL/QSK rolling readouts builds a per-out_day
+    distinct sample frame (a key active on several window days counts
+    once — set semantics, deduped by the distinct), then the shared
+    pairwise estimator runs grouped by day. Output: ``(day, type_a,
+    type_b, m_*, est_*)`` — same columns as :func:`theta_overlap` plus
+    ``day``."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(F.col("day").alias("out_day"))
+    th = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            "event_type",
+            "h",
+        )
+        .select(
+            F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+            "event_type",
+            "h",
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .distinct()
+    )
+    out = _theta_pairwise(th, ["out_day"], float(den) / float(num))
+    return out.withColumnRenamed("out_day", "day")
 
 
 def theta_rollup_distinct(
