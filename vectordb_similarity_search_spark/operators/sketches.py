@@ -1394,3 +1394,427 @@ def sketch_ledger_retention(path: str, *, keep_days: int) -> list[str]:
     for d in doomed:
         shutil.rmtree(os.path.join(path, f"day={d}"))
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters (top-k) summary ledger (round 9): the TOP-K sibling —
+# "daily top users/URLs/tokens" without a log rescan per question
+# ---------------------------------------------------------------------------
+#
+# HLL answers distinct, CMS answers point frequency, QSK answers ranks,
+# theta answers set algebra; none answers "WHICH keys are the heaviest"
+# from stored state. The batch Misra-Gries operator
+# (operators/heavyhitters.py — reference analogue: the pandas
+# ``value_counts`` top-k report paths of similarity_search.py) is exact
+# but rescans the corpus twice per question; a daily top-k monitor over
+# 100 TB needs MERGEABLE per-day summaries instead. The form here is the
+# classic mergeable heavy-hitters summary (Agarwal, Cormode, Huang,
+# Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012): each leaf
+# computes the EXACT top-(k+1) counts of its (day, event_type) slice,
+# SUBTRACTS the (k+1)-th count ``c*`` from the kept top-k (dropping
+# non-positives) and records ``err = c*`` — the true Misra-Gries state.
+# Per-summary invariants, both pinned structurally in tests and at
+# write time:
+#
+#   (a) per key: counter ≤ true count ≤ counter + err (absent ≤ err);
+#   (b) Σ counters + (k+1)·err ≤ n_events.
+#
+# (b) is what makes the error bound survive ARBITRARY merge trees: the
+# merge rule (sum counters per key; subtract the (k+1)-th combined
+# counter c_sub; err' = err_a + err_b + c_sub) removes ≥ (k+1)·c_sub of
+# counter mass, so (b) telescopes and err ≤ n/(k+1) for EVERY stored
+# summary — the textbook bound, by induction, not by tuning. (Storing
+# exact top-k with err = c* instead satisfies (a) but breaks (b): a
+# 9-equal-keys/k=8 slice has M + (k+1)·err ≈ 2n, and err then roughly
+# doubles per merge level.) Every readout is interval arithmetic over
+# leaf state: ``lb = Σ counters where present`` and ``ub = lb + Σ err``
+# over the scope's leaves, so ub − lb = Σ err ≤ N/(k+1) — and
+# EVERYTHING is deterministic integer arithmetic: the driver query
+# carries a FULL exact SQL twin (DuckDB re-implements the identical
+# summary algebra with window functions), a strictly stronger oracle
+# than the CMS/theta tolerance twins.
+#
+# Scale shape: leaf build is one groupBy(day, type, key) count (the one
+# wide shuffle, map-side combined) followed by a TWO-LEVEL in-array
+# tournament for per-group top-(k+1) — level 1 takes each hash-bucket's
+# local top inside a bounded aggregation buffer (a key lives in exactly
+# one bucket, so bucket-top unions contain the group top), level 2
+# merges ≤ ``buckets`` bounded arrays. No per-group row_number window
+# (the coarse-window lint), no Python, no driver loop; readouts touch
+# days×types×k rows of ledger state, never the log.
+
+HH_K = 64
+HH_BUCKETS = 256
+
+
+def _hh_topn_arr(
+    df: DataFrame, keys: list[str], n: int, buckets: int
+) -> DataFrame:
+    """Exact per-``keys``-group top-``n`` of a ``(*keys, _k, _c)`` counts
+    frame under (count desc, key asc) — the shared two-level tournament
+    (see the section comment). Output: ``(*keys, _arr, _tot)`` where
+    ``_arr`` is ascending by ``(nc = -count, k)`` (so position 1 is the
+    heaviest) and ``_tot`` is the sum of ALL counts in the group, not
+    just the kept top."""
+    item = F.struct(
+        (-F.col("_c")).cast("long").alias("nc"), F.col("_k").alias("k")
+    )
+    lvl1 = df.groupBy(
+        *keys, F.pmod(F.xxhash64("_k"), F.lit(buckets)).alias("_bk")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("_top"),
+        F.sum("_c").cast("long").alias("_pn"),
+    )
+    return lvl1.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_top"))), 1, n
+        ).alias("_arr"),
+        F.sum("_pn").cast("long").alias("_tot"),
+    )
+
+
+def daily_hh_sketches(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = HH_K,
+    buckets: int = HH_BUCKETS,
+) -> DataFrame:
+    """ONE pass over the event log → the heavy-hitters leaf ledger
+    ``(day, event_type, n_events, items, err)``: ``items`` the
+    Misra-Gries counters of the slice — exact top-``k`` ``(k: key, c:
+    count − err)`` pairs under (count desc, key asc), with ``err`` the
+    (k+1)-th count subtracted so invariants (a)/(b) of the section
+    comment hold (0 when the slice has ≤ k distinct keys — the leaf is
+    then a complete, EXACT census). NULL keys are dropped entirely (a
+    NULL heavy hitter is a data-quality signal — ``r_table_profile``
+    territory), so ``n_events`` counts non-null-key rows and the bound
+    algebra stays consistent. ``buckets`` is an execution knob
+    (tournament fan-in), not a semantic parameter — results are
+    identical for any value."""
+    if not 1 <= k <= 65536:
+        raise ValueError(f"k must be in [1, 65536], got {k}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    cnts = (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(type_col).alias("event_type"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .filter(F.col("_k").isNotNull())
+        .groupBy("day", "event_type", "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    arr = _hh_topn_arr(cnts, ["day", "event_type"], k + 1, buckets)
+    c_star = (
+        F.when(F.size("_arr") > k, -F.element_at("_arr", k + 1)["nc"])
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return arr.select(
+        "day",
+        "event_type",
+        F.col("_tot").alias("n_events"),
+        F.filter(
+            F.transform(
+                F.slice("_arr", 1, k),
+                lambda x: F.struct(
+                    x["k"].alias("k"),
+                    (-x["nc"] - c_star).cast("long").alias("c"),
+                ),
+            ),
+            lambda x: x["c"] > 0,
+        ).alias("items"),
+        c_star.alias("err"),
+    )
+
+
+def _hh_scope_bounds(
+    u: DataFrame, keys: list[str], top_n: int, buckets: int
+) -> DataFrame:
+    """Shared readout: ``u`` holds ``(*keys, n_events, err, items)``
+    summary rows; per ``keys`` group, merge by the interval algebra
+    (lb = Σ present counts, ub = lb + Σ err) and keep the top ``top_n``
+    by (lb desc, key asc). Output: ``(*keys, rank, key, lb, ub)``."""
+    tot = u.groupBy(*keys).agg(
+        F.sum("err").cast("long").alias("_err_total")
+    )
+    lbs = (
+        u.select(*keys, F.explode("items").alias("it"))
+        .groupBy(*keys, F.col("it.k").alias("_k"))
+        .agg(F.sum("it.c").cast("long").alias("_c"))
+    )
+    arr = _hh_topn_arr(lbs, keys, top_n, buckets)
+    return (
+        arr.select(*keys, F.posexplode("_arr"))
+        .join(F.broadcast(tot), keys)
+        .select(
+            *keys,
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("col.k").alias("key"),
+            (-F.col("col.nc")).cast("long").alias("lb"),
+            (-F.col("col.nc") + F.col("_err_total"))
+            .cast("long")
+            .alias("ub"),
+        )
+    )
+
+
+def hh_rollup(
+    ledger: DataFrame, top_n: int = 20, *, buckets: int = HH_BUCKETS
+) -> DataFrame:
+    """Re-aggregability readout: whole-range top-``top_n`` keys per
+    event_type AND all-types total, every number an interval merge over
+    the SAME leaves — no raw-log pass (a total top-k is NOT derivable
+    from per-type top-k lists alone; only from summary state with error
+    accounting). Output: ``(scope, rank, key, lb, ub)`` with scope
+    'type:<event_type>' rows plus 'total' rows, ranked by (lb desc, key
+    asc). Contract: exact count ∈ [lb, ub] for every returned key, and
+    ub − lb = Σ err over the scope's leaves ≤ N_scope/(k+1)."""
+    base = ledger.select("event_type", "n_events", "err", "items")
+    u = base.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "n_events",
+        "err",
+        "items",
+    ).unionByName(
+        base.select(
+            F.lit("total").alias("scope"), "n_events", "err", "items"
+        )
+    )
+    return _hh_scope_bounds(u, ["scope"], top_n, buckets)
+
+
+def rolling_hh(
+    ledger: DataFrame,
+    window_days: int = 7,
+    top_n: int = 20,
+    *,
+    buckets: int = HH_BUCKETS,
+) -> DataFrame:
+    """Per-day TRAILING-WINDOW top keys — the daily "top users this
+    week" monitor from the ledger alone: the same explode +
+    broadcast-semi-join window engine as the HLL/QSK/theta rolling
+    readouts, then the shared interval-merge readout grouped by day.
+    Output: ``(day, rank, key, lb, ub)``; same bound contract as
+    :func:`hh_rollup` per window."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(
+        F.col("day").alias("out_day")
+    )
+    contrib = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            "n_events",
+            "err",
+            "items",
+        )
+        .select(
+            F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+            "n_events",
+            "err",
+            "items",
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+    )
+    out = _hh_scope_bounds(contrib, ["out_day"], top_n, buckets)
+    return out.withColumnRenamed("out_day", "day")
+
+
+def _hh_meta(key_col: str, type_col: str, ts_col: str, k: int) -> dict:
+    return {
+        "kind": "hh",
+        "key_col": key_col,
+        "type_col": type_col,
+        "ts_col": ts_col,
+        "k": k,
+    }
+
+
+def _hh_merge_fn(k: int, buckets: int):
+    """Same-day summary merge (late data / micro-batches) — the PODS'12
+    mergeable-summaries rule: sum counters per key, find ``c_sub`` = the
+    (k+1)-th combined counter (0 when ≤ k keys survive), SUBTRACT it
+    from every kept counter and drop non-positives, and fold it into the
+    error term: ``err' = err_a + err_b + c_sub``. The subtraction is
+    what keeps the error ADDITIVELY bounded under arbitrary merge trees
+    ((k+1)·err ≤ n_events holds for every stored summary, pinned in
+    tests); counters remain lower bounds throughout. Deterministic and
+    layout-independent: counter sums are exact and the tournament
+    tie-break is total."""
+
+    def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        u = stored.select(
+            "day", "event_type", "n_events", "items", "err"
+        ).unionByName(delta.select(
+            "day", "event_type", "n_events", "items", "err"
+        ))
+        meta = u.groupBy("day", "event_type").agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("err").cast("long").alias("_err_in"),
+        )
+        cnts = (
+            u.select("day", "event_type", F.explode("items").alias("it"))
+            .groupBy("day", "event_type", F.col("it.k").alias("_k"))
+            .agg(F.sum("it.c").cast("long").alias("_c"))
+        )
+        arr = _hh_topn_arr(
+            cnts, ["day", "event_type"], k + 1, buckets
+        ).drop("_tot")
+        empty = F.expr("array()").cast(
+            "array<struct<nc:bigint,k:string>>"
+        )
+        # left join: a group whose every item was subtracted away on a
+        # previous merge has summary rows but no exploded counters
+        joined = meta.join(arr, ["day", "event_type"], "left").select(
+            "day",
+            "event_type",
+            "n_events",
+            "_err_in",
+            F.coalesce(F.col("_arr"), empty).alias("_arr"),
+        )
+        c_sub = (
+            F.when(
+                F.size("_arr") > k, -F.element_at("_arr", k + 1)["nc"]
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        items = F.filter(
+            F.transform(
+                F.slice("_arr", 1, k),
+                lambda x: F.struct(
+                    x["k"].alias("k"),
+                    (-x["nc"] - c_sub).cast("long").alias("c"),
+                ),
+            ),
+            lambda x: x["c"] > 0,
+        )
+        return joined.select(
+            "day",
+            "event_type",
+            "n_events",
+            items.alias("items"),
+            (F.col("_err_in") + c_sub).cast("long").alias("err"),
+        )
+
+    return merge
+
+
+def hh_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = HH_K,
+) -> int:
+    """Materialize a heavy-hitters ledger, day-partitioned, summary
+    configuration in the ``_ledger_meta.json`` sidecar. Cross-check
+    (advisory discipline): the schema must be the canonical five
+    columns, no summary may hold MORE than ``k`` items, every stored
+    counter must be positive, ``err`` non-negative, and the mass
+    invariant (b) — ``Σ counters + (k+1)·err ≤ n_events`` — must hold
+    per summary row under the claimed ``k`` (the invariant the merge
+    bound telescopes through; a k LARGER than the build's inflates the
+    (k+1)·err term and is caught here whenever any summary evicted).
+    A SMALLER-k claim on an eviction-free ledger is not detectable from
+    the frame (documented residual, like the CMS width-larger case)."""
+    need = {"day", "event_type", "n_events", "items", "err"}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"heavy-hitters ledger frame is missing columns "
+            f"{sorted(missing)}; build it with daily_hh_sketches"
+        )
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    mass = F.coalesce(
+        F.aggregate(
+            "items",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["c"],
+        ),
+        F.lit(0).cast("long"),
+    )
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.max(F.size("items")), F.lit(0)).alias("max_items"),
+        F.coalesce(F.min("err"), F.lit(0)).alias("min_err"),
+        F.coalesce(
+            F.min(
+                F.coalesce(
+                    F.array_min(F.transform("items", lambda x: x["c"])),
+                    F.lit(1).cast("long"),
+                )
+            ),
+            F.lit(1).cast("long"),
+        ).alias("min_c"),
+        F.coalesce(
+            F.sum(
+                (
+                    mass + F.lit(k + 1) * F.col("err") > F.col("n_events")
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad_mass"),
+    ).first()
+    if stats["n"] and (
+        stats["max_items"] > k
+        or stats["min_err"] < 0
+        or stats["min_c"] < 1
+        or stats["bad_mass"]
+    ):
+        raise ValueError(
+            f"heavy-hitters ledger summaries (max items "
+            f"{stats['max_items']}, min err {stats['min_err']}, min "
+            f"counter {stats['min_c']}, mass-invariant violations "
+            f"{stats['bad_mass']}) do not fit the claimed k={k}; "
+            "pass the k the ledger was built with"
+        )
+    _write_ledger_meta(path, _hh_meta(key_col, type_col, ts_col, k))
+    return stats["n"]
+
+
+def hh_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: int = HH_K,
+    buckets: int = HH_BUCKETS,
+) -> int:
+    """O(touched-days) heavy-hitters maintenance through the SAME staged
+    day-swap engine as the other four ledgers (partition-pruned
+    read-back, executor-side staging, O_EXCL pending marker, lossless
+    crash repair); the merge is the PODS'12 compress rule of
+    :func:`_hh_merge_fn`. Like CMS/QSK counts — and unlike HLL register
+    max / theta distinct-union — summary counters are NOT replay-safe by
+    algebra (a replayed batch inflates counts), so this path sits behind
+    an applied-batch marker (streaming/events.apply_hh_batch). Returns
+    the number of day partitions written. Same single-writer and
+    no-null-day contracts as :func:`sketch_ledger_upsert_batch`."""
+    delta = daily_hh_sketches(
+        batch,
+        key_col=key_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        k=k,
+        buckets=buckets,
+    )
+    return _staged_day_upsert(
+        path,
+        delta,
+        _hh_merge_fn(k, buckets),
+        _hh_meta(key_col, type_col, ts_col, k),
+    )
