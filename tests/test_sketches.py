@@ -1140,3 +1140,271 @@ def test_rolling_theta_overlap_close_to_exact(spark, events):
     assert checked >= 50  # the fixture genuinely exercises many cells
     with pytest.raises(ValueError, match="window_days"):
         rolling_theta_overlap(ledger, 0)
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters (Misra-Gries) summary ledger
+# ---------------------------------------------------------------------------
+
+
+def _hh_exact_counts(events):
+    """Exact (day, event_type, key) counts as a dict — the truth the
+    interval bounds are checked against."""
+    return {
+        (str(r["day"]), r["event_type"], r["k"]): r["c"]
+        for r in events.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def _hh_mass_violations(ledger, k):
+    """Rows violating invariant (b): Σ counters + (k+1)·err ≤ n_events."""
+    mass = F.coalesce(
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda a, x: a + x["c"]
+        ),
+        F.lit(0).cast("long"),
+    )
+    return ledger.filter(
+        mass + F.lit(k + 1) * F.col("err") > F.col("n_events")
+    ).count()
+
+
+def test_hh_leaf_census_exact_when_unevicted(spark, events):
+    """k ≥ distinct keys → err = 0 everywhere and the leaves are a
+    complete exact census (counter == exact count for every key), so
+    rollup intervals collapse to points that equal the plain groupBy."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_rollup,
+    )
+
+    ledger = daily_hh_sketches(events, k=4096)
+    assert ledger.filter(F.col("err") != 0).count() == 0
+    exact = _hh_exact_counts(events)
+    for r in ledger.collect():
+        for it in r["items"]:
+            assert exact[(str(r["day"]), r["event_type"], it["k"])] == it["c"]
+    top = hh_rollup(ledger, 5).collect()
+    scoped: dict = {}
+    for (d, et, key), c in exact.items():
+        scoped[("type:" + et, key)] = scoped.get(("type:" + et, key), 0) + c
+        scoped[("total", key)] = scoped.get(("total", key), 0) + c
+    for r in top:
+        assert r["lb"] == r["ub"] == scoped[(r["scope"], r["key"])], r
+
+
+def test_hh_bounds_and_mass_invariant_under_eviction(spark, events):
+    """Small k forces evictions: every stored summary still satisfies
+    invariants (a) and (b), and every rollup/rolling output key's exact
+    count lies in [lb, ub] with ub − lb ≤ N_scope/(k+1) (the PODS'12
+    bound surfaced through the interval algebra)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_rollup,
+        rolling_hh,
+    )
+
+    k = 8
+    ledger = daily_hh_sketches(events, k=k).cache()
+    assert _hh_mass_violations(ledger, k) == 0
+    exact = _hh_exact_counts(events)
+    for r in ledger.collect():
+        for it in r["items"]:
+            t = exact[(str(r["day"]), r["event_type"], it["k"])]
+            assert it["c"] <= t <= it["c"] + r["err"], (r, it, t)
+
+    scoped: dict = {}
+    scope_n: dict = {}
+    for (d, et, key), c in exact.items():
+        for s in ("type:" + et, "total"):
+            scoped[(s, key)] = scoped.get((s, key), 0) + c
+            scope_n[s] = scope_n.get(s, 0) + c
+    rows = hh_rollup(ledger, 10).collect()
+    assert rows, "rollup returned nothing"
+    for r in rows:
+        t = scoped[(r["scope"], r["key"])]
+        assert r["lb"] <= t <= r["ub"], (r, t)
+        assert r["ub"] - r["lb"] <= scope_n[r["scope"]] / (k + 1) * (
+            1 + 1e-9
+        ), r
+
+    # rolling: per-day trailing-window truth
+    daily: dict = {}
+    for (d, et, key), c in exact.items():
+        daily.setdefault(d, {})[key] = daily.get(d, {}).get(key, 0) + c
+    days = sorted(daily)
+    for r in rolling_hh(ledger, 7, 5).collect():
+        day = str(r["day"])
+        win = [
+            d
+            for d in days
+            if 0
+            <= (
+                dt.date.fromisoformat(day) - dt.date.fromisoformat(d)
+            ).days
+            < 7
+        ]
+        t = sum(daily[d].get(r["key"], 0) for d in win)
+        assert r["lb"] <= t <= r["ub"], (r, t)
+
+
+def test_hh_upsert_matches_invariants_and_layout_independent(
+    spark, events, tmp_path
+):
+    """Three hash-split batches through the staged upsert: merged
+    summaries keep invariants (a)/(b) under the compress rule,
+    ``n_events`` stays exactly additive, and the stored state is
+    bit-identical across input partitioning AND tournament fan-in
+    (buckets is an execution knob, not a semantic one)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        hh_ledger_upsert_batch,
+    )
+
+    k = 8
+    ev = events.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+    ).cache()
+    paths = [str(tmp_path / "a"), str(tmp_path / "b")]
+    for path, (part, buckets) in zip(paths, [(None, 16), (7, 64)]):
+        for b in range(3):
+            batch = ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == b
+            )
+            if part:
+                batch = batch.repartition(part)
+            hh_ledger_upsert_batch(batch, path, k=k, buckets=buckets)
+    stored = spark.read.parquet(paths[0])
+    assert _hh_mass_violations(stored, k) == 0
+    exact = _hh_exact_counts(ev)
+    n_exact = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    checked = 0
+    for r in stored.collect():
+        assert n_exact[(str(r["day"]), r["event_type"])] == r["n_events"]
+        for it in r["items"]:
+            t = exact[(str(r["day"]), r["event_type"], it["k"])]
+            assert it["c"] <= t <= it["c"] + r["err"], (r, it, t)
+            checked += 1
+    assert checked > 50
+
+    def snap(path):
+        return {
+            (str(r["day"]), r["event_type"]): (
+                tuple((i["k"], i["c"]) for i in r["items"]),
+                r["err"],
+                r["n_events"],
+            )
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert snap(paths[0]) == snap(paths[1])
+
+
+def test_hh_merge_survives_all_subtracted_summaries(spark, tmp_path):
+    """Edge the compress rule must handle: k+1 equal-count keys make the
+    leaf subtract EVERYTHING (empty items, err = the common count); a
+    later same-day merge of such a summary goes through the left-join
+    coalesce path and the bounds stay valid."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        hh_ledger_upsert_batch,
+    )
+
+    k = 2
+    rows = [
+        (i, dt.datetime(2026, 11, 1, 9), i % 3, "click", 1.0)
+        for i in range(9)
+    ]  # 3 keys x 3 events: top-(k+1) all equal -> items empty, err=3
+    path = str(tmp_path / "hh")
+    assert hh_ledger_upsert_batch(_mk_batch(spark, rows), path, k=k) == 1
+    first = spark.read.parquet(path).collect()
+    assert len(first) == 1
+    assert first[0]["items"] == [] and first[0]["err"] == 3
+    # second batch: key 7 dominates
+    rows2 = [
+        (100 + i, dt.datetime(2026, 11, 1, 10), 7, "click", 1.0)
+        for i in range(10)
+    ]
+    assert hh_ledger_upsert_batch(_mk_batch(spark, rows2), path, k=k) == 1
+    merged = spark.read.parquet(path).collect()[0]
+    assert merged["n_events"] == 19
+    assert _hh_mass_violations(spark.read.parquet(path), k) == 0
+    got = {i["k"]: i["c"] for i in merged["items"]}
+    # key 7 has true count 10; its counter must lower-bound it within err
+    assert "7" in got and got["7"] <= 10 <= got["7"] + merged["err"]
+
+
+def test_hh_validation_and_write_cross_check(spark, events, tmp_path):
+    """Parameter validation plus the write-side sidecar cross-check: a
+    too-large claimed k inflates the (k+1)·err mass term and is caught
+    whenever any summary evicted; a corrupted items column is caught by
+    the counter-positivity check."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_ledger_write,
+        rolling_hh,
+    )
+
+    with pytest.raises(ValueError, match="k must be"):
+        daily_hh_sketches(events, k=0)
+    with pytest.raises(ValueError, match="buckets"):
+        daily_hh_sketches(events, buckets=0)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_hh(daily_hh_sketches(events, k=4), 0)
+    with pytest.raises(ValueError, match="missing columns"):
+        hh_ledger_write(events, str(tmp_path / "x"))
+
+    ledger = daily_hh_sketches(events, k=8).cache()
+    assert hh_ledger_write(ledger, str(tmp_path / "ok"), k=8) > 0
+    with pytest.raises(ValueError, match="claimed k"):
+        hh_ledger_write(ledger, str(tmp_path / "badk"), k=512)
+    broken = ledger.withColumn(
+        "items",
+        F.transform(
+            "items",
+            lambda x: F.struct(
+                x["k"].alias("k"), (x["c"] - 100).alias("c")
+            ),
+        ),
+    )
+    with pytest.raises(ValueError, match="claimed k"):
+        hh_ledger_write(broken, str(tmp_path / "neg"), k=8)
+
+
+def test_hh_plans_stay_scale_shaped(spark, events):
+    """Plan-shape pins (the qsk/theta discipline): the leaf build is
+    pure hash aggregation — three narrowing exchanges (raw counts →
+    bucket tops → group tops), NO row_number window, no Python, and the
+    readouts join broadcast-only."""
+    from tests.conftest import plan_of
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_rollup,
+        rolling_hh,
+    )
+
+    p = plan_of(daily_hh_sketches(events, k=8))
+    tree = p.split("(1)")[0]
+    assert tree.count("Exchange") <= 3, tree
+    assert "Window" not in tree, tree
+    for frame in (
+        hh_rollup(daily_hh_sketches(events, k=8), 10),
+        rolling_hh(daily_hh_sketches(events, k=8), 7, 5),
+    ):
+        pp = plan_of(frame)
+        assert "BroadcastNestedLoopJoin" not in pp
+        assert "CartesianProduct" not in pp
+        assert "BatchEvalPython" not in pp
+        assert "Window" not in pp.split("(1)")[0]
