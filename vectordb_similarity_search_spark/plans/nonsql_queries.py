@@ -3062,3 +3062,106 @@ def e_qsk_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+@query(
+    "e_hh_rollup",
+    oracle="""
+WITH cnts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(user_id AS VARCHAR) AS k, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY day, event_type
+                               ORDER BY c DESC, k) AS rn
+  FROM cnts),
+errs AS (
+  SELECT day, event_type,
+         coalesce(max(CASE WHEN rn = 9 THEN c END), 0) AS err
+  FROM ranked GROUP BY 1, 2),
+items AS (
+  SELECT r.day, r.event_type, r.k, r.c - e.err AS c
+  FROM ranked r JOIN errs e USING (day, event_type)
+  WHERE r.rn <= 8 AND r.c - e.err > 0),
+scoped_items AS (
+  SELECT 'type:' || event_type AS scope, k, c FROM items
+  UNION ALL SELECT 'total', k, c FROM items),
+scoped_err AS (
+  SELECT 'type:' || event_type AS scope, sum(err) AS err_total
+  FROM errs GROUP BY 1
+  UNION ALL SELECT 'total', sum(err) FROM errs),
+lbs AS (SELECT scope, k, sum(c) AS lb FROM scoped_items GROUP BY 1, 2),
+top AS (
+  SELECT scope, k, lb,
+         row_number() OVER (PARTITION BY scope
+                            ORDER BY lb DESC, k) AS rnk
+  FROM lbs)
+SELECT scope, CAST(rnk AS INT) AS rank, k AS key,
+       CAST(lb AS BIGINT) AS lb,
+       CAST(lb + err_total AS BIGINT) AS ub,
+       TRUE AS bound_ok
+FROM top JOIN scoped_err USING (scope)
+WHERE rnk <= 10 ORDER BY scope, rank
+""",
+)
+def e_hh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HEAVY-HITTERS summary ledger (round 9 — the top-k
+    sibling of the HLL/CMS/QSK/theta ledgers, operators/sketches.
+    daily_hh_sketches): ONE pass over the event log builds per-(day,
+    event_type) Misra-Gries summaries (exact top-(k+1) counts, the
+    (k+1)-th subtracted and folded into ``err`` — the PODS'12 mergeable
+    form), then "top users per event_type AND overall" comes from
+    interval merges over the ledger alone: lb = Σ stored counters,
+    ub = lb + Σ err, with ub − lb ≤ N_scope/(k+1) by the telescoping
+    mass invariant. At 100 TB this replaces the per-question double
+    corpus scan of the exact operator (operators/heavyhitters.py) with
+    a days×types×k-row ledger read; k=8 here so the fixture genuinely
+    evicts and the interval algebra is exercised, not vacuous.
+
+    FULL exact SQL twin — a strictly STRONGER oracle than the CMS/theta
+    tolerance twins: every number is deterministic integer arithmetic
+    (no hashing in the semantics — the tournament's hash bucketing is
+    an execution detail proven result-invariant in tests), so DuckDB
+    re-implements the identical summary algebra with window functions
+    and the driver hash must match EXACTLY — leaf ranking, subtraction,
+    error accounting, interval merge, and tie-breaks (lb desc, key asc,
+    lexicographic on both engines). ``bound_ok`` is additionally
+    verified on the Spark side against an exact recount (lb ≤ exact ≤
+    ub) and pinned TRUE by the twin."""
+    from ..operators.sketches import daily_hh_sketches, hh_rollup
+
+    e = t(spark, sf_dir, "events")
+    est = hh_rollup(daily_hh_sketches(e, k=8), 10)
+    scoped = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type"),
+            F.col("user_id").cast("string").alias("key"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("type:"), F.col("event_type")),
+                    F.lit("total"),
+                )
+            ).alias("scope"),
+            "key",
+        )
+        .groupBy("scope", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("_exact"))
+    )
+    return (
+        est.join(scoped, ["scope", "key"])
+        .select(
+            "scope",
+            "rank",
+            "key",
+            "lb",
+            "ub",
+            (
+                (F.col("lb") <= F.col("_exact"))
+                & (F.col("_exact") <= F.col("ub"))
+            ).alias("bound_ok"),
+        )
+        .orderBy("scope", "rank")
+    )

@@ -730,3 +730,23 @@ def apply_qsk_batch(
             batch_df.filter(F.col("ts").isNotNull()), ledger_path
         ),
     )
+
+
+def apply_hh_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the HEAVY-HITTERS summary ledger
+    (operators/sketches.hh_ledger_upsert_batch) behind the same
+    applied-batch marker — Misra-Gries counters, like CMS/QSK counts,
+    are NOT replay-safe by algebra (a replayed batch inflates them).
+    Null-ts rows are dropped under the :func:`apply_sketch_batch`
+    contract."""
+    from ..operators.sketches import hh_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: hh_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
