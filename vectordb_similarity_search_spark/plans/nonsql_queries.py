@@ -2441,18 +2441,20 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
     """Build-once streaming sketch-ledger scenario for
     ``e_stream_sketch_audit``: three deterministic content-hash
     micro-batches of the events table applied through the PRODUCTION
-    foreachBatch paths for ALL FOUR ledger kinds (streaming/events.
+    foreachBatch paths for ALL FIVE ledger kinds (streaming/events.
     apply_sketch_batch / apply_cms_batch / apply_qsk_batch /
-    apply_theta_batch — the same functions the ingest streams drive),
-    plus one REPLAY of batch 1 per kind that the applied-batch marker
-    must turn into a no-op. Returns the scenario base dir holding
-    ``hll`` / ``cms`` / ``qsk`` / ``theta`` subdir ledgers. Memoized
+    apply_theta_batch / apply_hh_batch — the same functions the ingest
+    streams drive), plus one REPLAY of batch 1 per kind that the
+    applied-batch marker must turn into a no-op. Returns the scenario
+    base dir holding ``hll`` / ``cms`` / ``qsk`` / ``theta`` / ``hh``
+    subdir ledgers. Memoized
     under the system tmp dir; the DONE marker commits atomically (the
     _stream_audit_targets pattern)."""
     import shutil
 
     from ..streaming.events import (
         apply_cms_batch,
+        apply_hh_batch,
         apply_qsk_batch,
         apply_sketch_batch,
         apply_theta_batch,
@@ -2460,7 +2462,7 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|sketchaudit2|"
+        f"{os.path.abspath(sf_dir)}|sketchaudit3|"
         f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_sketchaudit_{key}")
@@ -2488,6 +2490,7 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
         "cms": apply_cms_batch,
         "qsk": apply_qsk_batch,
         "theta": apply_theta_batch,
+        "hh": apply_hh_batch,
     }
     for kind, apply_fn in kinds.items():
         ledger = os.path.join(base, kind)
@@ -2552,14 +2555,17 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
        TRUE AS qsk_replay,
        TRUE AS cms_mass_ok,
        TRUE AS cms_replay,
-       TRUE AS theta_replay
+       TRUE AS theta_replay,
+       TRUE AS hh_mass_ok,
+       TRUE AS hh_bounds_ok
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
 )
 def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sketch-ledger ingest for ALL FOUR ledger kinds,
+    """Streaming sketch-ledger ingest for ALL FIVE ledger kinds,
     driver-checked end-to-end (round-8 VERDICT #7, extended to
-    CMS/QSK/THETA per round-9 order #4): the stored ledgers produced by
+    CMS/QSK/THETA per round-9 order #4 and to the HH heavy-hitters
+    ledger when it landed): the stored ledgers produced by
     THREE micro-batches through the production apply paths PLUS one
     replayed batch per kind (streaming/events.apply_*_batch —
     marker-protected, O(touched-days) upserts) must carry
@@ -2582,11 +2588,24 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cms_replay);
     - THETA stream cells == one-shot cells (theta_replay — here the
       algebra itself is idempotent; the boolean proves the marker +
-      distinct-union path delivers it).
+      distinct-union path delivers it);
+    - HH (heavy-hitters, the fifth kind): exactly-once summary mass —
+      the stream-merged ``n_events`` must equal the exact per-(day,
+      type) event count; a replayed merge doubles it (hh_mass_ok) —
+      plus the two Misra-Gries invariants on every stored summary:
+      per-key interval bounds counter ≤ exact ≤ counter + err against
+      an exact recount, and the telescoping mass invariant
+      Σ counters + (k+1)·err ≤ n_events (hh_bounds_ok; a replay
+      inflates counters past their exact counts and fails (a)).
+      Summary-state cell parity is deliberately NOT pinned: past the
+      eviction point the stream-merge compresses differently than a
+      one-shot build — the invariants are the contract, and they are
+      sf-independent.
 
     Full SQL twin: every exact column recomputed by DuckDB from the
     events table; the booleans pinned TRUE."""
     from ..operators.sketches import (
+        HH_K,
         daily_cms_sketches,
         daily_hll_sketches,
         daily_qsk_sketches,
@@ -2673,6 +2692,76 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # --- HH: exactly-once mass + Misra-Gries invariants (a) & (b) ----
+    hh_stream = _stream_ledger_frame(spark, base, "hh")
+    hh_mass = F.coalesce(
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda a, x: a + x["c"]
+        ),
+        F.lit(0).cast("long"),
+    )
+    hh_inv = hh_stream.select(
+        "day",
+        "event_type",
+        F.col("n_events").alias("_hh_n"),
+        (hh_mass + F.lit(HH_K + 1) * F.col("err") <= F.col("n_events")).alias(
+            "_hh_inv_ok"
+        ),
+    )
+    key_counts = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("user_id").cast("string").alias("_k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_kc"))
+    )
+    hh_items = hh_stream.select(
+        "day", "event_type", "err", F.explode("items").alias("it")
+    ).select(
+        "day",
+        "event_type",
+        "err",
+        F.col("it.k").alias("_k"),
+        F.col("it.c").alias("_c"),
+    )
+    hh_item_bounds = (
+        hh_items.join(key_counts, ["day", "event_type", "_k"], "left")
+        .groupBy("day", "event_type")
+        .agg(
+            F.min(
+                F.coalesce(
+                    (F.col("_c") <= F.col("_kc"))
+                    & (F.col("_kc") <= F.col("_c") + F.col("err")),
+                    F.lit(False),
+                )
+            ).alias("_hh_items_ok")
+        )
+    )
+    nn_counts = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    )
+    hh_day = (
+        nn_counts.join(hh_inv, ["day", "event_type"], "left")
+        .join(hh_item_bounds, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("_hh_n") == F.col("_nn"), F.lit(False)).alias(
+                "hh_mass_ok"
+            ),
+            (
+                F.coalesce("_hh_inv_ok", F.lit(False))
+                & F.coalesce("_hh_items_ok", F.lit(True))
+            ).alias("hh_bounds_ok"),
+        )
+    )
+
     # --- THETA: cell parity (idempotent algebra through the marker) ---
     theta_replay = _cells_match(
         _stream_ledger_frame(spark, base, "theta"),
@@ -2692,6 +2781,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qsk_est, ["day", "event_type"], "left")
         .join(qsk_replay, ["day", "event_type"], "left")
         .join(theta_replay, ["day", "event_type"], "left")
+        .join(hh_day, ["day", "event_type"], "left")
         .join(F.broadcast(cms_day), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -2706,6 +2796,8 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cms_mass_ok", F.lit(False)).alias("cms_mass_ok"),
             F.coalesce("cms_replay", F.lit(False)).alias("cms_replay"),
             F.coalesce("theta_replay", F.lit(True)).alias("theta_replay"),
+            F.coalesce("hh_mass_ok", F.lit(False)).alias("hh_mass_ok"),
+            F.coalesce("hh_bounds_ok", F.lit(False)).alias("hh_bounds_ok"),
         )
         .orderBy("day", "event_type")
     )
