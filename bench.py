@@ -195,6 +195,7 @@ ANALYTICS = [
     "e_qsk_rolling_percentiles",  # quantile rank-sketch 7d rolling p50/p99
     "e_sketch_overlap",      # theta-sampled segment set-operation matrix
     "e_qsk_type_percentiles",  # quantile-ledger type/total re-aggregation
+    "e_hh_rollup",           # heavy-hitters ledger interval-bound top-k
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import math
 import os
 import sys
 import time
@@ -411,7 +412,107 @@ def main() -> None:
     )
     tled.unpersist()
 
-    n_checks = 7
+    # --- 8. heavy-hitters ledger at the same scale (round 9) -----------
+    # A Zipf(1)-shaped key (inverse-CDF over a uniform hash: density
+    # ∝ 1/key) — heavy hitters are only meaningful under skew; the
+    # near-uniform user_id above would drown ANY summary's error term.
+    # Claims: every rollup interval brackets the exact count, interval
+    # width respects the telescoped N/(k+1) bound, the exact top-5 keys
+    # are all surfaced, and the ledger query beats the exact
+    # full-groupBy recompute it replaces.
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_rollup,
+    )
+
+    HH_SMOKE_K = 256
+    zipf = events.withColumn(
+        "user_id",
+        F.floor(
+            F.exp(
+                (F.pmod(F.xxhash64("user_id", F.lit(17)), F.lit(1_000_000))
+                 / 1_000_000.0)
+                * float(math.log(N_USERS))
+            )
+        ).cast("long"),
+    )
+    t0 = time.perf_counter()
+    hled = daily_hh_sketches(zipf, k=HH_SMOKE_K).persist()
+    n_hleaves = hled.count()
+    t_h_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    htop = hh_rollup(hled, 20).collect()
+    t_h_ledger = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scoped = zipf.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("type:"), F.col("event_type")),
+                F.lit("total"),
+            )
+        ).alias("scope"),
+        F.col("user_id").cast("string").alias("key"),
+    ).groupBy("scope", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    hexact = {
+        (r["scope"], r["key"]): r["c"]
+        for r in scoped.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(r["scope"], r["key"]) for r in htop],
+                    "scope string, key string",
+                )
+            ),
+            ["scope", "key"],
+        ).collect()
+    }
+    from pyspark.sql.window import Window as _W
+
+    exact_top5 = {
+        (r["scope"], r["key"])
+        for r in scoped.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("scope").orderBy(
+                    F.col("c").desc(), F.col("key")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    t_h_exact = time.perf_counter() - t0
+    scope_n = {
+        ("type:" + r["event_type"] if r["event_type"] else "total"): r["n"]
+        for r in hled.groupBy("event_type")
+        .agg(F.sum("n_events").alias("n"))
+        .collect()
+    }
+    scope_n["total"] = sum(scope_n.values())
+    h_bad = sum(
+        1
+        for r in htop
+        if not (
+            r["lb"] <= hexact[(r["scope"], r["key"])] <= r["ub"]
+            and r["ub"] - r["lb"]
+            <= scope_n[r["scope"]] / (HH_SMOKE_K + 1) + 1
+        )
+    )
+    surfaced = {(r["scope"], r["key"]) for r in htop}
+    h_missed = len(exact_top5 - surfaced)
+    check(
+        "hh_rollup_brackets_exact_and_beats_recompute",
+        h_bad == 0 and h_missed == 0 and t_h_ledger < t_h_exact,
+        f"leaves={n_hleaves} build={t_h_build:.1f}s "
+        f"ledger_query={t_h_ledger:.1f}s exact_recompute={t_h_exact:.1f}s "
+        f"speedup={t_h_exact / max(t_h_ledger, 1e-9):.1f}x "
+        f"bad_intervals={h_bad} top5_missed={h_missed}",
+    )
+    hled.unpersist()
+    scoped.unpersist()
+
+    n_checks = 8
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"

@@ -24,6 +24,7 @@ WINDOW_BUILT_FOR_ROUND = 9
 
 DRIVER_WINDOW = [
     "e_tumbling_hourly",  # last driver row r8
+    "e_hh_rollup",  # never driver-checked
     "e_qsk_rolling_percentiles",  # never driver-checked
     "e_qsk_type_percentiles",  # never driver-checked
     "e_sketch_overlap",  # never driver-checked
@@ -70,7 +71,6 @@ DRIVER_WINDOW = [
     "e_retention_cohorts",  # last driver row r5
     "e_rolling_anomaly",  # last driver row r5
     "m_phash_neardup",  # last driver row r5
-    "m_scene_detect",  # last driver row r5
     "s_cluster_split",  # last driver row r5
     "p_cohort_stats",  # last driver row r7
 ]
@@ -224,6 +224,7 @@ TAIL = [
     "v_rp_distortion",  # last driver row r6
     "v_store_stats",  # last driver row r6
     "v_zscore_fit",  # last driver row r6
+    "m_scene_detect",  # last driver row r5
     "r_als_recs",  # last driver row r5
     "r_corr_matrix",  # last driver row r5
     "r_data_checks",  # last driver row r5
