@@ -1002,7 +1002,9 @@ def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
     reads and rolling queries over the retained horizon still work, and
     the validation knob is checked."""
     from vectordb_similarity_search_spark.operators.sketches import (
+        hh_ledger_upsert_batch,
         qsk_ledger_upsert_batch,
+        rolling_hh,
         rolling_percentiles,
         sketch_ledger_retention,
         sketch_ledger_upsert_batch,
@@ -1014,8 +1016,10 @@ def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
     ]
     hll = str(tmp_path / "hll")
     qsk = str(tmp_path / "qsk")
+    hh = str(tmp_path / "hh")
     assert sketch_ledger_upsert_batch(_mk_batch(spark, rows), hll) == 6
     assert qsk_ledger_upsert_batch(_mk_batch(spark, rows), qsk) == 6
+    assert hh_ledger_upsert_batch(_mk_batch(spark, rows), hh, k=4) == 6
 
     assert sketch_ledger_retention(hll, keep_days=3) == [
         "2026-11-01", "2026-11-02", "2026-11-03",
@@ -1024,6 +1028,12 @@ def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
         str(r["day"]) for r in spark.read.parquet(hll).collect()
     )
     assert got == ["2026-11-04", "2026-11-05", "2026-11-06"]
+
+    assert sketch_ledger_retention(hh, keep_days=2) == [
+        f"2026-11-0{i}" for i in range(1, 5)
+    ]
+    kept = rolling_hh(spark.read.parquet(hh), 2, 3).collect()
+    assert {str(r["day"]) for r in kept} == {"2026-11-05", "2026-11-06"}
 
     assert sketch_ledger_retention(qsk, keep_days=1) == [
         f"2026-11-0{i}" for i in range(1, 6)
