@@ -196,6 +196,7 @@ ANALYTICS = [
     "e_sketch_overlap",      # theta-sampled segment set-operation matrix
     "e_qsk_type_percentiles",  # quantile-ledger type/total re-aggregation
     "e_hh_rollup",           # heavy-hitters ledger interval-bound top-k
+    "e_hh_rolling",          # heavy-hitters ledger trailing-window top-k
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

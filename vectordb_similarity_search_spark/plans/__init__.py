@@ -24,6 +24,7 @@ WINDOW_BUILT_FOR_ROUND = 9
 
 DRIVER_WINDOW = [
     "e_tumbling_hourly",  # last driver row r8
+    "e_hh_rolling",  # never driver-checked
     "e_hh_rollup",  # never driver-checked
     "e_qsk_rolling_percentiles",  # never driver-checked
     "e_qsk_type_percentiles",  # never driver-checked
@@ -69,9 +70,8 @@ DRIVER_WINDOW = [
     "e_funnel_conversion",  # last driver row r5
     "e_gapfill_locf",  # last driver row r5
     "e_retention_cohorts",  # last driver row r5
-    "e_rolling_anomaly",  # last driver row r5
-    "m_phash_neardup",  # last driver row r5
     "s_cluster_split",  # last driver row r5
+    "m_phash_neardup",  # last driver row r5
     "p_cohort_stats",  # last driver row r7
 ]
 
@@ -224,6 +224,7 @@ TAIL = [
     "v_rp_distortion",  # last driver row r6
     "v_store_stats",  # last driver row r6
     "v_zscore_fit",  # last driver row r6
+    "e_rolling_anomaly",  # last driver row r5
     "m_scene_detect",  # last driver row r5
     "r_als_recs",  # last driver row r5
     "r_corr_matrix",  # last driver row r5

@@ -3257,3 +3257,104 @@ def e_hh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope", "rank")
     )
+
+
+@query(
+    "e_hh_rolling",
+    oracle="""
+WITH cnts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(user_id AS VARCHAR) AS k, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY day, event_type
+                               ORDER BY c DESC, k) AS rn
+  FROM cnts),
+errs AS (
+  SELECT day, event_type,
+         coalesce(max(CASE WHEN rn = 9 THEN c END), 0) AS err
+  FROM ranked GROUP BY 1, 2),
+items AS (
+  SELECT r.day, r.event_type, r.k, r.c - e.err AS c
+  FROM ranked r JOIN errs e USING (day, event_type)
+  WHERE r.rn <= 8 AND r.c - e.err > 0),
+days AS (SELECT DISTINCT day FROM cnts),
+win_items AS (
+  SELECT d.day AS out_day, i.k, sum(i.c) AS lb
+  FROM days d JOIN items i ON i.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1, 2),
+win_err AS (
+  SELECT d.day AS out_day, sum(e.err) AS err_total
+  FROM days d JOIN errs e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1),
+top AS (
+  SELECT out_day, k, lb,
+         row_number() OVER (PARTITION BY out_day
+                            ORDER BY lb DESC, k) AS rnk
+  FROM win_items)
+SELECT strftime(out_day, '%Y-%m-%d') AS day, CAST(rnk AS INT) AS rank,
+       k AS key, CAST(lb AS BIGINT) AS lb,
+       CAST(lb + err_total AS BIGINT) AS ub,
+       TRUE AS bound_ok
+FROM top JOIN win_err USING (out_day)
+WHERE rnk <= 5 ORDER BY day, rank
+""",
+)
+def e_hh_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters ledger, TRAILING-WINDOW readout (the rolling
+    sibling of e_hh_rollup — the e_qsk_rolling_percentiles pattern):
+    "top users this week, daily" from the ledger alone via the shared
+    explode + broadcast-semi-join window engine, every number an
+    interval merge over the window's leaf summaries (lb = Σ counters,
+    ub = lb + Σ err). A trailing top-k is NOT derivable from per-day
+    top-k lists without error accounting — only from mergeable summary
+    state; at 100 TB this daily monitor reads days×types×k ledger rows,
+    never the log.
+
+    FULL exact SQL twin (same bar as e_hh_rollup): the trailing-window
+    interval algebra re-implemented in DuckDB — day-range join onto the
+    subtracted leaf items, per-window lb sums, err totals, (lb desc,
+    key asc) ranking — must hash-match EXACTLY. ``bound_ok`` is
+    additionally verified Spark-side against the exact trailing counts
+    and pinned TRUE by the twin."""
+    from ..operators.sketches import daily_hh_sketches, rolling_hh
+
+    e = t(spark, sf_dir, "events")
+    est = rolling_hh(daily_hh_sketches(e, k=8), 7, 5)
+    pairs = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("key"),
+        )
+    )
+    days = pairs.select("day").distinct().select(
+        F.col("day").alias("out_day")
+    )
+    exact = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "key",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "key")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("_exact"))
+        .withColumnRenamed("out_day", "day")
+    )
+    return (
+        est.join(exact, ["day", "key"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rank",
+            "key",
+            "lb",
+            "ub",
+            (
+                (F.col("lb") <= F.col("_exact"))
+                & (F.col("_exact") <= F.col("ub"))
+            ).alias("bound_ok"),
+        )
+        .orderBy("day", "rank")
+    )
