@@ -1418,3 +1418,34 @@ def test_hh_plans_stay_scale_shaped(spark, events):
         assert "CartesianProduct" not in pp
         assert "BatchEvalPython" not in pp
         assert "Window" not in pp.split("(1)")[0]
+
+
+def test_hh_estimate_brackets_exact_and_handles_absent_keys(spark, events):
+    """Point interval probe: for every candidate — including keys that
+    never survived any summary and keys that don't exist at all — the
+    exact whole-range count lies in [lb, ub]; an absent key reads
+    [0, Σ err]."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        hh_estimate,
+    )
+
+    ledger = daily_hh_sketches(events, k=8).cache()
+    cands = events.select("user_id").distinct().limit(50)
+    exact = {
+        r["k"]: r["c"]
+        for r in events.groupBy(
+            F.col("user_id").cast("string").alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = hh_estimate(ledger, cands, "user_id").collect()
+    assert len(got) == 50
+    for r in got:
+        t = exact[r["user_id"]]
+        assert r["lb"] <= t <= r["ub"], (r, t)
+    err_total = ledger.agg(F.sum("err")).first()[0]
+    ghost = spark.createDataFrame([("no-such-key",)], "user_id string")
+    g = hh_estimate(ledger, ghost, "user_id").collect()[0]
+    assert (g["lb"], g["ub"]) == (0, err_total)

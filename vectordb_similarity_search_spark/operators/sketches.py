@@ -1818,3 +1818,43 @@ def hh_ledger_upsert_batch(
         _hh_merge_fn(k, buckets),
         _hh_meta(key_col, type_col, ts_col, k),
     )
+
+
+def hh_estimate(
+    ledger: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Point INTERVAL estimates for a SMALL candidate key frame from the
+    heavy-hitters ledger — the MG analogue of :func:`cms_estimate`
+    (which bounds from above only; MG bounds from BOTH sides): per
+    candidate, ``lb`` = Σ stored counters across all leaves (0 when the
+    key never survived any summary) and ``ub`` = lb + Σ err over ALL
+    leaves — whole-range scope, true count ∈ [lb, ub] by invariant (a).
+    Returns ``(key_col, lb, ub)``. The candidate frame is broadcast
+    (candidates come from a business list or a CMS screen); the err
+    total is a 1-row broadcast scalar. Intersecting with a CMS probe —
+    ``[hh_lb, min(cms_est, hh_ub)]`` — tightens both, since the two
+    ledgers err in opposite directions."""
+    cand = keys.select(
+        F.col(key_col).cast("string").alias("_k")
+    ).distinct()
+    lbs = (
+        ledger.select(F.explode("items").alias("it"))
+        .select(F.col("it.k").alias("_k"), F.col("it.c").alias("_c"))
+        .join(F.broadcast(cand), "_k", "left_semi")
+        .groupBy("_k")
+        .agg(F.sum("_c").cast("long").alias("lb"))
+    )
+    err_total = ledger.agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("_err_total")
+    )
+    return (
+        cand.join(lbs, "_k", "left")
+        .crossJoin(F.broadcast(err_total))
+        .select(
+            F.col("_k").alias(key_col),
+            F.coalesce("lb", F.lit(0).cast("long")).alias("lb"),
+            (F.coalesce("lb", F.lit(0).cast("long")) + F.col("_err_total"))
+            .cast("long")
+            .alias("ub"),
+        )
+    )
