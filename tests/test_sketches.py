@@ -1449,3 +1449,40 @@ def test_hh_estimate_brackets_exact_and_handles_absent_keys(spark, events):
     ghost = spark.createDataFrame([("no-such-key",)], "user_id string")
     g = hh_estimate(ledger, ghost, "user_id").collect()[0]
     assert (g["lb"], g["ub"]) == (0, err_total)
+
+
+def test_hh_rolling_by_type_brackets_exact(spark, events):
+    """Per-type trailing windows: every (day, type) output key's exact
+    trailing count lies in [lb, ub] — the family-symmetric readout."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_hh_sketches,
+        rolling_hh_by_type,
+    )
+
+    k = 8
+    ledger = daily_hh_sketches(events, k=k)
+    got = rolling_hh_by_type(ledger, 7, 3).collect()
+    assert got
+    base = events.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("user_id").cast("string").alias("key"),
+    )
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = {
+        (str(r["out_day"]), r["event_type"], r["key"]): r["c"]
+        for r in base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "event_type",
+            "key",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "event_type", "key")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    for r in got:
+        t = exact[(str(r["day"]), r["event_type"], r["key"])]
+        assert r["lb"] <= t <= r["ub"], (r, t)

@@ -1858,3 +1858,45 @@ def hh_estimate(
             .alias("ub"),
         )
     )
+
+
+def rolling_hh_by_type(
+    ledger: DataFrame,
+    window_days: int = 7,
+    top_n: int = 20,
+    *,
+    buckets: int = HH_BUCKETS,
+) -> DataFrame:
+    """Per-event_type trailing-window top keys — the HH sibling of
+    :func:`rolling_distinct_by_type` / :func:`rolling_percentiles_by_type`
+    (API symmetry across the ledger family): the same explode +
+    broadcast-semi-join window engine, interval-merged per (day, type).
+    Output: ``(day, event_type, rank, key, lb, ub)``; the bound contract
+    of :func:`hh_rollup` holds per (window, type) scope."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(
+        F.col("day").alias("out_day")
+    )
+    contrib = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            "event_type",
+            "n_events",
+            "err",
+            "items",
+        )
+        .select(
+            F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+            "event_type",
+            "n_events",
+            "err",
+            "items",
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+    )
+    out = _hh_scope_bounds(contrib, ["out_day", "event_type"], top_n, buckets)
+    return out.withColumnRenamed("out_day", "day")
