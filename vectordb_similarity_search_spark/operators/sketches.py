@@ -1900,3 +1900,240 @@ def rolling_hh_by_type(
     )
     out = _hh_scope_bounds(contrib, ["out_day", "event_type"], top_n, buckets)
     return out.withColumnRenamed("out_day", "day")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic row-sample ledger (round 9): APPROXIMATE QUERY PROCESSING —
+# ad-hoc grouped aggregates from stored state at 1/p of the scan cost
+# ---------------------------------------------------------------------------
+#
+# The five ledgers above each answer ONE question family from mergeable
+# state (distinct / frequency / quantiles / set algebra / top-k). The
+# question they cannot answer is the AD-HOC one: "average value per
+# event_type last week", "revenue share by a grouping nobody
+# pre-aggregated". The classic scale answer (BlinkDB, Agarwal et al.,
+# EuroSys 2013 — public) is a maintained UNIFORM SAMPLE: keep row r iff
+# ``xxhash64(id(r)) mod den < num`` (rate p = num/den over a UNIQUE row
+# id, so membership is a pure row function — deterministic, the repo's
+# oracle bar), estimate with Horvitz-Thompson scaling: est_count = n/p,
+# est_sum = Σv/p, est_avg = Σv/n (the ratio estimator needs no
+# scaling). Relative error ~ sqrt((1-p)/(p·n_group)) — the dial is
+# num/den exactly as for the theta ledger (p = 2^-8..2^-12 at 100 TB).
+#
+# Ledger shape: the sampled rows THEMSELVES, day-partitioned, with the
+# payload columns a serving tier queries. The merge is distinct-union
+# on (day, id) — IDEMPOTENT, hence replay-safe by algebra (the theta
+# property; re-applying a batch cannot change the sample), persisted
+# through the same staged day-swap engine. The map-side sample filter
+# runs at the scan — the build plans NO shuffle at all (a filtered
+# projection), which is the whole maintenance story.
+
+SAMPLE_NUM = 3
+SAMPLE_DEN = 4
+
+
+def daily_sample_rows(
+    events: DataFrame,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    payload: tuple[str, ...] = ("event_type", "value"),
+    num: int = SAMPLE_NUM,
+    den: int = SAMPLE_DEN,
+) -> DataFrame:
+    """ONE filtered projection over the log → the sample ledger
+    ``(day, id, *payload)``: rows whose unique ``id_col`` passes the
+    fixed-threshold keep-predicate. NO aggregation, NO shuffle — at
+    100 TB the build writes p·N rows and nothing else moves.
+    ``id_col`` must be unique per row (sampling hashes row IDENTITY;
+    hashing a non-unique column would correlate inclusion across
+    duplicate rows and bias every estimate — the theta ledger is the
+    key-sampling form)."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    idc = F.col(id_col)
+    return events.select(
+        F.to_date(ts_col).alias("day"),
+        idc.alias("id"),
+        F.xxhash64(idc.cast("string")).alias("_h"),
+        *[F.col(c) for c in payload],
+    ).filter(F.pmod(F.col("_h"), F.lit(den)) < F.lit(num)).drop("_h")
+
+
+def sample_grouped_stats(
+    ledger: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    *,
+    num: int = SAMPLE_NUM,
+    den: int = SAMPLE_DEN,
+) -> DataFrame:
+    """Horvitz-Thompson grouped estimates from the sample ledger alone:
+    ``(keys..., n_sampled, est_count, est_sum, est_avg)``. est_count
+    and est_sum scale by 1/p; est_avg is the ratio estimator (sample
+    mean — no scaling; NULL values contribute to neither numerator nor
+    denominator, matching SQL AVG). A group with no sampled rows is
+    absent (its est is 0); callers needing a full matrix left-join onto
+    their group skeleton, the theta_overlap convention."""
+    if not 1 <= num < den:
+        raise ValueError(f"need 1 <= num < den, got num={num} den={den}")
+    scale = float(den) / float(num)
+    return ledger.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (F.count(F.lit(1)) * scale).alias("est_count"),
+        (F.sum(value_col) * scale).alias("est_sum"),
+        F.avg(value_col).alias("est_avg"),
+    )
+
+
+def rolling_sample_stats(
+    ledger: DataFrame,
+    window_days: int = 7,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    *,
+    num: int = SAMPLE_NUM,
+    den: int = SAMPLE_DEN,
+) -> DataFrame:
+    """Per-day TRAILING-WINDOW grouped estimates — ad-hoc AQP over time
+    windows from the ledger alone: the same explode + broadcast-semi-join
+    window engine as every other ledger readout, then the HT estimators
+    per (day, *keys). Output: ``(day, keys..., n_sampled, est_count,
+    est_sum, est_avg)``. Window semantics are ROW-scoped (each sampled
+    row counts in every window day it falls in) — the estimators stay
+    unbiased because inclusion is decided once per row, independent of
+    the window."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = ledger.select("day").distinct().select(
+        F.col("day").alias("out_day")
+    )
+    contrib = (
+        ledger.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias(
+                "_off"
+            ),
+            "day",
+            *keys,
+            value_col,
+        )
+        .select(
+            F.date_add(F.col("day"), F.col("_off")).alias("out_day"),
+            *keys,
+            value_col,
+        )
+        .join(F.broadcast(days), "out_day", "left_semi")
+    )
+    out = sample_grouped_stats(
+        contrib, ("out_day", *keys), value_col, num=num, den=den
+    )
+    return out.withColumnRenamed("out_day", "day")
+
+
+def _sample_meta(
+    id_col: str, ts_col: str, payload: tuple[str, ...], num: int, den: int
+) -> dict:
+    return {
+        "kind": "sample",
+        "id_col": id_col,
+        "ts_col": ts_col,
+        "payload": list(payload),
+        "num": num,
+        "den": den,
+    }
+
+
+def _sample_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    # distinct-union on full rows, keyed by (day, id): a row id is
+    # unique, so identical replayed rows collapse — idempotent, the
+    # theta property (payload columns ride along unchanged)
+    return stored.select(*delta.columns).unionByName(delta).distinct()
+
+
+def sample_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    payload: tuple[str, ...] = ("event_type", "value"),
+    num: int = SAMPLE_NUM,
+    den: int = SAMPLE_DEN,
+) -> int:
+    """Materialize a sample ledger, day-partitioned, sampling config in
+    the sidecar. Cross-check (advisory discipline): the schema must be
+    ``(day, id, *payload)``, every stored id must satisfy the claimed
+    keep-predicate, and ids must be UNIQUE — a duplicate id means the
+    source id column was not a row identity and every estimate is
+    biased (caught here, not in production reads). A lower-rate ledger
+    can slip through a higher-rate claim (the theta residual)."""
+    need = {"day", "id", *payload}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"sample ledger frame is missing columns {sorted(missing)}; "
+            "build it with daily_sample_rows"
+        )
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("n_ids"),
+        F.coalesce(
+            F.sum(
+                (
+                    ~(
+                        F.pmod(
+                            F.xxhash64(F.col("id").cast("string")),
+                            F.lit(den),
+                        )
+                        < F.lit(num)
+                    )
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad"),
+    ).first()
+    if stats["bad"] or stats["n"] != stats["n_ids"]:
+        raise ValueError(
+            f"sample ledger violates its contract ({stats['bad']} id(s) "
+            f"outside the claimed keep-predicate h mod {den} < {num}; "
+            f"{stats['n'] - stats['n_ids']} duplicate id(s)); pass the "
+            "num/den the ledger was built with and a UNIQUE id column"
+        )
+    _write_ledger_meta(
+        path, _sample_meta(id_col, ts_col, payload, num, den)
+    )
+    return stats["n"]
+
+
+def sample_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    payload: tuple[str, ...] = ("event_type", "value"),
+    num: int = SAMPLE_NUM,
+    den: int = SAMPLE_DEN,
+) -> int:
+    """O(touched-days) sample maintenance through the shared staged
+    day-swap engine; the merge is distinct-union on (day, id) — like
+    theta, IDEMPOTENT: a replayed batch cannot change the sample, so
+    the streaming applied-batch marker is purely a cost guard. Returns
+    the number of day partitions written. Same single-writer and
+    no-null-day contracts as :func:`sketch_ledger_upsert_batch`."""
+    delta = daily_sample_rows(
+        batch,
+        id_col=id_col,
+        ts_col=ts_col,
+        payload=payload,
+        num=num,
+        den=den,
+    )
+    return _staged_day_upsert(
+        path,
+        delta,
+        _sample_merge,
+        _sample_meta(id_col, ts_col, payload, num, den),
+    )
