@@ -1486,3 +1486,187 @@ def test_hh_rolling_by_type_brackets_exact(spark, events):
     for r in got:
         t = exact[(str(r["day"]), r["event_type"], r["key"])]
         assert r["lb"] <= t <= r["ub"], (r, t)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic row-sample ledger (approximate query processing)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sample_events(spark):
+    # events with a UNIQUE id and a value column (the HLL fixture has no
+    # id/value); deterministic, 21 days, 3 types
+    return (
+        spark.range(30_000)
+        .select(
+            F.col("id").alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(
+                    hours=F.pmod(F.xxhash64("id"), F.lit(21 * 24))
+                )
+            ).alias("ts"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(3)) + 1).cast(
+                    "int"
+                ),
+            ).alias("event_type"),
+            (
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)) / 10.0
+            ).alias("value"),
+        )
+        .cache()
+    )
+
+
+def test_sample_estimates_within_binomial_error(spark, sample_events):
+    """HT estimators vs exact grouped aggregates: p=3/4 over ~10k rows
+    per type gives ~0.6% relative std; 5% is a many-sigma deterministic
+    bound for this fixed hash family and fixture."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        sample_grouped_stats,
+    )
+
+    led = daily_sample_rows(sample_events)
+    est = {r["event_type"]: r for r in sample_grouped_stats(led).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in sample_events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, x in exact.items():
+        e = est[t]
+        assert abs(e["est_count"] - x["c"]) / x["c"] < 0.05
+        assert abs(e["est_sum"] - x["s"]) / abs(x["s"]) < 0.05
+        assert abs(e["est_avg"] - x["a"]) / abs(x["a"]) < 0.05
+
+
+def test_sample_rolling_matches_window_semantics(spark, sample_events):
+    """Trailing-window estimates bracket the exact trailing aggregates
+    (same tolerance), and every (day, type) cell with sampled rows is
+    present."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        rolling_sample_stats,
+    )
+
+    led = daily_sample_rows(sample_events)
+    got = {
+        (str(r["day"]), r["event_type"]): r
+        for r in rolling_sample_stats(led, 7).collect()
+    }
+    base = sample_events.select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    days = base.select("day").distinct().select(F.col("day").alias("out_day"))
+    exact = {
+        (str(r["out_day"]), r["event_type"]): r
+        for r in base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+            "day",
+            "event_type",
+            "value",
+        )
+        .select(F.date_add("day", "_o").alias("out_day"), "event_type", "value")
+        .join(F.broadcast(days), "out_day", "left_semi")
+        .groupBy("out_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.avg("value").alias("a"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, x in exact.items():
+        e = got[k]
+        assert abs(e["est_count"] - x["c"]) / x["c"] < 0.10, (k, e, x)
+        assert abs(e["est_avg"] - x["a"]) / abs(x["a"]) < 0.10, (k, e, x)
+
+
+def test_sample_upsert_idempotent_and_matches_one_shot(
+    spark, sample_events, tmp_path
+):
+    """Three hash-split batches + one replay through the staged upsert:
+    the stored sample equals the one-shot build row-for-row, and the
+    replay changes nothing (distinct-union on a unique id)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        sample_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "s")
+    for b in range(3):
+        batch = sample_events.filter(
+            F.pmod(F.xxhash64("event_id"), F.lit(3)) == b
+        )
+        assert sample_ledger_upsert_batch(batch, path) > 0
+    snap = lambda df: sorted(  # noqa: E731
+        (str(r["day"]), r["id"], r["event_type"], r["value"])
+        for r in df.collect()
+    )
+    s1 = snap(spark.read.parquet(path))
+    sample_ledger_upsert_batch(
+        sample_events.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == 1),
+        path,
+    )
+    assert snap(spark.read.parquet(path)) == s1
+    one_shot = daily_sample_rows(sample_events)
+    assert snap(spark.read.parquet(path).select(*one_shot.columns)) == snap(
+        one_shot
+    )
+
+
+def test_sample_validation_and_write_cross_check(
+    spark, sample_events, tmp_path
+):
+    """Rate validation, keep-predicate cross-check, and the UNIQUE-id
+    cross-check (a non-identity id column biases every estimate — must
+    be caught at write time)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        rolling_sample_stats,
+        sample_grouped_stats,
+        sample_ledger_write,
+    )
+
+    with pytest.raises(ValueError, match="num"):
+        daily_sample_rows(sample_events, num=4, den=4)
+    with pytest.raises(ValueError, match="num"):
+        sample_grouped_stats(None, num=0, den=4)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_sample_stats(None, 0)
+    with pytest.raises(ValueError, match="missing columns"):
+        sample_ledger_write(sample_events, str(tmp_path / "x"))
+
+    led = daily_sample_rows(sample_events).cache()
+    assert sample_ledger_write(led, str(tmp_path / "ok")) > 0
+    with pytest.raises(ValueError, match="keep-predicate"):
+        sample_ledger_write(led, str(tmp_path / "rate"), num=1, den=64)
+    with pytest.raises(ValueError, match="duplicate id"):
+        sample_ledger_write(
+            led.unionByName(led.limit(3)), str(tmp_path / "dup")
+        )
+
+
+def test_sample_build_plans_no_shuffle(spark, sample_events):
+    """The whole maintenance story: the ledger build is a filtered
+    projection — ZERO exchanges; the grouped estimator adds exactly the
+    one aggregation exchange any grouped question costs."""
+    from tests.conftest import plan_of
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        sample_grouped_stats,
+    )
+
+    tree = plan_of(daily_sample_rows(sample_events)).split("(1)")[0]
+    assert tree.count("Exchange") == 0, tree
+    tree2 = plan_of(
+        sample_grouped_stats(daily_sample_rows(sample_events))
+    ).split("(1)")[0]
+    assert tree2.count("Exchange") == 1, tree2
