@@ -197,6 +197,7 @@ ANALYTICS = [
     "e_qsk_type_percentiles",  # quantile-ledger type/total re-aggregation
     "e_hh_rollup",           # heavy-hitters ledger interval-bound top-k
     "e_hh_rolling",          # heavy-hitters ledger trailing-window top-k
+    "e_sample_aqp",          # AQP row-sample ledger, HT grouped estimates
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

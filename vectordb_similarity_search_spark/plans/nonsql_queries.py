@@ -2441,13 +2441,13 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
     """Build-once streaming sketch-ledger scenario for
     ``e_stream_sketch_audit``: three deterministic content-hash
     micro-batches of the events table applied through the PRODUCTION
-    foreachBatch paths for ALL FIVE ledger kinds (streaming/events.
+    foreachBatch paths for ALL SIX ledger kinds (streaming/events.
     apply_sketch_batch / apply_cms_batch / apply_qsk_batch /
-    apply_theta_batch / apply_hh_batch — the same functions the ingest
-    streams drive), plus one REPLAY of batch 1 per kind that the
-    applied-batch marker must turn into a no-op. Returns the scenario
-    base dir holding ``hll`` / ``cms`` / ``qsk`` / ``theta`` / ``hh``
-    subdir ledgers. Memoized
+    apply_theta_batch / apply_hh_batch / apply_sample_batch — the same
+    functions the ingest streams drive), plus one REPLAY of batch 1 per
+    kind that the applied-batch marker must turn into a no-op. Returns
+    the scenario base dir holding ``hll`` / ``cms`` / ``qsk`` /
+    ``theta`` / ``hh`` / ``sample`` subdir ledgers. Memoized
     under the system tmp dir; the DONE marker commits atomically (the
     _stream_audit_targets pattern)."""
     import shutil
@@ -2456,13 +2456,14 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
         apply_cms_batch,
         apply_hh_batch,
         apply_qsk_batch,
+        apply_sample_batch,
         apply_sketch_batch,
         apply_theta_batch,
     )
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|sketchaudit3|"
+        f"{os.path.abspath(sf_dir)}|sketchaudit4|"
         f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_sketchaudit_{key}")
@@ -2491,6 +2492,7 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
         "qsk": apply_qsk_batch,
         "theta": apply_theta_batch,
         "hh": apply_hh_batch,
+        "sample": apply_sample_batch,
     }
     for kind, apply_fn in kinds.items():
         ledger = os.path.join(base, kind)
@@ -2557,12 +2559,13 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
        TRUE AS cms_replay,
        TRUE AS theta_replay,
        TRUE AS hh_mass_ok,
-       TRUE AS hh_bounds_ok
+       TRUE AS hh_bounds_ok,
+       TRUE AS sample_replay
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
 )
 def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sketch-ledger ingest for ALL FIVE ledger kinds,
+    """Streaming sketch-ledger ingest for ALL SIX ledger kinds,
     driver-checked end-to-end (round-8 VERDICT #7, extended to
     CMS/QSK/THETA per round-9 order #4 and to the HH heavy-hitters
     ledger when it landed): the stored ledgers produced by
@@ -2600,7 +2603,12 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       Summary-state cell parity is deliberately NOT pinned: past the
       eviction point the stream-merge compresses differently than a
       one-shot build — the invariants are the contract, and they are
-      sf-independent.
+      sf-independent;
+    - SAMPLE (the AQP row-sample ledger, sixth kind): stream cells ==
+      one-shot cells on (day, type, id) with payload-value parity
+      (sample_replay — like theta, the distinct-union-on-id algebra is
+      idempotent; the boolean proves the marker + merge path delivers
+      it).
 
     Full SQL twin: every exact column recomputed by DuckDB from the
     events table; the booleans pinned TRUE."""
@@ -2609,6 +2617,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily_cms_sketches,
         daily_hll_sketches,
         daily_qsk_sketches,
+        daily_sample_rows,
         daily_theta_sketches,
         hll_estimate,
         ledger_percentiles,
@@ -2770,6 +2779,15 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["h"],
     ).withColumnRenamed("match", "theta_replay")
 
+    # --- SAMPLE: cell parity (idempotent algebra, the theta shape) ---
+    sample_replay = _cells_match(
+        _stream_ledger_frame(spark, base, "sample"),
+        daily_sample_rows(events),
+        ["day", "event_type"],
+        ["id"],
+        "value",
+    ).withColumnRenamed("match", "sample_replay")
+
     # LEFT joins from the HLL/exact skeleton: a (day, type) cell with
     # zero SAMPLED theta keys (possible at tiny sf) is absent from both
     # the stream and one-shot theta ledgers — vacuously consistent, so
@@ -2782,6 +2800,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qsk_replay, ["day", "event_type"], "left")
         .join(theta_replay, ["day", "event_type"], "left")
         .join(hh_day, ["day", "event_type"], "left")
+        .join(sample_replay, ["day", "event_type"], "left")
         .join(F.broadcast(cms_day), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -2798,6 +2817,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("theta_replay", F.lit(True)).alias("theta_replay"),
             F.coalesce("hh_mass_ok", F.lit(False)).alias("hh_mass_ok"),
             F.coalesce("hh_bounds_ok", F.lit(False)).alias("hh_bounds_ok"),
+            F.coalesce("sample_replay", F.lit(True)).alias("sample_replay"),
         )
         .orderBy("day", "event_type")
     )
@@ -3357,4 +3377,68 @@ def e_hh_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_ok"),
         )
         .orderBy("day", "rank")
+    )
+
+
+@query(
+    "e_sample_aqp",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS exact_n,
+       (round(sum(value), 6) + 0) AS exact_sum,
+       (round(avg(value), 6) + 0) AS exact_avg,
+       TRUE AS ok_count, TRUE AS ok_sum, TRUE AS ok_avg
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def e_sample_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic row-SAMPLE ledger for approximate query processing
+    (round 9 — the sixth ledger sibling, operators/sketches.
+    daily_sample_rows): the BlinkDB idea on the repo's determinism bar —
+    keep rows whose unique event_id passes a fixed-threshold hash
+    predicate (p = 3/4 here; 2^-8..2^-12 at 100 TB), answer AD-HOC
+    grouped questions with Horvitz-Thompson scaling from the stored
+    sample at 1/p of the scan cost. The build plans ZERO exchanges (a
+    filtered projection — plan-pinned in tests); the merge is
+    distinct-union on the row id — idempotent, replay-safe by algebra,
+    persisted through the shared staged day-swap engine. The five other
+    ledgers each answer ONE pre-declared question family; this one
+    serves the grouping nobody pre-aggregated.
+
+    INDEPENDENT oracle (the e_sketch_overlap precedent): the DuckDB
+    twin recomputes the EXACT per-type count/sum/avg and pins the
+    sampling-accuracy contract as TRUE booleans — |est − exact| ≤
+    25%·exact (count), 15% (sum), 15% (avg). Fixture-validated with
+    ≥2× headroom over the worst measured error across sf0.001/0.01/0.1
+    (10.6% / 6.4% / 6.8%, all at sf0.001 where groups hold ~200 rows);
+    deterministic for the fixed hash family and data. The statistical
+    sqrt((1-p)/(p·n)) scaling is exercised at 20M rows in
+    scripts/scale_smoke_sketches.py."""
+    from ..operators.sketches import daily_sample_rows, sample_grouped_stats
+
+    e = t(spark, sf_dir, "events")
+    est = sample_grouped_stats(daily_sample_rows(e))
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n"),
+        F.sum("value").alias("_xs"),
+        F.avg("value").alias("_xa"),
+    )
+
+    def ok(est_c: str, x: Column, tol: float):
+        return F.abs(F.col(est_c) - x) <= tol * F.abs(x)
+
+    return (
+        exact.join(est, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_n",
+            F.round("_xs", 6).alias("exact_sum"),
+            F.round("_xa", 6).alias("exact_avg"),
+            ok("est_count", F.col("exact_n").cast("double"), 0.25).alias(
+                "ok_count"
+            ),
+            ok("est_sum", F.col("_xs"), 0.15).alias("ok_sum"),
+            ok("est_avg", F.col("_xa"), 0.15).alias("ok_avg"),
+        )
+        .orderBy("event_type")
     )

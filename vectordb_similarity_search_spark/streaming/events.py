@@ -750,3 +750,23 @@ def apply_hh_batch(
             batch_df.filter(F.col("ts").isNotNull()), ledger_path
         ),
     )
+
+
+def apply_sample_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the row-SAMPLE (AQP) ledger
+    (operators/sketches.sample_ledger_upsert_batch). Like theta, the
+    distinct-union-on-id merge is IDEMPOTENT — a replayed batch cannot
+    change the sample — so the applied-batch marker here is purely a
+    cost guard. Null-ts rows are dropped under the
+    :func:`apply_sketch_batch` contract."""
+    from ..operators.sketches import sample_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: sample_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
