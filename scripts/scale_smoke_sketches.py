@@ -512,7 +512,76 @@ def main() -> None:
     hled.unpersist()
     scoped.unpersist()
 
-    n_checks = 8
+    # --- 9. row-sample (AQP) ledger at the same scale (round 9) --------
+    # Production-shaped rate p = 1/256: the stored sample must be ~p of
+    # the rows (the build is a filtered projection — no shuffle), and
+    # the HT grouped estimates must land within the binomial error of
+    # the exact aggregates while the sample-side query beats the
+    # full-scan recompute it replaces.
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_sample_rows,
+        sample_grouped_stats,
+    )
+
+    aqp_events = spark.range(N_ROWS).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(days=F.pmod(F.xxhash64("id"), F.lit(N_DAYS)))
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10_000)) / 100.0).alias(
+            "value"
+        ),
+    )
+    t0 = time.perf_counter()
+    sled = daily_sample_rows(aqp_events, num=1, den=256).persist()
+    n_srows = sled.count()
+    t_s_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_est = {
+        r["event_type"]: r
+        for r in sample_grouped_stats(sled, num=1, den=256).collect()
+    }
+    t_s_query = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_exact = {
+        r["event_type"]: r
+        for r in aqp_events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    t_s_exact = time.perf_counter() - t0
+    # per type: ~26k sampled rows at p=1/256 -> rel std ~0.6%; 3% is >4σ
+    s_worst = max(
+        max(
+            abs(s_est[t]["est_count"] - x["c"]) / x["c"],
+            abs(s_est[t]["est_sum"] - x["s"]) / abs(x["s"]),
+            abs(s_est[t]["est_avg"] - x["a"]) / abs(x["a"]),
+        )
+        for t, x in s_exact.items()
+    )
+    check(
+        "sample_aqp_within_binomial_error_and_beats_scan",
+        set(s_est) == set(s_exact)
+        and s_worst < 0.03
+        and n_srows < N_ROWS / 256 * 1.3
+        and t_s_query < t_s_exact,
+        f"sampled_rows={n_srows:,} (p=1/256) build={t_s_build:.1f}s "
+        f"sample_query={t_s_query:.1f}s exact_scan={t_s_exact:.1f}s "
+        f"speedup={t_s_exact / max(t_s_query, 1e-9):.1f}x "
+        f"worst_rel_err={s_worst:.4%}",
+    )
+    sled.unpersist()
+
+    n_checks = 9
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"
