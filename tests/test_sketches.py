@@ -1670,3 +1670,48 @@ def test_sample_build_plans_no_shuffle(spark, sample_events):
         sample_grouped_stats(daily_sample_rows(sample_events))
     ).split("(1)")[0]
     assert tree2.count("Exchange") == 1, tree2
+
+
+def test_hh_cms_interval_intersection_tightens_both(spark, events):
+    """The cross-ledger contract hh_estimate's docstring claims: CMS
+    never undercounts (est ≥ true) while MG brackets from both sides
+    (lb ≤ true ≤ ub), so [lb, min(cms_est, ub)] is a valid interval —
+    and for keys whose CMS estimate beats the MG upper bound it is
+    STRICTLY tighter than either ledger alone."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        cms_estimate,
+        daily_cms_sketches,
+        daily_hh_sketches,
+        hh_estimate,
+    )
+
+    hh = daily_hh_sketches(events, k=8)
+    cms = daily_cms_sketches(events)
+    cands = events.select("user_id").distinct().limit(40).cache()
+    exact = {
+        r["k"]: r["c"]
+        for r in events.groupBy(
+            F.col("user_id").cast("string").alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    mg = {
+        r["user_id"]: (r["lb"], r["ub"])
+        for r in hh_estimate(hh, cands, "user_id").collect()
+    }
+    cm = {
+        str(r["user_id"]): r["est"]
+        for r in cms_estimate(cms, cands, "user_id").collect()
+    }
+    assert set(mg) == set(cm)
+    tightened = 0
+    for key, (lb, ub) in mg.items():
+        t = exact[key]
+        cut = min(cm[key], ub)
+        assert lb <= t <= cut, (key, lb, cut, t, cm[key], ub)
+        if cm[key] < ub:
+            tightened += 1
+    # the fixture's MG ub (Σ err over 63 day-type leaves) is loose for
+    # mid-frequency keys, so CMS must genuinely cut it somewhere
+    assert tightened > 0
