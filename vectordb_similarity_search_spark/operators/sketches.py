@@ -1455,7 +1455,17 @@ def _hh_topn_arr(
     (see the section comment). Output: ``(*keys, _arr, _tot)`` where
     ``_arr`` is ascending by ``(nc = -count, k)`` (so position 1 is the
     heaviest) and ``_tot`` is the sum of ALL counts in the group, not
-    just the kept top."""
+    just the kept top.
+
+    Memory contract: the level-1 aggregation buffer holds the DISTINCT
+    keys of one (group, bucket) cell before slicing — ~D_group/buckets
+    entries, NOT bounded by ``n`` — so size ``buckets`` ≥ D_group/10^5
+    for the day you expect (a 1e9-distinct-keys day wants buckets ≈
+    16384; the 256 default fits ≤ ~25M). Past the in-memory threshold
+    Spark's ObjectHashAggregate falls back to sort-based aggregation
+    and SPILLS rather than OOMing, so an undersized fan-in degrades to
+    disk speed, never to a crash — but sizing it right keeps level 1 in
+    memory, which is the point of the tournament."""
     item = F.struct(
         (-F.col("_c")).cast("long").alias("nc"), F.col("_k").alias("k")
     )
