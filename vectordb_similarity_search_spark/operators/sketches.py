@@ -2147,3 +2147,292 @@ def sample_ledger_upsert_batch(
         _sample_merge,
         _sample_meta(id_col, ts_col, payload, num, den),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified bottom-k sample ledger (round 9): AQP that survives SKEW —
+# rare strata stay EXACT, common strata are capped
+# ---------------------------------------------------------------------------
+#
+# The uniform sample ledger above fails on rare groups: a stratum with
+# 0.01% share keeps ~0 rows at p = 2^-8 and its ad-hoc estimates are
+# garbage — the problem BlinkDB's stratified samples exist to solve.
+# The deterministic form here is per-stratum BOTTOM-K BY HASH (the KMV
+# idea): keep each (day, stratum)'s ``cap`` smallest ``xxhash64(id)``
+# rows. A hash order is a random order, so the kept set is a simple
+# random sample WITHOUT replacement of size m = min(cap, n_g) — the HT
+# estimators scale by n_g/m, and a RARE stratum (n_g ≤ cap) keeps
+# everything: scale 1, estimates EXACT. Each row carries the stratum's
+# exact row count ``n`` (additive across merges), so no sidecar is
+# needed. The merge is bottom-cap OF THE UNION with n summed —
+# ASSOCIATIVE and IDEMPOTENT (replayed rows collapse by id before the
+# cut), so the streamed ledger is BIT-EQUAL to a one-shot build, a
+# strictly stronger parity than the uniform sample's.
+
+STRATIFIED_CAP = 1024
+
+
+def daily_stratified_sample(
+    events: DataFrame,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    strata: tuple[str, ...] = ("event_type",),
+    payload: tuple[str, ...] = ("value",),
+    cap: int = STRATIFIED_CAP,
+    buckets: int = HH_BUCKETS,
+) -> DataFrame:
+    """ONE pass over the log → the stratified sample ledger ``(day,
+    *strata, n, id, h, *payload)``: per (day, strata) the ``cap``
+    smallest-hash rows, every row stamped with the stratum's EXACT row
+    count ``n``. ``id_col`` must be unique per row (hash of row
+    identity — the uniform ledger's contract). Per-stratum bottom-cap
+    runs through the same two-level in-array tournament as the
+    heavy-hitters build (level-1 buffers hold the stratum's rows ÷
+    ``buckets`` — size the fan-in by the :func:`_hh_topn_arr` memory
+    contract; rows here carry payload, so budget accordingly)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    idc = F.col(id_col)
+    rows = events.select(
+        F.to_date(ts_col).alias("day"),
+        *[F.col(c) for c in strata],
+        idc.alias("id"),
+        F.xxhash64(idc.cast("string")).alias("h"),
+        *[F.col(c) for c in payload],
+    )
+    keys = ["day", *strata]
+    item = F.struct(
+        F.col("h"),
+        F.col("id"),
+        *[F.col(c) for c in payload],
+    )
+    lvl1 = rows.groupBy(
+        *keys, F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(7)), F.lit(buckets)).alias("_bk")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, cap).alias("_low"),
+        F.count(F.lit(1)).cast("long").alias("_pn"),
+    )
+    lvl2 = lvl1.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_low"))), 1, cap
+        ).alias("_low"),
+        F.sum("_pn").cast("long").alias("n"),
+    )
+    return lvl2.select(
+        *keys, "n", F.explode("_low").alias("_r")
+    ).select(
+        *keys,
+        "n",
+        F.col("_r.id").alias("id"),
+        F.col("_r.h").alias("h"),
+        *[F.col(f"_r.{c}").alias(c) for c in payload],
+    )
+
+
+def stratified_grouped_stats(
+    ledger: DataFrame,
+    strata: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-stratum whole-range HT estimates from the stratified ledger:
+    ``(*strata, n_exact, n_sampled, est_count, est_sum, est_avg,
+    is_exact)``. ``est_count`` is the EXACT count (the ledger carries
+    n), ``est_sum`` scales the sampled sum by Σn/Σm across the
+    stratum's days (each day is an independent simple random sample, so
+    per-day scaling sums; the pooled ratio below is the standard
+    combined estimator), ``est_avg`` = est_sum/est_count. ``is_exact``
+    is TRUE when every day of the stratum kept all its rows (m == n) —
+    the rare-stratum guarantee."""
+    per_day = ledger.groupBy("day", *strata).agg(
+        F.first("n").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum(value_col).alias("_sv"),
+    )
+    est_day_sum = F.col("_sv") * (
+        F.col("_n").cast("double") / F.col("_m").cast("double")
+    )
+    return (
+        per_day.select(
+            *strata,
+            "_n",
+            "_m",
+            est_day_sum.alias("_est_s"),
+            (F.col("_m") == F.col("_n")).alias("_full"),
+        )
+        .groupBy(*strata)
+        .agg(
+            F.sum("_n").cast("long").alias("n_exact"),
+            F.sum("_m").cast("long").alias("n_sampled"),
+            F.sum("_n").cast("double").alias("est_count"),
+            F.sum("_est_s").alias("est_sum"),
+            (F.sum("_est_s") / F.sum("_n")).alias("est_avg"),
+            F.min("_full").alias("is_exact"),
+        )
+    )
+
+
+def _stratified_meta(
+    id_col: str,
+    ts_col: str,
+    strata: tuple[str, ...],
+    payload: tuple[str, ...],
+    cap: int,
+) -> dict:
+    return {
+        "kind": "stratified",
+        "id_col": id_col,
+        "ts_col": ts_col,
+        "strata": list(strata),
+        "payload": list(payload),
+        "cap": cap,
+    }
+
+
+def _stratified_merge_fn(strata: tuple[str, ...], payload: tuple[str, ...], cap: int):
+    def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        keys = ["day", *strata]
+        cols = [*keys, "n", "id", "h", *payload]
+        # n is additive ACROSS batches but constant WITHIN one side's
+        # stratum rows: recover each side's per-stratum n, sum, restamp
+        s_n = stored.groupBy(*keys).agg(F.first("n").alias("_sn"))
+        d_n = delta.groupBy(*keys).agg(F.first("n").alias("_dn"))
+        n_new = s_n.join(d_n, keys, "full_outer").select(
+            *keys,
+            (
+                F.coalesce("_sn", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+            ).cast("long").alias("n"),
+        )
+        u = (
+            stored.select(*cols)
+            .unionByName(delta.select(*cols))
+            .drop("n")
+            .dropDuplicates([*keys, "id"])  # replayed rows collapse
+        )
+        item = F.struct(F.col("h"), F.col("id"), *[F.col(c) for c in payload])
+        low = u.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, cap).alias("_low")
+        )
+        return (
+            low.join(n_new, keys)
+            .select(*keys, "n", F.explode("_low").alias("_r"))
+            .select(
+                *keys,
+                "n",
+                F.col("_r.id").alias("id"),
+                F.col("_r.h").alias("h"),
+                *[F.col(f"_r.{c}").alias(c) for c in payload],
+            )
+        )
+
+    return merge
+
+
+def stratified_ledger_write(
+    ledger: DataFrame,
+    path: str,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    strata: tuple[str, ...] = ("event_type",),
+    payload: tuple[str, ...] = ("value",),
+    cap: int = STRATIFIED_CAP,
+) -> int:
+    """Materialize a stratified ledger, day-partitioned, config in the
+    sidecar. Cross-check: canonical schema; per (day, strata) at most
+    ``cap`` rows, a single consistent ``n`` with n ≥ m, unique ids, and
+    ``h == xxhash64(id)`` recomputable for every row (a corrupted hash
+    column would silently break the bottom-k merge order)."""
+    keys = ["day", *strata]
+    need = {*keys, "n", "id", "h", *payload}
+    missing = need - set(ledger.columns)
+    if missing:
+        raise ValueError(
+            f"stratified ledger frame is missing columns "
+            f"{sorted(missing)}; build it with daily_stratified_sample"
+        )
+    ledger.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = ledger.sparkSession.read.parquet(path)
+    per = back.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.countDistinct("id").alias("m_ids"),
+        F.countDistinct("n").alias("n_vals"),
+        F.first("n").alias("n"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("h")
+                    != F.xxhash64(F.col("id").cast("string"))
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad_h"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.coalesce(F.max("m"), F.lit(0)).alias("max_m"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("m") != F.col("m_ids"))
+                    | (F.col("n_vals") != 1)
+                    | (F.col("n") < F.col("m"))
+                    | (F.col("bad_h") > 0)
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("bad"),
+    ).first()
+    if stats["groups"] and (stats["max_m"] > cap or stats["bad"]):
+        raise ValueError(
+            f"stratified ledger violates its contract (max stratum rows "
+            f"{stats['max_m']} vs cap {cap}; {stats['bad']} stratum(s) "
+            "with duplicate ids, inconsistent n, n < m, or a hash "
+            "column that does not equal xxhash64(id)); pass the build "
+            "configuration and a UNIQUE id column"
+        )
+    _write_ledger_meta(
+        path, _stratified_meta(id_col, ts_col, strata, payload, cap)
+    )
+    return int(
+        back.count()
+    )
+
+
+def stratified_ledger_upsert_batch(
+    batch: DataFrame,
+    path: str,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    strata: tuple[str, ...] = ("event_type",),
+    payload: tuple[str, ...] = ("value",),
+    cap: int = STRATIFIED_CAP,
+    buckets: int = HH_BUCKETS,
+) -> int:
+    """O(touched-days) stratified-sample maintenance through the shared
+    staged day-swap engine; the merge is bottom-cap OF THE UNION with n
+    summed — associative AND idempotent (replayed rows collapse by id
+    before the cut), so the streamed ledger is BIT-EQUAL to a one-shot
+    build and the applied-batch marker guards only the additive ``n``
+    column (a replayed batch would double-count it, exactly the HLL
+    n_events situation). Returns the number of day partitions written.
+    Same single-writer and no-null-day contracts as
+    :func:`sketch_ledger_upsert_batch`."""
+    delta = daily_stratified_sample(
+        batch,
+        id_col=id_col,
+        ts_col=ts_col,
+        strata=strata,
+        payload=payload,
+        cap=cap,
+        buckets=buckets,
+    )
+    return _staged_day_upsert(
+        path,
+        delta,
+        _stratified_merge_fn(strata, payload, cap),
+        _stratified_meta(id_col, ts_col, strata, payload, cap),
+    )
