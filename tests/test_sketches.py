@@ -1715,3 +1715,121 @@ def test_hh_cms_interval_intersection_tightens_both(spark, events):
     # the fixture's MG ub (Σ err over 63 day-type leaves) is loose for
     # mid-frequency keys, so CMS must genuinely cut it somewhere
     assert tightened > 0
+
+
+# ---------------------------------------------------------------------------
+# Stratified bottom-k sample ledger
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark, sample_events):
+    # sample_events with one stratum made rare (~1% of its rows kept):
+    # the case uniform sampling fails and stratification must rescue
+    return sample_events.filter(
+        (F.col("event_type") != "buy")
+        | (F.pmod(F.xxhash64("event_id"), F.lit(100)) == 0)
+    ).cache()
+
+
+def test_stratified_rare_stratum_exact_common_within_error(
+    spark, skewed_events
+):
+    """The reason this ledger exists: the rare stratum keeps ALL its
+    rows — estimates EXACT, is_exact TRUE — while common strata are
+    capped and land within the without-replacement sampling error;
+    est_count is exact for EVERY stratum (n rides the ledger)."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_stratified_sample,
+        stratified_grouped_stats,
+    )
+
+    led = daily_stratified_sample(skewed_events, cap=64)
+    est = {r["event_type"]: r for r in stratified_grouped_stats(led).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in skewed_events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, x in exact.items():
+        e = est[t]
+        assert e["n_exact"] == x["c"] and e["est_count"] == x["c"]
+        assert abs(e["est_sum"] - x["s"]) / abs(x["s"]) < 0.08, (t, e, x)
+        assert abs(e["est_avg"] - x["a"]) / abs(x["a"]) < 0.08, (t, e, x)
+    rare = est["buy"]
+    assert rare["is_exact"] and rare["n_sampled"] == rare["n_exact"]
+    assert abs(rare["est_sum"] - exact["buy"]["s"]) < 1e-6
+    assert not est["view"]["is_exact"]  # common strata genuinely capped
+
+
+def test_stratified_merge_bit_equal_and_replay_semantics(
+    spark, skewed_events, tmp_path
+):
+    """Bottom-cap of the union is ASSOCIATIVE: three hash-split batches
+    through the staged upsert produce a ledger BIT-EQUAL to the one-shot
+    build (rows AND the additive n column); a replayed batch leaves the
+    sampled rows untouched (idempotent by id) while n would inflate —
+    the documented marker-guarded column, exactly HLL's n_events."""
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_stratified_sample,
+        stratified_ledger_upsert_batch,
+    )
+
+    path = str(tmp_path / "st")
+    for b in range(3):
+        batch = skewed_events.filter(
+            F.pmod(F.xxhash64("event_id"), F.lit(3)) == b
+        )
+        stratified_ledger_upsert_batch(batch, path, cap=64, buckets=32)
+
+    def snap(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n"], r["id"], r["h"], r["value"])
+            for r in df.collect()
+        )
+
+    stored = snap(spark.read.parquet(path))
+    one_shot = snap(
+        daily_stratified_sample(skewed_events, cap=64, buckets=16)
+    )
+    assert stored == one_shot  # bit-equal incl. n, any fan-in/partitioning
+
+    stratified_ledger_upsert_batch(
+        skewed_events.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == 1),
+        path,
+        cap=64,
+        buckets=32,
+    )
+    replayed = snap(spark.read.parquet(path))
+    assert [r[3] for r in replayed] == [r[3] for r in stored]  # rows fixed
+    assert any(r[2] != s[2] for r, s in zip(replayed, stored))  # n inflated
+
+
+def test_stratified_validation_and_write_cross_check(
+    spark, skewed_events, tmp_path
+):
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_stratified_sample,
+        stratified_ledger_write,
+    )
+
+    with pytest.raises(ValueError, match="cap"):
+        daily_stratified_sample(skewed_events, cap=0)
+    with pytest.raises(ValueError, match="buckets"):
+        daily_stratified_sample(skewed_events, buckets=0)
+    with pytest.raises(ValueError, match="missing columns"):
+        stratified_ledger_write(skewed_events, str(tmp_path / "x"))
+
+    led = daily_stratified_sample(skewed_events, cap=64).cache()
+    assert stratified_ledger_write(led, str(tmp_path / "ok"), cap=64) > 0
+    with pytest.raises(ValueError, match="contract"):
+        stratified_ledger_write(led, str(tmp_path / "cap"), cap=10)
+    broken = led.withColumn("h", F.col("h") + 1)
+    with pytest.raises(ValueError, match="contract"):
+        stratified_ledger_write(broken, str(tmp_path / "hash"), cap=64)
