@@ -198,6 +198,7 @@ ANALYTICS = [
     "e_hh_rollup",           # heavy-hitters ledger interval-bound top-k
     "e_hh_rolling",          # heavy-hitters ledger trailing-window top-k
     "e_sample_aqp",          # AQP row-sample ledger, HT grouped estimates
+    "e_stratified_aqp",      # stratified bottom-k AQP, rare strata exact
 ]
 
 # Machine factor reference: CALIBRATION probe wall (min of 3 warm) on the

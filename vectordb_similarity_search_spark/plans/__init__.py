@@ -30,6 +30,7 @@ DRIVER_WINDOW = [
     "e_qsk_type_percentiles",  # never driver-checked
     "e_sample_aqp",  # never driver-checked
     "e_sketch_overlap",  # never driver-checked
+    "e_stratified_aqp",  # never driver-checked
     "r_region_nation_revenue",  # last driver row r4
     "r_rollup_revenue",  # last driver row r4
     "r_scalar_math",  # last driver row r4
@@ -69,7 +70,6 @@ DRIVER_WINDOW = [
     "e_attribution",  # last driver row r5
     "e_cuped",  # last driver row r5
     "e_funnel_conversion",  # last driver row r5
-    "e_gapfill_locf",  # last driver row r5
     "s_cluster_split",  # last driver row r5
     "p_cohort_stats",  # last driver row r7
     "m_phash_neardup",  # last driver row r5
@@ -224,6 +224,7 @@ TAIL = [
     "v_rp_distortion",  # last driver row r6
     "v_store_stats",  # last driver row r6
     "v_zscore_fit",  # last driver row r6
+    "e_gapfill_locf",  # last driver row r5
     "e_retention_cohorts",  # last driver row r5
     "e_rolling_anomaly",  # last driver row r5
     "m_scene_detect",  # last driver row r5

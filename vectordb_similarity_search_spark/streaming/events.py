@@ -770,3 +770,23 @@ def apply_sample_batch(
             batch_df.filter(F.col("ts").isNotNull()), ledger_path
         ),
     )
+
+
+def apply_stratified_batch(
+    batch_df: DataFrame, batch_id: int, ledger_path: str
+) -> bool:
+    """Micro-batch apply for the STRATIFIED bottom-k sample ledger
+    (operators/sketches.stratified_ledger_upsert_batch). The bottom-cap
+    merge is idempotent for the sampled ROWS (replayed rows collapse by
+    id), but the additive ``n`` column is NOT replay-safe — the marker
+    guards it, exactly the HLL n_events situation. Null-ts rows are
+    dropped under the :func:`apply_sketch_batch` contract."""
+    from ..operators.sketches import stratified_ledger_upsert_batch
+
+    return _apply_once(
+        batch_id,
+        ledger_path,
+        lambda: stratified_ledger_upsert_batch(
+            batch_df.filter(F.col("ts").isNotNull()), ledger_path
+        ),
+    )
