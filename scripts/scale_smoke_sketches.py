@@ -581,7 +581,89 @@ def main() -> None:
     )
     sled.unpersist()
 
-    n_checks = 9
+    # --- 10. stratified bottom-k sample at the same scale (round 9) ----
+    # The skew case the uniform sample fails: one stratum at ~0.01%
+    # share. The rare stratum must come back EXACT (it fits under the
+    # cap) while the common strata land within the without-replacement
+    # sampling error, and the ledger stays ~Σ min(cap·days, n_g) rows.
+    from vectordb_similarity_search_spark.operators.sketches import (
+        daily_stratified_sample,
+        stratified_grouped_stats,
+    )
+
+    skewed = spark.range(N_ROWS).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(days=F.pmod(F.xxhash64("id"), F.lit(N_DAYS)))
+        ).alias("ts"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(11)), F.lit(10_000)) == 0,
+               F.lit("rare"))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10_000)) / 100.0).alias(
+            "value"
+        ),
+    )
+    ST_CAP = 64
+    t0 = time.perf_counter()
+    stled = daily_stratified_sample(skewed, cap=ST_CAP).persist()
+    n_strows = stled.count()
+    t_st_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    st_est = {
+        r["event_type"]: r
+        for r in stratified_grouped_stats(stled).collect()
+    }
+    t_st_query = time.perf_counter() - t0
+    st_exact = {
+        r["event_type"]: r
+        for r in skewed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    rare_ok = (
+        st_est["rare"]["is_exact"]
+        and abs(st_est["rare"]["est_sum"] - st_exact["rare"]["s"]) < 1e-6
+        and st_est["rare"]["n_exact"] == st_exact["rare"]["c"]
+    )
+    st_worst = max(
+        max(
+            abs(st_est[t]["est_sum"] - x["s"]) / abs(x["s"]),
+            abs(st_est[t]["est_avg"] - x["a"]) / abs(x["a"]),
+        )
+        for t, x in st_exact.items()
+        if t != "rare"
+    )
+    count_exact_all = all(
+        st_est[t]["est_count"] == x["c"] for t, x in st_exact.items()
+    )
+    check(
+        "stratified_rare_exact_common_within_error",
+        rare_ok
+        and count_exact_all
+        # common strata: 64x60 ≈ 3.8k sampled of ~6.7M -> pooled rel
+        # std ~1%; 5% is a many-sigma bound
+        and st_worst < 0.05
+        and n_strows <= (3 * ST_CAP + 70) * N_DAYS,
+        f"ledger_rows={n_strows:,} build={t_st_build:.1f}s "
+        f"query={t_st_query:.1f}s rare_n={st_exact['rare']['c']:,} "
+        f"rare_exact={rare_ok} worst_common_rel_err={st_worst:.4%}",
+    )
+    stled.unpersist()
+
+    n_checks = 10
     print(
         f"{'OK' if not failures else 'FAILED'} "
         f"({n_checks - len(failures)}/{n_checks})"
