@@ -1035,6 +1035,28 @@ def test_ledger_retention_prunes_old_days_across_kinds(spark, tmp_path):
     kept = rolling_hh(spark.read.parquet(hh), 2, 3).collect()
     assert {str(r["day"]) for r in kept} == {"2026-11-05", "2026-11-06"}
 
+    # the two sample kinds share the same day layout — one GC serves
+    # all seven ledger kinds
+    from vectordb_similarity_search_spark.operators.sketches import (
+        sample_ledger_upsert_batch,
+        stratified_ledger_upsert_batch,
+    )
+
+    for name, fn in (
+        ("sample", sample_ledger_upsert_batch),
+        ("strat", stratified_ledger_upsert_batch),
+    ):
+        store = str(tmp_path / name)
+        assert fn(_mk_batch(spark, rows), store) == 6
+        assert sketch_ledger_retention(store, keep_days=2) == [
+            f"2026-11-0{i}" for i in range(1, 5)
+        ]
+        left = sorted(
+            str(r["day"]) for r in
+            spark.read.parquet(store).select("day").distinct().collect()
+        )
+        assert left == ["2026-11-05", "2026-11-06"]
+
     assert sketch_ledger_retention(qsk, keep_days=1) == [
         f"2026-11-0{i}" for i in range(1, 6)
     ]

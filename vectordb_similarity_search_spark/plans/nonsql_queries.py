@@ -2865,9 +2865,11 @@ def e_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 heaviest users — probes the days-rolled ledger
     (depth×width-bounded state, element-wise counter SUM is the merge),
     never the log. Candidates come from the exact top-20 (the
-    verification harness; a production pipeline feeds Misra-Gries
-    candidates from operators/heavyhitters.py — CMS then serves point
-    lookups for ANY key without a per-key log scan).
+    verification harness; a production pipeline feeds candidates from
+    the mergeable heavy-hitters LEDGER — sketches.hh_rollup, whose
+    intervals the CMS probe then tightens from above, see
+    hh_estimate — or the exact operators/heavyhitters.py pass; CMS
+    serves point lookups for ANY key without a per-key log scan).
 
     INDEPENDENT oracle: the DuckDB twin recomputes the exact counts and
     pins the two structural CMS contracts as TRUE booleans — ``ge_ok``
