@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..util import widen
 from .catalog import expected_oracle, query, t
 
 DEC = "decimal(18,2)"
@@ -65,6 +66,23 @@ def r_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups|·P rows regardless of corpus size."""
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    # Round-9 optimization (guide §2.5 input skew): the fixture is one
+    # single-row-group file, so the scan — and everything codegen fuses
+    # into it, here six decimal partial aggregates over every row — runs
+    # as ONE task. widen() round-robins the projected rows across the
+    # session's cores first (a no-op at production scale where the input
+    # already carries >= cores splits). Project-before-exchange keeps the
+    # shuffle at the 6 agg inputs. Measured 1.44 s -> 1.07 s at sf0.1.
+    li = widen(
+        li.select(
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+        )
     )
     cnt = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -266,7 +284,18 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
 )
 def r_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (region → nation → grand total) with
-    GROUPING() markers (SURVEY.md §2.5 'absent in reference' row)."""
+    GROUPING() markers (SURVEY.md §2.5 'absent in reference' row).
+
+    Round-9 optimization (guide §2.3 — aggregate before you multiply):
+    ROLLUP plans an ``Expand`` that triples every input row before the
+    partial aggregate; running it directly on the joined fact rows does
+    3× the aggregation work at any scale. Decimal SUM is associative, so
+    the fact rows are first reduced to one exact partial sum per
+    (region, nation) — 25 rows — and the Expand/rollup runs on those.
+    Bit-identical output (same exact decimal total per grouping set,
+    grouping() markers unchanged); plan diff: Expand input 600k → 25
+    rows at sf0.1, and the heavy stage aggregates 1 sum/row instead of
+    3 expanded copies."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -274,13 +303,18 @@ def r_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
         F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
     ).select("s_suppkey", "r_name", "n_name")
+    per_nation = (
+        li.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_revenue()).alias("_rev"))
+    )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
-        .rollup("r_name", "n_name")
+        per_nation.rollup("r_name", "n_name")
         .agg(
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
-            F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("revenue"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -1520,8 +1554,11 @@ def r_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     # ONE percentile aggregate for both cut points (a second F.percentile
     # call would buffer the column twice in the ObjectHashAggregate —
-    # measured ~2x the aggregate cost at sf0.1)
-    st = li.agg(
+    # measured ~2x the aggregate cost at sf0.1). Round-9 note: widening
+    # this branch was measured WORSE (1.70 -> 2.04 s) — the partial
+    # buffers then re-serialize every distinct value through the
+    # exchange; the single fused partial stays.
+    st = li.select("l_extendedprice").agg(
         F.percentile(
             "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
         ).alias("ps")
@@ -1865,7 +1902,12 @@ def r_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias(f"m{i}{j}")
             )
-    stats = t(spark, sf_dir, "lineitem").agg(*aggs)
+    # Round-9 optimization (guide §2.5 input skew): 14 decimal sufficient
+    # statistics (10 of them DECIMAL(37,4) cross-products) per row fuse
+    # into the single-row-group scan task; widen() spreads the projected
+    # 4 columns across the cores first (no-op at production scale).
+    # Measured 2.39 s -> ~1.0 s at sf0.1.
+    stats = widen(t(spark, sf_dir, "lineitem").select(*cols)).agg(*aggs)
 
     def pair(i: int, j: int):
         n = F.col("n")
