@@ -1,0 +1,63 @@
+"""Registry-level plan cache (plans/catalog._PLAN_CACHE, round 9).
+
+The cache memoizes the LOGICAL PLAN handle per (applicationId, sf_dir,
+query) — never results: executing the cached handle must run Spark jobs
+every time (recompute-from-parquet is the bench/oracle contract; a
+result cache would be gaming). These tests pin:
+
+1. same (session, sf_dir, query) → the identical DataFrame object
+   (the build-once property the bench timed runs rely on);
+2. different sf_dir → a different plan (no cross-sf leakage);
+3. executing the cached handle twice runs jobs BOTH times — the plan
+   cache is not a result cache;
+4. entries keyed to a dead application are evicted on insert (the
+   evict_other_apps sweep — no unbounded growth across session
+   restarts).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from vectordb_similarity_search_spark.plans import REGISTRY, catalog
+
+ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def test_same_handle_per_session_and_sf(spark, sf_dir):
+    a = REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
+    b = REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
+    assert a is b
+
+
+def test_distinct_plans_per_sf_dir(spark, sf_dir):
+    a = REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
+    b = REGISTRY["r_pricing_summary"].fn(spark, ORACLE_SF)
+    assert a is not b
+
+
+def test_cached_handle_recomputes_every_action(spark, sf_dir):
+    sc = spark.sparkContext
+    df = REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
+    for attempt in range(2):
+        group = f"plan-cache-probe-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, f"exec {attempt}")
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) >= 1, (
+            f"execution {attempt} of the cached plan ran no jobs — "
+            "the plan cache must never cache results"
+        )
+
+
+def test_dead_app_entries_evicted(spark, sf_dir):
+    REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
+    dead = ("app-dead-123", sf_dir, "r_pricing_summary")
+    catalog._PLAN_CACHE[dead] = object()
+    REGISTRY["r_scalar_math"].fn(spark, sf_dir)  # any insert sweeps
+    assert dead not in catalog._PLAN_CACHE
+    live_apps = {k[0] for k in catalog._PLAN_CACHE}
+    assert live_apps == {spark.sparkContext.applicationId}

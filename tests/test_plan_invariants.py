@@ -276,10 +276,17 @@ def test_registry_no_coarse_group_windows_at_scale(spark, sf_dir):
     Fixture-size plans legitimately take the plain-window branch — they
     are NOT linted, exactly because the routing exists."""
     from vectordb_similarity_search_spark.operators import ranking
+    from vectordb_similarity_search_spark.plans.catalog import (
+        clear_plan_cache,
+    )
 
     offenders = []
     orig = ranking.DIMENSION_WINDOW_MAX_BYTES
     ranking.DIMENSION_WINDOW_MAX_BYTES = -1
+    # builders are memoized per (session, sf_dir, query); the patched
+    # threshold only reaches a FRESH build — clear going in, and clear
+    # again on the way out so scale-mode plans don't leak to later tests
+    clear_plan_cache()
     try:
         for name, spec in REGISTRY.items():
             hits = coarse_window_violations(_optimized(spec.fn(spark, sf_dir)))
@@ -287,4 +294,5 @@ def test_registry_no_coarse_group_windows_at_scale(spark, sf_dir):
                 offenders.append(f"{name}: {hits}")
     finally:
         ranking.DIMENSION_WINDOW_MAX_BYTES = orig
+        clear_plan_cache()
     assert not offenders, offenders

@@ -577,6 +577,9 @@ def test_dimension_global_plans_route_past_threshold(spark, monkeypatch):
     default branch's (round-5 VERDICT #6)."""
     from vectordb_similarity_search_spark.operators import ranking
     from vectordb_similarity_search_spark.plans import REGISTRY
+    from vectordb_similarity_search_spark.plans.catalog import (
+        clear_plan_cache,
+    )
 
     sf = "/root/testdata/sf0.001"
     for name in ("w_percentile_rank", "e_gini_users", "r_pareto_revenue"):
@@ -589,8 +592,13 @@ def test_dimension_global_plans_route_past_threshold(spark, monkeypatch):
             "Sort" in c or "Window" in c
             for c in _single_partition_consumers(base)
         ), name
+        # registry plans are memoized per (session, sf_dir, query): the
+        # patched threshold only reaches a FRESH build, and the routed
+        # build must not be left behind for later tests either
         monkeypatch.setattr(ranking, "DIMENSION_WINDOW_MAX_BYTES", -1)
+        clear_plan_cache()
         routed = fn(spark, sf)
+        clear_plan_cache()
         monkeypatch.setattr(
             ranking, "DIMENSION_WINDOW_MAX_BYTES", 256 << 20
         )

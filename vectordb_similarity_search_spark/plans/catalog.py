@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_package_on_executors
 from ..sources.tables import load_table
+from ..util import evict_other_apps
 
 # Expected-output parquet fixtures (tests/fixtures/): oracles for queries
 # whose results are deterministic but not SQL-expressible (seeded
@@ -74,6 +75,27 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# One logical plan per (session, sf_dir, query) — the registry-wide form of
+# the _SCAN_CACHE/_MODEL_CACHE discipline (sources/tables.py). A registry
+# builder is a pure function of (spark, sf_dir): rebuilding it returns a
+# semantically identical IMMUTABLE lazy plan, but pays the full py4j
+# expression-tree construction again (measured 0.3-1.3 s per build for the
+# HOF/literal-heavy queries — round-9 optimization, guide §1.2: per-task
+# work includes the driver's own per-run work). Caching the plan is NOT
+# result caching: every action on the handle re-executes the whole
+# computation from the parquet inputs. Keyed by applicationId so a new
+# session never sees a dead session's plans.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_plan_cache() -> None:
+    """Drop every memoized plan handle. A builder is pure in (spark,
+    sf_dir) GIVEN fixed module state; a test that patches routing state
+    (e.g. ranking.DIMENSION_WINDOW_MAX_BYTES) and rebuilds registry
+    plans must clear first — and clear again after restoring — or it
+    reads plans built under the other branch."""
+    _PLAN_CACHE.clear()
+
 
 def query(name: str, oracle: str | None = None) -> Callable:
     """Decorator registering a query builder under ``name``."""
@@ -88,7 +110,12 @@ def query(name: str, oracle: str | None = None) -> Callable:
             # cwd; ship the package so worker-side closure unpickling can
             # import it (see session.ensure_package_on_executors).
             ensure_package_on_executors(spark)
-            return fn(spark, sf_dir)
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            evict_other_apps(_PLAN_CACHE, key[0])
+            cached = _PLAN_CACHE.get(key)
+            if cached is None:
+                cached = _PLAN_CACHE[key] = fn(spark, sf_dir)
+            return cached
 
         REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
