@@ -2651,10 +2651,20 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("_n_oneshot"),
         hll_estimate("sk").alias("_est_oneshot"),
     )
-    exact = events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+    # ONE cell-level aggregate serves the exact-distinct/median skeleton
+    # AND derives the per-day totals (cms) and non-null masses (hh) that
+    # previously each re-scanned events (round-9 optimization, guide
+    # §2.3/§1.2: three grouped scans → one scan + two ledger-sized
+    # re-aggregations; the derivations below are exact identities).
+    cells = events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct"),
         F.expr("percentile(value, 0.5)").alias("_x50"),
+        F.count(F.lit(1)).cast("long").alias("_n_cell"),
+        # count(user_id) counts non-null users; within a non-null-day
+        # group ts is non-null by construction (to_date null iff ts null)
+        F.count("user_id").cast("long").alias("_nn_user"),
     )
+    exact = cells.select("day", "event_type", "exact_distinct", "_x50")
     est_ok = (
         F.abs(F.col("_est_stream") - F.col("exact_distinct"))
         / F.col("exact_distinct")
@@ -2698,12 +2708,14 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("match", "cms_replay")
     )
-    day_counts = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("_n_day")
+    # exact identity: groupBy(day) count over all events == sum of the
+    # (day, type) cell counts (a null type is its own group in `cells`)
+    day_counts = cells.groupBy("day").agg(
+        F.sum("_n_cell").cast("long").alias("_n_day")
     )
     cms_day = (
-        cms_mass.join(cms_replay, "day")
-        .join(day_counts, "day")
+        cms_mass.join(F.broadcast(cms_replay), "day")
+        .join(F.broadcast(day_counts), "day")
         .select(
             "day",
             (F.col("_mass") == F.col("_n_day")).alias("cms_mass_ok"),
@@ -2727,15 +2739,6 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_hh_inv_ok"
         ),
     )
-    key_counts = (
-        events.filter(F.col("user_id").isNotNull())
-        .groupBy(
-            F.to_date("ts").alias("day"),
-            "event_type",
-            F.col("user_id").cast("string").alias("_k"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("_kc"))
-    )
     hh_items = hh_stream.select(
         "day", "event_type", "err", F.explode("items").alias("it")
     ).select(
@@ -2745,8 +2748,32 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.k").alias("_k"),
         F.col("it.c").alias("_c"),
     )
+    # The exact recount only matters for the ≤(days × types × k) tracked
+    # item keys: a broadcast semi-join on the item key set drops every
+    # untracked event BEFORE the (day, type, user) aggregation shuffles
+    # it (guide §3.2 — pre-filter the big side; the counts of the kept
+    # keys are unchanged, an exact identity), and the surviving
+    # aggregate is item-sized so IT becomes the broadcast build side of
+    # the bounds probe instead of a sort-merge join.
+    key_counts = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("user_id").cast("string").alias("_k"),
+        )
+        .join(
+            F.broadcast(hh_items.select("day", "event_type", "_k")),
+            ["day", "event_type", "_k"],
+            "left_semi",
+        )
+        .groupBy("day", "event_type", "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_kc"))
+    )
     hh_item_bounds = (
-        hh_items.join(key_counts, ["day", "event_type", "_k"], "left")
+        hh_items.join(
+            F.broadcast(key_counts), ["day", "event_type", "_k"], "left"
+        )
         .groupBy("day", "event_type")
         .agg(
             F.min(
@@ -2758,16 +2785,17 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_hh_items_ok")
         )
     )
-    nn_counts = (
-        events.filter(
-            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-        )
-        .groupBy(F.to_date("ts").alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("_nn"))
-    )
+    # exact identity with the old filter-then-group scan: a (day, type)
+    # group appears iff ≥1 row has user_id AND ts non-null (_nn_user > 0
+    # — ts non-null ⟺ day non-null), with _nn its qualifying-row count
+    nn_counts = cells.filter(
+        F.col("day").isNotNull() & (F.col("_nn_user") > 0)
+    ).select("day", "event_type", F.col("_nn_user").alias("_nn"))
     hh_day = (
-        nn_counts.join(hh_inv, ["day", "event_type"], "left")
-        .join(hh_item_bounds, ["day", "event_type"], "left")
+        nn_counts.join(F.broadcast(hh_inv), ["day", "event_type"], "left")
+        .join(
+            F.broadcast(hh_item_bounds), ["day", "event_type"], "left"
+        )
         .select(
             "day",
             "event_type",
@@ -2812,15 +2840,21 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream and one-shot theta ledgers — vacuously consistent, so
     # missing matches coalesce to TRUE; a cell present in exactly one
     # side comes back from _cells_match as an explicit False.
+    # every assembly input is (day, type)-cardinality — ledger-sized at
+    # any scale — so each join is a broadcast build, never a sort-merge
+    # of the skeleton (round-9 optimization, guide §3.1: the before-plan
+    # ran 26 SortMergeJoins / 142 Exchanges here)
     return (
-        stream.join(oneshot, ["day", "event_type"])
-        .join(exact, ["day", "event_type"])
-        .join(qsk_est, ["day", "event_type"], "left")
-        .join(qsk_replay, ["day", "event_type"], "left")
-        .join(theta_replay, ["day", "event_type"], "left")
-        .join(hh_day, ["day", "event_type"], "left")
-        .join(sample_replay, ["day", "event_type"], "left")
-        .join(stratified_replay, ["day", "event_type"], "left")
+        stream.join(F.broadcast(oneshot), ["day", "event_type"])
+        .join(F.broadcast(exact), ["day", "event_type"])
+        .join(F.broadcast(qsk_est), ["day", "event_type"], "left")
+        .join(F.broadcast(qsk_replay), ["day", "event_type"], "left")
+        .join(F.broadcast(theta_replay), ["day", "event_type"], "left")
+        .join(F.broadcast(hh_day), ["day", "event_type"], "left")
+        .join(F.broadcast(sample_replay), ["day", "event_type"], "left")
+        .join(
+            F.broadcast(stratified_replay), ["day", "event_type"], "left"
+        )
         .join(F.broadcast(cms_day), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -2975,12 +3009,19 @@ def e_qsk_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_add("day", "_o").alias("out_day"), "value")
         .join(F.broadcast(days), "out_day", "left_semi")
         .groupBy("out_day")
+        # ONE percentile aggregate for all three cut points — three
+        # separate calls would buffer the exploded column three times in
+        # the ObjectHashAggregate (the r_winsorized_mean lesson; round-9
+        # optimization, guide §1.2 per-task work).
         .agg(
-            F.expr("percentile(value, 0.5)").alias("_x50"),
-            F.expr("percentile(value, 0.9)").alias("_x90"),
-            F.expr("percentile(value, 0.99)").alias("_x99"),
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_xs")
         )
-        .withColumnRenamed("out_day", "day")
+        .select(
+            F.col("out_day").alias("day"),
+            F.col("_xs")[0].alias("_x50"),
+            F.col("_xs")[1].alias("_x90"),
+            F.col("_xs")[2].alias("_x99"),
+        )
     )
     tol = qsk_relative_bound() * (1.0 + 1e-6)
 
@@ -3169,18 +3210,22 @@ def e_qsk_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     est = rollup_percentiles(daily_qsk_sketches(e), (0.5, 0.99))
     vals = e.filter(F.col("value").isNotNull())
+    # ONE percentile aggregate per branch for both cut points (two calls
+    # would buffer the column twice — the r_winsorized_mean lesson).
     per = vals.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("_x50"),
-        F.expr("percentile(value, 0.99)").alias("_x99"),
+        F.expr("percentile(value, array(0.5, 0.99))").alias("_xs"),
     ).select(
         F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
-        "_x50",
-        "_x99",
+        F.col("_xs")[0].alias("_x50"),
+        F.col("_xs")[1].alias("_x99"),
     )
     tot = vals.agg(
-        F.expr("percentile(value, 0.5)").alias("_x50"),
-        F.expr("percentile(value, 0.99)").alias("_x99"),
-    ).select(F.lit("total").alias("scope"), "_x50", "_x99")
+        F.expr("percentile(value, array(0.5, 0.99))").alias("_xs"),
+    ).select(
+        F.lit("total").alias("scope"),
+        F.col("_xs")[0].alias("_x50"),
+        F.col("_xs")[1].alias("_x99"),
+    )
     exact = per.unionByName(tot)
     tol = qsk_relative_bound() * (1.0 + 1e-6)
 
