@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vector import array_lit, cosine_similarity, l2_distance
+from ..util import widen
 
 
 def _score(
@@ -125,8 +126,16 @@ def similarity_join(
     order = F.col(score_col).desc() if desc else F.col(score_col).asc()
 
     keep = [c for c in corpus.columns if c != vec_col]
+    # widen BEFORE the broadcast join: each corpus row pays |queries|
+    # HOF cosine folds (Q x dim multiply-adds per row — the wide-HOF
+    # case util.widen exists for); a single-split local corpus would
+    # score every pair on one core. No-op at production split counts,
+    # and the rank window's WindowGroupLimit still reduces each
+    # partition to Q x k rows before the one shuffle (round-9
+    # optimization, guide §2.5 input skew / §1.2 per-task work).
     scored = (
-        corpus.crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        widen(corpus)
+        .crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
         .withColumn(score_col, score)
         .select(query_id_col, score_col, *keep)
     )
