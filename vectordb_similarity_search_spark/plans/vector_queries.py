@@ -1654,11 +1654,20 @@ def v_ood_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_ppm = F.round(
         cosine_similarity("v", "cvec") * 1000000, 0
     ).cast("long")
+    # widen BEFORE the broadcast centroid join: each member row pays
+    # |labels| HOF cosine folds — the similarity_join case (guide §2.5
+    # input skew / §1.2); no-op at production split counts, and the
+    # member-keyed partial aggregate below still collapses the pairs
+    # map-side before the one shuffle (round-9 optimization).
+    from ..util import widen
+
     scored = (
-        emb.select(
-            "vec_id",
-            F.col("label").alias("mlabel"),
-            F.col("embedding").cast("array<double>").alias("v"),
+        widen(
+            emb.select(
+                "vec_id",
+                F.col("label").alias("mlabel"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
         )
         .crossJoin(F.broadcast(carr))
         .select("vec_id", "mlabel", "clabel", s_ppm.alias("s_ppm"))
