@@ -2656,15 +2656,33 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previously each re-scanned events (round-9 optimization, guide
     # §2.3/§1.2: three grouped scans → one scan + two ledger-sized
     # re-aggregations; the derivations below are exact identities).
+    # Round-10: the exact median moved OUT of this aggregate into the
+    # distributed sort-window percentile (operators/percentiles,
+    # bit-identical to percentile(value, 0.5)) — the in-agg Percentile
+    # forced the WHOLE aggregate into a single ObjectHashAggregate
+    # (O(group) buffers at 100 TB, guide §5) and off whole-stage
+    # codegen; measured 1.06 → hash-agg + spillable window.
+    from ..operators.percentiles import exact_percentiles_sorted
+
     cells = events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct"),
-        F.expr("percentile(value, 0.5)").alias("_x50"),
         F.count(F.lit(1)).cast("long").alias("_n_cell"),
         # count(user_id) counts non-null users; within a non-null-day
         # group ts is non-null by construction (to_date null iff ts null)
         F.count("user_id").cast("long").alias("_nn_user"),
     )
-    exact = cells.select("day", "event_type", "exact_distinct", "_x50")
+    med = exact_percentiles_sorted(
+        events.select(F.to_date("ts").alias("day"), "event_type", "value"),
+        "value",
+        (0.5,),
+        ["day", "event_type"],
+        out_col="_xs",
+    ).select("day", "event_type", F.col("_xs")[0].alias("_x50"))
+    # left join: a (day, type) group whose values are ALL NULL has no
+    # percentile row — its _x50 stays NULL, exactly as the aggregate's
+    exact = cells.join(med, ["day", "event_type"], "left").select(
+        "day", "event_type", "exact_distinct", "_x50"
+    )
     est_ok = (
         F.abs(F.col("_est_stream") - F.col("exact_distinct"))
         / F.col("exact_distinct")
@@ -2999,29 +3017,38 @@ def e_qsk_rolling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.select(F.to_date("ts").alias("day"), "value").filter(
         F.col("value").isNotNull()
     )
-    days = pairs.select("day").distinct().select(F.col("day").alias("out_day"))
-    exact = (
-        pairs.select(
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
-            "day",
-            "value",
-        )
-        .select(F.date_add("day", "_o").alias("out_day"), "value")
-        .join(F.broadcast(days), "out_day", "left_semi")
-        .groupBy("out_day")
-        # ONE percentile aggregate for all three cut points — three
-        # separate calls would buffer the exploded column three times in
-        # the ObjectHashAggregate (the r_winsorized_mean lesson; round-9
-        # optimization, guide §1.2 per-task work).
-        .agg(
-            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_xs")
-        )
-        .select(
-            F.col("out_day").alias("day"),
-            F.col("_xs")[0].alias("_x50"),
-            F.col("_xs")[1].alias("_x90"),
-            F.col("_xs")[2].alias("_x99"),
-        )
+    # Round-10: distributed exact percentiles (operators/percentiles) —
+    # the old per-day ObjectHashAggregate buffered the whole 7x-exploded
+    # day window in ONE task (O(group) memory at 100 TB, guide §5); the
+    # bucket-histogram plan bounds per-task state and is bit-identical to
+    # percentile(value, array(...)) (tests/test_percentiles.py).
+    # Tie-compress (day, value) cells ONCE before the 7x window explode,
+    # then resolve ranks with the sort+cumulative-window formulation
+    # (many per-day groups, each sorts independently with spillable
+    # operators). The old days semi-join is gone — out_days past the
+    # last real day drop at the inner est-join below, identically.
+    from ..operators.percentiles import exact_percentiles_sorted
+
+    cells = pairs.groupBy("day", "value").agg(F.count(F.lit(1)).alias("_w"))
+    windowed = cells.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_o"),
+        "day",
+        "value",
+        "_w",
+    ).select(F.date_add("day", "_o").alias("out_day"), "value", "_w")
+
+    exact = exact_percentiles_sorted(
+        windowed,
+        "value",
+        (0.5, 0.9, 0.99),
+        ["out_day"],
+        out_col="_xs",
+        weight_col="_w",
+    ).select(
+        F.col("out_day").alias("day"),
+        F.col("_xs")[0].alias("_x50"),
+        F.col("_xs")[1].alias("_x90"),
+        F.col("_xs")[2].alias("_x99"),
     )
     tol = qsk_relative_bound() * (1.0 + 1e-6)
 
@@ -3210,23 +3237,37 @@ def e_qsk_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     est = rollup_percentiles(daily_qsk_sketches(e), (0.5, 0.99))
     vals = e.filter(F.col("value").isNotNull())
-    # ONE percentile aggregate per branch for both cut points (two calls
-    # would buffer the column twice — the r_winsorized_mean lesson).
-    per = vals.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.5, 0.99))").alias("_xs"),
+    # Round-10: distributed exact percentiles per scope (operators/
+    # percentiles) — the old per-type/global ObjectHashAggregate buffered
+    # every value of the group in one task (O(group) memory at 100 TB,
+    # guide §5); bit-identical interpolation pinned in
+    # tests/test_percentiles.py. The per-type and total branches FUSE
+    # into one weighted call: (event_type, value) cells aggregate once,
+    # each cell explodes into its 'type:X' scope and 'total', and ranks
+    # resolve with the sort+cumulative-window formulation (per-scope
+    # groups, spillable sort — no events rescan per branch).
+    from ..operators.percentiles import exact_percentiles_sorted
+
+    cells = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    scoped = cells.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("type:"), F.col("event_type")),
+                F.lit("total"),
+            )
+        ).alias("scope"),
+        "value",
+        "_w",
+    )
+    exact = exact_percentiles_sorted(
+        scoped, "value", (0.5, 0.99), ["scope"], out_col="_xs", weight_col="_w"
     ).select(
-        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "scope",
         F.col("_xs")[0].alias("_x50"),
         F.col("_xs")[1].alias("_x99"),
     )
-    tot = vals.agg(
-        F.expr("percentile(value, array(0.5, 0.99))").alias("_xs"),
-    ).select(
-        F.lit("total").alias("scope"),
-        F.col("_xs")[0].alias("_x50"),
-        F.col("_xs")[1].alias("_x99"),
-    )
-    exact = per.unionByName(tot)
     tol = qsk_relative_bound() * (1.0 + 1e-6)
 
     def ok(est_c: str, x_c: str):

