@@ -48,3 +48,31 @@ def test_build_runs_no_jobs(spark, sf_dir, name):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert list(jobs) == [], f"{name} ran {len(jobs)} job(s) at plan build"
+
+
+def test_widen_skips_derived_frames_without_jobs(spark, sf_dir):
+    """Round-10 (ADVICE): widen()'s split-count probe goes through
+    .rdd, which under AQE executes upstream shuffle stages. A derived
+    (aggregated/joined) input must come back UNCHANGED with zero jobs;
+    a scan-shaped input still widens."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.util import widen
+
+    sc = spark.sparkContext
+    scan = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type")
+    derived = scan.groupBy("event_type").count()
+
+    group = f"widen-probe-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "widen derived")
+    try:
+        out = widen(derived)
+    finally:
+        sc.setJobGroup(None, None)
+    assert out is derived
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+    widened = widen(scan.filter(F.col("event_type").isNotNull()))
+    assert "Repartition" in widened._jdf.queryExecution().analyzed().toString()

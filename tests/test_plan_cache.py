@@ -53,6 +53,36 @@ def test_cached_handle_recomputes_every_action(spark, sf_dir):
         )
 
 
+def test_cached_reader_sees_post_merge_data(spark, tmp_path):
+    """Round-10 (verdict #3): a snapshot-swapping write must evict the
+    memoized plan handles — a cached lazy plan pins the pre-swap file
+    listing and would read deleted files on its next action. Pinned
+    end-to-end: cache a reader plan on a scratch table, MERGE into the
+    table (swap_snapshot under the hood), and require (a) the plan cache
+    was invalidated and (b) a re-obtained reader sees the merged data."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.merge import merge_parquet
+
+    tbl = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    ).write.parquet(tbl)
+
+    key = (spark.sparkContext.applicationId, tbl, "_scratch_reader")
+    catalog._PLAN_CACHE[key] = spark.read.parquet(tbl)
+    assert catalog._PLAN_CACHE[key].agg(F.sum("v")).head()[0] == 100
+
+    upd = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(5).alias("v"))
+    merge_parquet(spark, tbl, upd, ["k"])
+
+    assert key not in catalog._PLAN_CACHE, (
+        "swap_snapshot must clear the registry plan cache"
+    )
+    fresh = spark.read.parquet(tbl)
+    assert fresh.agg(F.sum("v")).head()[0] == 90 + 10 * 5
+
+
 def test_dead_app_entries_evicted(spark, sf_dir):
     REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
     dead = ("app-dead-123", sf_dir, "r_pricing_summary")

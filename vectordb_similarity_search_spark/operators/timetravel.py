@@ -145,6 +145,9 @@ def archive_swap(
         shutil.rmtree(
             os.path.join(_hist(table_path), f"v{v:06d}"), ignore_errors=True
         )
+    from ..util import invalidate_snapshot_caches
+
+    invalidate_snapshot_caches(table_path)
     return nxt
 
 
@@ -169,6 +172,9 @@ def history_preserving_swap(table_path: str, new_path: str) -> None:
     os.rename(new_path, table_path)
     _hoist_history(table_path, park)
     shutil.rmtree(park)
+    from ..util import invalidate_snapshot_caches
+
+    invalidate_snapshot_caches(table_path)
 
 
 def vacuum_versions(table_path: str, *, keep_last: int) -> list[int]:
