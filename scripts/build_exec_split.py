@@ -7,8 +7,9 @@ that motivated the registry plan cache.
 
 Usage: python scripts/build_exec_split.py [--nocache] <query> [query ...]
 
---nocache bypasses the registry _PLAN_CACHE (calls the undecorated
-builder) so the split shows what bench timed runs paid BEFORE the cache.
+--nocache clears the registry _PLAN_CACHE before each timed build so
+every timed run pays full plan construction — the split then shows what
+bench timed runs paid BEFORE the cache existed.
 """
 from __future__ import annotations
 
