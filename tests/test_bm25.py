@@ -202,3 +202,40 @@ def test_prf_validation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError):
         prf_expand_topk(docs, ["table"], fb_k=0)
+
+
+def test_prf_tokenized_frame_inherits_input_parallelism(spark):
+    """Round-10 (verdict #6) scale lint: prf_expand_topk's persisted
+    tokenized frame must carry the INPUT's partitioning — no serializing
+    operator between the corpus scan and the persist. At 100 TB the scan
+    arrives with >= cores splits, so this property IS the guarantee that
+    the three PRF stages never funnel through one task (the fixture's
+    single-split local plan is the legitimate small case, which is why
+    this pins partition inheritance rather than an absolute count)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators import bm25
+
+    docs = (
+        spark.range(0, 2000)
+        .repartition(8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta doc "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    bm25.release_bm25_caches()
+    try:
+        bm25.prf_expand_topk(docs, ["alpha"], k=5)
+        frames = [
+            f for lst in bm25._PERSISTED._frames.values() for f in lst
+        ]
+        assert frames, "prf must persist its tokenized frame"
+        assert all(f.rdd.getNumPartitions() >= 8 for f in frames), [
+            f.rdd.getNumPartitions() for f in frames
+        ]
+    finally:
+        bm25.release_bm25_caches()

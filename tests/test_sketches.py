@@ -1416,10 +1416,13 @@ def test_hh_validation_and_write_cross_check(spark, events, tmp_path):
 
 
 def test_hh_plans_stay_scale_shaped(spark, events):
-    """Plan-shape pins (the qsk/theta discipline): the leaf build is
-    pure hash aggregation — three narrowing exchanges (raw counts →
-    bucket tops → group tops), NO row_number window, no Python, and the
-    readouts join broadcast-only."""
+    """Plan-shape pins (round-10 form): the per-group top-n is a
+    rank-limit window that MUST convert to WindowGroupLimit with a
+    Partial (map-side) stage — ≤ n rows per group per task cross the
+    exchange, never whole distinct-key buffers — no Python, and the
+    readouts join broadcast-only. A plain Window WITHOUT the group-limit
+    conversion would sort every group's full key set in one task — that
+    is the regression this lint exists to catch."""
     from tests.conftest import plan_of
     from vectordb_similarity_search_spark.operators.sketches import (
         daily_hh_sketches,
@@ -1427,19 +1430,28 @@ def test_hh_plans_stay_scale_shaped(spark, events):
         rolling_hh,
     )
 
-    p = plan_of(daily_hh_sketches(events, k=8))
+    # k=6 on purpose: another test caches the k=8 ledger, and Spark's
+    # CacheManager would serve the whole build as an InMemoryTableScan —
+    # a 2-line plan that satisfies ANY shape assertion vacuously (the
+    # pre-round-10 form of this lint was passing that way)
+    p = plan_of(daily_hh_sketches(events, k=6))
     tree = p.split("(1)")[0]
-    assert tree.count("Exchange") <= 3, tree
-    assert "Window" not in tree, tree
+    assert tree.count("Exchange") <= 5, tree
+    # two WindowGroupLimit nodes = the Partial (map-side, pre-exchange)
+    # and Final stages both present
+    assert tree.count("WindowGroupLimit") >= 2, tree
     for frame in (
-        hh_rollup(daily_hh_sketches(events, k=8), 10),
-        rolling_hh(daily_hh_sketches(events, k=8), 7, 5),
+        hh_rollup(daily_hh_sketches(events, k=6), 10),
+        rolling_hh(daily_hh_sketches(events, k=6), 7, 5),
     ):
         pp = plan_of(frame)
         assert "BroadcastNestedLoopJoin" not in pp
         assert "CartesianProduct" not in pp
         assert "BatchEvalPython" not in pp
-        assert "Window" not in pp.split("(1)")[0]
+        # every window in the plan must be a converted rank-limit
+        body = pp.split("(1)")[0]
+        if "Window" in body:
+            assert "WindowGroupLimit" in body, body
 
 
 def test_hh_estimate_brackets_exact_and_handles_absent_keys(spark, events):

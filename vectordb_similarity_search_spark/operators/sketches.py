@@ -1448,27 +1448,42 @@ HH_BUCKETS = 256
 
 
 def _hh_topn_arr(
-    df: DataFrame, keys: list[str], n: int, buckets: int
+    df: DataFrame, keys: list[str], n: int, buckets: int, via: str = "window"
 ) -> DataFrame:
     """Exact per-``keys``-group top-``n`` of a ``(*keys, _k, _c)`` counts
-    frame under (count desc, key asc) — the shared two-level tournament
-    (see the section comment). Output: ``(*keys, _arr, _tot)`` where
+    frame under (count desc, key asc). Output: ``(*keys, _arr, _tot)`` where
     ``_arr`` is ascending by ``(nc = -count, k)`` (so position 1 is the
     heaviest) and ``_tot`` is the sum of ALL counts in the group, not
     just the kept top.
 
-    Memory contract: the level-1 aggregation buffer holds the DISTINCT
-    keys of one (group, bucket) cell before slicing — ~D_group/buckets
-    entries, NOT bounded by ``n`` — so size ``buckets`` ≥ D_group/10^5
-    for the day you expect (a 1e9-distinct-keys day wants buckets ≈
-    16384; the 256 default fits ≤ ~25M). Past the in-memory threshold
-    Spark's ObjectHashAggregate falls back to sort-based aggregation
-    and SPILLS rather than OOMing, so an undersized fan-in degrades to
-    disk speed, never to a crash — but sizing it right keeps level 1 in
-    memory, which is the point of the tournament."""
+    Round-10: two implementations, picked by input size class.
+    ``via="window"`` (the RAW-counts daily build): ``row_number() ≤ n``
+    under the same total order — Spark's WindowGroupLimit runs a partial
+    map-side top-n heap per group BEFORE the exchange (≤ n rows per
+    group per task shuffle, vs the tournament's level-1 partial
+    collect_list buffers, which held and shuffled ~D_group/``buckets``
+    DISTINCT keys as arrays), then the final per-group cut; the kept ≤ n
+    rows fold into the output array in a bounded aggregate, and ``_tot``
+    joins back broadcast from a group-cardinality count aggregate.
+    ``via="tournament"`` (ledger-sized READOUT merges — days×types×k
+    rows at any scale): the original two-level collect_list tournament —
+    fewer stages, measured faster on small inputs, and its level-1
+    buffers are bounded by the ledger size itself."""
     item = F.struct(
         (-F.col("_c")).cast("long").alias("nc"), F.col("_k").alias("k")
     )
+    if via == "window":
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_c").desc(), F.col("_k").asc()
+        )
+        kept = df.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= n
+        )
+        arr = kept.groupBy(*keys).agg(
+            F.array_sort(F.collect_list(item)).alias("_arr")
+        )
+        tot = df.groupBy(*keys).agg(F.sum("_c").cast("long").alias("_tot"))
+        return arr.join(F.broadcast(tot), keys)
     lvl1 = df.groupBy(
         *keys, F.pmod(F.xxhash64("_k"), F.lit(buckets)).alias("_bk")
     ).agg(
@@ -1557,7 +1572,9 @@ def _hh_scope_bounds(
         .groupBy(*keys, F.col("it.k").alias("_k"))
         .agg(F.sum("it.c").cast("long").alias("_c"))
     )
-    arr = _hh_topn_arr(lbs, keys, top_n, buckets)
+    # ledger-sized input (days×types×k rows) — the tournament's two hash
+    # aggregates beat the window's extra stages here (round-10 A/B)
+    arr = _hh_topn_arr(lbs, keys, top_n, buckets, via="tournament")
     return (
         arr.select(*keys, F.posexplode("_arr"))
         .join(F.broadcast(tot), keys)
@@ -1675,8 +1692,10 @@ def _hh_merge_fn(k: int, buckets: int):
             .groupBy("day", "event_type", F.col("it.k").alias("_k"))
             .agg(F.sum("it.c").cast("long").alias("_c"))
         )
+        # ledger-sized merge input (summary items of the touched days) —
+        # tournament form, same reasoning as the rollup readout
         arr = _hh_topn_arr(
-            cnts, ["day", "event_type"], k + 1, buckets
+            cnts, ["day", "event_type"], k + 1, buckets, via="tournament"
         ).drop("_tot")
         empty = F.expr("array()").cast(
             "array<struct<nc:bigint,k:string>>"

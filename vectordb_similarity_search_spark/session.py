@@ -89,6 +89,14 @@ def get_spark(
         # drowning the scheduler in tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # rank-limit windows (top-k per group) convert to WindowGroupLimit
+        # — a map-side partial top-k heap before the exchange — only when
+        # the limit is <= this threshold; the stratified-sample ledger's
+        # cap is 1024, just past the 1000 default. Scale-neutral: the
+        # value bounds the per-task heap ENTRY COUNT, not data size
+        # (round-10; plain sessions still return identical results via
+        # the ordinary Window path)
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
