@@ -302,10 +302,13 @@ def exact_percentiles_sorted(
     # so _start must subtract the tie's TOTAL weight (a [current,current]
     # RANGE frame), not the row's own — otherwise duplicate (group,
     # value) rows double-cover some ranks and miss others. All three
-    # columns share one exchange + sort.
-    ws = Window.partitionBy(*gcols).orderBy("_v")
+    # columns share one exchange + sort. An empty group list (a GLOBAL
+    # percentile — callers should pre-compress to weighted cells first)
+    # partitions on a constant.
+    parts = [F.col(c) for c in gcols] or [F.lit(0)]
+    ws = Window.partitionBy(*parts).orderBy("_v")
     wt = ws.rangeBetween(Window.currentRow, Window.currentRow)
-    wg = Window.partitionBy(*gcols)
+    wg = Window.partitionBy(*parts)
     ranked = (
         vals.withColumn("_end", F.sum("_w").over(ws))
         .withColumn("_tiew", F.sum("_w").over(wt))

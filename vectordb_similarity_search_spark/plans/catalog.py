@@ -85,6 +85,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 # result caching: every action on the handle re-executes the whole
 # computation from the parquet inputs. Keyed by applicationId so a new
 # session never sees a dead session's plans.
+#
+# Staleness contract (round-10, ADVICE):
+# - PATHS: registry builders read only immutable inputs — the read-only
+#   sf_dir fixtures and DONE-marked memoized ledger dirs. Any writer that
+#   swaps a table directory clears this cache wholesale
+#   (util.invalidate_snapshot_caches, pinned by
+#   tests/test_plan_cache.py::test_cached_reader_sees_post_merge_data).
+# - KNOBS: a builder is pure in (spark, sf_dir) GIVEN fixed module state.
+#   The one runtime knob that reaches plan construction today is
+#   ranking.DIMENSION_WINDOW_MAX_BYTES; anything that patches such a knob
+#   MUST call clear_plan_cache() before and after (the scale-mode lint in
+#   tests/test_plan_invariants.py does). A future knob should either do
+#   the same or fold its value into this key.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

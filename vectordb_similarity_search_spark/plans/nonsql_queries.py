@@ -3241,33 +3241,36 @@ def e_qsk_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentiles) — the old per-type/global ObjectHashAggregate buffered
     # every value of the group in one task (O(group) memory at 100 TB,
     # guide §5); bit-identical interpolation pinned in
-    # tests/test_percentiles.py. The per-type and total branches FUSE
-    # into one weighted call: (event_type, value) cells aggregate once,
-    # each cell explodes into its 'type:X' scope and 'total', and ranks
-    # resolve with the sort+cumulative-window formulation (per-scope
-    # groups, spillable sort — no events rescan per branch).
+    # tests/test_percentiles.py. Both branches derive from ONE
+    # (event_type, value) cell aggregate (its exchange is reused —
+    # events is scanned once for the exact side): per-type ranks resolve
+    # with the sort+cumulative-window formulation (per-type groups,
+    # spillable sort); the total resolves the SAME way over the
+    # value-level re-aggregation of the cells — a single spillable sort
+    # over tie-compressed distinct values (the bucket plan distributes
+    # better in principle but costs ~10 stages; A/B'd worse here).
     from ..operators.percentiles import exact_percentiles_sorted
 
     cells = vals.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("_w")
     )
-    scoped = cells.select(
-        F.explode(
-            F.array(
-                F.concat(F.lit("type:"), F.col("event_type")),
-                F.lit("total"),
-            )
-        ).alias("scope"),
-        "value",
-        "_w",
-    )
-    exact = exact_percentiles_sorted(
-        scoped, "value", (0.5, 0.99), ["scope"], out_col="_xs", weight_col="_w"
+    per = exact_percentiles_sorted(
+        cells, "value", (0.5, 0.99), ["event_type"], out_col="_xs",
+        weight_col="_w",
     ).select(
-        "scope",
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
         F.col("_xs")[0].alias("_x50"),
         F.col("_xs")[1].alias("_x99"),
     )
+    vcells = cells.groupBy("value").agg(F.sum("_w").alias("_w"))
+    tot = exact_percentiles_sorted(
+        vcells, "value", (0.5, 0.99), [], out_col="_xs", weight_col="_w"
+    ).select(
+        F.lit("total").alias("scope"),
+        F.col("_xs")[0].alias("_x50"),
+        F.col("_xs")[1].alias("_x99"),
+    )
+    exact = per.unionByName(tot)
     tol = qsk_relative_bound() * (1.0 + 1e-6)
 
     def ok(est_c: str, x_c: str):
