@@ -520,13 +520,20 @@ def daily_cms_sketches(
             ]
         )
     )
+    # Round-10 (§1.2/§2.3): tie-compress to (day, key) cells BEFORE the
+    # depth× explode — keys repeat within a day, so the explode and the
+    # counter aggregate run over the compressed cells with exact weights
+    # (counter sums are identical; the (day, key) partial aggregate also
+    # shrinks what the first exchange carries).
     return (
         events.select(
             F.to_date(ts_col).alias("day"), F.col(key_col).alias("_k")
         )
-        .select("day", cells.alias("rc"))
+        .groupBy("day", "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+        .select("day", "_w", cells.alias("rc"))
         .groupBy("day", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
     )
 
 
