@@ -15,7 +15,7 @@ shuffles anything but the final top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import n_tokens, tokens
@@ -60,6 +60,15 @@ def bm25_score_expr(n_terms: int, k1: float = 1.2, b: float = 0.75):
     return score
 
 
+
+def _tf_count(arr, term) -> Column:
+    """Occurrences of ``term`` in the ``arr`` token array, natively:
+    size(arr) - size(array_remove(arr, term)) — codegen array ops instead
+    of an interpreted filter-lambda per element (round-10; the banding
+    advisor's _pair_explode lesson applied to the BM25 tf counts)."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return (F.size(a) - F.size(F.array_remove(a, term))).cast("double")
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -85,10 +94,7 @@ def bm25_topk(
         n_tokens(text_col).cast("double").alias("_len"),
     )
     for i, term in enumerate(query_terms):
-        toks = toks.withColumn(
-            f"_tf{i}",
-            F.size(F.filter("_toks", lambda t: t == F.lit(term))).cast("double"),
-        )
+        toks = toks.withColumn(f"_tf{i}", _tf_count("_toks", term))
     toks = toks.drop("_toks")
     stats = toks.agg(
         F.count("*").cast("double").alias("_n"),
@@ -177,14 +183,10 @@ def bm25_phrase_topk(
     ).otherwise(F.array().cast("array<string>"))
     toks = base
     for i, term in enumerate(query_terms):
-        toks = toks.withColumn(
-            f"_tf{i}",
-            F.size(F.filter("_toks", lambda t: t == F.lit(term))).cast("double"),
-        )
-    toks = toks.withColumn(
-        "_tfp",
-        F.size(F.filter(bigrams, lambda x: x == F.lit(phrase))).cast("double"),
-    ).drop("_toks")
+        toks = toks.withColumn(f"_tf{i}", _tf_count("_toks", term))
+    toks = toks.withColumn("_bi", bigrams).withColumn(
+        "_tfp", _tf_count("_bi", phrase)
+    ).drop("_toks", "_bi")
     n_terms = len(query_terms)
     stats = toks.agg(
         F.count("*").cast("double").alias("_n"),
@@ -428,17 +430,9 @@ def prf_expand_topk(
         )
     )
     # Seed stage: bm25_topk's exact scoring shape over the SHARED frame.
-    # NB single-arg factory, NOT a default-arg lambda — PySpark passes the
-    # element INDEX to any 2-parameter HOF lambda (round-1 learning).
-    def _eq(word: str):
-        return lambda tok: tok == F.lit(word)
-
     seed_tf = toks
     for i, term in enumerate(seed_terms):
-        seed_tf = seed_tf.withColumn(
-            f"_tf{i}",
-            F.size(F.filter("_toks", _eq(term))).cast("double"),
-        )
+        seed_tf = seed_tf.withColumn(f"_tf{i}", _tf_count("_toks", term))
     seed_tf = seed_tf.drop("_toks")
     stats = seed_tf.agg(
         F.count("*").cast("double").alias("_n"),
