@@ -83,6 +83,40 @@ def test_cached_reader_sees_post_merge_data(spark, tmp_path):
     assert fresh.agg(F.sum("v")).head()[0] == 90 + 10 * 5
 
 
+def test_cached_reader_evicted_by_partitioned_merge(spark, tmp_path):
+    """The PARTITIONED rewrite paths rename individual partition dirs and
+    never go through swap_snapshot — they must evict through the same
+    helper (round-10 review finding), including when the batch only ADDS
+    a brand-new partition."""
+    from pyspark.sql import functions as F
+
+    from vectordb_similarity_search_spark.operators.merge import (
+        merge_parquet_partitioned,
+    )
+
+    tbl = str(tmp_path / "pt")
+    spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        F.lit(1).alias("v"),
+    ).write.partitionBy("p").parquet(tbl)
+
+    key = (spark.sparkContext.applicationId, tbl, "_scratch_preader")
+    catalog._PLAN_CACHE[key] = spark.read.parquet(tbl)
+    assert catalog._PLAN_CACHE[key].count() == 40
+
+    # updates land ONLY in a brand-new partition p=7 (the add-only branch)
+    upd = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.lit(7).alias("p"), F.lit(9).alias("v")
+    )
+    merge_parquet_partitioned(spark, tbl, upd, ["k", "p"], ["p"])
+
+    assert key not in catalog._PLAN_CACHE, (
+        "partitioned merge must clear the registry plan cache"
+    )
+    assert spark.read.parquet(tbl).count() == 45
+
+
 def test_dead_app_entries_evicted(spark, sf_dir):
     REGISTRY["r_pricing_summary"].fn(spark, sf_dir)
     dead = ("app-dead-123", sf_dir, "r_pricing_summary")

@@ -35,15 +35,17 @@ from ..util import restore_snapshot, swap_snapshot
 
 def _invalidate_foreign_scan_caches(path: str) -> None:
     """Any table this writer rewrites may also be probed through the ANN
-    index-scan cache (operators/ann) or the streaming ledger-audit scan
-    cache (streaming/audit) — a cached plan pins the old file listing and
-    would read deleted files after the swap. Cheap no-op when the path was
-    never probed."""
-    from ..streaming.audit import invalidate_audit_scans
-    from .ann import _invalidate_index_scans
+    index-scan cache (operators/ann), the streaming ledger-audit scan
+    cache (streaming/audit), or a memoized registry plan — a cached plan
+    pins the old file listing and would read deleted files after the
+    rewrite. One helper does all three (util.invalidate_snapshot_caches);
+    this is the writer-side hook for the PARTITIONED rewrite paths, which
+    rename individual partition dirs and never go through swap_snapshot
+    (round-10 review finding — swap_snapshot invalidates on its own, so
+    the swap paths calling both is a harmless idempotent overlap)."""
+    from ..util import invalidate_snapshot_caches
 
-    _invalidate_index_scans(path)
-    invalidate_audit_scans(path)
+    invalidate_snapshot_caches(path)
 
 
 # Table-level schema sidecar (partitioned evolution). A partitioned
@@ -578,13 +580,16 @@ def merge_parquet_partitioned(
 
     tmp_root = f"{table_path.rstrip('/')}__pmerge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
-    _invalidate_foreign_scan_caches(table_path)
     if evolved:
         # the batch actually added columns: record the table-level schema
         # (partition columns ride at their read positions) BEFORE any dir
         # carries mixed footers — see the crash-honesty note above
         _write_schema_sidecar(table_path, full.schema)
-    return _reconcile_partition_dirs(table_path, tmp_root, existing)
+    n = _reconcile_partition_dirs(table_path, tmp_root, existing)
+    # invalidate AFTER the partition-dir renames land — a plan rebuilt
+    # between an early eviction and the renames would pin the old listing
+    _invalidate_foreign_scan_caches(table_path)
+    return n
 
 
 def _validate_pruned_partitioning(
@@ -767,5 +772,6 @@ def scd2_apply_partitioned(
     tmp_root = f"{table_path.rstrip('/')}__pscd2_{uuid.uuid4().hex[:8]}"
     snapshot.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_root)
     _raise_if_stale(obs, tmp_root)
+    n = _reconcile_partition_dirs(table_path, tmp_root, existing)
     _invalidate_foreign_scan_caches(table_path)
-    return _reconcile_partition_dirs(table_path, tmp_root, existing)
+    return n

@@ -6,7 +6,7 @@ single task, which at 100 TB is an OOM, not a slowdown (the round-9
 verdict's #1 remaining scale problem). :func:`exact_percentiles` computes
 the same order statistics as a lazy plan whose per-task state is bounded:
 
-1. per group: ``(min, max, count)`` — one hash aggregate;
+1. per group: ``(min, max)`` — one hash aggregate;
 2. each value is mapped to an order-preserving bucket
    ``floor((v - min) / (max - min) * B)`` (monotone in IEEE double
    arithmetic: subtraction, division and multiplication by a positive
@@ -48,6 +48,23 @@ from pyspark.sql import functions as F
 # (tie-compressed); raising it shrinks the resolve scan per target but
 # grows the (cheap, single-task-per-group) cumulative window of step 3.
 N_BUCKETS = 4096
+
+
+def _interp(pos, vlo, vhi):
+    """Percentile.eval's interpolation arithmetic, shared by both exact
+    formulations so the bit-exactness-critical expression cannot drift:
+    v_lo when pos is integral; the counts-compressed tie short-circuit
+    (v_lo when both ranks land on the same distinct value — the blended
+    form is NOT exactly v in FP arithmetic, observed as a 1-ulp
+    mismatch); else (ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi."""
+    return (
+        F.when(F.ceil(pos).cast("double") == pos, vlo)
+        .when(vlo == vhi, vlo)
+        .otherwise(
+            (F.ceil(pos).cast("double") - pos) * vlo
+            + (pos - F.floor(pos).cast("double")) * vhi
+        )
+    )
 
 
 def exact_percentiles(
@@ -92,7 +109,6 @@ def exact_percentiles(
     stats = vals.groupBy(*gcols).agg(
         F.min("_v").alias("_vmin"),
         F.max("_v").alias("_vmax"),
-        cnt().alias("_n"),
     )
 
     # Order-preserving bucket id in [0, n_buckets]; constant groups all
@@ -111,7 +127,7 @@ def exact_percentiles(
     # null-safe stats attach: a NULL group key is its own group (groupBy
     # semantics), but a plain equi-join would drop it
     st = stats.select(
-        *[F.col(c).alias(f"_s_{c}") for c in gcols], "_vmin", "_vmax", "_n"
+        *[F.col(c).alias(f"_s_{c}") for c in gcols], "_vmin", "_vmax"
     )
     if gcols:
         jcond = F.lit(True)
@@ -214,31 +230,25 @@ def exact_percentiles(
     )
     for c in gcols:
         rcond = rcond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
-    picked = targets.join(F.broadcast(vr), rcond).select(
+    # broadcast the TINY side: targets is ≤ 2·|qs| rows per group; vr is
+    # the tie-compressed value set of the target buckets (~N/n_buckets
+    # per group — unbounded at scale, must stay distributed; round-10
+    # review finding)
+    picked = vr.join(F.broadcast(targets), rcond).select(
         *gcols, "_qi", "_pos", "_rank", F.col("_v").alias("_ov")
     )
 
-    # interpolate with Percentile.eval's arithmetic: v_lo when pos is
-    # integral, else (ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi
     lo_rank = F.floor("_pos").cast("long") + 1
     hi_rank = F.ceil("_pos").cast("long") + 1
     per_q = picked.groupBy(*gcols, "_qi", "_pos").agg(
         F.min(F.when(F.col("_rank") == lo_rank, F.col("_ov"))).alias("_vlo"),
         F.min(F.when(F.col("_rank") == hi_rank, F.col("_ov"))).alias("_vhi"),
     )
-    # Percentile.eval short-circuits when both ranks land on the SAME
-    # counts-compressed entry (ties): the value is returned directly, no
-    # interpolation — (hi-pos)·v + (pos-lo)·v is NOT v in FP arithmetic
-    # ((hi-pos)+(pos-lo) ≠ 1.0 exactly), observed as a 1-ulp mismatch.
-    interp = (
-        F.when(F.ceil("_pos").cast("double") == F.col("_pos"), F.col("_vlo"))
-        .when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo"))
-        .otherwise(
-            (F.ceil("_pos").cast("double") - F.col("_pos")) * F.col("_vlo")
-            + (F.col("_pos") - F.floor("_pos").cast("double")) * F.col("_vhi")
-        )
+    per_q = per_q.select(
+        *gcols,
+        "_qi",
+        _interp(F.col("_pos"), F.col("_vlo"), F.col("_vhi")).alias("_p"),
     )
-    per_q = per_q.select(*gcols, "_qi", interp.alias("_p"))
 
     # reassemble the array in qs order
     agg = per_q.groupBy(*gcols).agg(
@@ -350,17 +360,8 @@ def exact_percentiles_sorted(
         aggs.append(F.min(f"_pos{i}").alias(f"_p{i}"))
     per_g = hits.groupBy(*gcols).agg(*aggs)
 
-    # Percentile.eval's interpolation, including the counts-compressed
-    # tie short-circuit (see exact_percentiles).
-    outs = []
-    for i in range(len(qs)):
-        pos, vlo, vhi = F.col(f"_p{i}"), F.col(f"_vlo{i}"), F.col(f"_vhi{i}")
-        outs.append(
-            F.when(F.ceil(pos).cast("double") == pos, vlo)
-            .when(vlo == vhi, vlo)
-            .otherwise(
-                (F.ceil(pos).cast("double") - pos) * vlo
-                + (pos - F.floor(pos).cast("double")) * vhi
-            )
-        )
+    outs = [
+        _interp(F.col(f"_p{i}"), F.col(f"_vlo{i}"), F.col(f"_vhi{i}"))
+        for i in range(len(qs))
+    ]
     return per_g.select(*gcols, F.array(*outs).alias(out_col))

@@ -1490,7 +1490,18 @@ def _hh_topn_arr(
             F.array_sort(F.collect_list(item)).alias("_arr")
         )
         tot = df.groupBy(*keys).agg(F.sum("_c").cast("long").alias("_tot"))
-        return arr.join(F.broadcast(tot), keys)
+        # null-safe attach: a NULL group key (null day/type) is its own
+        # group under groupBy — a plain equi-join would drop it (the
+        # tournament's pure-groupBy chain kept it; round-10 review)
+        tot = tot.select(
+            *[F.col(c).alias(f"_t_{c}") for c in keys], "_tot"
+        )
+        jcond = F.lit(True)
+        for c in keys:
+            jcond = jcond & F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        return arr.join(F.broadcast(tot), jcond).select(
+            *keys, "_arr", "_tot"
+        )
     lvl1 = df.groupBy(
         *keys, F.pmod(F.xxhash64("_k"), F.lit(buckets)).alias("_bk")
     ).agg(
@@ -2247,7 +2258,16 @@ def daily_stratified_sample(
     counts = rows.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    return kept.join(F.broadcast(counts), keys).select(
+    # null-safe attach: a NULL day/stratum is its own group under
+    # groupBy — a plain equi-join would drop its sample (the old
+    # tournament's pure-groupBy chain kept it; round-10 review)
+    counts = counts.select(
+        *[F.col(c).alias(f"_c_{c}") for c in keys], "n"
+    )
+    jcond = F.lit(True)
+    for c in keys:
+        jcond = jcond & F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+    return kept.join(F.broadcast(counts), jcond).select(
         *keys,
         "n",
         "id",

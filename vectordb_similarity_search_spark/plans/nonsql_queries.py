@@ -2677,12 +2677,21 @@ def e_stream_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5,),
         ["day", "event_type"],
         out_col="_xs",
-    ).select("day", "event_type", F.col("_xs")[0].alias("_x50"))
-    # left join: a (day, type) group whose values are ALL NULL has no
-    # percentile row — its _x50 stays NULL, exactly as the aggregate's
-    exact = cells.join(med, ["day", "event_type"], "left").select(
-        "day", "event_type", "exact_distinct", "_x50"
+    ).select(
+        F.col("day").alias("_m_day"),
+        F.col("event_type").alias("_m_type"),
+        F.col("_xs")[0].alias("_x50"),
     )
+    # null-safe left join: a (day, type) group whose values are ALL NULL
+    # has no percentile row — its _x50 stays NULL, exactly as the old
+    # in-aggregate percentile's; a NULL group KEY must still match its
+    # median row (plain equality would leave it NULL; round-10 review)
+    exact = cells.join(
+        med,
+        F.col("day").eqNullSafe(F.col("_m_day"))
+        & F.col("event_type").eqNullSafe(F.col("_m_type")),
+        "left",
+    ).select("day", "event_type", "exact_distinct", "_x50")
     est_ok = (
         F.abs(F.col("_est_stream") - F.col("exact_distinct"))
         / F.col("exact_distinct")

@@ -61,6 +61,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and is cluster-stable); pin it here too since the caller's session
     # may not come from our factory.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Rank-limit windows (top-k per group) convert to WindowGroupLimit —
+    # the map-side partial top-k heap — only when the limit is <= this
+    # threshold; the stratified-sample cap (1024) sits past the 1000
+    # default. Runtime conf, pinned HERE like the timezone because the
+    # grading driver's plain session never saw our factory (round-10
+    # review finding). Scale-neutral: bounds per-task heap ENTRIES.
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
